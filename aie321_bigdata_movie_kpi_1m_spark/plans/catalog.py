@@ -1,0 +1,227 @@
+"""Query catalog: every implemented capability as a named (Spark plan,
+DuckDB oracle SQL) pair over the driver testdata tables.
+
+This is the registry behind ``__spark_entry__.queries()`` /
+``oracle_sql()``.  Conventions (driver contract, SURVEY.md §5):
+
+- every computed column is aliased identically in the Spark plan and the
+  oracle SQL (the driver sorts columns by name before value-hashing);
+- non-integral aggregated doubles are rounded to a fixed number of
+  decimals on BOTH sides (sum order differs across engines; integral
+  sums are exact and need no rounding — see plans/movie_view.py);
+- oracles are ANSI-DuckDB over the pre-registered views ``region nation
+  customer supplier part orders lineitem events documents embeddings``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import kpi
+from ..sources.readers import load_star_table
+from .movie_view import (
+    MOVIE_FACTS_ORACLE_CTE,
+    MOVIE_GENRE_FACT_ORACLE_CTE,
+    movies_raw_from_star,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    """One catalog entry.
+
+    ``oracle`` is None for genuinely non-SQL-expressible ops (the driver
+    then records a weaker rows-only check — keep these rare).
+    """
+
+    fn: QueryFn
+    oracle: str | None
+    description: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    description: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        CATALOG[name] = QuerySpec(fn, oracle, description, tags)
+        return fn
+
+    return deco
+
+
+def facts_from_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned + quality-filtered movie facts over the star-derived raw view
+    (the reference pipeline's steps transform.py:96-121 end to end)."""
+    return kpi.build_movie_facts(movies_raw_from_star(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Reference pipeline, end to end (transform.py:80-207)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "movie_facts",
+    MOVIE_FACTS_ORACLE_CTE
+    + """
+SELECT movie_fact_id, title, original_title, release_year, release_date,
+       status, runtime, budget, revenue, vote_average, vote_count,
+       imdb_rating, imdb_votes, popularity, original_language,
+       '[' || coalesce(array_to_string(genres_list, ','), '') || ']'
+           AS genres_list,
+       '[' || coalesce(array_to_string(production_countries_list, ','), '') || ']'
+           AS production_countries_list
+FROM movie_facts
+""",
+    "cleaned 17-col fact table: F1-F4 cleaning + P3 quality filter "
+    "(transform.py:96-121); arrays stringified at the boundary (F5, "
+    "transform.py:129-130)",
+    tags=("reference-core",),
+)
+def q_movie_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import array_to_display_string
+
+    facts = facts_from_star(spark, sf_dir)
+    return facts.select(
+        *[c for c in kpi.FACT_COLUMNS if not c.endswith("_list")],
+        array_to_display_string("genres_list").alias("genres_list"),
+        array_to_display_string("production_countries_list").alias(
+            "production_countries_list"
+        ),
+    )
+
+
+@register(
+    "movie_genre_fact",
+    MOVIE_GENRE_FACT_ORACLE_CTE + "\nSELECT * FROM movie_genre_fact",
+    "genre-exploded 8-col fact: L1 explode + P4 filter (transform.py:138-157)",
+    tags=("reference-core",),
+)
+def q_movie_genre_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kpi.build_movie_genre_fact(facts_from_star(spark, sf_dir))
+
+
+@register(
+    "genre_avg_revenue",
+    MOVIE_GENRE_FACT_ORACLE_CTE
+    + """
+SELECT genre_name,
+       ROUND(AVG(revenue), 4) AS average_revenue,
+       COUNT(movie_fact_id) AS total_movies
+FROM movie_genre_fact
+WHERE revenue IS NOT NULL AND revenue > 0
+GROUP BY genre_name
+""",
+    "BQ1 flagship: genre_average_revenue KPI — P5 filter + A1 group-avg/"
+    "count + O1 sort (transform.py:177-197)",
+    tags=("reference-core", "flagship"),
+)
+def q_genre_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    summary = kpi.build_genre_summary(
+        kpi.build_movie_genre_fact(facts_from_star(spark, sf_dir))
+    )
+    return summary.select(
+        "genre_name",
+        F.round("average_revenue", 4).alias("average_revenue"),
+        "total_movies",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared analytics BQ2-BQ5 (README.md:17-20)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bq2_budget_revenue_corr",
+    MOVIE_FACTS_ORACLE_CTE
+    + """
+SELECT ROUND(corr(budget, revenue), 6) AS budget_revenue_corr,
+       COUNT(*) AS n_movies
+FROM movie_facts
+WHERE budget > 0 AND revenue > 0
+""",
+    "BQ2: Pearson correlation budget<->revenue (README.md:17)",
+    tags=("reference-core",),
+)
+def q_bq2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = kpi.budget_revenue_relationship(facts_from_star(spark, sf_dir))
+    return res.select(
+        F.round("budget_revenue_corr", 6).alias("budget_revenue_corr"), "n_movies"
+    )
+
+
+@register(
+    "bq3_films_per_year",
+    MOVIE_FACTS_ORACLE_CTE
+    + """
+SELECT release_year, COUNT(*) AS n_films
+FROM movie_facts
+WHERE release_year IS NOT NULL
+GROUP BY release_year
+""",
+    "BQ3: films produced per year (README.md:18); F3 year derivation feeds "
+    "the group key",
+    tags=("reference-core",),
+)
+def q_bq3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kpi.films_per_year(facts_from_star(spark, sf_dir))
+
+
+@register(
+    "bq4_country_popularity",
+    MOVIE_FACTS_ORACLE_CTE
+    + """
+SELECT country,
+       ROUND(AVG(popularity), 4) AS avg_popularity,
+       COUNT(*) AS n_movies
+FROM (
+  SELECT popularity, unnest(production_countries_list) AS country
+  FROM movie_facts
+)
+WHERE country <> ''
+GROUP BY country
+""",
+    "BQ4: most-popular producing countries — second explode target "
+    "(README.md:19)",
+    tags=("reference-core",),
+)
+def q_bq4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = kpi.country_popularity(facts_from_star(spark, sf_dir))
+    return res.select(
+        "country", F.round("avg_popularity", 4).alias("avg_popularity"), "n_movies"
+    )
+
+
+@register(
+    "bq5_runtime_rating",
+    MOVIE_FACTS_ORACLE_CTE
+    + """
+SELECT CAST(FLOOR(runtime / 30) * 30 AS BIGINT) AS runtime_bucket,
+       ROUND(AVG(imdb_rating), 4) AS avg_rating,
+       COUNT(*) AS n_movies
+FROM movie_facts
+WHERE runtime IS NOT NULL AND runtime > 0
+GROUP BY 1
+""",
+    "BQ5: runtime buckets vs rating (README.md:20)",
+    tags=("reference-core",),
+)
+def q_bq5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = kpi.runtime_rating_relationship(facts_from_star(spark, sf_dir))
+    return res.select(
+        "runtime_bucket", F.round("avg_rating", 4).alias("avg_rating"), "n_movies"
+    )

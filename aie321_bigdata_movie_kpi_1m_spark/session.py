@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Replaces the reference's implicit "runtime" (a single pandas process,
+``run_pipeline.py:22-59``) with a configured Spark session.  Defaults are
+chosen for the local[32] test harness but every knob scales: AQE handles
+runtime re-planning/skew on a real cluster, shuffle partitions follow the
+available parallelism, and Arrow makes any unavoidable pandas exchange
+vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "aie321-movie-kpi-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Scale posture:
+    - AQE on: runtime partition coalescing + skew-join splitting, so the
+      same plans survive a 100x scale-up without retuning.
+    - ``shuffle_partitions`` sized to local cores here; on a cluster this
+      is the one knob to raise (or leave to AQE's coalescing with a high
+      initial value).
+    - ANSI mode stays at the Spark 4 default (enabled); coerce-to-null
+      semantics (the reference's ``errors='coerce'``, transform.py:100-102)
+      are expressed explicitly with ``try_cast`` so nothing depends on
+      legacy silent casts.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # keep driver results honest: sinks iterate, they don't giant-collect
+        .config("spark.driver.maxResultSize", "2g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,87 @@
+"""Sources.
+
+Reference surface covered (SURVEY.md §2.1):
+- S1 CSV scan (ingest.py:64) -> ``read_csv`` with an explicit schema
+  (never inference: nondeterministic at 100 TB).
+- S2/S3 JDBC scans (transform.py:91-92, publish.py:122-128) ->
+  ``read_jdbc``; LIMIT pushdown is expressed as ``df.limit(n)`` and
+  Catalyst pushes it to the source.
+- Parquet is the canonical at-rest format between layers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import STAR_SCHEMAS
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with a declared schema (reference S1, ingest.py:64).
+
+    ``mode=PERMISSIVE`` keeps the reference's schema-on-read tolerance:
+    malformed cells surface as nulls and are handled by the cleaning
+    layer's try_cast, not by failing the scan.
+    """
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan; optional declared schema enables column pruning to be
+    checked against a fixed contract."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source (reference S2/S3, transform.py:91-92).
+
+    Unlike the reference's single-connection full-table pull, a
+    partitioned JDBC read (partitionColumn/bounds/numPartitions) fans the
+    scan across executors.  Filters/limits applied on the returned
+    DataFrame are pushed down by Catalyst.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 32))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table with its declared schema."""
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet", STAR_SCHEMAS.get(name))

@@ -1,0 +1,84 @@
+"""Sinks.
+
+Reference surface covered (SURVEY.md §2.1):
+- S4/S6 drop-and-recreate + bulk COPY (ingest.py:32-47, transform.py:42-77)
+  -> ``write_parquet`` with overwrite semantics; distributed, spillable,
+  no single-node 2x memory buffer.
+- S7/S8 Google-Sheets-style bounded export (publish.py:41-97) ->
+  ``bounded_export``: the engine's contract ends at limit + batched
+  iteration; the network client is the caller's adapter.  NaN/Inf
+  scrubbing (publish.py:50-57) happens at this boundary only — in-engine
+  data uses real SQL NULLs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Overwrite-by-default parquet sink (the reference's drop-and-recreate
+    semantics, transform.py:58).  ``partition_by`` gives partition pruning
+    for downstream scans at scale."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def scrub_non_finite(df: DataFrame) -> DataFrame:
+    """Sink-side scrub of NaN/±Inf to NULL on float columns (reference S8,
+    publish.py:50-57).  Engine-internal data never needs this — Spark has
+    real NULLs — so it lives at the export boundary."""
+    cols = []
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        if isinstance(field.dataType, (T.DoubleType, T.FloatType)):
+            c = F.when(F.isnan(c) | c.isin(float("inf"), float("-inf")), None).otherwise(
+                c
+            ).alias(field.name)
+        else:
+            c = c.alias(field.name)
+        cols.append(c)
+    return df.select(*cols)
+
+
+def bounded_export(
+    df: DataFrame,
+    consume_batch: Callable[[list[tuple]], None],
+    *,
+    max_rows: int | None = 50_000,
+    batch_size: int = 50_000,
+) -> int:
+    """Bounded, batched export to an external API client (reference S7:
+    LIMIT 50000 at publish.py:17,122-128 + 50k-row chunked append_rows at
+    publish.py:71,85-90).
+
+    Uses ``toLocalIterator`` so only one partition's rows are resident on
+    the driver at a time — the pattern that keeps a 100 TB table exportable
+    (you export a bounded slice, never a collect of everything).
+    Returns the number of rows exported.
+    """
+    bounded = scrub_non_finite(df.limit(max_rows) if max_rows is not None else df)
+    batch: list[tuple] = []
+    n = 0
+    it: Iterator = bounded.toLocalIterator()
+    for row in it:
+        batch.append(tuple(row))
+        if len(batch) >= batch_size:
+            consume_batch(batch)
+            n += len(batch)
+            batch = []
+    if batch:
+        consume_batch(batch)
+        n += len(batch)
+    return n
