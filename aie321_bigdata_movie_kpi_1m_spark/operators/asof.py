@@ -1,0 +1,77 @@
+"""As-of (temporal) join — an operator the reference lacks (SURVEY.md §2.8)
+and Spark has no built-in for.
+
+Implemented as the union + keyed-window "piggyback" pattern rather than a
+range join: both sides are unioned, sorted within each key partition by
+(time, side), and each left row picks up the most recent right payload via
+``last(..., ignorenulls=True)``.
+
+Scale rationale: one shuffle on the join key, no O(left x right-window)
+range-join explosion, no driver-side state — at 100 TB this is a single
+sort-based window over co-partitioned data, and skewed keys are handled by
+AQE like any other shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_TIME = "__asof_time"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward (most-recent-at-or-before) as-of left join.
+
+    For each ``left`` row, attach ``payload`` columns from the ``right``
+    row with the greatest ``right_time`` <= ``left_time`` within the same
+    ``on`` key.  Unmatched left rows keep NULL payloads.  With equal
+    timestamps the right row wins (inclusive semantics, matching DuckDB's
+    ``ASOF JOIN ... ON l.t >= r.t``).  Ties *within* the right side at the
+    same (key, time) are the caller's job to pre-dedupe.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload_struct = F.struct(*[F.col(c) for c in payload])
+    left_schema = {f.name: f.dataType for f in left.schema.fields}
+
+    r = right.select(
+        *[
+            F.col(name) if name in keys else F.lit(None).cast(dt).alias(name)
+            for name, dt in left_schema.items()
+        ],
+        F.col(right_time).alias(_TIME),
+        F.lit(0).alias(_SIDE),
+        payload_struct.alias(_PAYLOAD),
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_time).alias(_TIME),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(_TIME, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r).withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
+
+    out = merged.filter(F.col(_SIDE) == 1)
+    for c in payload:
+        out_name = c if c not in left.columns else f"{c}{suffix}"
+        out = out.withColumn(out_name, F.col(_PAYLOAD)[c])
+    return out.drop(_SIDE, _TIME, _PAYLOAD)

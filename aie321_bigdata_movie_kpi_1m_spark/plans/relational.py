@@ -1,0 +1,378 @@
+"""Relational query surface over the star schema.
+
+The reference has no joins, windows, set ops, rollups, or distinct aggs
+(SURVEY.md §2.8) — this module supplies them as first-class engine
+capabilities, each with a DuckDB oracle.
+
+Portability conventions (see plans/movie_view.py): money sums use
+FLOOR(x*100) integer cents so aggregation is exact and order-independent;
+window orderings always include a unique tie-break key; epochs are floored
+to whole seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.sessions import session_summary
+from ..sources.readers import load_star_table
+from .catalog import register
+
+
+def _cents(col: F.Column) -> F.Column:
+    return F.floor(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Scans, filters, projections (reference P1-P5 over native star tables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_pushdown",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(FLOOR(l_extendedprice * (1 + l_tax) * 100) AS BIGINT) AS charge_cents,
+       l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount > 0.02
+  AND l_returnflag IS NOT NULL
+""",
+    "P1/P3/P5: compound predicate + projection with a computed measure; "
+    "filters and the 6-column ReadSchema reach the parquet scan",
+    tags=("relational",),
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_star_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") > 0.02)
+        & F.col("l_returnflag").isNotNull()
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        _cents(F.col("l_extendedprice") * (1 + F.col("l_tax"))).alias("charge_cents"),
+        "l_returnflag",
+    )
+
+
+@register(
+    "sort_limit_topk",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 50
+""",
+    "O1+O2: global top-k — Spark plans TakeOrderedAndProject (no full sort "
+    "materialization), deterministic via unique tie-break",
+    tags=("relational",),
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_star_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (gap inventory: the reference is single-table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_star_revenue",
+    """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lineitems
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+""",
+    "TPC-H Q5 shape: 6-table join with broadcast dims + partial/final hash "
+    "agg; local-supplier condition via c_nationkey = s_nationkey",
+    tags=("relational", "join"),
+)
+def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_star_table(spark, sf_dir, "customer")
+    orders = load_star_table(spark, sf_dir, "orders")
+    lineitem = load_star_table(spark, sf_dir, "lineitem")
+    supplier = load_star_table(spark, sf_dir, "supplier")
+    nation = load_star_table(spark, sf_dir, "nation")
+    region = load_star_table(spark, sf_dir, "region")
+    # lineitem is the 100 TB fact: everything else joins to it broadcast
+    # (supplier/nation/region are tiny; customer/orders shuffle-join on keys
+    # and AQE picks broadcast when they fit).
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1999-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (gap inventory)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_customer_orders",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INTEGER) AS order_rank,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       lag(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER w
+           AS prev_totalprice_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS running_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "window suite: row_number + lag + running sum per customer, one shuffle "
+    "on the partition key, unique (date, key) ordering",
+    tags=("relational", "window"),
+)
+def q_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_star_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = _cents(F.col("o_totalprice"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_rank"),
+        cents.alias("totalprice_cents"),
+        F.lag(cents).over(w).alias("prev_totalprice_cents"),
+        F.sum(cents)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / distinct agg / set ops (gap inventory)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_lineitem",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "grouping-sets surface: ROLLUP over (returnflag, linestatus); quantity "
+    "is integral so sums are exact",
+    tags=("relational",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_star_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "distinct_agg",
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    "multi distinct aggregation (expand + two-phase agg in Spark)",
+    tags=("relational",),
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_star_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "set_ops_customers",
+    """
+SELECT c_custkey FROM (
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   INTERSECT
+   SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')
+  UNION
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+   EXCEPT
+   SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F')
+)
+""",
+    "set operations: INTERSECT / UNION (distinct) / EXCEPT, explicitly "
+    "parenthesized so both engines agree on shape",
+    tags=("relational",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_star_table(spark, sf_dir, "customer")
+    orders = load_star_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_cust = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    machinery = customer.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey"
+    )
+    final_cust = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        building.intersect(open_cust)
+        .union(machinery.exceptAll(final_cust).distinct())
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators: as-of join, sessionization, JSON props
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_error_purchase",
+    """
+SELECT e.event_id, e.user_id,
+       p.event_id AS purchase_event_id,
+       CAST(FLOOR(p.value * 100) AS BIGINT) AS purchase_value_cents
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+    "as-of join: each error event picks up the user's most recent purchase "
+    "at-or-before it (union + keyed-window plan, no range-join explosion)",
+    tags=("temporal", "join"),
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_star_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_event_id"),
+            _cents(F.col("value")).alias("purchase_value_cents"),
+        )
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        "user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["purchase_event_id", "purchase_value_cents"],
+    )
+    return joined.select(
+        "event_id", "user_id", "purchase_event_id", "purchase_value_cents"
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   > 21600
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessioned AS (
+  SELECT user_id, ts, sec,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(sec) - MIN(sec) AS duration_secs
+FROM sessioned
+GROUP BY user_id, session_seq
+""",
+    "gap-based sessionization (6h gap): lag + running sum of session starts, "
+    "then per-session aggregates — the batch twin of the streaming surface",
+    tags=("temporal",),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_star_table(spark, sf_dir, "events")
+    return session_summary(events, gap_seconds=21600)
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT event_type,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+FROM events
+GROUP BY event_type
+""",
+    "JSON functions: extract props.k (the reference's `json_cols` never "
+    "parse JSON — transform.py:31-39; this is the real capability)",
+    tags=("functions",),
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_star_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )

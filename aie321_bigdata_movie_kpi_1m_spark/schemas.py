@@ -204,7 +204,9 @@ STAR_SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            # stored as TIMESTAMP(NANOS): read as long (nanosAsLong) and
+            # converted to a real timestamp by sources.readers.load_star_table
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),

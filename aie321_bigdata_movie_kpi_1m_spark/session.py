@@ -49,6 +49,10 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long nanos and convert at the
+        # loader (sources.readers.load_star_table) via integer division.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # keep driver results honest: sinks iterate, they don't giant-collect
         .config("spark.driver.maxResultSize", "2g")
         .config("spark.ui.enabled", "false")

@@ -83,5 +83,17 @@ def read_jdbc(
 
 
 def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table with its declared schema."""
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet", STAR_SCHEMAS.get(name))
+    """Load one driver testdata table with its declared schema.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; it is read as long nanoseconds
+    (``spark.sql.legacy.parquet.nanosAsLong``) and converted here with
+    integer division (ns epochs exceed 2^53, so float division would lose
+    precision).  Truncation matches DuckDB's ns->us parquet conversion.
+    """
+    df = read_parquet(spark, f"{sf_dir}/{name}.parquet", STAR_SCHEMAS.get(name))
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

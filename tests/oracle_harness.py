@@ -55,6 +55,15 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
         return problems
+    for c in sorted(spark_pdf.columns):
+        sd, od = str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype)
+        # timestamp resolution (ns vs us) is a pandas artifact, not a type
+        # mismatch; anything else (int32 vs int64, int vs float) can foil
+        # the driver's schema/value hash and must be aligned in the query.
+        if sd.startswith("datetime") and od.startswith("datetime"):
+            continue
+        if sd != od:
+            problems.append(f"col {c!r} dtype: spark={sd} oracle={od}")
     a, b = _canonical(spark_pdf), _canonical(oracle_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
