@@ -1,0 +1,206 @@
+"""Deduplication operators (LLM-data-pipeline surface): exact,
+n-gram-Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes
+------------------
+- Exact dedup is a hash groupBy on a fingerprint — one shuffle, the
+  canonical 100 TB shape.
+- Exact Jaccard self-joins block on shared shingles; a frequent-shingle
+  cap (``max_df``) keeps hot keys from exploding the join at scale.
+- MinHash+LSH is the sub-quadratic path: signatures are 64 column-wise
+  ``min(xxhash64(seed, shingle))`` aggregates, banded (b=32, r=2) into
+  bucket keys, candidates joined on bucket, then exact-verified.  Every
+  stage is a groupBy/join on bounded keys — no driver state, no UDFs.
+- SimHash gives a 63-bit locality-sensitive fingerprint (bit 63 left
+  clear to stay in a signed long) assembled from per-bit weighted sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_fingerprint, tokens, word_shingles
+
+
+def dedup_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: one surviving row
+    per distinct content, keeping the smallest id (deterministic)."""
+    return (
+        docs.select(F.col(id_col), md5_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(tokens(text_col), n)).alias("__shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (i < j, jaccard >= t).
+
+    Blocking self-join on shared shingles, |A ∩ B| by counting shared
+    shingles, |A ∪ B| = |A| + |B| - |A ∩ B|.  ``max_df`` (document
+    frequency cap) drops ultra-common shingles before the join — the
+    skew-control lever at scale (changes semantics only for pairs whose
+    *entire* overlap is stop-shingles).
+    """
+    sh = _shingled(docs, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("__shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__shingle")
+        )
+        sh = sh.join(rare, "__shingle")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("__id").alias("i"), "__shingle")
+    b = sh.select(F.col("__id").alias("j"), "__shingle")
+    common = (
+        a.join(b, "__shingle")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("__id").alias("i"), F.col("__n").alias("n_i")), "i")
+        .join(sizes.select(F.col("__id").alias("j"), F.col("__n").alias("n_j")), "j")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_i") + F.col("n_j") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "n_common", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: column ``h0..h{k-1}`` of
+    ``min(xxhash64(seed_i, shingle))`` per document.  Deterministic (seeded
+    by column position), one explode + one groupBy."""
+    sh = _shingled(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    Pipeline: signatures -> band bucket keys (rows r = k/b per band) ->
+    candidate pairs sharing any bucket -> exact n-gram-Jaccard verification
+    at ``threshold``.  With b=32, r=2 the probability of missing a pair at
+    jaccard 0.8 is (1 - 0.8^2)^32 ≈ 6e-15, so the verified output equals
+    the exact-Jaccard answer — which is what the oracle checks.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n
+    )
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col(f"h{bi * rows + r}") for r in range(rows)]).alias(
+                "bucket"
+            ),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col).alias("__id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("__id", "bk.band", "bk.bucket")
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("i"), F.col("b.__id").alias("j"))
+        .distinct()
+    )
+    # Exact verification touches CANDIDATE pairs only (never the global
+    # self-join): shingle sets ride along as arrays, intersection sizes are
+    # computed per candidate pair.  At 100 TB the candidate set is tiny
+    # relative to the corpus, so this is two broadcast-able joins.
+    sets = docs.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(tokens(F.col(text_col)), n).alias("__set"),
+    )
+    verified = (
+        cand.join(sets.select(F.col("__id").alias("i"), F.col("__set").alias("__si")), "i")
+        .join(sets.select(F.col("__id").alias("j"), F.col("__set").alias("__sj")), "j")
+        .withColumn("n_common", F.size(F.array_intersect("__si", "__sj")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("__si") + F.size("__sj") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("i", "j", "n_common", F.round("jaccard", 4).alias("jaccard"))
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 63,
+) -> DataFrame:
+    """SimHash fingerprint per document (63 bits in a signed long).
+
+    Per bit b: sum over tokens of +1/-1 by token-hash bit b; the sign
+    becomes fingerprint bit b.  Near-duplicates land at small Hamming
+    distance; exact-equal simhash is a cheap groupBy dedup key.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
+    ).withColumn("__h", F.xxhash64(F.col("__t")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_bit = tok.groupBy("__id").agg(*bit_aggs)
+    sig = None
+    for b in range(bits):
+        contrib = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = contrib if sig is None else sig + contrib
+    return per_bit.select(F.col("__id").alias(id_col), sig.alias("simhash"))

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (LLM-data-pipeline surface).
+
+Two tiers:
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query set is broadcast; candidates stream (one pass over the 100 TB
+  side, no shuffle of the big table).  Dot products are sequential
+  ``aggregate`` folds in double precision so they are bit-portable
+  against SQL oracles.
+- ``lsh_topk``: random-hyperplane (signed projection) LSH — the scale
+  path.  Candidates bucket on sign-bit prefixes, exact cosine re-ranks
+  inside buckets.  Hyperplanes are deterministic (hash-derived), so runs
+  are reproducible without a random seed exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` must carry (query_id_col, vec_col).  Self-matches
+    (query_id == candidate id) are excluded.  Output: query_id,
+    neighbor_id, cosine_sim (rounded 6), deterministic tie-break on
+    neighbor id.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        _as_double(vec_col).alias("__qv"),
+    ).withColumn("__qn", _dot(F.col("__qv"), F.col("__qv")))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("__cv"),
+    ).withColumn("__cn", _dot(F.col("__cv"), F.col("__cv")))
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn(
+            "__sim",
+            _dot(F.col("__qv"), F.col("__cv"))
+            / F.sqrt(F.col("__qn") * F.col("__cn")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("__sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+def hyperplane_signature(vec: Column, dims: int, n_planes: int = 16, table: int = 0) -> Column:
+    """Deterministic random-hyperplane sign signature (int bucket key).
+
+    Plane p's component d is a hash-derived pseudo-random ±1
+    (sign of xxhash64(table, p, d)); the signature packs the signs of the
+    ``n_planes`` projections.  Cosine-similar vectors collide with
+    probability (1 - theta/pi)^n_planes; multiple ``table`` values give
+    independent hash tables whose candidate sets union (the standard
+    recall lever).
+    """
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dims - 1)),
+                    lambda d: F.when(
+                        F.xxhash64(F.lit(table), F.lit(p), d) % 2 == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, r: x * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dims: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share a hyperplane-sign bucket
+    with the query in any of ``n_tables`` independent tables; exact cosine
+    re-ranks the unioned candidates.
+
+    At 100 TB the bucket join replaces the full cross product; recall is
+    tuned by ``n_planes`` (bucket width) and ``n_tables`` (independent
+    chances to collide).  Output schema matches ``cosine_topk``.
+    """
+    def buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        return df.select(
+            idc,
+            vc,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            hyperplane_signature(F.col(vc), dims, n_planes, t).alias(
+                                "sig"
+                            ),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("__bk"),
+        ).select(idc, vc, F.col("__bk.table").alias("__tbl"), F.col("__bk.sig").alias("__sig"))
+
+    q = buckets(
+        queries.select(F.col(query_id_col), _as_double(vec_col).alias("__qv")),
+        query_id_col,
+        "__qv",
+    )
+    c = buckets(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
+        ),
+        "neighbor_id",
+        "__cv",
+    )
+    paired = (
+        c.join(F.broadcast(q), ["__tbl", "__sig"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select("neighbor_id", query_id_col, "__qv", "__cv")
+        .distinct()
+        .withColumn("__qn", _dot(F.col("__qv"), F.col("__qv")))
+        .withColumn("__cn", _dot(F.col("__cv"), F.col("__cv")))
+        .withColumn(
+            "__sim",
+            _dot(F.col("__qv"), F.col("__cv"))
+            / F.sqrt(F.col("__qn") * F.col("__cn")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        paired.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("__sim", 6).alias("cosine_sim"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""Text analysis operators over a documents table (LLM-data-pipeline
+surface, BASELINE.json north star): token stats, language ID, quality
+scoring, fingerprinting.
+
+Every operator is a single codegen'd projection (plus at most one
+aggregation) — the shapes that stream through 100 TB of text at scan
+speed.  Ratios divide exact integer counts so results are engine-portable
+without tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_fingerprint, tokens
+
+#: (language, marker-bigrams) for the n-gram heuristic language ID.
+#: Scores are substring occurrence mass (length deltas), argmax with a
+#: fixed priority order — deterministic and SQL-portable, the point of a
+#: heuristic LID stage (a real model slots in behind the same signature).
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["th", "he"]),
+    ("de", ["er", "ch"]),
+    ("es", ["os", "la"]),
+    ("fr", ["le", "re"]),
+]
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def _occurrence_mass(text: Column, marker: str) -> Column:
+    """len(text) - len(replace(text, marker)) == occurrences * len(marker);
+    monotone in occurrence count, exact integer math."""
+    return F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit("")))
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: count, distinct count, mean token
+    length (exact int/int division)."""
+    toks = tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic n-gram language ID: marker-bigram occurrence mass per
+    language, argmax with fixed priority (first language wins ties)."""
+    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    scores = {
+        lang: sum(
+            (_occurrence_mass(text, m) for m in markers), F.lit(0)
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS
+    }
+    scored = docs.select(F.col(id_col), *scores.values())
+    langs = [lang for lang, _ in LANG_MARKERS]
+    pred = None
+    for lang in langs:
+        cond = F.lit(True)
+        for other in langs:
+            if other != lang:
+                # priority order: earlier language wins ties
+                op = (
+                    F.col(f"score_{lang}") >= F.col(f"score_{other}")
+                    if langs.index(other) > langs.index(lang)
+                    else F.col(f"score_{lang}") > F.col(f"score_{other}")
+                )
+                cond = cond & op
+        pred = (pred.when(cond, lang) if pred is not None else F.when(cond, lang))
+    return scored.select(
+        id_col,
+        *[f"score_{lang}" for lang in langs],
+        pred.otherwise(langs[0]).alias("predicted_lang"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation density, stopword
+    ratio, mean word length — combined into one bounded score.
+
+    The combination is a deterministic linear blend of exact ratios (the
+    standard C4/Gopher-style rule family); swap the weights freely, the
+    plumbing is the contract.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(text_col)
+    n_chars = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS)))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / n_tokens
+    mean_word_len = n_chars / n_tokens
+    score = (
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(0.5))
+        + F.least(stop_ratio, F.lit(0.3))
+        - F.when(mean_word_len > 12, 0.3).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """md5 fingerprint of normalized text per document (the exact-dedup
+    key)."""
+    return docs.select(F.col(id_col), md5_fingerprint(text_col).alias("fingerprint"))

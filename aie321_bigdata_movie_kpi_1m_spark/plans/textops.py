@@ -1,0 +1,208 @@
+"""Text-analysis + dedup query surface over the ``documents`` table
+(LLM-data-pipeline operators, BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup, text_analysis
+from ..sources.readers import load_star_table
+from .catalog import register
+
+#: shared oracle CTE: whitespace tokens per document (lockstep with
+#: functions.text.tokens)
+_TOKENS_CTE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+)
+"""
+
+#: shared oracle CTE: distinct word 3-gram shingles (lockstep with
+#: functions.text.word_shingles)
+_SHINGLES_CTE = (
+    _TOKENS_CTE
+    + """,
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) >= 3
+         THEN list_transform(generate_series(1, len(ts) - 2),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         ELSE CAST([] AS VARCHAR[]) END)) AS s
+  FROM tok
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i, j, CAST(c AS BIGINT) AS n_common,
+         c / (sa.n + sb.n - c) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = i
+  JOIN sizes sb ON sb.doc_id = j
+)
+"""
+)
+
+
+@register(
+    "doc_token_stats",
+    _TOKENS_CTE
+    + """
+SELECT doc_id,
+       CAST(len(ts) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct_tokens,
+       ROUND(CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0) AS BIGINT)
+             / greatest(len(ts), 1), 4) AS avg_token_len
+FROM tok
+""",
+    "token counting: whitespace tokens, distinct tokens, mean token length",
+    tags=("text",),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_stats(load_star_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_language_id",
+    """
+WITH lowered AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST((length(t) - length(replace(t, 'th', '')))
+       + (length(t) - length(replace(t, 'he', ''))) AS INTEGER) AS score_en,
+    CAST((length(t) - length(replace(t, 'er', '')))
+       + (length(t) - length(replace(t, 'ch', ''))) AS INTEGER) AS score_de,
+    CAST((length(t) - length(replace(t, 'os', '')))
+       + (length(t) - length(replace(t, 'la', ''))) AS INTEGER) AS score_es,
+    CAST((length(t) - length(replace(t, 'le', '')))
+       + (length(t) - length(replace(t, 're', ''))) AS INTEGER) AS score_fr
+  FROM lowered
+)
+SELECT doc_id, score_en, score_de, score_es, score_fr,
+  CASE
+    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+    WHEN score_de >  score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+    WHEN score_es >  score_en AND score_es >  score_de AND score_es >= score_fr THEN 'es'
+    ELSE 'fr'
+  END AS predicted_lang
+FROM s
+""",
+    "heuristic n-gram language ID: marker-bigram occurrence mass, fixed "
+    "priority argmax",
+    tags=("text",),
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.language_id(load_star_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_quality_score",
+    _TOKENS_CTE
+    + """
+SELECT doc_id,
+       CAST(length(coalesce(text, '')) AS INTEGER) AS n_chars_actual,
+       CAST(len(ts) AS INTEGER) AS n_tokens,
+       ROUND(length(regexp_replace(coalesce(text, ''), '[^.!?,;:]', '', 'g'))
+             / greatest(length(coalesce(text, '')), 1), 4) AS punct_ratio,
+       ROUND(len(list_filter(ts, t -> lower(t) IN ('the','a','of','and','to','in')))
+             / greatest(len(ts), 1), 4) AS stopword_ratio,
+       ROUND(1.0
+             - least(length(regexp_replace(coalesce(text, ''), '[^.!?,;:]', '', 'g'))
+                     / greatest(length(coalesce(text, '')), 1) * 2, 0.5)
+             + least(len(list_filter(ts, t -> lower(t) IN ('the','a','of','and','to','in')))
+                     / greatest(len(ts), 1), 0.3)
+             - CASE WHEN length(coalesce(text, '')) / greatest(len(ts), 1) > 12
+                    THEN 0.3 ELSE 0.0 END, 4) AS quality_score
+FROM tok JOIN documents USING (doc_id)
+""",
+    "heuristic quality scoring: punctuation density + stopword ratio + "
+    "mean word length blend (C4/Gopher-style rule family)",
+    tags=("text",),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_score(load_star_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))
+           AS fingerprint
+FROM documents
+""",
+    "document fingerprinting: md5 of whitespace-normalized lowercase text",
+    tags=("text", "dedup"),
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.fingerprints(load_star_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))
+           AS fingerprint,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    "exact dedup: hash-groupBy on the content fingerprint, keep smallest id",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_star_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "neardup_jaccard",
+    _SHINGLES_CTE
+    + """
+SELECT i, j, n_common, ROUND(jaccard, 4) AS jaccard
+FROM jac WHERE jaccard >= 0.5
+""",
+    "exact 3-gram-Jaccard near-dup pairs at t=0.5 (shingle-blocked "
+    "self-join)",
+    tags=("dedup",),
+)
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_star_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register(
+    "minhash_lsh_neardup",
+    _SHINGLES_CTE
+    + """
+SELECT i, j, n_common, ROUND(jaccard, 4) AS jaccard
+FROM jac WHERE jaccard >= 0.8
+""",
+    "MinHash+LSH near-dup (64 hashes, 32 bands x 2 rows) with exact "
+    "verification at t=0.8; miss probability <= (1-0.8^2)^32 ~ 6e-15, so "
+    "the verified output equals the exact-Jaccard oracle",
+    tags=("dedup", "lsh"),
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_star_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    None,  # 63-bit xxhash64-based simhash has no portable SQL twin;
+    # determinism + Hamming-locality are pytest-verified instead
+    "SimHash fingerprints (63-bit, per-bit weighted sums of token hashes)",
+    tags=("dedup", "rows-only"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(load_star_table(spark, sf_dir, "documents"))

@@ -1,0 +1,71 @@
+"""Similarity-search query surface over the ``embeddings`` table.
+
+Dot products are sequential double-precision folds on both engines
+(Spark ``aggregate``/``zip_with`` vs DuckDB ``list_inner_product``) —
+verified bit-identical, so cosine ranking is oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from ..sources.readers import load_star_table
+from .catalog import register
+
+#: query vectors: the first 8 ids — broadcast side of the search
+_N_QUERIES = 8
+_TOP_K = 10
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_inner_product(qv, v)
+           / sqrt(list_inner_product(qv, qv) * list_inner_product(v, v)) AS sim
+  FROM q, e
+  WHERE e.vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim
+FROM ranked WHERE rn <= {_TOP_K}
+""",
+    "similarity search baseline: exact brute-force cosine top-10 for 8 "
+    "query vectors (broadcast queries, one streaming pass over candidates)",
+    tags=("similarity",),
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries, k=_TOP_K)
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # approximate by design: bucket recall depends on the hash
+    # planes; pytest checks recall >= 0.6 against the exact baseline and
+    # determinism across runs
+    "similarity search scale path: random-hyperplane LSH bucketing + exact "
+    "re-rank inside buckets",
+    tags=("similarity", "lsh", "rows-only"),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, n_planes=8, k=_TOP_K)

@@ -1,0 +1,141 @@
+"""Unit tests for the composite operators: as-of join edge cases, session
+boundaries, dedup determinism, SimHash locality, LSH recall."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from aie321_bigdata_movie_kpi_1m_spark.operators.asof import asof_join
+from aie321_bigdata_movie_kpi_1m_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from aie321_bigdata_movie_kpi_1m_spark.operators.sessions import session_summary
+from aie321_bigdata_movie_kpi_1m_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "l1"),
+         (1, ts("2024-01-01 12:00:00"), "l2"),
+         (2, ts("2024-01-01 09:00:00"), "l3")],
+        "k int, t timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:30:00"), 100),
+         (1, ts("2024-01-01 11:00:00"), 200),
+         (2, ts("2024-01-01 09:30:00"), 300)],  # after l3: no match
+        "k int, t timestamp, payload int",
+    )
+    out = {
+        r["name"]: r["payload"]
+        for r in asof_join(
+            left, right, "k", left_time="t", right_time="t", payload=["payload"]
+        ).collect()
+    }
+    assert out == {"l1": 100, "l2": 200, "l3": None}
+
+
+def test_asof_join_inclusive_equal_timestamp(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"), "l")],
+                                 "k int, t timestamp, name string")
+    right = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"), 7)],
+                                  "k int, t timestamp, payload int")
+    [row] = asof_join(left, right, "k", left_time="t", right_time="t",
+                      payload=["payload"]).collect()
+    assert row["payload"] == 7
+
+
+def test_session_boundaries(spark):
+    events = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00")),
+         (1, ts("2024-01-01 10:10:00")),    # same session (gap 600s)
+         (1, ts("2024-01-01 20:00:00")),    # new session
+         (2, ts("2024-01-01 10:00:00"))],
+        "user_id int, ts timestamp",
+    )
+    rows = session_summary(events, gap_seconds=3600).orderBy("user_id", "session_seq").collect()
+    assert [(r["user_id"], r["session_seq"], r["n_events"], r["duration_secs"]) for r in rows] == [
+        (1, 1, 2, 600),
+        (1, 2, 1, 0),
+        (2, 1, 1, 0),
+    ]
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2, "the quick brown fox jumps over the lazy dog and runs away quickly"),  # near-dup of 1
+    (3, "completely different content about spark query engines and shuffles here"),
+    (4, "the quick brown fox jumps over the lazy dog and runs away fast"),     # exact dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_ngram_jaccard_finds_neardups(spark):
+    pairs = {(r["i"], r["j"]) for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_exact_on_small_data(spark):
+    exact = {(r["i"], r["j"]) for r in ngram_jaccard_pairs(_docs(spark), threshold=0.8).collect()}
+    lsh = {(r["i"], r["j"]) for r in minhash_lsh_pairs(_docs(spark), threshold=0.8).collect()}
+    assert lsh == exact and (1, 4) in lsh
+
+
+def test_simhash_deterministic_and_local(spark):
+    fp1 = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(_docs(spark)).collect()}
+    fp2 = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(_docs(spark)).collect()}
+    assert fp1 == fp2
+    assert fp1[1] == fp1[4]  # exact dup -> identical fingerprint
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fp1[1], fp1[2]) < ham(fp1[1], fp1[3])  # near-dup closer than unrelated
+
+
+def test_lsh_topk_recall_on_clustered_vectors(spark):
+    # LSH's contract is high recall in the high-similarity regime (near-dup
+    # retrieval), so test on clustered vectors: 5 tight clusters (cos>0.9
+    # within, ~orthogonal across).  The testdata embeddings are near-random
+    # (top-5 cosine ~0.33) where hyperplane LSH cannot and should not be
+    # expected to approximate exact kNN.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dims, per_cluster = 64, 10
+    centers = rng.normal(size=(5, dims))
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(per_cluster):
+            v = c + rng.normal(scale=0.08, size=dims)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % per_cluster == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, queries, dims=dims, n_planes=6, n_tables=6, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low on clustered data: {recall}"
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, queries, dims=dims, n_planes=6, n_tables=6, k=5).collect()
+    }
+    assert approx == again
