@@ -7,10 +7,11 @@ Scale design notes
   canonical 100 TB shape.
 - Exact Jaccard self-joins block on shared shingles; a frequent-shingle
   cap (``max_df``) keeps hot keys from exploding the join at scale.
-- MinHash+LSH is the sub-quadratic path: signatures are 64 column-wise
-  ``min(xxhash64(seed, shingle))`` aggregates, banded (b=32, r=2) into
-  bucket keys, candidates joined on bucket, then exact-verified.  Every
-  stage is a groupBy/join on bounded keys — no driver state, no UDFs.
+- MinHash+LSH is the sub-quadratic path: signatures are 32 column-wise
+  ``min(xxhash64(seed, shingle))`` aggregates, banded (b=16, r=2) into
+  bucket keys, candidates joined on bucket, then exact-verified on the
+  candidate pairs only.  Every stage is a groupBy/join on bounded keys —
+  no driver state, no UDFs.
 - SimHash gives a 63-bit locality-sensitive fingerprint (bit 63 left
   clear to stay in a signed long) assembled from per-bit weighted sums.
 """
@@ -45,6 +46,20 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def _shingled_hashed(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Shingles as xxhash64 longs: 8-byte shuffle keys instead of strings.
+    A hash collision (p ~ |shingles|^2 / 2^64) would merge two shingles;
+    at any realistic corpus size this is far below the FP noise floor."""
+    return docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.transform(
+                word_shingles(tokens(text_col), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("__shingle"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,
@@ -62,7 +77,7 @@ def ngram_jaccard_pairs(
     skew-control lever at scale (changes semantics only for pairs whose
     *entire* overlap is stop-shingles).
     """
-    sh = _shingled(docs, id_col, text_col, n)
+    sh = _shingled_hashed(docs, id_col, text_col, n)
     if max_df is not None:
         rare = (
             sh.groupBy("__shingle")
@@ -80,6 +95,8 @@ def ngram_jaccard_pairs(
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # sizes is one row per doc: at test scale AQE broadcasts it, at 100 TB
+    # it shuffle-joins on the id — no hint, let the runtime decide
     return (
         common.join(sizes.select(F.col("__id").alias("i"), F.col("__n").alias("n_i")), "i")
         .join(sizes.select(F.col("__id").alias("j"), F.col("__n").alias("n_j")), "j")
@@ -97,13 +114,14 @@ def minhash_signatures(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     n: int = 3,
 ) -> DataFrame:
     """MinHash signatures: column ``h0..h{k-1}`` of
     ``min(xxhash64(seed_i, shingle))`` per document.  Deterministic (seeded
-    by column position), one explode + one groupBy."""
-    sh = _shingled(docs, id_col, text_col, n)
+    by column position), one explode + one groupBy; hashes are computed
+    over pre-hashed 8-byte shingle keys, not strings."""
+    sh = _shingled_hashed(docs, id_col, text_col, n)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -116,8 +134,8 @@ def minhash_lsh_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 64,
-    bands: int = 32,
+    num_hashes: int = 32,
+    bands: int = 16,
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
@@ -125,8 +143,8 @@ def minhash_lsh_pairs(
 
     Pipeline: signatures -> band bucket keys (rows r = k/b per band) ->
     candidate pairs sharing any bucket -> exact n-gram-Jaccard verification
-    at ``threshold``.  With b=32, r=2 the probability of missing a pair at
-    jaccard 0.8 is (1 - 0.8^2)^32 ≈ 6e-15, so the verified output equals
+    at ``threshold``.  With b=16, r=2 the probability of missing a pair at
+    jaccard 0.8 is (1 - 0.8^2)^16 ≈ 9e-8, so the verified output equals
     the exact-Jaccard answer — which is what the oracle checks.
     """
     rows = num_hashes // bands

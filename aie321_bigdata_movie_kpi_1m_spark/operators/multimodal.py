@@ -1,0 +1,195 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The engine treats media as ``binary`` content plus a metadata struct and
+runs decode / feature-extract / resize / frame-sample as Arrow-batched
+``mapInPandas`` stages — the shape that scales: media bytes never leave
+the executor, Python sees columnar batches, partitioning is by asset id.
+
+The actual codec work is STUBBED (this container ships no image/audio
+libraries): ``decode`` parses only the deterministic fake header written
+by ``synthesize_assets`` and raises ``NotImplementedError`` for real
+formats.  Everything around the stub — schemas, batch iteration, UDF
+signatures, partition behavior — is real and tested; a real codec drops
+into ``_decode_bytes`` without touching any plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical multimodal asset schema
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_MAGIC = b"FAKE"
+_HEADER_FMT = "<4sII"  # magic, width, height
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+
+
+def synthesize_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake assets derived from ids (test/demo source).
+
+    Content is a tiny FAKE-format blob: 12-byte header (magic, width,
+    height) + 32 pseudo-pixel bytes derived from the id via sha256 — fully
+    deterministic, so every downstream stage is oracle-able in pytest.
+    """
+    @F.pandas_udf(T.BinaryType())
+    def fake_content(ids: pd.Series) -> pd.Series:
+        def blob(i: int) -> bytes:
+            w, h = 16 + (i % 16), 16 + ((i * 7) % 16)
+            body = hashlib.sha256(str(i).encode()).digest()
+            return struct.pack(_HEADER_FMT, _MAGIC, w, h) + body
+
+        return ids.map(blob)
+
+    ident = F.col(id_col).cast("long")
+    return docs.select(
+        ident.alias("asset_id"),
+        F.when(ident % 3 == 0, "image")
+        .when(ident % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        fake_content(ident).alias("content"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            (ident % 16 + 16).cast("int").alias("width"),
+            ((ident * 7) % 16 + 16).cast("int").alias("height"),
+            (ident * 40 + 1000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _decode_bytes(content: bytes) -> tuple[int, int, bytes]:
+    """STUB decode: parses the FAKE header only.  A real implementation
+    (PIL / ffmpeg / soundfile) replaces this function body; no plan or
+    schema changes anywhere else."""
+    if content[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real codecs are not available in this environment; "
+            "only FAKE-format blobs (synthesize_assets) decode"
+        )
+    _, w, h = struct.unpack(_HEADER_FMT, content[:_HEADER_SIZE])
+    return w, h, content[_HEADER_SIZE:]
+
+
+DECODED_SCHEMA = T.StructType(
+    ASSET_SCHEMA.fields
+    + [
+        T.StructField("decoded_width", T.IntegerType()),
+        T.StructField("decoded_height", T.IntegerType()),
+        T.StructField("n_pixels_bytes", T.IntegerType()),
+    ]
+)
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Decode stage: Arrow-batched ``mapInPandas``; bytes stay columnar,
+    one Python roundtrip per batch (not per row)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf["content"].map(_decode_bytes)
+            pdf["decoded_width"] = [d[0] for d in decoded]
+            pdf["decoded_height"] = [d[1] for d in decoded]
+            pdf["n_pixels_bytes"] = [len(d[2]) for d in decoded]
+            yield pdf
+
+    return assets.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Feature extraction stage: deterministic 8-dim embedding of the
+    content bytes (sha256-derived).  Stands in for a model forward pass;
+    the batch shape (mapInPandas, array<float> output) is the real
+    contract a GPU encoder plugs into."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def feat(content: bytes) -> list[float]:
+                d = hashlib.sha256(content).digest()
+                return [
+                    int.from_bytes(d[i * 4 : i * 4 + 4], "little") / 2**32
+                    for i in range(FEATURE_DIM)
+                ]
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "features": pdf["content"].map(feat),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def resize_images(assets: DataFrame, *, max_side: int = 16) -> DataFrame:
+    """Resize stage (images only): recomputes target dims JVM-side, marks
+    content for re-encode.  The byte transform itself is the stubbed
+    decode/encode pair; dimension math and filtering are real."""
+    scale = F.least(
+        F.lit(1.0),
+        max_side / F.greatest(F.col("meta.width"), F.col("meta.height")),
+    )
+    return assets.filter(F.col("modality") == "image").select(
+        "asset_id",
+        "modality",
+        "content",
+        "meta",
+        F.floor(F.col("meta.width") * scale).cast("int").alias("target_width"),
+        F.floor(F.col("meta.height") * scale).cast("int").alias("target_height"),
+    )
+
+
+def sample_frames(assets: DataFrame, *, every_ms: int = 500) -> DataFrame:
+    """Frame sampling (videos only): one output row per sampled timestamp
+    (explode of a JVM-side sequence) — the decode of each frame is the
+    stub; the row fan-out and partitioning are the real plumbing."""
+    return (
+        assets.filter(F.col("modality") == "video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.col("meta.duration_ms"),
+                    F.lit(every_ms).cast("long"),
+                )
+            ),
+        )
+        .select("asset_id", "frame_ts_ms", "content", "meta")
+    )

@@ -80,29 +80,32 @@ def cosine_topk(
     )
 
 
+def _plane(table: int, p: int, dims: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane (sha256-derived, no RNG
+    state): component d is the parity of sha256(table|p|d)."""
+    import hashlib
+
+    return [
+        1.0 if hashlib.sha256(f"{table}|{p}|{d}".encode()).digest()[0] % 2 == 0 else -1.0
+        for d in range(dims)
+    ]
+
+
 def hyperplane_signature(vec: Column, dims: int, n_planes: int = 16, table: int = 0) -> Column:
     """Deterministic random-hyperplane sign signature (int bucket key).
 
-    Plane p's component d is a hash-derived pseudo-random ±1
-    (sign of xxhash64(table, p, d)); the signature packs the signs of the
-    ``n_planes`` projections.  Cosine-similar vectors collide with
-    probability (1 - theta/pi)^n_planes; multiple ``table`` values give
-    independent hash tables whose candidate sets union (the standard
-    recall lever).
+    The ``n_planes`` ±1 plane vectors are generated driver-side (tiny,
+    deterministic) and embedded as literal arrays, so the per-row work is
+    ``n_planes`` sequential-fold dot products — no per-element hash calls
+    in the hot path.  Cosine-similar vectors collide with probability
+    (1 - theta/pi)^n_planes; multiple ``table`` values give independent
+    hash tables whose candidate sets union (the standard recall lever).
     """
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _plane(table, p, dims)])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dims - 1)),
-                    lambda d: F.when(
-                        F.xxhash64(F.lit(table), F.lit(p), d) % 2 == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, r: x * r,
-            ),
+            F.zip_with(vec, plane, lambda x, r: x * r),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

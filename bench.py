@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every catalog query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is timed as a full materialization (count over the plan), after
+a warm-up query primes the JVM/codegen.  Wall-clock per query, one run
+each (the driver records round-over-round trends).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aie321_bigdata_movie_kpi_1m_spark.plans.catalog import CATALOG  # noqa: E402
+from aie321_bigdata_movie_kpi_1m_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="aie321-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, codegen, parquet footer caches
+    CATALOG["genre_avg_revenue"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(CATALOG):
+        t0 = time.perf_counter()
+        CATALOG[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_query_wall_seconds_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Tests for the multimodal plumbing and the Structured Streaming surface
+(stream results are checked against their batch twins)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from aie321_bigdata_movie_kpi_1m_spark.operators.multimodal import (
+    decode_assets,
+    extract_features,
+    resize_images,
+    sample_frames,
+    synthesize_assets,
+)
+from aie321_bigdata_movie_kpi_1m_spark.operators.sessions import session_summary
+from aie321_bigdata_movie_kpi_1m_spark.sources.readers import load_star_table
+from aie321_bigdata_movie_kpi_1m_spark.streaming.events import (
+    read_events_stream,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    docs = load_star_table(spark, SF, "documents").limit(60)
+    return synthesize_assets(docs).cache()
+
+
+def test_asset_synthesis_deterministic(spark, assets):
+    a = {r["asset_id"]: bytes(r["content"]) for r in assets.collect()}
+    docs = load_star_table(spark, SF, "documents").limit(60)
+    b = {r["asset_id"]: bytes(r["content"]) for r in synthesize_assets(docs).collect()}
+    assert a == b
+    assert all(len(v) == 44 for v in a.values())  # 12-byte header + 32 bytes
+
+
+def test_decode_roundtrips_header(spark, assets):
+    rows = decode_assets(assets).collect()
+    for r in rows:
+        assert r["decoded_width"] == r["meta"]["width"]
+        assert r["decoded_height"] == r["meta"]["height"]
+        assert r["n_pixels_bytes"] == 32
+
+
+def test_decode_rejects_real_formats(spark):
+    fake_png = spark.createDataFrame(
+        [(1, "image", b"\x89PNG\r\n" + b"x" * 20, ("png", 1, 1, 0))],
+        "asset_id long, modality string, content binary, "
+        "meta struct<format:string,width:int,height:int,duration_ms:long>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real codecs"):
+        decode_assets(fake_png).collect()
+
+
+def test_feature_extraction_shape_and_determinism(spark, assets):
+    feats = extract_features(assets).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert all(0.0 <= x <= 1.0 for r in feats for x in r["features"])
+    again = {r["asset_id"]: r["features"] for r in extract_features(assets).collect()}
+    assert {r["asset_id"]: r["features"] for r in feats} == again
+
+
+def test_resize_and_frame_sample(spark, assets):
+    resized = resize_images(assets, max_side=16).collect()
+    assert resized and all(
+        max(r["target_width"], r["target_height"]) <= 16 for r in resized
+    )
+    frames = sample_frames(assets, every_ms=500)
+    per_asset = (
+        frames.groupBy("asset_id").count().withColumnRenamed("count", "n").collect()
+    )
+    meta = {r["asset_id"]: r["meta"]["duration_ms"] for r in assets.collect()}
+    for r in per_asset:
+        assert r["n"] == meta[r["asset_id"]] // 500 + 1
+
+
+# ---------------------------------------------------------------------------
+# Streaming
+# ---------------------------------------------------------------------------
+
+
+def _run_stream(df, spark, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "sess" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_counts_match_batch(spark):
+    stream = windowed_event_counts(read_events_stream(spark, SF))
+    got = _run_stream(stream, spark, "wincounts")
+    batch = (
+        load_star_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_cents")
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_streaming_sessionization_matches_batch(spark):
+    stream = sessionize_stream(read_events_stream(spark, SF), gap_seconds=21600)
+    got = _run_stream(stream, spark, "sess")
+    batch = session_summary(load_star_table(spark, SF, "events"), gap_seconds=21600)
+    a = {
+        (r["user_id"], r["session_seq"], r["n_events"], r["duration_secs"])
+        for r in got.collect()
+    }
+    b = {
+        (r["user_id"], r["session_seq"], r["n_events"], r["duration_secs"])
+        for r in batch.collect()
+    }
+    assert a == b and len(a) > 0
