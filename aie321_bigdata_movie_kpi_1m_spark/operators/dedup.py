@@ -40,23 +40,32 @@ def dedup_exact(
 
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(tokens(text_col), n)).alias("__shingle"),
+    # Tokens MUST be materialized as a real column before shingling:
+    # word_shingles indexes the token array with element_at inside a
+    # lambda, and feeding it the raw split/filter *expression* makes the
+    # tokenizer re-run per element access (quadratic in doc length,
+    # measured 13x slower at sf0.1).
+    return (
+        docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tok"))
+        .select("__id", F.explode(word_shingles(F.col("__tok"), n)).alias("__shingle"))
     )
 
 
 def _shingled_hashed(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Shingles as xxhash64 longs: 8-byte shuffle keys instead of strings.
     A hash collision (p ~ |shingles|^2 / 2^64) would merge two shingles;
-    at any realistic corpus size this is far below the FP noise floor."""
-    return docs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.transform(
-                word_shingles(tokens(text_col), n), lambda s: F.xxhash64(s)
-            )
-        ).alias("__shingle"),
+    at any realistic corpus size this is far below the FP noise floor.
+    Tokens are materialized first — see _shingled."""
+    return (
+        docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tok"))
+        .select(
+            "__id",
+            F.explode(
+                F.transform(
+                    word_shingles(F.col("__tok"), n), lambda s: F.xxhash64(s)
+                )
+            ).alias("__shingle"),
+        )
     )
 
 
@@ -175,9 +184,8 @@ def minhash_lsh_pairs(
     # computed per candidate pair.  At 100 TB the candidate set is tiny
     # relative to the corpus, so this is two broadcast-able joins.
     sets = docs.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(tokens(F.col(text_col)), n).alias("__set"),
-    )
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tok")
+    ).select("__id", word_shingles(F.col("__tok"), n).alias("__set"))
     verified = (
         cand.join(sets.select(F.col("__id").alias("i"), F.col("__set").alias("__si")), "i")
         .join(sets.select(F.col("__id").alias("j"), F.col("__set").alias("__sj")), "j")

@@ -14,6 +14,8 @@ Two tiers:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -113,6 +115,40 @@ def hyperplane_signature(vec: Column, dims: int, n_planes: int = 16, table: int 
     return sig
 
 
+def hyperplane_signatures_vec(
+    dims: int, n_planes: int, n_tables: int
+) -> Column:
+    """All-tables hyperplane signatures as one Arrow-batched pandas UDF.
+
+    Returns array<long> of length ``n_tables`` (element t == the JVM
+    ``hyperplane_signature(vec, dims, n_planes, t)`` — pytest asserts the
+    two stay bit-identical).  One numpy matmul per batch replaces
+    ``n_tables * n_planes`` interpreted higher-order-function folds, and
+    keeps the Catalyst expression tree small (the literal-plane version
+    adds ~2k expression nodes per table, which costs more in optimization
+    time than execution at any scale).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [_plane(t, p, dims) for t in range(n_tables) for p in range(n_planes)]
+    )  # (n_tables*n_planes, dims)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        bits = (mat @ planes.T) > 0  # (batch, n_tables*n_planes)
+        per_table = bits.reshape(len(mat), n_tables, n_planes)
+        packed = (per_table * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(packed))
+
+    return sigs
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -133,42 +169,30 @@ def lsh_topk(
     tuned by ``n_planes`` (bucket width) and ``n_tables`` (independent
     chances to collide).  Output schema matches ``cosine_topk``.
     """
-    def buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        return df.select(
-            idc,
-            vc,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            hyperplane_signature(F.col(vc), dims, n_planes, t).alias(
-                                "sig"
-                            ),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("__bk"),
-        ).select(idc, vc, F.col("__bk.table").alias("__tbl"), F.col("__bk.sig").alias("__sig"))
+    sig_udf = hyperplane_signatures_vec(dims, n_planes, n_tables)
 
-    q = buckets(
-        queries.select(F.col(query_id_col), _as_double(vec_col).alias("__qv")),
-        query_id_col,
-        "__qv",
+    def buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        # ids + bucket keys only: vectors are re-attached after the
+        # candidate set is deduped, so the distinct shuffles 16-byte id
+        # pairs instead of 64-double arrays
+        return df.select(idc, sig_udf(F.col(vc)).alias("__sigs")).select(
+            idc, F.posexplode("__sigs").alias("__tbl", "__sig")
+        )
+
+    qv = queries.select(F.col(query_id_col), _as_double(vec_col).alias("__qv"))
+    cv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
     )
-    c = buckets(
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
-        ),
-        "neighbor_id",
-        "__cv",
+    cand = (
+        buckets(cv, "neighbor_id", "__cv")
+        .join(F.broadcast(buckets(qv, query_id_col, "__qv")), ["__tbl", "__sig"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select("neighbor_id", query_id_col)
+        .distinct()
     )
     paired = (
-        c.join(F.broadcast(q), ["__tbl", "__sig"])
-        .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .select("neighbor_id", query_id_col, "__qv", "__cv")
-        .distinct()
+        cand.join(F.broadcast(qv), query_id_col)
+        .join(cv, "neighbor_id")
         .withColumn("__qn", _dot(F.col("__qv"), F.col("__qv")))
         .withColumn("__cn", _dot(F.col("__cv"), F.col("__cv")))
         .withColumn(

@@ -38,8 +38,8 @@ def _occurrence_mass(text: Column, marker: str) -> Column:
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token statistics: count, distinct count, mean token
     length (exact int/int division)."""
-    toks = tokens(text_col)
-    return docs.select(
+    toks = F.col("__tok")
+    return docs.select(F.col(id_col), tokens(text_col).alias("__tok")).select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
@@ -93,8 +93,9 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     standard C4/Gopher-style rule family); swap the weights freely, the
     plumbing is the contract.
     """
+    docs = docs.select("*", tokens(text_col).alias("__tok"))
     text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens(text_col)
+    toks = F.col("__tok")
     n_chars = F.length(text)
     n_punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
     n_tokens = F.greatest(F.size(toks), F.lit(1))
