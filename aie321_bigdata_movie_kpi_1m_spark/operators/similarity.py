@@ -115,6 +115,208 @@ def hyperplane_signature(vec: Column, dims: int, n_planes: int = 16, table: int 
     return sig
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (i < j, sim >= t) via
+    block-matrix self-join.
+
+    The classic distributed exact all-pairs shape: vectors hash into
+    ``n_blocks`` blocks, every block *pair* (upper triangle incl.
+    diagonal) becomes one task, and each task is a single numpy matmul
+    over the two blocks' matrices.  Work is O(n^2 d) but spread over
+    B(B+1)/2 independent tasks of bounded memory — at 100 TB you size
+    ``n_blocks`` so a block fits an executor (the shuffle moves each
+    vector B times, far cheaper than an exploded pair join).  For corpora
+    where even that is too much, ``minhash_lsh_pairs``/``lsh_topk`` are
+    the sub-quadratic approximate tier.
+    """
+    from pyspark.sql import types as T
+
+    e = embeddings.select(
+        F.col(id_col).alias("__id"),
+        _as_double(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
+    )
+    blocks = e.groupBy("__blk").agg(
+        F.collect_list(F.struct("__id", "__v")).alias("__rows")
+    )
+    block_pairs = (
+        blocks.select(F.col("__blk").alias("__ba"), F.col("__rows").alias("__ra"))
+        .crossJoin(
+            blocks.select(F.col("__blk").alias("__bb"), F.col("__rows").alias("__rb"))
+        )
+        .filter(F.col("__ba") <= F.col("__bb"))
+        # one block pair per task: the matmul is the unit of work
+        .repartition(F.col("__ba"), F.col("__bb"))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("j", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ia = np.asarray([r["__id"] for r in row["__ra"]], dtype=np.int64)
+                va = np.asarray([r["__v"] for r in row["__ra"]], dtype=np.float64)
+                ib = np.asarray([r["__id"] for r in row["__rb"]], dtype=np.int64)
+                vb = np.asarray([r["__v"] for r in row["__rb"]], dtype=np.float64)
+                na = va / np.linalg.norm(va, axis=1, keepdims=True)
+                nb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
+                sims = na @ nb.T
+                ai, bj = np.nonzero(sims >= threshold)
+                ii, jj = ia[ai], ib[bj]
+                if row["__ba"] == row["__bb"]:
+                    # same block: both orderings are present, keep i < j once
+                    keep = ii < jj
+                else:
+                    # distinct blocks: each unordered pair appears once,
+                    # just normalize the orientation
+                    keep = ii != jj
+                lo, hi = np.minimum(ii, jj)[keep], np.maximum(ii, jj)[keep]
+                yield pd.DataFrame(
+                    {"i": lo, "j": hi, "cosine_sim": sims[ai, bj][keep]}
+                )
+
+    return (
+        block_pairs.mapInPandas(emit, out_schema)
+        # diagonal block pairs emit each (i, j) once; cross-block pairs
+        # appear exactly once since each unordered block pair is one row
+        .select("i", "j", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
+def _nearest_centroids_udf(centroids: np.ndarray, n_probe: int) -> Column:
+    """pandas UDF: vector -> array of the ``n_probe`` nearest centroid ids
+    (squared-L2, deterministic ties by centroid index)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
+        d = c_sq - 2.0 * (mat @ C.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32) for row in order])
+
+    return probe
+
+
+def ivf_fit_centroids(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> np.ndarray:
+    """Fit the IVF coarse quantizer: deterministic seeding (the
+    ``n_centroids`` vectors with smallest ``xxhash64(id)``) + ``iters``
+    Lloyd steps.
+
+    Assignment is a distributed pandas-UDF argmin; the centroid update is
+    ``posexplode -> groupBy(cluster, dim) -> avg`` — both scale-out shapes.
+    Only the k x d centroid matrix ever reaches the driver (model state,
+    same contract as ``ml.clustering.KMeans``)."""
+    e = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    )
+    seeds = (
+        e.withColumn("__h", F.xxhash64(F.col("__id")))
+        .orderBy("__h", "__id")
+        .limit(n_centroids)
+        .select("__v")
+        .collect()
+    )
+    cents = np.asarray([r["__v"] for r in seeds], dtype=np.float64)
+    for _ in range(iters):
+        assign = _nearest_centroids_udf(cents, 1)
+        means = (
+            e.withColumn("__c", assign(F.col("__v"))[0])
+            .select("__c", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("__c", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        nxt = cents.copy()  # empty clusters keep their previous centroid
+        for r in means:
+            nxt[r["__c"], r["__d"]] = r["__m"]
+        cents = nxt
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF approximate cosine top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists, probe the ``n_probe`` nearest lists
+    per query, exact-rerank inside the probed lists.
+
+    The scan side shuffles once on the centroid id; at 100 TB the
+    inverted lists are the partitioning, so a query touches
+    ``n_probe / n_centroids`` of the corpus.  Output schema matches
+    ``cosine_topk`` (exact cosine on the candidates, same rounding)."""
+    cents = ivf_fit_centroids(
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        iters=iters,
+    )
+    assign1 = _nearest_centroids_udf(cents, 1)
+    cv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
+    ).withColumn("__cell", assign1(F.col("__cv"))[0])
+    probe = _nearest_centroids_udf(cents, n_probe)
+    qv = queries.select(
+        F.col(query_id_col), _as_double(vec_col).alias("__qv")
+    ).withColumn("__cell", F.explode(probe(F.col("__qv"))))
+    paired = (
+        cv.join(F.broadcast(qv), "__cell")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("__qn", _dot(F.col("__qv"), F.col("__qv")))
+        .withColumn("__cn", _dot(F.col("__cv"), F.col("__cv")))
+        .withColumn(
+            "__sim",
+            _dot(F.col("__qv"), F.col("__cv")) / F.sqrt(F.col("__qn") * F.col("__cn")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        paired.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, "neighbor_id", F.round("__sim", 6).alias("cosine_sim"))
+    )
+
+
 def hyperplane_signatures_vec(
     dims: int, n_planes: int, n_tables: int
 ) -> Column:

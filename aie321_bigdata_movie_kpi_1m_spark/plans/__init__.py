@@ -1,8 +1,8 @@
 """Plans package: importing it populates the query catalog."""
 
 from . import catalog
-from . import relational, textops, vectors  # noqa: F401  (register queries)
+from . import media_stream, relational, textops, vectors  # noqa: F401  (register queries)
 
 CATALOG = catalog.CATALOG
 
-__all__ = ["CATALOG", "catalog", "relational", "textops", "vectors"]
+__all__ = ["CATALOG", "catalog", "media_stream", "relational", "textops", "vectors"]

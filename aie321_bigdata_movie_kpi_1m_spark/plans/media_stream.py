@@ -1,0 +1,148 @@
+"""Multimodal + Structured Streaming query surface, plus the profiling
+utilities (SURVEY.md §2.5 A3).
+
+The multimodal decode summary is fully oracle-checked: synthesized asset
+metadata is pure arithmetic over ``doc_id`` (operators/multimodal.py), so
+the whole mapInPandas decode path is verified end to end against SQL.
+The streaming entry materializes a watermarked windowed aggregation with
+an availableNow trigger into a memory sink — identical semantics to the
+batch tumbling-window oracle, which is the point: backfill and live paths
+share one definition of correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import decode_assets, extract_features, synthesize_assets
+from ..sources.readers import load_star_table
+from .catalog import register
+
+
+@register(
+    "profile_nonnull_counts",
+    """
+SELECT COUNT(*) AS n_rows,
+       COUNT(l_orderkey) AS n_l_orderkey,
+       COUNT(l_shipdate) AS n_l_shipdate,
+       COUNT(l_returnflag) AS n_l_returnflag,
+       COUNT(l_quantity) AS n_l_quantity,
+       COUNT(l_extendedprice) AS n_l_extendedprice,
+       COUNT(DISTINCT l_returnflag) AS n_distinct_returnflag
+FROM lineitem
+""",
+    "profiling (A3, check_data.py:34): per-column non-null counts + a "
+    "distinct cardinality, one pass",
+    tags=("profiling",),
+)
+def q_profile_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_star_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_shipdate", "l_returnflag", "l_quantity", "l_extendedprice"]
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"n_{c}") for c in cols],
+        F.countDistinct("l_returnflag").alias("n_distinct_returnflag"),
+    )
+
+
+@register(
+    "cube_orders",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS totalprice_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "grouping-sets surface #2: CUBE over (status, priority) — all four "
+    "grouping combinations in one shuffle via Expand",
+    tags=("relational",),
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_star_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "totalprice_cents"
+        ),
+    )
+
+
+@register(
+    "multimodal_decode_summary",
+    """
+SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       COUNT(*) AS n_assets,
+       CAST(SUM(16 + doc_id % 16) AS BIGINT) AS sum_width,
+       CAST(SUM(16 + (doc_id * 7) % 16) AS BIGINT) AS sum_height,
+       CAST(SUM(32) AS BIGINT) AS sum_payload_bytes
+FROM documents
+GROUP BY 1
+""",
+    "multimodal columns: synthesize binary assets -> Arrow-batched "
+    "mapInPandas decode -> per-modality rollup; the decode stub's header "
+    "fields are arithmetic in doc_id, so the whole binary path is "
+    "SQL-oracle-checked (operators/multimodal.py)",
+    tags=("multimodal",),
+)
+def q_multimodal_decode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_star_table(spark, sf_dir, "documents")
+    decoded = decode_assets(synthesize_assets(docs))
+    return decoded.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("decoded_width").cast("long").alias("sum_width"),
+        F.sum("decoded_height").cast("long").alias("sum_height"),
+        F.sum("n_pixels_bytes").cast("long").alias("sum_payload_bytes"),
+    )
+
+
+@register(
+    "multimodal_features",
+    None,  # sha256-derived feature vectors have no portable SQL twin;
+    # determinism + batch-shape are pytest-verified (test_multimodal_streaming)
+    "multimodal feature extraction: mapInPandas batch contract for a model "
+    "forward pass (deterministic fake encoder), array<float> embeddings out",
+    tags=("multimodal", "rows-only"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_star_table(spark, sf_dir, "documents")
+    return extract_features(synthesize_assets(docs))
+
+
+@register(
+    "streaming_window_counts",
+    """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+""",
+    "Structured Streaming: file-source stream -> watermarked 1h tumbling "
+    "windows -> memory sink via availableNow trigger; the result equals "
+    "the batch tumbling-window SQL, which is the backfill/live parity "
+    "contract (streaming/events.py)",
+    tags=("streaming",),
+)
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import read_events_stream, windowed_event_counts
+
+    # complete mode: with one availableNow batch the watermark never
+    # advances past the data, so append mode would hold every window open
+    for q in spark.streams.active:
+        if q.name == "stream_window_counts":
+            q.stop()
+    query = (
+        windowed_event_counts(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("stream_window_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("stream_window_counts")

@@ -55,6 +55,54 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS i, b.vec_id AS j,
+       ROUND(list_inner_product(a.v, b.v)
+             / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)),
+             6) AS cosine_sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_inner_product(a.v, b.v)
+        / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) >= 0.4
+""",
+    "embedding-cosine near-dup pairs (exact, t=0.4): block-matrix "
+    "self-join, one numpy matmul per block pair — the distributed exact "
+    "all-pairs shape (testdata has no planted dups, so the demo threshold "
+    "sits in the observed sim range)",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4, n_blocks=8)
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # approximate by design: recall depends on the probed cells;
+    # pytest checks recall >= 0.6 vs the exact baseline and determinism
+    "similarity search scale path #2: IVF — deterministic k-means coarse "
+    "quantizer (seeded by id hash, 2 Lloyd iterations), probe 6/16 cells, "
+    "exact rerank inside probed cells (testdata vectors are uniform "
+    "random — IVF's worst case — so recall ~0.6; clustered corpora do "
+    "far better at the same probe budget)",
+    tags=("similarity", "rows-only"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=_TOP_K, n_centroids=16, n_probe=6, iters=2
+    )
+
+
+@register(
     "ann_lsh_topk",
     None,  # approximate by design: bucket recall depends on the hash
     # planes; pytest checks recall >= 0.6 against the exact baseline and

@@ -36,6 +36,18 @@ def get_spark(
       are expressed explicitly with ``try_cast`` so nothing depends on
       legacy silent casts.
     """
+    # Python workers unpickle package-level closures (mapInPandas /
+    # pandas_udf stages) by module reference, so the package root must be
+    # importable in the worker no matter where the driver process started.
+    # PYTHONPATH is inherited by workers launched after session start.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if pkg_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + os.pathsep + os.environ["PYTHONPATH"]
+            if os.environ.get("PYTHONPATH")
+            else pkg_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -139,3 +139,74 @@ def test_lsh_topk_recall_on_clustered_vectors(spark):
         for r in lsh_topk(emb, queries, dims=dims, n_planes=6, n_tables=6, k=5).collect()
     }
     assert approx == again
+
+
+def test_cosine_neardup_pairs_matches_bruteforce(spark):
+    import numpy as np
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant two near-duplicates of vector 0 and one of vector 5
+    for vid, src, scale in [(100, 0, 0.01), (101, 0, 0.02), (102, 5, 0.01)]:
+        rows.append(
+            (vid, [float(x) for x in base[src] + rng.normal(scale=scale, size=16)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["i"], r["j"])
+        for r in cosine_neardup_pairs(emb, threshold=0.95, n_blocks=4).collect()
+    }
+    norm = base / np.linalg.norm(base, axis=1, keepdims=True)
+    mats = {vid: np.array(v) / np.linalg.norm(v) for vid, v in rows}
+    expect = {
+        (a, b)
+        for a in mats
+        for b in mats
+        if a < b and float(mats[a] @ mats[b]) >= 0.95
+    }
+    assert got == expect
+    assert (0, 100) in got and (0, 101) in got and (5, 102) in got
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    import numpy as np
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.similarity import ivf_topk
+
+    # clustered corpus: IVF's designed-for regime (cells align to clusters)
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(4, 32))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(12):
+            rows.append((vid, [float(x) for x in c + rng.normal(scale=0.05, size=32)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 12 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, queries, k=5, n_centroids=4, n_probe=1, iters=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall too low on clustered data: {recall}"
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, queries, k=5, n_centroids=4, n_probe=1, iters=2
+        ).collect()
+    }
+    assert approx == again
