@@ -276,6 +276,47 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "range_join_price_bands",
+    """
+WITH bands AS (
+  SELECT band_id, lo, hi FROM (VALUES
+    (0, 0.0, 50000.0), (1, 50000.0, 150000.0), (2, 150000.0, 300000.0),
+    (3, 300000.0, 100000000.0)) AS t(band_id, lo, hi)
+)
+SELECT band_id, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS totalprice_cents
+FROM orders JOIN bands
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_id
+""",
+    "range join: fact rows land in [lo, hi) bands via broadcast range "
+    "predicate — the tiny-side-broadcast shape that avoids a cartesian "
+    "shuffle at 100 TB (a sorted band list also admits binary-search "
+    "lookup; Spark's BNLJ over a broadcast of 4 rows is equivalent work)",
+    tags=("relational", "join"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(
+        [(0, 0.0, 50_000.0), (1, 50_000.0, 150_000.0), (2, 150_000.0, 300_000.0),
+         (3, 300_000.0, 100_000_000.0)],
+        "band_id int, lo double, hi double",
+    )
+    orders = load_star_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("totalprice_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal operators: as-of join, sessionization, JSON props
 # ---------------------------------------------------------------------------

@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aie321_bigdata_movie_kpi_1m_spark.plans.catalog import CATALOG  # noqa: E402
@@ -30,8 +32,17 @@ def main() -> None:
     spark = get_spark(app_name="aie321-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM, codegen, parquet footer caches
+    # warm-up: JVM, codegen, parquet footer caches, and the Python worker
+    # pool (so the first pandas-UDF query isn't charged worker startup)
     CATALOG["genre_avg_revenue"].fn(spark, sf_dir).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(32).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name in sorted(CATALOG):

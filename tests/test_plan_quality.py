@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4
+promises (pushdown, pruning, broadcast, top-k short-circuit) must be
+visible in the plan, not just hoped for.  These fail if a refactor
+silently degrades the plan shape even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from aie321_bigdata_movie_kpi_1m_spark.plans.catalog import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = CATALOG[name].fn(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    plan = plan_of(spark, "filter_project_pushdown")
+    assert "PushedFilters: [" in plan
+    # the filters actually push (not an empty list)
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThan(l_discount" in plan
+    # projection pruning: the scan reads only the needed columns, so wide
+    # lineitem columns must NOT appear in ReadSchema
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+
+
+def test_star_join_broadcasts_small_dimensions(spark):
+    plan = plan_of(spark, "join_star_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the 100 TB fact table must never be the built/broadcast side of a
+    # nested loop
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_two_phase(spark):
+    # partial (map-side) + final hash aggregation around one shuffle
+    plan = plan_of(spark, "genre_avg_revenue")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_neardup_join_is_keyed_not_cartesian(spark):
+    plan = plan_of(spark, "neardup_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_core_pipeline(spark):
+    # formatted explain marks codegen'd operators with "[codegen id : N]"
+    plan = plan_of(spark, "movie_facts")
+    assert "codegen id" in plan

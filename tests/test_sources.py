@@ -1,0 +1,67 @@
+"""Source/sink contract tests (SURVEY.md §2.1): CSV scan with declared
+schema and coerce-to-null tolerance (S1), parquet layer round-trip
+(S4/S6), bounded batched export with non-finite scrub (S3/S7/S8).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import types as T
+
+from aie321_bigdata_movie_kpi_1m_spark.sources.readers import read_csv, read_parquet
+from aie321_bigdata_movie_kpi_1m_spark.sources.sinks import (
+    bounded_export,
+    scrub_non_finite,
+    write_parquet,
+)
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("revenue", T.DoubleType()),
+    ]
+)
+
+
+def test_csv_scan_declared_schema_permissive(spark, tmp_path):
+    # malformed numeric cells surface as NULL (the reference's
+    # schema-on-read tolerance, ingest.py:64), never as a failed scan
+    p = tmp_path / "movies.csv"
+    p.write_text("id,title,revenue\n1,Alpha,10.5\n2,Beta,garbage\n,Gamma,3.0\n")
+    df = read_csv(spark, str(p), CSV_SCHEMA)
+    rows = {r["title"]: (r["id"], r["revenue"]) for r in df.collect()}
+    assert rows["Alpha"] == (1, 10.5)
+    assert rows["Beta"][1] is None  # 'garbage' -> null, row survives
+    assert rows["Gamma"][0] is None  # empty id -> null
+
+
+def test_parquet_layer_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    write_parquet(df, str(tmp_path / "layer"))
+    back = read_parquet(spark, str(tmp_path / "layer"))
+    assert {(r["k"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+    # overwrite semantics: second write replaces, not appends
+    write_parquet(df.limit(1), str(tmp_path / "layer"))
+    assert read_parquet(spark, str(tmp_path / "layer")).count() == 1
+
+
+def test_scrub_non_finite_nulls_only_float_columns(spark):
+    df = spark.createDataFrame(
+        [(1, float("nan"), "x"), (2, float("inf"), "y"), (3, 1.5, "z")],
+        "k long, m double, s string",
+    )
+    got = {r["k"]: (r["m"], r["s"]) for r in scrub_non_finite(df).collect()}
+    assert got[1][0] is None and got[2][0] is None and got[3][0] == 1.5
+    assert got[1][1] == "x"  # non-float columns untouched
+
+
+def test_bounded_export_limits_and_batches(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(25)], "k long, v double")
+    batches: list[list[tuple]] = []
+    n = bounded_export(df, batches.append, max_rows=10, batch_size=4)
+    assert n == 10
+    assert [len(b) for b in batches] == [4, 4, 2]
+    exported = {row[0] for b in batches for row in b}
+    assert len(exported) == 10
