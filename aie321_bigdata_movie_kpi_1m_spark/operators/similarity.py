@@ -235,29 +235,32 @@ def ivf_fit_centroids(
     same contract as ``ml.clustering.KMeans``)."""
     e = embeddings.select(
         F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
-    )
-    seeds = (
-        e.withColumn("__h", F.xxhash64(F.col("__id")))
-        .orderBy("__h", "__id")
-        .limit(n_centroids)
-        .select("__v")
-        .collect()
-    )
-    cents = np.asarray([r["__v"] for r in seeds], dtype=np.float64)
-    for _ in range(iters):
-        assign = _nearest_centroids_udf(cents, 1)
-        means = (
-            e.withColumn("__c", assign(F.col("__v"))[0])
-            .select("__c", F.posexplode("__v").alias("__d", "__x"))
-            .groupBy("__c", "__d")
-            .agg(F.avg("__x").alias("__m"))
+    ).cache()  # scanned once per Lloyd step + once for seeding
+    try:
+        seeds = (
+            e.withColumn("__h", F.xxhash64(F.col("__id")))
+            .orderBy("__h", "__id")
+            .limit(n_centroids)
+            .select("__v")
             .collect()
         )
-        nxt = cents.copy()  # empty clusters keep their previous centroid
-        for r in means:
-            nxt[r["__c"], r["__d"]] = r["__m"]
-        cents = nxt
-    return cents
+        cents = np.asarray([r["__v"] for r in seeds], dtype=np.float64)
+        for _ in range(iters):
+            assign = _nearest_centroids_udf(cents, 1)
+            means = (
+                e.withColumn("__c", assign(F.col("__v"))[0])
+                .select("__c", F.posexplode("__v").alias("__d", "__x"))
+                .groupBy("__c", "__d")
+                .agg(F.avg("__x").alias("__m"))
+                .collect()
+            )
+            nxt = cents.copy()  # empty clusters keep their previous centroid
+            for r in means:
+                nxt[r["__c"], r["__d"]] = r["__m"]
+            cents = nxt
+        return cents
+    finally:
+        e.unpersist()
 
 
 def ivf_topk(

@@ -1,0 +1,101 @@
+"""Skew-control operators: salted join and salted two-phase aggregation.
+
+At 100 TB a handful of hot keys (the viral document, the null-ish default
+id) can pin one reducer while 999 executors idle.  AQE's skew-join
+splitting handles sort-merge joins automatically; these operators are the
+explicit levers for the remaining shapes:
+
+- ``salted_join``: hot-key equi-join where the small side fits ×salt
+  replication.  Big rows scatter across ``salt`` sub-keys; the small side
+  replicates per sub-key, so each hot key fans out over ``salt`` reducers.
+- ``salted_groupby``: decomposable aggregation (sum/count/min/max) in two
+  phases — partial agg on (key, salt), final agg on key — so a hot group's
+  partial work spreads before the final small shuffle.
+
+Both are semantics-preserving: results equal the unsalted plan (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: aggregations that re-aggregate losslessly over partials
+_REAGG = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _row_salt(n: int) -> Column:
+    """Deterministic per-row salt in [0, n): hash of a per-partition row id
+    (no rand(), so retried tasks salt identically and results stay stable)."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n)).cast("int")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated.
+
+    Each big row picks one of ``salt`` sub-keys; every small row is
+    exploded into all ``salt`` sub-keys, so the join matches exactly the
+    unsalted pairs while a hot key's rows spread over ``salt`` reducers.
+    Use when the hot keys live in the BIG side and ``small`` tolerates
+    ×salt replication (dimension tables, id maps).  ``how`` supports
+    inner/left (right/full would need the salt on the other side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    b = big.withColumn("__salt", _row_salt(salt))
+    # generators can't nest inside other expressions; sequence of int
+    # literals already yields int elements
+    s = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return b.join(s, keys + ["__salt"], how).drop("__salt")
+
+
+def salted_groupby(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for decomposable aggregates.
+
+    ``aggs`` maps output column -> (agg, input column) with agg in
+    {sum, count, min, max}.  Phase 1 aggregates on (keys, salt); phase 2
+    re-aggregates partials on keys (count re-aggregates as sum).  Spark's
+    partial/final hash agg already does this per-partition — the salt adds
+    an extra *shuffled* spreading step for keys so hot that a single
+    final-agg reducer would bottleneck on merge traffic.
+    """
+    for out, (agg, _) in aggs.items():
+        if agg not in ("sum", "count", "min", "max"):
+            raise ValueError(f"non-decomposable agg for {out}: {agg}")
+    partial_exprs = [
+        (
+            F.count(F.lit(1)) if agg == "count" else _REAGG[agg](F.col(col))
+        ).alias(f"__p_{out}")
+        for out, (agg, col) in aggs.items()
+    ]
+    final_exprs = [
+        (
+            F.sum(f"__p_{out}") if agg in ("sum", "count") else _REAGG[agg](f"__p_{out}")
+        ).alias(out)
+        for out, (agg, _) in aggs.items()
+    ]
+    return (
+        df.withColumn("__salt", _row_salt(salt))
+        .groupBy(*keys, "__salt")
+        .agg(*partial_exprs)
+        .groupBy(*keys)
+        .agg(*final_exprs)
+    )

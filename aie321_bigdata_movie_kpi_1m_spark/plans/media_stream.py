@@ -133,16 +133,78 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # complete mode: with one availableNow batch the watermark never
     # advances past the data, so append mode would hold every window open
+    return _run_to_memory_sink(
+        spark,
+        windowed_event_counts(read_events_stream(spark, sf_dir)),
+        name="stream_window_counts",
+        output_mode="complete",
+    )
+
+
+def _run_to_memory_sink(
+    spark: SparkSession, stream: DataFrame, *, name: str, output_mode: str
+) -> DataFrame:
     for q in spark.streams.active:
-        if q.name == "stream_window_counts":
+        if q.name == name:
             q.stop()
     query = (
-        windowed_event_counts(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName("stream_window_counts")
-        .outputMode("complete")
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
-    return spark.table("stream_window_counts")
+    return spark.table(name)
+
+
+@register(
+    "streaming_sessionize",
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   > 21600
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessioned AS (
+  SELECT user_id, sec,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(sec) AS start_sec,
+       MAX(sec) - MIN(sec) AS duration_secs
+FROM sessioned
+GROUP BY user_id, session_seq
+""",
+    "custom stateful streaming: applyInPandasWithState gap sessionization "
+    "(6h), availableNow backfill — output equals the batch windowed-SQL "
+    "sessionization, the live/backfill parity contract "
+    "(streaming/events.py vs operators/sessions.py)",
+    tags=("streaming", "stateful"),
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import read_events_stream, sessionize_stream
+
+    out = _run_to_memory_sink(
+        spark,
+        sessionize_stream(read_events_stream(spark, sf_dir), gap_seconds=21600),
+        name="stream_sessions",
+        output_mode="append",
+    )
+    return out.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.unix_timestamp("session_start").alias("start_sec"),
+        "duration_secs",
+    )

@@ -70,6 +70,47 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_token_stats_bpe",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(coalesce(text, ''),
+                     '([^\\w\\s])', ' \\1 ', 'g')), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ts) AS INTEGER) AS n_subtokens,
+       CAST(len(list_filter(ts, t -> len(t) = 1 AND NOT regexp_matches(t, '\\w')))
+            AS INTEGER) AS n_punct_tokens,
+       CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct_subtokens
+FROM tok
+""",
+    "BPE-ish token counting: words / numbers / single punctuation marks as "
+    "separate sub-tokens (regex approximation of byte-pair behavior), "
+    "punct-token and distinct counts per doc",
+    tags=("text",),
+)
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import word_tokens_bpe_ish
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    toks = F.col("__tok")
+    return docs.select(
+        "doc_id", word_tokens_bpe_ish("text").alias("__tok")
+    ).select(
+        "doc_id",
+        F.size(toks).alias("n_subtokens"),
+        F.size(
+            F.filter(toks, lambda t: (F.length(t) == 1) & ~t.rlike(r"\w"))
+        ).alias("n_punct_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_subtokens"),
+    )
+
+
+@register(
     "doc_language_id",
     """
 WITH lowered AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),

@@ -210,3 +210,57 @@ def test_ivf_topk_recall_and_determinism(spark):
         ).collect()
     }
     assert approx == again
+
+
+def test_salted_join_equals_plain_join(spark):
+    from aie321_bigdata_movie_kpi_1m_spark.operators.skew import salted_join
+
+    # heavily skewed big side: one hot key with 500 rows
+    big = spark.createDataFrame(
+        [(1 if i < 500 else i % 7, i) for i in range(600)], "k int, payload int"
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(7)], "k int, name string")
+    plain = {(r["k"], r["payload"], r["name"]) for r in big.join(small, "k").collect()}
+    salted = {
+        (r["k"], r["payload"], r["name"])
+        for r in salted_join(big, small, "k", salt=8).collect()
+    }
+    assert salted == plain
+    left_plain = big.join(small.filter("k < 3"), "k", "left").count()
+    left_salted = salted_join(big, small.filter("k < 3"), "k", salt=8, how="left").count()
+    assert left_salted == left_plain
+
+
+def test_salted_groupby_equals_plain_groupby(spark):
+    from aie321_bigdata_movie_kpi_1m_spark.operators.skew import salted_groupby
+
+    df = spark.createDataFrame(
+        [(1 if i < 500 else i % 7, float(i), i) for i in range(600)],
+        "k int, v double, w long",
+    )
+    plain = {
+        (r["k"], r["n"], r["total"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["k"], r["n"], r["total"], r["lo"], r["hi"])
+        for r in salted_groupby(
+            df,
+            ["k"],
+            {
+                "n": ("count", "w"),
+                "total": ("sum", "w"),
+                "lo": ("min", "v"),
+                "hi": ("max", "v"),
+            },
+            salt=8,
+        ).collect()
+    }
+    assert salted == plain
