@@ -277,6 +277,32 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_lineitem_percentiles",
+    """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95,
+       ROUND(stddev_samp(l_quantity), 4) AS qty_stddev,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    "statistical aggregates beyond mean/count (a §2.8 reference gap): "
+    "exact interpolated percentiles + sample stddev per group "
+    "(percentile == quantile_cont semantics, verified bit-identical)",
+    tags=("relational", "stats"),
+)
+def q_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_star_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("price_p50"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("price_p95"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "range_join_price_bands",
     """
 WITH bands AS (

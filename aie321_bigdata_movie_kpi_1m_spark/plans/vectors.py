@@ -86,7 +86,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # approximate by design: recall depends on the probed cells;
     # pytest checks recall >= 0.6 vs the exact baseline and determinism
     "similarity search scale path #2: IVF — deterministic k-means coarse "
-    "quantizer (seeded by id hash, 2 Lloyd iterations), probe 6/16 cells, "
+    "quantizer (seeded by id hash, 1 Lloyd iteration), probe 6/16 cells, "
     "exact rerank inside probed cells (testdata vectors are uniform "
     "random — IVF's worst case — so recall ~0.6; clustered corpora do "
     "far better at the same probe budget)",
@@ -98,7 +98,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk(
-        emb, queries, k=_TOP_K, n_centroids=16, n_probe=6, iters=2
+        emb, queries, k=_TOP_K, n_centroids=16, n_probe=6, iters=1
     )
 
 
