@@ -277,6 +277,24 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_sketch",
+    None,  # HLL++ estimates are engine-specific; pytest bounds the
+    # relative error vs exact countDistinct instead
+    "sketch aggregation: approx_count_distinct (HyperLogLog++) per group — "
+    "the fixed-memory distinct-count path for 100 TB cardinality profiling "
+    "(exact distinct shuffles every key; the sketch is one pass, "
+    "mergeable partials)",
+    tags=("relational", "sketch", "rows-only"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_star_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+    )
+
+
+@register(
     "stats_lineitem_percentiles",
     """
 SELECT l_returnflag,
