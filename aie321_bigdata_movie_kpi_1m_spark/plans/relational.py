@@ -406,6 +406,47 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_time_rollup",
+    """
+SELECT date_trunc('day', ts) AS bucket_day,
+       date_trunc('hour', ts) AS bucket_hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts)), event_type
+""",
+    "hypertable-style hierarchical time rollup: hour inside day inside "
+    "grand total per event type, one Expand+shuffle — the continuous-"
+    "aggregate shape (coarser grains come from the same pass, not a "
+    "rescan)",
+    tags=("relational", "temporal"),
+)
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = load_star_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("bucket_day"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        "event_type",
+        "value",
+    )
+    # grouping sets (day,hour) ⊃ (day) ⊃ (): the time hierarchy rolls up
+    # while event_type stays in every set
+    return buckets.groupingSets(
+        [
+            ["bucket_day", "bucket_hour", "event_type"],
+            ["bucket_day", "event_type"],
+            ["event_type"],
+        ],
+        "bucket_day",
+        "bucket_hour",
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+@register(
     "sessionize_events",
     """
 WITH marked AS (

@@ -204,6 +204,35 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_survivors",
+    """
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))
+)
+SELECT d.doc_id, d.source, length(coalesce(d.text, '')) AS n_chars
+FROM documents d JOIN keepers USING (doc_id)
+""",
+    "dedup materialization: the surviving rows themselves (smallest id per "
+    "content fingerprint) — the dropDuplicates-by-content output a training "
+    "pipeline feeds downstream; a semi-join on the keeper set, no row "
+    "payload through the fingerprint shuffle",
+    tags=("dedup",),
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    keepers = dedup.dedup_exact(docs).select(F.col("keeper_id").alias("doc_id"))
+    return docs.join(keepers, "doc_id").select(
+        "doc_id",
+        "source",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars"),
+    )
+
+
+@register(
     "neardup_jaccard",
     _SHINGLES_CTE
     + """

@@ -83,7 +83,9 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
                     + (" (within 1e-9 — FP drift)" if close else "")
                 )
         else:
-            eq = av.eq(bv)
+            # null == null (NaT/None) counts as a match, as in the
+            # driver's value hash where NULL is a stable sentinel
+            eq = av.eq(bv) | (av.isna() & bv.isna())
             if not eq.all():
                 bad = (~eq).idxmax()
                 problems.append(
