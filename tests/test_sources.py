@@ -65,3 +65,21 @@ def test_bounded_export_limits_and_batches(spark):
     assert [len(b) for b in batches] == [4, 4, 2]
     exported = {row[0] for b in batches for row in b}
     assert len(exported) == 10
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(90)], "k long, part string"
+    )
+    write_parquet(df, str(tmp_path / "bypart"), partition_by=["part"])
+    back = read_parquet(spark, str(tmp_path / "bypart")).filter("part = 'a'")
+    assert back.count() == 30
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    # the filter prunes directories at planning time, not rows at runtime
+    assert "PartitionFilters" in plan and "part" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
