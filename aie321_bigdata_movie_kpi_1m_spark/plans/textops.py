@@ -268,6 +268,78 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_cap",
+    """
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source FROM ranked WHERE rn <= 50
+""",
+    "stratified downsampling: cap each (lang, source) stratum at 50 docs "
+    "by deterministic order — the per-language/per-source budget step of a "
+    "training-data pipeline (one shuffle on the stratum key; at 100 TB "
+    "rank-and-filter beats sampleBy when exact caps are required)",
+    tags=("text", "sampling"),
+)
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "corpus_filter_chain",
+    _TOKENS_CTE
+    + """
+SELECT doc_id,
+       CAST(len(ts) AS INTEGER) AS n_tokens
+FROM tok JOIN documents USING (doc_id)
+WHERE len(ts) >= 20
+  AND length(coalesce(text, '')) / greatest(len(ts), 1) <= 12
+  AND len(list_filter(ts, t -> lower(t) IN ('the','a','of','and','to','in')))
+      / greatest(len(ts), 1) >= 0.05
+""",
+    "C4/Gopher-style corpus filter chain: min token count + mean-word-"
+    "length cap + stopword-ratio floor, composed from the text operators "
+    "into one codegen'd scan-and-filter pass (the shape that gates 100 TB "
+    "of raw crawl down to training data)",
+    tags=("text", "pipeline"),
+)
+def q_corpus_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    toks = F.col("__tok")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(
+        "the", "a", "of", "and", "to", "in"
+    )))
+    mean_word_len = F.length(F.coalesce(F.col("text"), F.lit(""))) / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    return (
+        docs.select("doc_id", "text", tokens("text").alias("__tok"))
+        .filter(
+            (n_tokens >= 20)
+            & (mean_word_len <= 12)
+            & ((n_stop / F.greatest(n_tokens, F.lit(1))) >= 0.05)
+        )
+        .select("doc_id", n_tokens.alias("n_tokens"))
+    )
+
+
+@register(
     "simhash_fingerprints",
     None,  # 63-bit xxhash64-based simhash has no portable SQL twin;
     # determinism + Hamming-locality are pytest-verified instead
