@@ -16,6 +16,7 @@ into ``_decode_bytes`` without touching any plan.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from collections.abc import Iterator
 
@@ -59,7 +60,11 @@ def synthesize_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     @F.pandas_udf(T.BinaryType())
     def fake_content(ids: pd.Series) -> pd.Series:
         def blob(i: int) -> bytes:
-            w, h = 16 + (i % 16), 16 + ((i * 7) % 16)
+            # truncated (sign-of-dividend) remainder to match Spark/SQL %,
+            # so header fields agree with the meta struct and the oracle
+            # even for negative ids (Python's % is floored, not truncated)
+            w = 16 + int(math.fmod(i, 16))
+            h = 16 + int(math.fmod(i * 7, 16))
             body = hashlib.sha256(str(i).encode()).digest()
             return struct.pack(_HEADER_FMT, _MAGIC, w, h) + body
 

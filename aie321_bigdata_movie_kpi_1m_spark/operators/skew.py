@@ -71,18 +71,22 @@ def salted_groupby(
     """Two-phase salted aggregation for decomposable aggregates.
 
     ``aggs`` maps output column -> (agg, input column) with agg in
-    {sum, count, min, max}.  Phase 1 aggregates on (keys, salt); phase 2
-    re-aggregates partials on keys (count re-aggregates as sum).  Spark's
-    partial/final hash agg already does this per-partition — the salt adds
-    an extra *shuffled* spreading step for keys so hot that a single
-    final-agg reducer would bottleneck on merge traffic.
+    {sum, count, min, max}; ``("count", "*")`` counts rows, ``("count",
+    col)`` counts non-null values of ``col`` (matching ``F.count``).
+    Phase 1 aggregates on (keys, salt); phase 2 re-aggregates partials on
+    keys (count re-aggregates as sum).  Spark's partial/final hash agg
+    already does this per-partition — the salt adds an extra *shuffled*
+    spreading step for keys so hot that a single final-agg reducer would
+    bottleneck on merge traffic.
     """
     for out, (agg, _) in aggs.items():
         if agg not in ("sum", "count", "min", "max"):
             raise ValueError(f"non-decomposable agg for {out}: {agg}")
     partial_exprs = [
         (
-            F.count(F.lit(1)) if agg == "count" else _REAGG[agg](F.col(col))
+            (F.count(F.lit(1)) if col == "*" else F.count(F.col(col)))
+            if agg == "count"
+            else _REAGG[agg](F.col(col))
         ).alias(f"__p_{out}")
         for out, (agg, col) in aggs.items()
     ]

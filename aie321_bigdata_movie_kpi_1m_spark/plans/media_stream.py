@@ -1,5 +1,4 @@
-"""Multimodal + Structured Streaming query surface, plus the profiling
-utilities (SURVEY.md §2.5 A3).
+"""Multimodal + Structured Streaming query surface.
 
 The multimodal decode summary is fully oracle-checked: synthesized asset
 metadata is pure arithmetic over ``doc_id`` (operators/multimodal.py), so
@@ -18,56 +17,6 @@ from pyspark.sql import functions as F
 from ..operators.multimodal import decode_assets, extract_features, synthesize_assets
 from ..sources.readers import load_star_table
 from .catalog import register
-
-
-@register(
-    "profile_nonnull_counts",
-    """
-SELECT COUNT(*) AS n_rows,
-       COUNT(l_orderkey) AS n_l_orderkey,
-       COUNT(l_shipdate) AS n_l_shipdate,
-       COUNT(l_returnflag) AS n_l_returnflag,
-       COUNT(l_quantity) AS n_l_quantity,
-       COUNT(l_extendedprice) AS n_l_extendedprice,
-       COUNT(DISTINCT l_returnflag) AS n_distinct_returnflag
-FROM lineitem
-""",
-    "profiling (A3, check_data.py:34): per-column non-null counts + a "
-    "distinct cardinality, one pass",
-    tags=("profiling",),
-)
-def q_profile_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_star_table(spark, sf_dir, "lineitem")
-    cols = ["l_orderkey", "l_shipdate", "l_returnflag", "l_quantity", "l_extendedprice"]
-    return li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[F.count(c).alias(f"n_{c}") for c in cols],
-        F.countDistinct("l_returnflag").alias("n_distinct_returnflag"),
-    )
-
-
-@register(
-    "cube_orders",
-    """
-SELECT o_orderstatus, o_orderpriority,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS totalprice_cents
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""",
-    "grouping-sets surface #2: CUBE over (status, priority) — all four "
-    "grouping combinations in one shuffle via Expand",
-    tags=("relational",),
-)
-def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_star_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
-            "totalprice_cents"
-        ),
-    )
 
 
 @register(

@@ -19,13 +19,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.money import cents
 from ..schemas import STAR_SCHEMAS
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (one-file-per-trigger keeps
-    tests deterministic; on a real bus this is the Kafka reader with the
-    same downstream plan)."""
+    """File-source stream of the events table.  The testdata directory
+    holds a single events.parquet, so an availableNow run is exactly one
+    micro-batch — the property the sessionization backfill contract below
+    relies on.  On a real bus this is the Kafka reader with the same
+    downstream plan."""
     return (
         spark.readStream.schema(STAR_SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
@@ -47,7 +50,7 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.sum(cents(F.col("value"))).alias("value_cents"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -126,7 +129,15 @@ def sessionize_stream(events: DataFrame, *, gap_seconds: int = 21600) -> DataFra
 
     State per user: (open session seq, count, start, last-seen second);
     a new event more than ``gap_seconds`` after the last closes the open
-    session.  ProcessingTime timeout keeps state bounded in live runs.
+    session.
+
+    Contract: single-batch **backfill** parity.  Each batch emits its
+    closed sessions AND the still-open session, so one availableNow batch
+    reproduces the batch SQL exactly (the oracle for
+    ``streaming_sessionize``).  A multi-batch live run would re-emit a
+    user's open session each batch it grows; a live deployment should
+    switch to a ProcessingTime timeout that flushes open sessions once
+    instead of the end-of-batch emission below.
     """
     return events.groupBy("user_id").applyInPandasWithState(
         _session_fn(gap_seconds),

@@ -28,7 +28,10 @@ from aie321_bigdata_movie_kpi_1m_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
     spark = get_spark(app_name="aie321-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -91,7 +91,7 @@ def _run_stream(df, spark, name: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     return spark.table(name)
 
 

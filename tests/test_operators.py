@@ -234,15 +234,20 @@ def test_salted_join_equals_plain_join(spark):
 def test_salted_groupby_equals_plain_groupby(spark):
     from aie321_bigdata_movie_kpi_1m_spark.operators.skew import salted_groupby
 
+    # v carries nulls so count(v) vs count(*) semantics are exercised
     df = spark.createDataFrame(
-        [(1 if i < 500 else i % 7, float(i), i) for i in range(600)],
+        [
+            (1 if i < 500 else i % 7, None if i % 5 == 0 else float(i), i)
+            for i in range(600)
+        ],
         "k int, v double, w long",
     )
     plain = {
-        (r["k"], r["n"], r["total"], r["lo"], r["hi"])
+        (r["k"], r["n_rows"], r["n_v"], r["total"], r["lo"], r["hi"])
         for r in df.groupBy("k")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_v"),
             F.sum("w").alias("total"),
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
@@ -250,12 +255,13 @@ def test_salted_groupby_equals_plain_groupby(spark):
         .collect()
     }
     salted = {
-        (r["k"], r["n"], r["total"], r["lo"], r["hi"])
+        (r["k"], r["n_rows"], r["n_v"], r["total"], r["lo"], r["hi"])
         for r in salted_groupby(
             df,
             ["k"],
             {
-                "n": ("count", "w"),
+                "n_rows": ("count", "*"),
+                "n_v": ("count", "v"),
                 "total": ("sum", "w"),
                 "lo": ("min", "v"),
                 "hi": ("max", "v"),
@@ -264,3 +270,33 @@ def test_salted_groupby_equals_plain_groupby(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_hyperplane_signature_jvm_and_vectorized_parity(spark):
+    # the pandas-UDF matmul path and the JVM fold path must produce the
+    # same bucket keys on the real testdata (docstring contract of
+    # hyperplane_signatures_vec)
+    from aie321_bigdata_movie_kpi_1m_spark.operators.similarity import (
+        hyperplane_signature,
+        hyperplane_signatures_vec,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sig_udf = hyperplane_signatures_vec(64, 8, 4)
+    vec = F.col("embedding").cast("array<double>")
+    mismatches = (
+        emb.select(
+            sig_udf(vec).alias("s"),
+            *[hyperplane_signature(vec, 64, 8, t).alias(f"j{t}") for t in range(4)],
+        )
+        .filter(
+            ~(
+                (F.col("s")[0] == F.col("j0"))
+                & (F.col("s")[1] == F.col("j1"))
+                & (F.col("s")[2] == F.col("j2"))
+                & (F.col("s")[3] == F.col("j3"))
+            )
+        )
+        .count()
+    )
+    assert mismatches == 0
