@@ -283,6 +283,72 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_priority_by_status",
+    """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+FROM orders
+GROUP BY o_orderpriority
+""",
+    "pivot: order counts per priority pivoted across the status domain — "
+    "Spark rewrites pivot into conditional aggregates (one shuffle, no "
+    "per-column scan), same plan as the SQL FILTER form",
+    tags=("relational",),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_star_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])  # explicit domain: no
+        # pre-scan to discover values, keeps the plan one-pass at scale
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_F"),
+            F.coalesce("O", F.lit(0)).alias("n_O"),
+            F.coalesce("P", F.lit(0)).alias("n_P"),
+        )
+    )
+
+
+@register(
+    "anti_semi_customers",
+    """
+SELECT
+  (SELECT COUNT(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      AS n_without_orders,
+  (SELECT COUNT(*) FROM customer c
+   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderstatus = 'O'))
+      AS n_with_open_orders
+""",
+    "anti + semi join: customers with no orders (left_anti) and customers "
+    "with at least one open order (left_semi) — the existence-check joins "
+    "that never materialize the match payload",
+    tags=("relational", "join"),
+)
+def q_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_star_table(spark, sf_dir, "customer")
+    orders = load_star_table(spark, sf_dir, "orders")
+    anti = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    semi = (
+        customer.join(
+            orders.filter(F.col("o_orderstatus") == "O"),
+            customer.c_custkey == orders.o_custkey,
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_with_open_orders"))
+    )
+    return anti.crossJoin(semi)  # two scalar rows -> one lazy result row
+
+
+@register(
     "set_ops_customers",
     """
 SELECT c_custkey FROM (
