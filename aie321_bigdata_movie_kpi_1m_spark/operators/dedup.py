@@ -86,7 +86,20 @@ def ngram_jaccard_pairs(
     skew-control lever at scale (changes semantics only for pairs whose
     *entire* overlap is stop-shingles).
     """
-    sh = _shingled_hashed(docs, id_col, text_col, n)
+    # set size rides along with every exploded shingle row (one extra int
+    # per row), so |A|/|B| arrive through the join itself — no separate
+    # sizes aggregation and no re-joins afterwards
+    sh = (
+        docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tok"))
+        .select("__id", word_shingles(F.col("__tok"), n).alias("__sh"))
+        .select(
+            "__id",
+            F.size("__sh").alias("__n"),
+            F.explode(
+                F.transform("__sh", lambda s: F.xxhash64(s))
+            ).alias("__shingle"),
+        )
+    )
     if max_df is not None:
         rare = (
             sh.groupBy("__shingle")
@@ -94,21 +107,17 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= max_df)
             .select("__shingle")
         )
+        # NOTE: after a max_df cut the ride-along __n still counts ALL
+        # shingles (true set size), which is the correct jaccard
+        # denominator — dropped stop-shingles only shrink the overlap
         sh = sh.join(rare, "__shingle")
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    a = sh.select(F.col("__id").alias("i"), "__shingle")
-    b = sh.select(F.col("__id").alias("j"), "__shingle")
-    common = (
+    a = sh.select(F.col("__id").alias("i"), F.col("__n").alias("n_i"), "__shingle")
+    b = sh.select(F.col("__id").alias("j"), F.col("__n").alias("n_j"), "__shingle")
+    return (
         a.join(b, "__shingle")
         .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j")
+        .groupBy("i", "j", "n_i", "n_j")
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    # sizes is one row per doc: at test scale AQE broadcasts it, at 100 TB
-    # it shuffle-joins on the id — no hint, let the runtime decide
-    return (
-        common.join(sizes.select(F.col("__id").alias("i"), F.col("__n").alias("n_i")), "i")
-        .join(sizes.select(F.col("__id").alias("j"), F.col("__n").alias("n_j")), "j")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_i") + F.col("n_j") - F.col("n_common")),

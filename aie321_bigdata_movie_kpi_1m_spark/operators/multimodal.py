@@ -113,6 +113,12 @@ DECODED_SCHEMA = T.StructType(
 def decode_assets(assets: DataFrame) -> DataFrame:
     """Decode stage: Arrow-batched ``mapInPandas``; bytes stay columnar,
     one Python roundtrip per batch (not per row)."""
+    from ..session import ensure_package_on_workers
+
+    # the worker closure references module-level _decode_bytes (the codec
+    # swap point), so the package must be importable worker-side even when
+    # the session wasn't built by get_spark
+    ensure_package_on_workers(assets.sparkSession)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -17,6 +17,33 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Make this package importable in Python workers of an
+    already-running session.
+
+    ``get_spark`` exports PYTHONPATH before the JVM starts, but a session
+    built elsewhere (the driver harness's own) launches workers without
+    it; operators whose closures reference package-level functions
+    (mapInPandas decode, etc.) would fail to unpickle.  Zipping the
+    package once per session and ``addPyFile``-ing it covers that case —
+    workers insert the zip into sys.path.
+    """
+    sc = spark.sparkContext
+    marker = "_aie321_pkg_shipped"
+    if getattr(sc, marker, False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="aie321_pkg_")
+    zip_base = os.path.join(staging, os.path.basename(pkg_dir))
+    archive = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                                  os.path.basename(pkg_dir))
+    sc.addPyFile(archive)
+    setattr(sc, marker, True)
+
+
 def get_spark(
     app_name: str = "aie321-movie-kpi-spark",
     master: str | None = None,

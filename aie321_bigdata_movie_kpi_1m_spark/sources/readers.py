@@ -91,6 +91,11 @@ def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     integer division (ns epochs exceed 2^53, so float division would lose
     precision).  Truncation matches DuckDB's ns->us parquet conversion.
     """
+    if name == "events":
+        # set defensively at read time: the caller's session (e.g. the
+        # driver's own) may not have been built by session.get_spark, and
+        # without this a TIMESTAMP(NANOS) scan throws PARQUET_TYPE_ILLEGAL
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet", STAR_SCHEMAS.get(name))
     if name == "events":
         from pyspark.sql import functions as F

@@ -29,6 +29,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch — the property the sessionization backfill contract below
     relies on.  On a real bus this is the Kafka reader with the same
     downstream plan."""
+    # defensive: the session may not come from session.get_spark (see
+    # sources.readers.load_star_table) and TIMESTAMP(NANOS) needs this
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(STAR_SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): the composite operators whose edge
+cases are easiest to get wrong are checked against independent reference
+implementations on randomized inputs — pandas ``merge_asof`` for the
+as-of join, a pure-Python set computation for n-gram Jaccard.
+
+One shared Spark session; small bounded inputs keep each example fast,
+``deadline=None`` because Spark job latency is not the property under
+test.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aie321_bigdata_movie_kpi_1m_spark.operators.asof import asof_join
+from aie321_bigdata_movie_kpi_1m_spark.operators.dedup import ngram_jaccard_pairs
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def asof_case(draw):
+    keys = draw(st.lists(st.integers(0, 2), min_size=1, max_size=4, unique=True))
+    lefts = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    rights = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    # right side deduped per (key, time): ties within the right side are
+    # documented as caller's responsibility (asof.py docstring)
+    rights = list({(k, t) for k, t in rights})
+    return lefts, rights
+
+
+@given(asof_case())
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    lefts, rights = case
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k int, t long, lid int"
+    )
+    right = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t) in enumerate(rights)],
+        "k int, t long, rid int",
+    ) if rights else spark.createDataFrame([], "k int, t long, rid int")
+
+    got = {
+        (r["lid"], r["rid"])
+        for r in asof_join(
+            left, right, "k", left_time="t", right_time="t", payload=["rid"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(lefts)],
+                      columns=["k", "t", "lid"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame([(k, t, 1000 + i) for i, (k, t) in enumerate(rights)],
+                      columns=["k", "t", "rid"]).sort_values("t", kind="stable")
+    if len(rp):
+        merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+        expect = {
+            (int(r.lid), None if pd.isna(r.rid) else int(r.rid))
+            for r in merged.itertuples()
+        }
+    else:
+        expect = {(int(r.lid), None) for r in lp.itertuples()}
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_matches_python_sets(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.0).collect()
+    }
+
+    def shingles(t: str) -> set[str]:
+        toks = t.split()
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = shingles(texts[i]), shingles(texts[j])
+            if a & b:
+                expect[(i, j)] = round(len(a & b) / len(a | b), 4)
+    assert got == expect
