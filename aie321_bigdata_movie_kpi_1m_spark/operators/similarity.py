@@ -274,6 +274,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     iters: int = 2,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists, probe the ``n_probe`` nearest lists
@@ -282,13 +283,21 @@ def ivf_topk(
     The scan side shuffles once on the centroid id; at 100 TB the
     inverted lists are the partitioning, so a query touches
     ``n_probe / n_centroids`` of the corpus.  Output schema matches
-    ``cosine_topk`` (exact cosine on the candidates, same rounding)."""
-    cents = ivf_fit_centroids(
-        embeddings,
-        id_col=id_col,
-        vec_col=vec_col,
-        n_centroids=n_centroids,
-        iters=iters,
+    ``cosine_topk`` (exact cosine on the candidates, same rounding).
+
+    ``centroids`` lets the caller reuse a previously fitted quantizer —
+    the real IVF contract is build-once/query-many, so refitting per
+    query would misstate the cost model."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_fit_centroids(
+            embeddings,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            iters=iters,
+        )
     )
     assign1 = _nearest_centroids_udf(cents, 1)
     cv = embeddings.select(
