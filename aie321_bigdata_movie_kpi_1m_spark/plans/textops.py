@@ -268,6 +268,37 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    _SHINGLES_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """,
+edges AS (
+  SELECT i AS a, j AS b FROM jac WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT j AS a, i AS b FROM jac WHERE jaccard >= 0.5
+),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+""",
+    "near-dup clustering: connected components over the jaccard>=0.5 pair "
+    "graph via iterative min-label propagation (the genuinely iterative "
+    "algorithm of the surface — oracle uses a recursive CTE), cluster id "
+    "= min doc id",
+    tags=("dedup", "graph", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load_star_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return connected_components(pairs).withColumnRenamed("node", "doc_id")
+
+
+@register(
     "stratified_sample_cap",
     """
 WITH ranked AS (

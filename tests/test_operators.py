@@ -300,3 +300,20 @@ def test_hyperplane_signature_jvm_and_vectorized_parity(spark):
         .count()
     )
     assert mismatches == 0
+
+
+def test_connected_components_chain_triangle_singles(spark):
+    from aie321_bigdata_movie_kpi_1m_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4, triangle 10-11-12 (+redundant edge), isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "i long, j long",
+    )
+    got = {
+        (r["node"], r["cluster_id"]) for r in connected_components(edges).collect()
+    }
+    expect = {(1, 1), (2, 1), (3, 1), (4, 1),
+              (10, 10), (11, 10), (12, 10),
+              (20, 20), (21, 20)}
+    assert got == expect
