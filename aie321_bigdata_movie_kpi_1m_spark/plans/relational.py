@@ -283,6 +283,38 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_status_counts",
+    """
+SELECT o_orderpriority,
+       '{' || string_agg('"' || o_orderstatus || '":' || n, ','
+                         ORDER BY o_orderstatus) || '}' AS status_counts
+FROM (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2)
+GROUP BY o_orderpriority
+""",
+    "map functions (a §2.8 reference gap): per-priority status->count map "
+    "built with map_from_entries over a sorted entry array, serialized to "
+    "canonical JSON (sorted keys make the map value deterministic and "
+    "byte-comparable across engines)",
+    tags=("relational", "map"),
+)
+def q_map_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_star_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.to_json(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+                )
+            ).alias("status_counts")
+        )
+    )
+
+
+@register(
     "pivot_priority_by_status",
     """
 SELECT o_orderpriority,
