@@ -49,6 +49,64 @@ def q_multimodal_decode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_plan",
+    """
+SELECT doc_id AS asset_id,
+       CAST(16 + doc_id % 16 AS INTEGER) AS width,
+       CAST(16 + (doc_id * 7) % 16 AS INTEGER) AS height,
+       CAST(FLOOR((16 + doc_id % 16)
+            * least(1.0, 16.0 / greatest(16 + doc_id % 16,
+                                         16 + (doc_id * 7) % 16)))
+            AS INTEGER) AS target_width,
+       CAST(FLOOR((16 + (doc_id * 7) % 16)
+            * least(1.0, 16.0 / greatest(16 + doc_id % 16,
+                                         16 + (doc_id * 7) % 16)))
+            AS INTEGER) AS target_height
+FROM documents
+WHERE CAST(doc_id % 3 AS INTEGER) = 0
+""",
+    "multimodal resize stage: aspect-preserving target dims for images "
+    "(JVM-side dimension math; byte re-encode is the stubbed codec) — "
+    "dims are arithmetic in doc_id so the stage is SQL-oracle-checked",
+    tags=("multimodal",),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_images
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    resized = resize_images(synthesize_assets(docs), max_side=16)
+    return resized.select(
+        "asset_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "target_width",
+        "target_height",
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+SELECT doc_id AS asset_id,
+       unnest(generate_series(0, doc_id * 40 + 1000, 500)) AS frame_ts_ms
+FROM documents
+WHERE CAST(doc_id % 3 AS INTEGER) = 2
+""",
+    "multimodal frame sampling: one row per 500ms timestamp per video "
+    "(JVM-side sequence explode; per-frame decode is the stubbed codec) — "
+    "fan-out is arithmetic in doc_id so the stage is SQL-oracle-checked",
+    tags=("multimodal",),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    return sample_frames(synthesize_assets(docs), every_ms=500).select(
+        "asset_id", "frame_ts_ms"
+    )
+
+
+@register(
     "multimodal_features",
     None,  # sha256-derived feature vectors have no portable SQL twin;
     # determinism + batch-shape are pytest-verified (test_multimodal_streaming)
