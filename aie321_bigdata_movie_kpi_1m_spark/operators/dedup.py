@@ -214,17 +214,24 @@ def simhash_fingerprints(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 63,
+    bits: int = 60,
 ) -> DataFrame:
-    """SimHash fingerprint per document (63 bits in a signed long).
+    """SimHash fingerprint per document (60 bits in a signed long).
 
     Per bit b: sum over tokens of +1/-1 by token-hash bit b; the sign
     becomes fingerprint bit b.  Near-duplicates land at small Hamming
     distance; exact-equal simhash is a cheap groupBy dedup key.
+
+    The token hash is the first 15 hex chars of md5 parsed as a 60-bit
+    int — md5 is bit-identical across engines, so the fingerprint is
+    fully SQL-oracle-able (unlike xxhash64, which only Spark computes).
+    Docs with zero tokens produce no row (no token evidence to vote).
     """
     tok = docs.select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
-    ).withColumn("__h", F.xxhash64(F.col("__t")))
+    ).withColumn(
+        "__h", F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10).cast("long")
+    )
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -144,14 +144,15 @@ FEATURES_SCHEMA = T.StructType(
 
 def extract_features(assets: DataFrame) -> DataFrame:
     """Feature extraction stage: deterministic 8-dim embedding of the
-    content bytes (sha256-derived).  Stands in for a model forward pass;
-    the batch shape (mapInPandas, array<float> output) is the real
-    contract a GPU encoder plugs into."""
+    content bytes (sha256 over the lowercase-hex encoding, so SQL oracles
+    can replay it — DuckDB's sha256 takes VARCHAR only).  Stands in for a
+    model forward pass; the batch shape (mapInPandas, array<float> output)
+    is the real contract a GPU encoder plugs into."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             def feat(content: bytes) -> list[float]:
-                d = hashlib.sha256(content).digest()
+                d = hashlib.sha256(content.hex().encode()).digest()
                 return [
                     int.from_bytes(d[i * 4 : i * 4 + 4], "little") / 2**32
                     for i in range(FEATURE_DIM)

@@ -106,17 +106,57 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feature_oracle_sql() -> str:
+    """DuckDB twin of the fake encoder: rebuild the FAKE blob's hex
+    (header fields are arithmetic in doc_id, body is sha256 of the id
+    string), sha256 the hex, then unpack 8 little-endian uint32 lanes.
+    Each lane / 2^32 is rounded through REAL to match the operator's
+    array<float> contract, then widened to DOUBLE (both steps exact)."""
+    lanes = []
+    for i in range(8):
+        bytes_le = " + ".join(
+            f"CAST('0x' || substr(d, {i * 8 + k * 2 + 1}, 2) AS BIGINT) * {256 ** k}"
+            for k in range(4)
+        )
+        lanes.append(
+            f"CAST(CAST(({bytes_le}) / 4294967296.0 AS REAL) AS DOUBLE) AS f{i}"
+        )
+    lane_sql = ",\n       ".join(lanes)
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         sha256('46414b45'
+                || printf('%02x000000', 16 + doc_id % 16)
+                || printf('%02x000000', 16 + (doc_id * 7) % 16)
+                || sha256(CAST(doc_id AS VARCHAR))) AS d
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       {lane_sql}
+FROM h
+"""
+
+
 @register(
     "multimodal_features",
-    None,  # sha256-derived feature vectors have no portable SQL twin;
-    # determinism + batch-shape are pytest-verified (test_multimodal_streaming)
+    _feature_oracle_sql(),
     "multimodal feature extraction: mapInPandas batch contract for a model "
-    "forward pass (deterministic fake encoder), array<float> embeddings out",
-    tags=("multimodal", "rows-only"),
+    "forward pass (deterministic fake encoder = sha256 over the content "
+    "hex); emitted as 8 scalar double lanes so the whole binary->embedding "
+    "path is SQL-oracle-checked (the array<float> contract itself is "
+    "pytest-covered in test_multimodal_streaming)",
+    tags=("multimodal",),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_star_table(spark, sf_dir, "documents")
-    return extract_features(synthesize_assets(docs))
+    feats = extract_features(synthesize_assets(docs))
+    return feats.select(
+        "asset_id",
+        "modality",
+        *[F.col("features")[i].cast("double").alias(f"f{i}") for i in range(8)],
+    )
 
 
 @register(

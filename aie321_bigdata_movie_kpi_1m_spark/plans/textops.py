@@ -370,12 +370,39 @@ def q_corpus_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle_sql(bits: int = 60) -> str:
+    """DuckDB twin of operators.dedup.simhash_fingerprints: md5-derived
+    60-bit token hashes, per-bit +1/-1 vote sums, sign -> fingerprint bit."""
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    assemble = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return (
+        _TOKENS_CTE
+        + f""",
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
+FROM votes
+"""
+    )
+
+
 @register(
     "simhash_fingerprints",
-    None,  # 63-bit xxhash64-based simhash has no portable SQL twin;
-    # determinism + Hamming-locality are pytest-verified instead
-    "SimHash fingerprints (63-bit, per-bit weighted sums of token hashes)",
-    tags=("dedup", "rows-only"),
+    _simhash_oracle_sql(),
+    "SimHash fingerprints (60-bit, per-bit weighted sums of md5-derived "
+    "token hashes — md5 is engine-portable, so the fingerprint is fully "
+    "SQL-oracle-checked; Hamming locality is pytest-covered)",
+    tags=("dedup",),
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(load_star_table(spark, sf_dir, "documents"))
