@@ -226,8 +226,9 @@ def ivf_fit_centroids(
     iters: int = 2,
 ) -> np.ndarray:
     """Fit the IVF coarse quantizer: deterministic seeding (the
-    ``n_centroids`` vectors with smallest ``xxhash64(id)``) + ``iters``
-    Lloyd steps.
+    ``n_centroids`` vectors with smallest ``md5(id)`` hex — md5 is
+    engine-portable, so SQL oracles can replay the seed choice) +
+    ``iters`` Lloyd steps.
 
     Assignment is a distributed pandas-UDF argmin; the centroid update is
     ``posexplode -> groupBy(cluster, dim) -> avg`` — both scale-out shapes.
@@ -238,7 +239,7 @@ def ivf_fit_centroids(
     ).cache()  # scanned once per Lloyd step + once for seeding
     try:
         seeds = (
-            e.withColumn("__h", F.xxhash64(F.col("__id")))
+            e.withColumn("__h", F.md5(F.col("__id").cast("string")))
             .orderBy("__h", "__id")
             .limit(n_centroids)
             .select("__v")

@@ -421,19 +421,47 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_sketch",
-    None,  # HLL++ estimates are engine-specific; pytest bounds the
-    # relative error vs exact countDistinct instead
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+       TRUE AS parts_within_3sd,
+       TRUE AS suppliers_within_3sd
+FROM lineitem
+GROUP BY l_returnflag
+""",
     "sketch aggregation: approx_count_distinct (HyperLogLog++) per group — "
     "the fixed-memory distinct-count path for 100 TB cardinality profiling "
-    "(exact distinct shuffles every key; the sketch is one pass, "
-    "mergeable partials)",
-    tags=("relational", "sketch", "rows-only"),
+    "(exact distinct shuffles every key; the sketch is one pass, mergeable "
+    "partials).  HLL++ raw estimates are engine-specific, so the oracle "
+    "checks the exact counts plus in-row |approx-exact|/exact <= 3*rsd "
+    "assertions; pytest additionally bounds the raw relative error",
+    tags=("relational", "sketch"),
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_star_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+    rsd = 0.02
+
+    def within(approx: str, exact: str):  # |approx - exact| / exact <= 3*rsd
+        return (
+            F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 3 * rsd
+        )
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_suppkey").alias("exact_suppliers"),
+            F.approx_count_distinct("l_partkey", rsd=rsd).alias("__ap"),
+            F.approx_count_distinct("l_suppkey", rsd=rsd).alias("__as"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_suppliers",
+            within("__ap", "exact_parts").alias("parts_within_3sd"),
+            within("__as", "exact_suppliers").alias("suppliers_within_3sd"),
+        )
     )
 
 
