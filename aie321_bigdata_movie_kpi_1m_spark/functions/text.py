@@ -35,8 +35,14 @@ def word_tokens_bpe_ish(col: Column | str) -> Column:
 
 def word_shingles(tokens_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token array (1-based
-    ``element_at`` to stay aligned with SQL oracles).  Fewer than ``n``
-    tokens -> empty array."""
+    ``element_at`` to stay aligned with SQL oracles).
+
+    Fewer than ``n`` tokens -> one sentinel shingle of the whole token
+    join (empty docs share the ``''`` sentinel), so short exact-duplicate
+    docs still surface in every shingle-based near-dup tier instead of
+    silently vanishing.  A sentinel only ever matches an *identical*
+    short doc — it never collides with a real n-gram of a longer doc
+    (real shingles always have n tokens)."""
     joined = F.transform(
         F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
         lambda i: F.concat_ws(
@@ -45,7 +51,7 @@ def word_shingles(tokens_col: Column, n: int = 3) -> Column:
     )
     return F.array_distinct(
         F.when(F.size(tokens_col) >= n, joined).otherwise(
-            F.array().cast("array<string>")
+            F.array(F.concat_ws(" ", tokens_col))
         )
     )
 

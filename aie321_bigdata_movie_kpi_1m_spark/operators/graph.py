@@ -40,6 +40,7 @@ def connected_components(
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    converged = False
     for _ in range(max_iters):
         nbr = sym.join(
             labels.select(F.col("node").alias("b"), "label"), "b"
@@ -59,5 +60,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning unconverged labels would be SILENTLY wrong output
+        # (nodes of one component under different labels) — fail loudly;
+        # callers with genuinely deep graphs raise max_iters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "a component's diameter exceeds max_iters — raise max_iters"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))

@@ -28,6 +28,43 @@ from .catalog import register
 
 
 @register(
+    "csv_roundtrip",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+       CAST(SUM(length(c_name)) AS BIGINT) AS name_chars
+FROM customer
+GROUP BY c_mktsegment
+""",
+    "S1 CSV scan, driver-exercised (reference ingest.py:64): spill the "
+    "customer table to a CSV layer, re-read with the declared schema in "
+    "PERMISSIVE mode, aggregate — the oracle reads the parquet truth, so "
+    "a parse/format defect anywhere in the CSV path breaks the hash "
+    "(doubles survive because Spark writes shortest-roundtrip reprs)",
+    tags=("sources",),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..schemas import STAR_SCHEMAS
+    from ..sources.readers import read_csv
+    from ..sources.sinks import write_csv
+
+    cust = load_star_table(spark, sf_dir, "customer")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/root/repo/.scratch/csv_roundtrip/{tag}"
+    # nullValue sentinel keeps NULL distinguishable from '' on re-read
+    write_csv(cust, path, nullValue="\\N")
+    back = read_csv(spark, path, STAR_SCHEMAS["customer"], nullValue="\\N")
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_cents(F.col("c_acctbal"))).cast("long").alias("acctbal_cents"),
+        F.sum(F.length("c_name")).cast("long").alias("name_chars"),
+    )
+
+
+@register(
     "filter_project_pushdown",
     """
 SELECT l_orderkey, l_linenumber, l_quantity,

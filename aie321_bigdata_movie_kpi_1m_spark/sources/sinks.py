@@ -35,6 +35,55 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    **options: str,
+) -> None:
+    """CSV sink (the reference's sheet-feed boundary format; pairs with
+    readers.read_csv for the S1 scan).  Overwrite-by-default, header row,
+    Spark's shortest-roundtrip double formatting — a written double parses
+    back to the identical bits, so CSV layers are value-faithful."""
+    writer = df.write.mode(mode).option("header", str(header).lower())
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "overwrite",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """JDBC bulk-write adapter (reference S6: drop-and-recreate + COPY
+    into Postgres, ingest.py:73-86, transform.py:42-77).
+
+    ``batchsize`` rows per INSERT batch; ``num_partitions`` caps the number
+    of concurrent connections (each write partition opens one).  Overwrite
+    mode reproduces the reference's drop-and-recreate semantics.  This
+    sandbox ships no JDBC driver or database, so the adapter is exercised
+    for construction only (tests assert the writer wiring), not a live
+    round trip."""
+    src = df.coalesce(num_partitions) if num_partitions is not None else df
+    writer = (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def scrub_non_finite(df: DataFrame) -> DataFrame:
     """Sink-side scrub of NaN/±Inf to NULL on float columns (reference S8,
     publish.py:50-57).  Engine-internal data never needs this — Spark has

@@ -75,7 +75,11 @@ def test_tokens_and_shingles(spark):
     assert _one(spark, tokens("v"), "  a  b\tc ") == ["a", "b", "c"]
     assert _one(spark, tokens("v"), None) == []
     assert _one(spark, word_shingles(tokens("v"), 3), "a b c d") == ["a b c", "b c d"]
-    assert _one(spark, word_shingles(tokens("v"), 3), "a b") == []
+    # sub-n-token docs: one whole-doc sentinel shingle (short exact-dups
+    # must still surface in shingle-based near-dup tiers); empty docs
+    # share the '' sentinel
+    assert _one(spark, word_shingles(tokens("v"), 3), "a b") == ["a b"]
+    assert _one(spark, word_shingles(tokens("v"), 3), "") == [""]
 
 
 def test_normalization_and_fingerprints(spark):

@@ -125,3 +125,50 @@ def test_streaming_sessionization_matches_batch(spark):
         for r in batch.collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_multibatch_open_session_reemission(spark, tmp_path):
+    """Pin the documented multi-batch caveat (streaming/events.py): a
+    user's open session is re-emitted each micro-batch it grows, and the
+    LAST emission per (user, session_seq) equals the batch twin — so a
+    live consumer must upsert on (user_id, session_seq), not append."""
+    import time
+
+    from datetime import datetime
+
+    from aie321_bigdata_movie_kpi_1m_spark.streaming.events import sessionize_stream
+
+    d = tmp_path / "stream_src"
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+    first = spark.createDataFrame(
+        [(1, t("00:00:00")), (1, t("00:10:00"))], "user_id long, ts timestamp"
+    )
+    second = spark.createDataFrame(
+        [(1, t("00:20:00"))], "user_id long, ts timestamp"
+    )
+    first.coalesce(1).write.mode("append").parquet(str(d))
+    time.sleep(1.2)  # distinct mtimes -> deterministic batch order
+    second.coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(d))
+    q = (
+        sessionize_stream(stream, gap_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("multibatch_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)  # respects maxFilesPerTrigger: 2 batches
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("multibatch_sessions").collect()
+    emits = sorted(
+        (r["n_events"], r["duration_secs"]) for r in rows
+        if r["user_id"] == 1 and r["session_seq"] == 1
+    )
+    # batch 1 emits the open 2-event session; batch 2 re-emits it grown
+    assert emits == [(2, 600), (3, 1200)]
+    # last emission == the batch twin over the full data
+    batch = session_summary(first.union(second), gap_seconds=3600).collect()
+    assert [(r["n_events"], r["duration_secs"]) for r in batch] == [(3, 1200)]

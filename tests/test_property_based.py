@@ -100,6 +100,10 @@ def test_ngram_jaccard_matches_python_sets(spark, texts):
 
     def shingles(t: str) -> set[str]:
         toks = t.split()
+        if len(toks) < 2:
+            # word_shingles sentinel: sub-n-token docs contribute the
+            # whole-token-join shingle ('' for empty docs)
+            return {" ".join(toks)}
         return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
 
     expect = {}

@@ -71,21 +71,28 @@ def test_window_query_as_spark_sql(spark):
 
 
 def test_approx_distinct_error_bound(spark):
-    approx = {
-        r["l_returnflag"]: (r["approx_parts"], r["approx_suppliers"])
-        for r in CATALOG["approx_distinct_sketch"].fn(spark, SF).collect()
-    }
-    exact = {
-        r["l_returnflag"]: (r["n_parts"], r["n_suppliers"])
+    # raw HLL++ estimates vs exact (the catalog query now exposes only
+    # the oracle-checkable exact counts + within-3sd booleans, so the
+    # raw-error bound is asserted here on the aggregates directly)
+    rows = {
+        r["l_returnflag"]: r
         for r in load_star_table(spark, SF, "lineitem")
         .groupBy("l_returnflag")
         .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
             F.countDistinct("l_partkey").alias("n_parts"),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
         .collect()
     }
-    assert approx.keys() == exact.keys()
-    for k in exact:
-        for a, e in zip(approx[k], exact[k]):
+    assert rows
+    for k, r in rows.items():
+        for a, e in (
+            (r["approx_parts"], r["n_parts"]),
+            (r["approx_suppliers"], r["n_suppliers"]),
+        ):
             assert abs(a - e) / e < 0.1, f"{k}: HLL estimate {a} vs exact {e}"
+    # and the catalog query's own assertions must hold
+    flags = CATALOG["approx_distinct_sketch"].fn(spark, SF).collect()
+    assert all(r["parts_within_3sd"] and r["suppliers_within_3sd"] for r in flags)
