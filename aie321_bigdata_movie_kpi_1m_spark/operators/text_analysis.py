@@ -119,6 +119,72 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_dup_ratio: float = 0.2,
+) -> DataFrame:
+    """Within-document repetition profile (the Gopher-style repetition
+    gates): duplicate-sentence ratio and duplicate-word-bigram ratio,
+    plus the combined ``is_repetitive`` flag at ``max_dup_ratio``.
+
+    Sentence = non-empty trimmed '.'-separated span.  Bigram counting is
+    over the NON-distinct sequence (repetition is exactly the mass that
+    ``array_distinct`` removes).  All ratios are exact int/int divisions
+    rounded to 4; the flag compares the rounded values so the threshold
+    is engine-portable.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    # materialize token/sentence arrays before HOF indexing — feeding the
+    # raw expressions into element_at lambdas re-evaluates the tokenizer
+    # per element (see operators/dedup.py::_shingled)
+    base = docs.select(
+        F.col(id_col),
+        tokens(text_col).alias("__tok"),
+        F.filter(
+            F.transform(F.split(text, r"\."), lambda s: F.trim(s)),
+            lambda s: s != F.lit(""),
+        ).alias("__sent"),
+    )
+    toks, sents = F.col("__tok"), F.col("__sent")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = base.select(
+        F.col(id_col),
+        F.size(sents).alias("n_sentences"),
+        F.size(F.array_distinct(sents)).alias("n_distinct_sentences"),
+        F.size(bigrams).alias("__nb"),
+        F.size(F.array_distinct(bigrams)).alias("__ndb"),
+    )
+    dup_sent = F.when(F.col("n_sentences") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_sentences") / F.col("n_sentences"), 4
+        )
+    )
+    dup_bigram = F.when(F.col("__nb") == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.col("__ndb") / F.col("__nb"), 4)
+    )
+    return staged.select(
+        F.col(id_col),
+        "n_sentences",
+        "n_distinct_sentences",
+        dup_sent.alias("dup_sentence_ratio"),
+        dup_bigram.alias("dup_bigram_ratio"),
+        (
+            (dup_sent > max_dup_ratio) | (dup_bigram > max_dup_ratio)
+        ).alias("is_repetitive"),
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """md5 fingerprint of normalized text per document (the exact-dedup
     key)."""

@@ -6,9 +6,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, text_analysis
+from ..operators import dedup, packing, text_analysis
 from ..sources.readers import load_star_table
 from .catalog import register
+
+#: shared oracle expression: the heuristic quality blend (lockstep with
+#: operators.text_analysis.quality_score; requires `text` + the tok CTE's
+#: `ts` in scope)
+_QUALITY_EXPR_SQL = """ROUND(1.0
+             - least(length(regexp_replace(coalesce(text, ''), '[^.!?,;:]', '', 'g'))
+                     / greatest(length(coalesce(text, '')), 1) * 2, 0.5)
+             + least(len(list_filter(ts, t -> lower(t) IN ('the','a','of','and','to','in')))
+                     / greatest(len(ts), 1), 0.3)
+             - CASE WHEN length(coalesce(text, '')) / greatest(len(ts), 1) > 12
+                    THEN 0.3 ELSE 0.0 END, 4)"""
 
 #: shared oracle CTE: whitespace tokens per document (lockstep with
 #: functions.text.tokens)
@@ -155,13 +166,9 @@ SELECT doc_id,
              / greatest(length(coalesce(text, '')), 1), 4) AS punct_ratio,
        ROUND(len(list_filter(ts, t -> lower(t) IN ('the','a','of','and','to','in')))
              / greatest(len(ts), 1), 4) AS stopword_ratio,
-       ROUND(1.0
-             - least(length(regexp_replace(coalesce(text, ''), '[^.!?,;:]', '', 'g'))
-                     / greatest(length(coalesce(text, '')), 1) * 2, 0.5)
-             + least(len(list_filter(ts, t -> lower(t) IN ('the','a','of','and','to','in')))
-                     / greatest(len(ts), 1), 0.3)
-             - CASE WHEN length(coalesce(text, '')) / greatest(len(ts), 1) > 12
-                    THEN 0.3 ELSE 0.0 END, 4) AS quality_score
+       """
+    + _QUALITY_EXPR_SQL
+    + """ AS quality_score
 FROM tok JOIN documents USING (doc_id)
 """,
     "heuristic quality scoring: punctuation density + stopword ratio + "
@@ -412,3 +419,226 @@ FROM votes
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(load_star_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Training-shard assembly: packing, repetition gates, survivor policy,
+# mixture weights (the post-filter half of an LLM data pipeline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences",
+    _TOKENS_CTE
+    + """,
+t AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 AS INTEGER) AS shard,
+         CAST(len(ts) AS BIGINT) AS n_tokens
+  FROM tok
+)
+SELECT doc_id, shard,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+            AS BIGINT) AS bin_id,
+       n_tokens
+FROM t
+""",
+    "sequence packing: shard documents into 4 parallel streams, greedy "
+    "contiguous fill of 512-token bins per shard (operators/packing.py) — "
+    "the training-shard assembly step; one window per shard, shards pack "
+    "in parallel, no global ordering bottleneck",
+    tags=("text", "packing"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.pack_sequences(
+        load_star_table(spark, sf_dir, "documents"), budget=512, n_shards=4
+    )
+
+
+@register(
+    "pack_bin_stats",
+    _TOKENS_CTE
+    + """,
+t AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 AS INTEGER) AS shard,
+         CAST(len(ts) AS BIGINT) AS n_tokens
+  FROM tok
+),
+p AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+              AS BIGINT) AS bin_id
+  FROM t
+)
+SELECT shard, bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       ROUND(SUM(n_tokens) / 512.0, 4) AS fill_ratio
+FROM p
+GROUP BY shard, bin_id
+""",
+    "packing rollup: docs/tokens/fill-ratio per 512-token bin — the "
+    "shard-density metric a packer tunes (fill close to 1.0 means dense "
+    "training sequences)",
+    tags=("text", "packing"),
+)
+def q_pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = packing.pack_sequences(
+        load_star_table(spark, sf_dir, "documents"), budget=512, n_shards=4
+    )
+    return packing.bin_fill_stats(packed, budget=512)
+
+
+@register(
+    "doc_repetition_stats",
+    _TOKENS_CTE
+    + """,
+s AS (
+  SELECT doc_id, ts,
+         list_filter(list_transform(string_split(coalesce(text, ''), '.'),
+                                    x -> trim(x)), x -> x <> '') AS sents
+  FROM tok JOIN documents USING (doc_id)
+),
+b AS (
+  SELECT doc_id, sents,
+         CASE WHEN len(ts) >= 2
+              THEN list_transform(generate_series(1, len(ts) - 1),
+                                  i -> ts[i] || ' ' || ts[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS bgs
+  FROM s
+),
+r AS (
+  SELECT doc_id,
+         CAST(len(sents) AS INTEGER) AS n_sentences,
+         CAST(len(list_distinct(sents)) AS INTEGER) AS n_distinct_sentences,
+         CASE WHEN len(sents) = 0 THEN 0.0
+              ELSE ROUND(1.0 - len(list_distinct(sents))
+                               / CAST(len(sents) AS DOUBLE), 4)
+         END AS dup_sentence_ratio,
+         CASE WHEN len(bgs) = 0 THEN 0.0
+              ELSE ROUND(1.0 - len(list_distinct(bgs))
+                               / CAST(len(bgs) AS DOUBLE), 4)
+         END AS dup_bigram_ratio
+  FROM b
+)
+SELECT doc_id, n_sentences, n_distinct_sentences,
+       dup_sentence_ratio, dup_bigram_ratio,
+       (dup_sentence_ratio > 0.2 OR dup_bigram_ratio > 0.2) AS is_repetitive
+FROM r
+""",
+    "repetition removal (Gopher-style gates): duplicate-sentence and "
+    "duplicate-word-bigram ratios per doc + the is_repetitive flag at 0.2 "
+    "(operators/text_analysis.py::repetition_stats; one codegen'd "
+    "projection, no shuffle)",
+    tags=("text",),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.repetition_stats(
+        load_star_table(spark, sf_dir, "documents"), max_dup_ratio=0.2
+    )
+
+
+@register(
+    "dedup_survivors_by_quality",
+    _TOKENS_CTE
+    + """,
+q AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))
+             AS fingerprint,
+         """
+    + _QUALITY_EXPR_SQL
+    + """ AS quality_score
+  FROM tok JOIN documents USING (doc_id)
+),
+r AS (
+  SELECT doc_id, fingerprint, quality_score,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY quality_score DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+  FROM q
+)
+SELECT doc_id, fingerprint, quality_score, CAST(n_copies AS BIGINT) AS n_copies
+FROM r WHERE rn = 1
+""",
+    "dedup survivor policy: within each exact-content group keep the "
+    "HIGHEST-QUALITY copy (quality-score argmax, id tie-break) instead of "
+    "the smallest id — the policy layer a curation pipeline puts on top "
+    "of dedup groups; composes fingerprints x quality_score, one window",
+    tags=("dedup", "text"),
+)
+def q_dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    q = text_analysis.quality_score(docs).select("doc_id", "quality_score")
+    fp = text_analysis.fingerprints(docs)
+    joined = fp.join(q, "doc_id")
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("fingerprint")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", "quality_score", "n_copies")
+    )
+
+
+@register(
+    "source_mix_weights",
+    _TOKENS_CTE
+    + """,
+g AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len(ts)) AS BIGINT) AS n_tokens
+  FROM tok JOIN documents USING (doc_id)
+  GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens,
+       ROUND(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 4) AS doc_share,
+       ROUND(LEAST(CAST(SUM(n_docs) OVER () AS DOUBLE)
+                   / (COUNT(*) OVER () * n_docs), 4.0), 4) AS sample_weight
+FROM g
+""",
+    "training-mixture weights: per (lang, source) stratum doc/token "
+    "counts, corpus share, and the up/down-sampling weight that equalizes "
+    "strata (capped at 4x upsampling) — the mixture-balancing step before "
+    "packing; one groupBy + a frame-global window over stratum counts",
+    tags=("text", "sampling"),
+)
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens as _tokens
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("lang", "source", F.size(_tokens("text")).alias("__nt"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+    )
+    wall = Window.partitionBy()
+    total = F.sum("n_docs").over(wall)
+    k = F.count(F.lit(1)).over(wall)
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / total, 4).alias("doc_share"),
+        F.round(
+            F.least(total / (k * F.col("n_docs")), F.lit(4.0)), 4
+        ).alias("sample_weight"),
+    )

@@ -320,3 +320,52 @@ def test_connected_components_chain_triangle_singles(spark):
               (10, 10), (11, 10), (12, 10),
               (20, 20), (21, 20)}
     assert got == expect
+
+
+def test_pack_sequences_greedy_fill_and_straddle(spark):
+    from aie321_bigdata_movie_kpi_1m_spark.operators.packing import (
+        bin_fill_stats,
+        pack_sequences,
+    )
+
+    # one shard (n_shards=1), budget 5: docs of 3/3/6/2 tokens ->
+    # cum-before 0,3,6,12 -> bins 0,0,1,2 (the 6-token doc starts in bin 1
+    # and straddles into 2 — assignment is by its start position)
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f"), (2, "g h i j k l"), (3, "m n")],
+        "doc_id long, text string",
+    )
+    packed = {
+        r["doc_id"]: (r["shard"], r["bin_id"], r["n_tokens"])
+        for r in pack_sequences(docs, budget=5, n_shards=1).collect()
+    }
+    assert packed == {0: (0, 0, 3), 1: (0, 0, 3), 2: (0, 1, 6), 3: (0, 2, 2)}
+    fills = {
+        (r["shard"], r["bin_id"]): (r["n_docs"], r["bin_tokens"])
+        for r in bin_fill_stats(
+            pack_sequences(docs, budget=5, n_shards=1), budget=5
+        ).collect()
+    }
+    assert fills == {(0, 0): (2, 6), (0, 1): (1, 6), (0, 2): (1, 2)}
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    from aie321_bigdata_movie_kpi_1m_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),       # one repeated bigram
+            (1, "all words here are fully distinct"),   # clean
+            (2, "Same line. Same line. Same line."),    # repeated sentences
+            (3, ""),                                    # empty -> all zeros
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in repetition_stats(docs).collect()}
+    assert r[0]["is_repetitive"] and r[0]["dup_bigram_ratio"] == 0.8
+    assert not r[1]["is_repetitive"] and r[1]["dup_bigram_ratio"] == 0.0
+    assert r[2]["is_repetitive"] and r[2]["n_sentences"] == 3
+    assert r[2]["n_distinct_sentences"] == 1
+    assert r[3]["dup_sentence_ratio"] == 0.0 and not r[3]["is_repetitive"]

@@ -62,3 +62,36 @@ def test_whole_stage_codegen_covers_core_pipeline(spark):
     # formatted explain marks codegen'd operators with "[codegen id : N]"
     plan = plan_of(spark, "movie_facts")
     assert "codegen id" in plan
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    # the repetition gates are a per-row projection: a corpus-scale scan
+    # must stream through with zero exchanges
+    plan = plan_of(spark, "doc_repetition_stats")
+    assert "Exchange" not in plan
+
+
+def _shuffle_exchanges(plan: str) -> int:
+    # detail-section shuffle nodes look like "(3) Exchange"; broadcast
+    # exchanges ("(8) BroadcastExchange") deliberately don't count
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_pack_sequences_shuffles_once_on_shard(spark):
+    # one hash exchange (the shard window) and nothing else: packing must
+    # not add a global-order bottleneck
+    plan = plan_of(spark, "pack_sequences")
+    assert _shuffle_exchanges(plan) == 1
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_survivor_policy_single_shuffle_window(spark):
+    # quality-argmax survivors: one exchange on the fingerprint key drives
+    # both the window rank and the copy count (the doc_id join side is
+    # broadcast, which is free at dimension size)
+    plan = plan_of(spark, "dedup_survivors_by_quality")
+    assert _shuffle_exchanges(plan) == 1
+    assert "hashpartitioning(fingerprint" in plan
