@@ -40,28 +40,32 @@ def connected_components(
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+
+    def label_mass(df: DataFrame):
+        # labels only ever DECREASE under min-propagation, so the total
+        # label mass is a strictly-monotone convergence signal: unchanged
+        # mass == unchanged labels.  One scan over the already-checkpointed
+        # partitions — much cheaper than the old per-round change-join.
+        # decimal(38,0): sums of 2^63-scale ids cannot overflow.
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_mass = None
     converged = False
     for _ in range(max_iters):
         nbr = sym.join(
             labels.select(F.col("node").alias("b"), "label"), "b"
         ).select(F.col("a").alias("node"), "label")
-        new_labels = (
+        labels = (
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        mass = label_mass(labels)
+        if mass == prev_mass:
             converged = True
             break
+        prev_mass = mass
     if not converged:
         # returning unconverged labels would be SILENTLY wrong output
         # (nodes of one component under different labels) — fail loudly;
