@@ -195,6 +195,45 @@ def cosine_neardup_pairs(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector — the 4x storage/bandwidth
+    compression applied before embeddings are shipped or indexed at
+    100 TB scale.
+
+    scale = max|x| / 127; q_i = floor(x_i / scale + 0.5) (explicit
+    half-up — engine-portable, unlike round()'s engine-specific
+    half-even/half-away behavior).  Emits the quantized array plus the
+    scalar profile (scale, sum/min/max of the codes) that downstream
+    checks and SQL oracles consume.
+
+    The scale is materialized as a column BEFORE the per-element lambda:
+    feeding the max-abs expression into the HOF re-evaluates it per
+    element (see operators/dedup.py::_shingled).
+    """
+    v = F.col("__v")
+    scaled = embeddings.select(
+        F.col(id_col),
+        _as_double(vec_col).alias("__v"),
+    ).withColumn(
+        "scale",
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    q = F.transform(v, lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long"))
+    return scaled.withColumn("q", q).select(
+        F.col(id_col),
+        F.round("scale", 6).alias("scale_r6"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        "q",
+    )
+
+
 def _nearest_centroids_udf(centroids: np.ndarray, n_probe: int) -> Column:
     """pandas UDF: vector -> array of the ``n_probe`` nearest centroid ids
     (squared-L2, deterministic ties by centroid index)."""

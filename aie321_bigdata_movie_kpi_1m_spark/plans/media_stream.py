@@ -206,6 +206,33 @@ def _run_to_memory_sink(
 
 
 @register(
+    "streaming_dedup",
+    """
+SELECT md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))
+           AS fingerprint,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    "streaming ingest-time exact dedup: fingerprint-keyed "
+    "applyInPandasWithState tracking (min id, copy count); availableNow "
+    "backfill equals the batch dedup_exact groupBy — the live/batch "
+    "parity contract (streaming/documents.py)",
+    tags=("streaming", "stateful", "dedup"),
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents import dedup_stream, read_documents_stream
+
+    return _run_to_memory_sink(
+        spark,
+        dedup_stream(read_documents_stream(spark, sf_dir)),
+        name="stream_dedup",
+        output_mode="append",
+    )
+
+
+@register(
     "streaming_sessionize",
     """
 WITH marked AS (

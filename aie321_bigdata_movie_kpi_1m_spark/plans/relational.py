@@ -65,6 +65,40 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_roundtrip",
+    """
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(FLOOR(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+       CAST(SUM(length(s_name)) AS BIGINT) AS name_chars
+FROM supplier
+GROUP BY s_nationkey
+""",
+    "JSON-lines source scan, driver-exercised: spill supplier to a JSON "
+    "layer, re-read with the declared schema, aggregate — the oracle reads "
+    "the parquet truth, so any parse/format defect in the JSON path breaks "
+    "the hash (doubles survive via shortest-roundtrip reprs)",
+    tags=("sources",),
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..schemas import STAR_SCHEMAS
+    from ..sources.sinks import write_json
+
+    supp = load_star_table(spark, sf_dir, "supplier")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/root/repo/.scratch/json_roundtrip/{tag}"
+    write_json(supp, path)
+    back = spark.read.schema(STAR_SCHEMAS["supplier"]).json(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(_cents(F.col("s_acctbal"))).cast("long").alias("acctbal_cents"),
+        F.sum(F.length("s_name")).cast("long").alias("name_chars"),
+    )
+
+
+@register(
     "filter_project_pushdown",
     """
 SELECT l_orderkey, l_linenumber, l_quantity,

@@ -642,3 +642,134 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(total / (k * F.col("n_docs")), F.lit(4.0)), 4
         ).alias("sample_weight"),
     )
+
+
+@register(
+    "dedup_incremental",
+    """
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))
+             AS fingerprint
+  FROM documents
+),
+corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 400),
+batch_keepers AS (
+  SELECT fingerprint, MIN(doc_id) AS doc_id
+  FROM fp WHERE doc_id >= 400
+  GROUP BY fingerprint
+)
+SELECT b.doc_id, b.fingerprint
+FROM batch_keepers b
+LEFT JOIN corpus c USING (fingerprint)
+WHERE c.fingerprint IS NULL
+""",
+    "incremental dedup (the production append shape): dedup a NEW batch "
+    "(doc_id >= 400) within itself, then anti-join its fingerprints "
+    "against the existing corpus — only the corpus's fingerprint column "
+    "is touched, never its rows, which is what keeps daily ingest cheap "
+    "against a 100 TB historical store",
+    tags=("dedup", "incremental"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    fp = text_analysis.fingerprints(docs)
+    corpus = fp.filter(F.col("doc_id") < 400).select("fingerprint").distinct()
+    batch_keepers = (
+        fp.filter(F.col("doc_id") >= 400)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch_keepers.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@register(
+    "vocab_topk",
+    _TOKENS_CTE
+    + """
+, freq AS (
+  SELECT t AS token, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+  GROUP BY t
+),
+ranked AS (
+  SELECT token, n_occurrences, n_docs,
+         row_number() OVER (ORDER BY n_occurrences DESC, token) AS rn
+  FROM freq
+)
+SELECT token, n_occurrences, n_docs FROM ranked WHERE rn <= 100
+""",
+    "vocabulary profile: global top-100 tokens by occurrence (doc "
+    "frequency rides along) — the corpus-scan shape behind tokenizer "
+    "vocab construction and stop-list mining; explode -> two-phase agg "
+    "-> top-k short-circuit",
+    tags=("text", "vocab"),
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens as _tokens
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k merged on the driver) — a global row_number window would
+    # funnel the whole vocabulary through one partition
+    return (
+        freq.orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(100)
+        .select("token", "n_occurrences", "n_docs")
+    )
+
+
+#: PII patterns (ASCII-only so Java-regex and RE2 semantics agree)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_LONG_NUMBER_RE = "[0-9]{7,}"
+
+
+@register(
+    "doc_pii_profile",
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{_EMAIL_RE}'))
+            AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{_LONG_NUMBER_RE}'))
+            AS INTEGER) AS n_long_numbers,
+       CAST(length(regexp_replace(regexp_replace(coalesce(text, ''),
+                '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                '{_LONG_NUMBER_RE}', '<NUM>', 'g')) AS INTEGER)
+           AS n_chars_redacted
+FROM documents
+""",
+    "PII scrub profile: email / long-number match counts and the redacted "
+    "text length per doc (ASCII-only patterns so Java regex and RE2 "
+    "agree) — the redaction pass a compliance pipeline runs before "
+    "training-data export; pure projection, no shuffle",
+    tags=("text", "compliance"),
+)
+def q_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), _LONG_NUMBER_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(text, F.lit(_LONG_NUMBER_RE)).alias("n_long_numbers"),
+        F.length(redacted).alias("n_chars_redacted"),
+    )

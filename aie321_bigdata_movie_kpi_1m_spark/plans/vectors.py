@@ -267,3 +267,38 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.lsh_topk(emb, queries, n_planes=8, k=_TOP_K)
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale_r6,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max
+FROM q
+""",
+    "int8 symmetric embedding quantization (4x storage compression before "
+    "indexing/shipping at scale): per-vector scale = max|x|/127, explicit "
+    "half-up code rounding (engine-portable); oracle checks the scale and "
+    "the code sum/min/max profile, pytest checks reconstruction error",
+    tags=("similarity", "storage"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(emb).drop("q")

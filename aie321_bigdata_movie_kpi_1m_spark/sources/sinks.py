@@ -52,6 +52,21 @@ def write_csv(
     writer.csv(path)
 
 
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """JSON-lines sink (the interchange format most external tooling in a
+    data-pipeline stack consumes).  Overwrite-by-default; doubles use
+    shortest-roundtrip formatting so a JSON layer is value-faithful."""
+    writer = df.write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.json(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

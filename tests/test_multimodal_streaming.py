@@ -172,3 +172,52 @@ def test_multibatch_open_session_reemission(spark, tmp_path):
     # last emission == the batch twin over the full data
     batch = session_summary(first.union(second), gap_seconds=3600).collect()
     assert [(r["n_events"], r["duration_secs"]) for r in batch] == [(3, 1200)]
+
+
+def test_streaming_dedup_cross_batch_state(spark, tmp_path):
+    """Cross-batch dedup state: a duplicate arriving in a LATER batch is
+    recognized against the fingerprint state from the first batch (the
+    ingest-time dedup contract of streaming/documents.py)."""
+    import time
+
+    from aie321_bigdata_movie_kpi_1m_spark.streaming.documents import dedup_stream
+
+    d = tmp_path / "docs_src"
+    first = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "unique text one")], "doc_id long, text string"
+    )
+    second = spark.createDataFrame(
+        [(12, "Alpha   BETA"), (13, "unique text two")],  # 12 dups 10 normalized
+        "doc_id long, text string",
+    )
+    first.coalesce(1).write.mode("append").parquet(str(d))
+    time.sleep(1.2)
+    second.coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(d))
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("crossbatch_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("crossbatch_dedup").collect()
+    # the alpha-beta fingerprint is emitted twice: (10, 1) in batch 1 and
+    # (10, 2) in batch 2 when the normalized duplicate lands on its state
+    alpha = sorted(
+        (r["keeper_id"], r["n_copies"]) for r in rows
+        if r["fingerprint"] == [x for x in rows if x["keeper_id"] == 10][0]["fingerprint"]
+    )
+    assert alpha == [(10, 1), (10, 2)]
+    # latest emission per fingerprint == batch dedup over the full data
+    latest = {}
+    for r in rows:
+        prev = latest.get(r["fingerprint"])
+        if prev is None or r["n_copies"] > prev[1]:
+            latest[r["fingerprint"]] = (r["keeper_id"], r["n_copies"])
+    assert sorted(latest.values()) == [(10, 2), (11, 1), (13, 1)]

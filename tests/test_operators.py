@@ -369,3 +369,23 @@ def test_repetition_stats_flags_repetitive_docs(spark):
     assert r[2]["is_repetitive"] and r[2]["n_sentences"] == 3
     assert r[2]["n_distinct_sentences"] == 1
     assert r[3]["dup_sentence_ratio"] == 0.0 and not r[3]["is_repetitive"]
+
+
+def test_quantize_embeddings_reconstruction_error(spark):
+    import numpy as np
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    for vid, v in rows:
+        r = out[vid]
+        scale = max(abs(x) for x in v) / 127.0
+        # codes are half-up rounded -> reconstruction within scale/2 per dim
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        recon = [q * scale for q in r["q"]]
+        assert max(abs(a - b) for a, b in zip(recon, v)) <= scale / 2 + 1e-12

@@ -95,3 +95,16 @@ def test_survivor_policy_single_shuffle_window(spark):
     plan = plan_of(spark, "dedup_survivors_by_quality")
     assert _shuffle_exchanges(plan) == 1
     assert "hashpartitioning(fingerprint" in plan
+
+
+def test_vocab_topk_short_circuits(spark):
+    # global top-100 must be TakeOrderedAndProject (distributed partial
+    # top-k), never a single-partition global window
+    plan = plan_of(spark, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pii_profile_is_shuffle_free(spark):
+    plan = plan_of(spark, "doc_pii_profile")
+    assert "Exchange" not in plan
