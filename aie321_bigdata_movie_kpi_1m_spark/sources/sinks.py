@@ -52,6 +52,31 @@ def write_csv(
     writer.csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (``bucketBy`` + ``saveAsTable``): rows are
+    hash-partitioned into ``n_buckets`` files per partition BY KEY at
+    write time, so a later join or aggregation on the bucket key reads
+    co-located data and skips the shuffle entirely — the classic
+    pre-shuffle trade for fact tables that are joined on the same key
+    every day at 100 TB (pay the shuffle once at ingest, never again).
+
+    ``sort_cols`` additionally sorts within buckets, letting sort-merge
+    joins skip their sort.  Requires a metastore-backed table (bucket
+    metadata lives in the catalog, not the parquet files)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_json(
     df: DataFrame,
     path: str,

@@ -108,3 +108,32 @@ def test_vocab_topk_short_circuits(spark):
 def test_pii_profile_is_shuffle_free(spark):
     plan = plan_of(spark, "doc_pii_profile")
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_skips_the_shuffle(spark, tmp_path):
+    # co-located join (SURVEY §4): both sides bucketed on the join key
+    # with the same bucket count -> sort-merge join with ZERO exchanges
+    from aie321_bigdata_movie_kpi_1m_spark.sources.sinks import write_bucketed
+
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "bkt_left", bucket_cols=["k"], n_buckets=8, sort_cols=["k"])
+    write_bucketed(right, "bkt_right", bucket_cols=["k"], n_buckets=8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing replaced both shuffles
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

@@ -113,3 +113,38 @@ def test_ngram_jaccard_matches_python_sets(spark, texts):
             if a & b:
                 expect[(i, j)] = round(len(a & b) / len(a | b), 4)
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30),  # token count per doc
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=10),  # budget
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_invariants(spark, token_counts, budget):
+    from aie321_bigdata_movie_kpi_1m_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(token_counts)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, budget=budget, n_shards=2).collect()
+    # every doc assigned exactly once, token mass conserved
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(token_counts)))
+    assert sum(r["n_tokens"] for r in rows) == sum(token_counts)
+    # within a shard (id order): bins start at 0 and never decrease, and
+    # each bin's starting offset is below the next budget boundary
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        cum = 0
+        prev_bin = 0
+        for r in shard_rows:
+            assert r["bin_id"] == cum // budget
+            assert r["bin_id"] >= prev_bin
+            prev_bin = r["bin_id"]
+            cum += r["n_tokens"]
