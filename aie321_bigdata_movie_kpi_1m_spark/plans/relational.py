@@ -744,3 +744,138 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
     )
+
+
+@register(
+    "join_full_outer_nations",
+    """
+WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+           FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+""",
+    "full outer join (completes the join-type matrix beyond inner/semi/"
+    "anti/range/asof): customer vs supplier presence per nation, nulls "
+    "coalesced to 0 so nations with only one side survive",
+    tags=("relational", "join"),
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_star_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_star_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "sql_correlated_exists",
+    """
+SELECT COUNT(*) AS n_f_only_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+    "correlated EXISTS / NOT EXISTS subqueries through the engine's SQL "
+    "API (spark.sql over registered views — Catalyst rewrites them to "
+    "semi/anti joins): customers with finished orders and no open ones",
+    tags=("relational", "sql-api"),
+)
+def q_sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_star_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_star_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_f_only_customers
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          AND NOT EXISTS (SELECT 1 FROM v_orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        """
+    )
+
+
+@register(
+    "orders_aging_buckets",
+    """
+SELECT CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                  / 90) AS BIGINT) AS age_bucket_quarters,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY 1
+""",
+    "date arithmetic: order age in days vs a fixed anchor, bucketed into "
+    "90-day quarters (datediff truncates both sides to DATE in both "
+    "engines) — the retention/aging rollup shape",
+    tags=("relational", "datetime"),
+)
+def q_orders_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_star_table(spark, sf_dir, "orders")
+    age_days = F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate"))
+    return (
+        orders.groupBy(
+            F.floor(age_days / 90).cast("long").alias("age_bucket_quarters")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+        )
+    )
+
+
+@register(
+    "approx_percentile_sketch",
+    """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50_exact,
+       TRUE AS p50_within_1pct,
+       TRUE AS p95_within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    "quantile sketch: approx_percentile (Greenwald-Khanna style, fixed "
+    "memory, mergeable partials — the percentile path that avoids a "
+    "full sort at 100 TB); sketch outputs are engine-specific, so the "
+    "oracle checks the exact p50 plus in-row <=1% relative-error "
+    "assertions for the sketched p50/p95",
+    tags=("relational", "sketch"),
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_star_table(spark, sf_dir, "lineitem")
+
+    def within(a, e):  # |approx - exact| / exact <= 1%
+        return F.abs(a - e) / e <= 0.01
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("__e50"),
+        F.percentile("l_extendedprice", 0.95).alias("__e95"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("__a50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("__a95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("__e50", 4).alias("price_p50_exact"),
+        within(F.col("__a50"), F.col("__e50")).alias("p50_within_1pct"),
+        within(F.col("__a95"), F.col("__e95")).alias("p95_within_1pct"),
+    )
