@@ -206,6 +206,37 @@ def _run_to_memory_sink(
 
 
 @register(
+    "streaming_stream_join",
+    """
+SELECT e.user_id,
+       CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS error_sec,
+       CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_sec
+FROM events e
+JOIN events p
+  ON p.user_id = e.user_id
+ AND e.event_type = 'error'
+ AND p.event_type = 'purchase'
+ AND p.ts >= e.ts
+ AND p.ts <= e.ts + INTERVAL 1 HOUR
+""",
+    "stream-stream event-time join: errors joined to the same user's "
+    "purchases within 1h, watermarks on both sides bounding join state "
+    "(streaming/events.py::error_purchase_join_stream); availableNow "
+    "backfill equals the batch time-range join",
+    tags=("streaming", "join"),
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import error_purchase_join_stream, read_events_stream
+
+    return _run_to_memory_sink(
+        spark,
+        error_purchase_join_stream(read_events_stream(spark, sf_dir)),
+        name="stream_err_purchase",
+        output_mode="append",
+    )
+
+
+@register(
     "streaming_dedup",
     """
 SELECT md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))

@@ -64,6 +64,45 @@ def windowed_event_counts(
     )
 
 
+def error_purchase_join_stream(
+    events: DataFrame, *, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream event-time join: each error joined to the same
+    user's purchases within ``horizon`` after it.
+
+    The remaining Structured Streaming tier after windows and stateful
+    sessionization: both sides carry watermarks, and the time-range
+    predicate bounds how long either side's rows wait in state (without
+    it the join state would grow forever).  With one availableNow batch
+    the inner join emits exactly the batch join — the same backfill
+    parity contract as every streaming query here.
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .withWatermark("ts", watermark)
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("error_ts"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+    )
+    return (
+        errors.join(
+            purchases,
+            (F.col("e_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("error_ts"))
+            & (F.col("purchase_ts") <= F.col("error_ts") + F.expr(f"INTERVAL {horizon}")),
+            "inner",
+        )
+        .select(
+            F.col("e_user").alias("user_id"),
+            F.unix_timestamp("error_ts").alias("error_sec"),
+            F.unix_timestamp("purchase_ts").alias("purchase_sec"),
+        )
+    )
+
+
 _SESSION_OUTPUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
