@@ -389,3 +389,20 @@ def test_quantize_embeddings_reconstruction_error(spark):
         assert -127 <= r["q_min"] <= r["q_max"] <= 127
         recon = [q * scale for q in r["q"]]
         assert max(abs(a - b) for a, b in zip(recon, v)) <= scale / 2 + 1e-12
+
+
+def test_connected_components_raises_instead_of_wrong_labels(spark):
+    import pytest
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.graph import connected_components
+
+    # a 12-node path graph needs ~11 propagation rounds: with max_iters=3
+    # the operator must refuse to return unconverged (silently wrong)
+    # labels; with enough rounds the whole chain collapses to label 0
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "i long, j long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=3)
+    ok = {r["node"]: r["cluster_id"] for r in connected_components(chain, max_iters=15).collect()}
+    assert ok == {n: 0 for n in range(12)}

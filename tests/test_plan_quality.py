@@ -137,3 +137,46 @@ def test_bucketed_join_skips_the_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # the other skew lever besides operators/skew.py salting: AQE's
+    # runtime skew-join split.  One hot key dominates the left side; with
+    # aggressive thresholds AQE must mark the sort-merge join skew=true
+    # (partition split at runtime) while results stay exact.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = left.join(right, "k")
+        # collect() executes THIS DataFrame's plan, so its own
+        # QueryExecution carries the finalized adaptive plan (count()
+        # would run a different query and leave this one unfinalized)
+        # 54000 rows hit the hot key 7; the cold keys are ids ≡ 9 (mod 10)
+        # below 2000 -> 200 matches
+        assert len(joined.collect()) == 54_000 + 200
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
