@@ -773,3 +773,40 @@ def q_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(text, F.lit(_LONG_NUMBER_RE)).alias("n_long_numbers"),
         F.length(redacted).alias("n_chars_redacted"),
     )
+
+
+@register(
+    "doc_unigram_df_score",
+    _TOKENS_CTE
+    + """
+, ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+dfs AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY token)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(SUM(df) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_token_df
+FROM ex JOIN dfs USING (token)
+GROUP BY doc_id
+""",
+    "corpus-statistics scoring (the CCNet/perplexity-filter plumbing with "
+    "an exact-integer statistic): pass 1 computes global token document "
+    "frequencies, pass 2 joins them back and scores each doc by mean "
+    "token df — low scores flag out-of-distribution docs; the vocab side "
+    "of the join is the broadcast candidate at scale",
+    tags=("text", "corpus-stats"),
+)
+def q_unigram_df_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens as _tokens
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(_tokens("text")).alias("token"))
+    dfs = ex.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        ex.join(dfs, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("df") / F.count(F.lit(1)), 4).alias("avg_token_df"),
+        )
+    )
