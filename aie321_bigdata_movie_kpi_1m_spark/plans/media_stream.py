@@ -189,19 +189,33 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory_sink(
-    spark: SparkSession, stream: DataFrame, *, name: str, output_mode: str
+    spark: SparkSession,
+    stream: DataFrame,
+    *,
+    name: str,
+    output_mode: str,
+    state_partitions: int = 32,
 ) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # a streaming query's state-store partition count is frozen from
+    # spark.sql.shuffle.partitions at start(): pin it so a caller session
+    # with the 200-partition default (e.g. the driver's own) doesn't pay
+    # 200 state stores for a single availableNow batch (~10x slower)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
