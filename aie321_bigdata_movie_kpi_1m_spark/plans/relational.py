@@ -879,3 +879,57 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("__a50"), F.col("__e50")).alias("p50_within_1pct"),
         within(F.col("__a95"), F.col("__e95")).alias("p95_within_1pct"),
     )
+
+
+#: (table, unique-key expression) pairs for the data-quality gate; the
+#: lineitem key is the composite (orderkey, linenumber) folded into one
+#: portable integer (linenumber < 100 in any TPC-H-ish generator)
+_DQ_KEYS: list[tuple[str, str]] = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey * 100 + l_linenumber"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+
+@register(
+    "data_quality_checks",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT {k}) AS n_distinct_keys,
+       COUNT(*) = COUNT(DISTINCT {k}) AS keys_unique,
+       COUNT(*) - COUNT({k.split(' ')[0]}) AS n_null_keys
+FROM {t}"""
+        for t, k in _DQ_KEYS
+    ),
+    "data-quality gate (the reference's check_data.py role, run as one "
+    "declarative query instead of a manual inspection script): per-table "
+    "row counts, key-distinctness, uniqueness flag and null-key count — "
+    "the dbt-test shape a pipeline asserts before publishing a layer",
+    tags=("relational", "quality"),
+)
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, k in _DQ_KEYS:
+        df = load_star_table(spark, sf_dir, t)
+        key = F.expr(k)
+        first_col = k.split(" ")[0]
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct_keys"),
+            F.count(F.col(first_col)).alias("__nn"),
+        ).select(
+            F.lit(t).alias("table_name"),
+            "n_rows",
+            "n_distinct_keys",
+            (F.col("n_rows") == F.col("n_distinct_keys")).alias("keys_unique"),
+            (F.col("n_rows") - F.col("__nn")).alias("n_null_keys"),
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out
