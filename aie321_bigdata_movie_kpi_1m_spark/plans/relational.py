@@ -933,3 +933,36 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionAll(agg)
     return out
+
+
+@register(
+    "partitioned_layer_prune",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+    "partitioned layer, driver-exercised (S5): write orders partitioned "
+    "by o_orderstatus, re-read with a partition filter — the scan touches "
+    "only the 'F' directory (partition pruning, pinned separately by "
+    "plan test) — and aggregates against the parquet truth",
+    tags=("sources", "partitioning"),
+)
+def q_partitioned_layer_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.sinks import write_parquet
+
+    orders = load_star_table(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/root/repo/.scratch/partitioned_orders/{tag}"
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+    )
