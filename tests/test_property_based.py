@@ -17,8 +17,12 @@ from hypothesis import strategies as st
 from aie321_bigdata_movie_kpi_1m_spark.operators.asof import asof_join
 from aie321_bigdata_movie_kpi_1m_spark.operators.dedup import ngram_jaccard_pairs
 
+import os
+
+# HYPOTHESIS_EXAMPLES=100 pytest ... for a deeper one-off fuzz; the CI
+# default stays small because each example runs Spark jobs
 _SETTINGS = dict(
-    max_examples=12,
+    max_examples=int(os.environ.get("HYPOTHESIS_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
