@@ -810,3 +810,35 @@ def q_unigram_df_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("df") / F.count(F.lit(1)), 4).alias("avg_token_df"),
         )
     )
+
+
+@register(
+    "doc_rolling_hash",
+    """
+WITH norm AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS nt
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(nt) = 0 THEN 0
+            ELSE list_reduce(
+                   list_transform(string_split_regex(nt, ''),
+                                  c -> CAST(ord(c) AS BIGINT)),
+                   (acc, x) -> (acc * 257 + x) % 1000000007)
+       END AS rolling_hash
+FROM norm
+""",
+    "Rabin-Karp rolling hash fingerprint per doc (functions/text.py::"
+    "rolling_hash): polynomial fold base 257 mod 1e9+7 over the "
+    "normalized text, JVM-side aggregate vs the oracle's list_reduce — "
+    "the incremental-hash family content-defined chunking builds on",
+    tags=("text", "dedup"),
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import rolling_hash
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("rolling_hash"))
