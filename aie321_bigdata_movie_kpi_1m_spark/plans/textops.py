@@ -842,3 +842,56 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_star_table(spark, sf_dir, "documents")
     return docs.select("doc_id", rolling_hash("text").alias("rolling_hash"))
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    _TOKENS_CTE
+    + """,
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) >= 5
+         THEN list_transform(generate_series(1, len(ts) - 4),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                  || ' ' || ts[i+3] || ' ' || ts[i+4])
+         ELSE [coalesce(array_to_string(ts, ' '), '')] END)) AS s
+  FROM tok
+),
+bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 50),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 50)
+SELECT c.doc_id,
+       COUNT(DISTINCT b.bench_id) AS n_bench_hits,
+       COUNT(*) AS n_shared_ngrams
+FROM corpus c JOIN bench b ON c.s = b.s
+GROUP BY c.doc_id
+""",
+    "benchmark decontamination: flag corpus docs (doc_id >= 50) sharing "
+    "any 5-gram with the benchmark set (doc_id < 50) — the cross-set "
+    "blocked n-gram join every training pipeline runs before shipping "
+    "data; the benchmark side is tiny, so at scale it broadcasts and the "
+    "corpus streams through (same skeleton as neardup_jaccard but A x B, "
+    "not self-join)",
+    tags=("text", "dedup", "decontamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens, word_shingles
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(F.col("doc_id"), tokens("text").alias("__tok"))
+        .select("doc_id", F.explode(word_shingles(F.col("__tok"), 5)).alias("s"))
+    )
+    bench = sh.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    corpus = sh.filter(F.col("doc_id") >= 50)
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_hits"),
+            F.count(F.lit(1)).alias("n_shared_ngrams"),
+        )
+    )

@@ -118,3 +118,17 @@ def test_write_jdbc_adapter_wiring(spark):
             batchsize=500,
             num_partitions=1,
         )
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    # schema evolution across layer batches: an appended batch adds a
+    # column; mergeSchema unifies, old rows read NULL for the new column
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"k", "v", "score"}
+    rows = {r["k"]: (r["v"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
