@@ -1,0 +1,215 @@
+"""Storage-layout / warehouse-maintenance query surface: bucketed
+co-located joins, scalable ID assignment, SCD2 merge, ORC interchange.
+
+These are the operations that distinguish a 100 TB engine from a demo:
+- bucketing pre-pays the join shuffle once at write time so every
+  subsequent join/agg on the bucket key is exchange-free;
+- contiguous ID assignment is the zipWithIndex idiom (range partition +
+  offset prefix-sum), never a one-partition global sort;
+- SCD2 merge is the declarative upsert every dimension pipeline runs;
+- ORC completes the interchange matrix (parquet/csv/json/orc).
+
+Scratch layers live under ``/root/repo/.scratch`` like the other
+roundtrip queries (sandbox boundary: never outside the repo).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import cents as _cents
+from ..operators.ids import assign_contiguous_ids
+from ..sources.readers import load_star_table
+from .catalog import register
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def _tag(sf_dir: str) -> str:
+    """Filesystem/table-name-safe tag for one testdata scale."""
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return re.sub(r"[^A-Za-z0-9_]", "_", base)
+
+
+@register(
+    "bucketed_join_orders",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+""",
+    "co-located join via bucketing: orders and customer are written "
+    "bucketed (8 buckets) + sorted on the join key, then joined bucket-"
+    "to-bucket — the scan-side Exchange disappears (pinned by plan test); "
+    "at 100 TB this is the pattern that amortizes one shuffle at ingest "
+    "across every downstream join on the key",
+    tags=("layout", "join"),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sinks import write_bucketed
+
+    tag = _tag(sf_dir)
+    for name, df, key in (
+        ("orders", load_star_table(spark, sf_dir, "orders"), "o_custkey"),
+        ("customer", load_star_table(spark, sf_dir, "customer"), "c_custkey"),
+    ):
+        write_bucketed(
+            df,
+            f"b_{name}_{tag}",
+            bucket_cols=[key],
+            n_buckets=8,
+            sort_cols=[key],
+            path=f"{_SCRATCH}/bucketed/{tag}/{name}",
+        )
+    o = spark.table(f"b_orders_{tag}")
+    c = spark.table(f"b_customer_{tag}")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("price_cents"),
+        )
+    )
+
+
+@register(
+    "stable_doc_ids",
+    """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+         AS stable_id
+FROM documents
+""",
+    "contiguous global IDs in (lang, doc_id) order via the zipWithIndex "
+    "idiom — range repartition on the full ordering key, per-partition "
+    "counts prefix-summed into offsets (numPartitions rows on the "
+    "driver), row_number within partitions; never the one-task global "
+    "sort the naive window would plan",
+    tags=("layout", "ids"),
+)
+def q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_star_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_contiguous_ids(
+        docs, ["lang", "doc_id"], num_partitions=8
+    ).select("doc_id", "stable_id")
+
+
+_SCD2_ORACLE = """
+WITH changes AS (
+  SELECT CASE WHEN c_custkey % 50 = 0 THEN c_custkey + 10000000
+              ELSE c_custkey END AS new_custkey,
+         'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS new_segment
+  FROM customer
+  WHERE c_custkey % 10 = 0
+),
+updated AS (
+  SELECT ch.new_custkey, ch.new_segment
+  FROM changes ch JOIN customer c ON c.c_custkey = ch.new_custkey
+  WHERE ch.new_segment <> c.c_mktsegment
+),
+inserts AS (
+  SELECT ch.new_custkey, ch.new_segment
+  FROM changes ch LEFT JOIN customer c ON c.c_custkey = ch.new_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT c.c_custkey, 1 AS version, c.c_mktsegment,
+       (u.new_custkey IS NULL) AS is_current
+FROM customer c LEFT JOIN updated u ON u.new_custkey = c.c_custkey
+UNION ALL
+SELECT new_custkey AS c_custkey, 2 AS version, new_segment AS c_mktsegment,
+       TRUE AS is_current
+FROM updated
+UNION ALL
+SELECT new_custkey AS c_custkey, 1 AS version, new_segment AS c_mktsegment,
+       TRUE AS is_current
+FROM inserts
+"""
+
+
+@register(
+    "scd2_customer_merge",
+    _SCD2_ORACLE,
+    "SCD2 dimension merge (the MERGE INTO every warehouse runs, spelled "
+    "as one full-outer join): a deterministic synthetic change batch "
+    "(every 10th customer re-segmented, every 50th arriving as a brand-"
+    "new key) is merged into the customer dimension — unchanged rows "
+    "stay current v1, updated keys close v1 and open v2, inserts open "
+    "v1; single shuffle on the merge key, change side broadcast at scale",
+    tags=("layout", "merge"),
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    changes = (
+        dim.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.when(
+                F.col("c_custkey") % 50 == 0, F.col("c_custkey") + 10000000
+            )
+            .otherwise(F.col("c_custkey"))
+            .alias("c_custkey"),
+            F.concat(
+                F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string")
+            ).alias("new_segment"),
+        )
+    )
+    merged = dim.join(changes, "c_custkey", "full_outer")
+    is_update = (
+        F.col("c_mktsegment").isNotNull()
+        & F.col("new_segment").isNotNull()
+        & (F.col("new_segment") != F.col("c_mktsegment"))
+    )
+    is_insert = F.col("c_mktsegment").isNull()
+    # existing rows: v1, current unless superseded by an update
+    v1 = merged.filter(F.col("c_mktsegment").isNotNull()).select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.col("c_mktsegment"),
+        (~is_update).alias("is_current"),
+    )
+    # change rows that land: updates open v2, inserts open v1
+    v_new = merged.filter(is_update | is_insert).select(
+        "c_custkey",
+        F.when(is_update, 2).otherwise(1).alias("version"),
+        F.col("new_segment").alias("c_mktsegment"),
+        F.lit(True).alias("is_current"),
+    )
+    return v1.unionByName(v_new)
+
+
+@register(
+    "orc_roundtrip",
+    """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(FLOOR(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(SUM(p_size) AS BIGINT) AS size_sum
+FROM part
+GROUP BY p_brand
+""",
+    "ORC interchange, driver-exercised: spill part to an ORC layer, "
+    "re-read, aggregate — completes the source/sink format matrix "
+    "(parquet/csv/json/orc); the oracle reads the parquet truth so any "
+    "ORC encode/decode defect breaks the hash",
+    tags=("sources",),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_star_table(spark, sf_dir, "part")
+    path = f"{_SCRATCH}/orc_roundtrip/{_tag(sf_dir)}"
+    part.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(_cents(F.col("p_retailprice"))).cast("long").alias("price_cents"),
+        F.sum("p_size").cast("long").alias("size_sum"),
+    )

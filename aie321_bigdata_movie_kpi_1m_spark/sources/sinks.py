@@ -60,6 +60,7 @@ def write_bucketed(
     n_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table (``bucketBy`` + ``saveAsTable``): rows are
     hash-partitioned into ``n_buckets`` files per partition BY KEY at
@@ -70,10 +71,14 @@ def write_bucketed(
 
     ``sort_cols`` additionally sorts within buckets, letting sort-merge
     joins skip their sort.  Requires a metastore-backed table (bucket
-    metadata lives in the catalog, not the parquet files)."""
+    metadata lives in the catalog, not the parquet files).  ``path``
+    makes the table external (data at an explicit location instead of
+    the session warehouse dir)."""
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

@@ -406,3 +406,41 @@ def test_connected_components_raises_instead_of_wrong_labels(spark):
         connected_components(chain, max_iters=3)
     ok = {r["node"]: r["cluster_id"] for r in connected_components(chain, max_iters=15).collect()}
     assert ok == {n: 0 for n in range(12)}
+
+
+class TestContiguousIds:
+    def test_ids_are_dense_and_order_correct(self, spark):
+        from aie321_bigdata_movie_kpi_1m_spark.operators.ids import (
+            assign_contiguous_ids,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"g{i % 3}") for i in range(101)], "k long, g string"
+        )
+        out = assign_contiguous_ids(df, ["g", "k"], num_partitions=7).collect()
+        assert sorted(r["stable_id"] for r in out) == list(range(101))
+        by_rank = sorted(out, key=lambda r: r["stable_id"])
+        keys = [(r["g"], r["k"]) for r in by_rank]
+        assert keys == sorted(keys)
+
+    def test_ids_stable_across_runs_and_partition_counts(self, spark):
+        from aie321_bigdata_movie_kpi_1m_spark.operators.ids import (
+            assign_contiguous_ids,
+        )
+
+        df = spark.createDataFrame(
+            [(i * 17 % 97, i) for i in range(97)], "k long, tiebreak long"
+        )
+        a = {
+            (r["k"], r["tiebreak"]): r["stable_id"]
+            for r in assign_contiguous_ids(
+                df, ["k", "tiebreak"], num_partitions=5
+            ).collect()
+        }
+        b = {
+            (r["k"], r["tiebreak"]): r["stable_id"]
+            for r in assign_contiguous_ids(
+                df, ["k", "tiebreak"], num_partitions=11
+            ).collect()
+        }
+        assert a == b

@@ -180,3 +180,36 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_query_has_single_agg_exchange(spark):
+    # the catalog's bucketed-join query: the o_custkey=c_custkey join
+    # must be exchange-free (bucketing pre-paid it); the only shuffle
+    # allowed is the final groupBy(c_mktsegment)
+    plan = plan_of(spark, "bucketed_join_orders")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert _shuffle_exchanges(plan) <= 1
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
+
+
+def test_stable_ids_avoids_global_single_partition_sort(spark):
+    # zipWithIndex idiom: range repartition + per-partition window, never
+    # a SinglePartition global window
+    plan = plan_of(spark, "stable_doc_ids")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_gapfill_single_user_partitioning_is_reused(spark):
+    # grid explode, left join, and ffill window all run on the user_id
+    # partitioning; the plan must not re-shuffle between join and window
+    plan = plan_of(spark, "events_gapfill_ffill")
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_expands_without_shuffle(spark):
+    plan = plan_of(spark, "unpivot_segment_stats")
+    assert "Expand" in plan
+    # one shuffle for the groupBy; the unpivot itself adds none
+    assert _shuffle_exchanges(plan) <= 1
