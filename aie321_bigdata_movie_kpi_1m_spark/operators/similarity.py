@@ -469,3 +469,66 @@ def lsh_topk(
             F.round("__sim", 6).alias("cosine_sim"),
         )
     )
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: assign every vector to its
+    nearest coarse-quantizer cell, then exact cosine all-pairs WITHIN each
+    cell only (i < j, sim >= t).
+
+    This is the scale trick of SemDeDup (Abbas et al. 2023): clustering
+    first turns the O(n^2) corpus problem into k independent
+    O((n/k)^2) cell problems; pairs across cells are assumed dissimilar
+    by construction.  Each cell is one matmul task here; a corpus-scale
+    deployment composes this with the block-pair decomposition of
+    ``cosine_neardup_pairs`` inside hot cells (same emit contract).
+    """
+    from pyspark.sql import types as T
+
+    assign = _nearest_centroids_udf(centroids, 1)
+    e = embeddings.select(
+        F.col(id_col).alias("__id"),
+        _as_double(vec_col).alias("__v"),
+    ).withColumn("__cell", assign(F.col("__v"))[0])
+    cells = e.groupBy("__cell").agg(
+        F.collect_list(F.struct("__id", "__v")).alias("__rows")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("i", T.LongType()),
+            T.StructField("j", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids = np.asarray([r["__id"] for r in row["__rows"]], dtype=np.int64)
+                vec = np.asarray([r["__v"] for r in row["__rows"]], dtype=np.float64)
+                if len(ids) < 2:
+                    continue
+                norms = np.linalg.norm(vec, axis=1)
+                sims = (vec @ vec.T) / np.outer(norms, norms)
+                ai, bj = np.nonzero(sims >= threshold)
+                keep = ids[ai] < ids[bj]
+                yield pd.DataFrame(
+                    {
+                        "cell": np.full(keep.sum(), row["__cell"], dtype=np.int64),
+                        "i": ids[ai][keep],
+                        "j": ids[bj][keep],
+                        "cosine_sim": sims[ai, bj][keep],
+                    }
+                )
+
+    return cells.repartition("__cell").mapInPandas(emit, out_schema).select(
+        "cell", "i", "j", F.round("cosine_sim", 6).alias("cosine_sim")
+    )

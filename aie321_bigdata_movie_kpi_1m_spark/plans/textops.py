@@ -895,3 +895,65 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_shared_ngrams"),
         )
     )
+
+
+@register(
+    "doc_chunk_sliding",
+    _TOKENS_CTE
+    + """,
+meta AS (
+  SELECT doc_id, ts,
+         1 + CAST(ceil(greatest(len(ts) - 64, 0) / 48.0) AS BIGINT)
+           AS n_chunks
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, ts, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM meta
+)
+SELECT doc_id, chunk_idx,
+       CAST(chunk_idx * 48 + 1 AS BIGINT) AS chunk_start,
+       CAST(least(64, len(ts) - chunk_idx * 48) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(coalesce(array_to_string(
+         ts[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '), ''))
+         AS chunk_hash
+FROM chunks
+""",
+    "context-window chunking: token windows of 64 with stride 48 "
+    "(overlap 16) — the shape every pretraining pipeline runs between "
+    "cleaning and packing; the fan-out is arithmetic in the token count "
+    "(sequence-explode, no shuffle at all) and each chunk carries an "
+    "md5 content hash so chunk-level dedup can chain directly onto it; "
+    "empty docs emit one zero-token chunk (hash of ''), consistent with "
+    "the sentinel contract of the shingle tiers",
+    tags=("text", "chunking"),
+)
+def q_doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+
+    size, stride = 64, 48
+    docs = load_star_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens("text").alias("__t"))
+    n = F.size("__t")
+    n_chunks = 1 + F.greatest(F.lit(0), F.ceil((n - size) / F.lit(stride)))
+    chunks = tok.select(
+        "doc_id",
+        "__t",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * stride + 1
+    length = F.least(F.lit(size), F.size("__t") - F.col("chunk_idx") * stride)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("chunk_start"),
+        length.cast("long").alias("n_chunk_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice("__t", start, length))
+        ).alias("chunk_hash"),
+    )

@@ -123,12 +123,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_CACHE: dict = {}
 
 
-def _ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 6) -> str:
-    """DuckDB replay of operators.similarity.ivf_fit_centroids (md5 seed
-    order, one Lloyd step, empty cells keep their seed) + ivf_topk
-    (nearest-cell corpus assignment, n_probe nearest cells per query,
-    exact rerank).  Distances use the same ||c||^2 - 2 v.c form and the
-    same (distance, cell-index) tie order as the pandas-UDF argmin."""
+def _ivf_cells_prefix(n_centroids: int = 16) -> str:
+    """Shared oracle prefix: DuckDB replay of
+    operators.similarity.ivf_fit_centroids (md5 seed order, one Lloyd
+    step, empty cells keep their seed) and the nearest-cell corpus
+    assignment.  Distances use the same ||c||^2 - 2 v.c form and the
+    same (distance, cell-index) tie order as the pandas-UDF argmin.
+    Used by both the IVF search oracle and the SemDeDup oracle."""
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -170,7 +171,13 @@ cells AS (
                       - 2 * list_inner_product(e.v, k.v), k.c) AS rn
     FROM e, cents k
   ) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 6) -> str:
+    """IVF search oracle: shared fit/assign prefix + query probes + exact
+    rerank (see _ivf_cells_prefix)."""
+    return f"""{_ivf_cells_prefix(n_centroids)},
 probes AS (
   SELECT query_id, c FROM (
     SELECT e.vec_id AS query_id, k.c,
@@ -302,3 +309,43 @@ FROM q
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_star_table(spark, sf_dir, "embeddings")
     return similarity.quantize_embeddings(emb).drop("q")
+
+
+def _semdedup_oracle_sql(threshold: float = 0.35) -> str:
+    """SemDeDup oracle: shared IVF fit/assign prefix, then exact cosine
+    all-pairs restricted to same-cell vectors."""
+    return f"""{_ivf_cells_prefix(16)}
+SELECT a.c AS cell, ea.vec_id AS i, eb.vec_id AS j,
+       ROUND(list_inner_product(ea.v, eb.v)
+             / sqrt(list_inner_product(ea.v, ea.v)
+                    * list_inner_product(eb.v, eb.v)), 6) AS cosine_sim
+FROM cells a
+JOIN cells b ON a.c = b.c AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE list_inner_product(ea.v, eb.v)
+        / sqrt(list_inner_product(ea.v, ea.v)
+               * list_inner_product(eb.v, eb.v)) >= {threshold}
+"""
+
+
+@register(
+    "semdedup_pairs",
+    _semdedup_oracle_sql(),
+    "SemDeDup (cluster-then-dedup): vectors are assigned to their "
+    "nearest IVF cell (quantizer reused from the ann_ivf_topk fit), then "
+    "exact cosine pairs are found WITHIN cells only — the k-fold "
+    "decomposition that makes semantic dedup affordable at corpus scale; "
+    "the oracle replays fit + assignment + same-cell all-pairs in SQL",
+    tags=("dedup", "similarity"),
+)
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, 16, 1)
+    if key not in _IVF_INDEX_CACHE:
+        _IVF_INDEX_CACHE[key] = similarity.ivf_fit_centroids(
+            emb, n_centroids=16, iters=1
+        )
+    return similarity.semdedup_pairs(
+        emb, _IVF_INDEX_CACHE[key], threshold=0.35
+    )

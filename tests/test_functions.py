@@ -91,3 +91,32 @@ def test_normalization_and_fingerprints(spark):
     h2 = _one(spark, rolling_hash("v"), "same text")
     h3 = _one(spark, rolling_hash("v"), "other text")
     assert h1 == h2 != h3
+
+
+def test_chunk_sliding_edge_cases(spark):
+    # empty doc -> one 0-token chunk; short doc -> one chunk; exactly one
+    # window -> one chunk; size+1 tokens -> two chunks with 16-token overlap
+    from aie321_bigdata_movie_kpi_1m_spark.plans.catalog import CATALOG
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as d:
+        docs = spark.createDataFrame(
+            [
+                (0, None, "en", "s", 0),
+                (1, "a b c", "en", "s", 5),
+                (2, " ".join(f"t{i}" for i in range(64)), "en", "s", 300),
+                (3, " ".join(f"t{i}" for i in range(65)), "en", "s", 305),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = CATALOG["doc_chunk_sliding"].fn(spark, d).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 1 and by_doc[0][0]["n_chunk_tokens"] == 0
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_chunk_tokens"] == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 64
+    chunks3 = sorted(by_doc[3], key=lambda r: r["chunk_idx"])
+    assert [r["n_chunk_tokens"] for r in chunks3] == [64, 17]
+    assert chunks3[1]["chunk_start"] == 49  # stride 48, 1-based

@@ -213,3 +213,10 @@ def test_unpivot_expands_without_shuffle(spark):
     assert "Expand" in plan
     # one shuffle for the groupBy; the unpivot itself adds none
     assert _shuffle_exchanges(plan) <= 1
+
+
+def test_chunking_is_shuffle_free(spark):
+    # sliding-window chunking is arithmetic fan-out: a corpus-scale scan
+    # must stream through with zero exchanges
+    plan = plan_of(spark, "doc_chunk_sliding")
+    assert "Exchange" not in plan
