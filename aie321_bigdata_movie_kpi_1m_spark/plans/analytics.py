@@ -270,3 +270,40 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "metric_value",
     )
+
+
+@register(
+    "events_rolling_7d",
+    """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS rolling_7d_cents,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_7d
+FROM events
+""",
+    "per-user 7-day rolling spend: a RANGE window frame over exact "
+    "epoch-microseconds (604800000000 us preceding) — time-based frames "
+    "are the shape event analytics runs constantly; one shuffle on "
+    "user_id, frame bounds evaluated by the window operator itself "
+    "(ties at identical timestamps are included by RANGE on both "
+    "engines, so no tie-break hazard)",
+    tags=("analytics", "events", "timeseries"),
+)
+def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_star_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_cents(F.col("value"))).over(w).alias("rolling_7d_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+    )

@@ -213,3 +213,75 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents(F.col("p_retailprice"))).cast("long").alias("price_cents"),
         F.sum("p_size").cast("long").alias("size_sum"),
     )
+
+
+@register(
+    "compact_layer_roundtrip",
+    """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    "small-file compaction, driver-exercised: lineitem is deliberately "
+    "shattered into 48 tiny files, compacted back to right-sized files "
+    "with a shuffle-free coalesce rewrite, and re-aggregated — the "
+    "oracle reads the parquet truth, so any row lost or duplicated in "
+    "the maintenance rewrite breaks the hash (the file-count contract "
+    "itself is pytest-covered in test_sources.py)",
+    tags=("layout", "maintenance"),
+)
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sinks import compact_parquet_layer
+
+    tag = _tag(sf_dir)
+    small = f"{_SCRATCH}/compact/{tag}/small"
+    packed = f"{_SCRATCH}/compact/{tag}/packed"
+    li = load_star_table(spark, sf_dir, "lineitem")
+    li.repartition(48).write.mode("overwrite").parquet(small)
+    compact_parquet_layer(spark, small, packed, target_file_bytes=64 << 20)
+    back = spark.read.parquet(packed)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("price_cents"),
+    )
+
+
+@register(
+    "salted_join_revenue",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority
+""",
+    "skew-safe join, driver-exercised: lineitem->orders through "
+    "operators.skew.salted_join (big side salted into 16 sub-keys, "
+    "order rows replicated across them) — result provably identical to "
+    "the plain equi-join the oracle runs; this is the lever for the "
+    "one-hot-key day at 100 TB, and its equality contract is also "
+    "pytest-pinned in test_operators.py",
+    tags=("layout", "join", "skew"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_star_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_star_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", salt=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

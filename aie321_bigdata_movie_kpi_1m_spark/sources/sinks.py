@@ -176,3 +176,38 @@ def bounded_export(
         consume_batch(batch)
         n += len(batch)
     return n
+
+
+def compact_parquet_layer(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction (the table-maintenance job every long-lived
+    layer needs): rewrite ``src_path`` into ``dst_path`` with file count
+    sized from the layer's actual bytes, never its (possibly thousands-
+    deep) input file count.
+
+    Streaming ingest and fine-grained partition writes both leak small
+    files; at 100 TB a scan of 10^6 tiny files is dominated by open/footer
+    costs, so periodic compaction to ~128 MB files is standard hygiene.
+    Returns the output file count.  Write-then-swap is the caller's
+    policy; writing to a distinct ``dst_path`` keeps the operation atomic
+    at the directory level (no reader ever sees a half-compacted layer).
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(src_path)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    # coalesce, not repartition: compaction must not pay a shuffle
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

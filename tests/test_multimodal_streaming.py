@@ -221,3 +221,58 @@ def test_streaming_dedup_cross_batch_state(spark, tmp_path):
         if prev is None or r["n_copies"] > prev[1]:
             latest[r["fingerprint"]] = (r["keeper_id"], r["n_copies"])
     assert sorted(latest.values()) == [(10, 2), (11, 1), (13, 1)]
+
+
+def test_streaming_checkpoint_restart_recovers_state(spark, tmp_path):
+    """Checkpoint recovery across SEPARATE query runs: run 1 processes
+    batch 1 with a checkpointLocation and terminates; run 2 (a brand-new
+    query over the same checkpoint) must resume from the saved offsets —
+    processing ONLY the new file — and resume the saved session state
+    (the restarted session continues growing, not restarting at 1)."""
+    import time
+    from datetime import datetime
+
+    from aie321_bigdata_movie_kpi_1m_spark.streaming.events import (
+        sessionize_stream,
+    )
+
+    d = tmp_path / "restart_src"
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+    first = spark.createDataFrame(
+        [(7, t("00:00:00")), (7, t("00:10:00"))], "user_id long, ts timestamp"
+    )
+    second = spark.createDataFrame(
+        [(7, t("00:20:00"))], "user_id long, ts timestamp"
+    )
+
+    def run_once():
+        # the memory sink refuses checkpoint recovery; foreachBatch is
+        # the recovery-capable sink shape (same as any real upsert sink)
+        got: list = []
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+            str(d)
+        )
+        q = (
+            sessionize_stream(stream, gap_seconds=3600)
+            .writeStream.foreachBatch(
+                lambda df, _bid: got.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    first.coalesce(1).write.mode("append").parquet(str(d))
+    rows1 = run_once()
+    assert [(r["n_events"], r["duration_secs"]) for r in rows1] == [(2, 600)]
+
+    time.sleep(1.2)
+    second.coalesce(1).write.mode("append").parquet(str(d))
+    rows2 = run_once()
+    # run 2's memory sink holds ONLY run 2 output: the session resumed
+    # from checkpointed state (3 events, 1200 s), not a fresh (1, 0)
+    assert [(r["n_events"], r["duration_secs"]) for r in rows2] == [(3, 1200)]

@@ -132,3 +132,21 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"k", "v", "score"}
     rows = {r["k"]: (r["v"], r["score"]) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_compact_parquet_layer(spark, tmp_path):
+    # 40 tiny files -> one right-sized file, data identical, no shuffle
+    from aie321_bigdata_movie_kpi_1m_spark.sources.sinks import (
+        compact_parquet_layer,
+    )
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    spark.range(0, 4000).repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+    n = compact_parquet_layer(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    got = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert got == list(range(4000))
