@@ -31,16 +31,21 @@ def asof_join(
     right_time: str,
     payload: list[str],
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (most-recent-at-or-before) as-of left join.
+    """As-of left join: backward (default) or forward.
 
-    For each ``left`` row, attach ``payload`` columns from the ``right``
-    row with the greatest ``right_time`` <= ``left_time`` within the same
-    ``on`` key.  Unmatched left rows keep NULL payloads.  With equal
-    timestamps the right row wins (inclusive semantics, matching DuckDB's
-    ``ASOF JOIN ... ON l.t >= r.t``).  Ties *within* the right side at the
-    same (key, time) are the caller's job to pre-dedupe.
+    ``backward``: for each ``left`` row, attach ``payload`` columns from
+    the ``right`` row with the greatest ``right_time`` <= ``left_time``
+    within the same ``on`` key.  ``forward``: the smallest ``right_time``
+    >= ``left_time``.  Unmatched left rows keep NULL payloads.  Equal
+    timestamps match in both directions (inclusive semantics — the same
+    contract as DuckDB's ``ASOF JOIN ... ON l.t >= r.t`` / ``l.t <=
+    r.t``).  Ties *within* the right side at the same (key, time) are
+    the caller's job to pre-dedupe.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     keys = [on] if isinstance(on, str) else list(on)
     payload_struct = F.struct(*[F.col(c) for c in payload])
     left_schema = {f.name: f.dataType for f in left.schema.fields}
@@ -61,14 +66,25 @@ def asof_join(
         F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
     )
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(_TIME, _SIDE)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = l.unionByName(r).withColumn(
-        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
-    )
+    if direction == "backward":
+        # right(0) sorts before left(1) at equal times, so an inclusive
+        # trailing frame sees the equal-time right row
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(_TIME, _SIDE)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last(_PAYLOAD, ignorenulls=True)
+    else:
+        # mirrored: left(1) sorts before right(0) at equal times, and an
+        # inclusive leading frame picks the first following right row
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(_TIME), F.col(_SIDE).desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first(_PAYLOAD, ignorenulls=True)
+    merged = l.unionByName(r).withColumn(_PAYLOAD, pick.over(w))
 
     out = merged.filter(F.col(_SIDE) == 1)
     for c in payload:

@@ -225,3 +225,49 @@ def q_bq5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "runtime_bucket", F.round("avg_rating", 4).alias("avg_rating"), "n_movies"
     )
+
+
+@register(
+    "title_fuzzy_pairs",
+    MOVIE_FACTS_ORACLE_CTE
+    + """
+SELECT a.movie_fact_id AS i, b.movie_fact_id AS j,
+       a.release_year,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS edit_distance
+FROM movie_facts a JOIN movie_facts b
+  ON a.release_year = b.release_year
+ AND a.movie_fact_id < b.movie_fact_id
+WHERE levenshtein(a.title, b.title) <= 3
+""",
+    "fuzzy title near-dup pairs: release-year-blocked self-join + "
+    "levenshtein <= 3 — the edit-distance tier of the dedup family "
+    "(catches typo-level variants that token shingles miss); blocking "
+    "keeps the candidate set O(sum of per-year squares), never the "
+    "all-pairs corpus square, same discipline as neardup_jaccard",
+    tags=("dedup", "text"),
+)
+def q_title_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = facts_from_star(spark, sf_dir).select(
+        "movie_fact_id", "title", "release_year"
+    )
+    a = facts.select(
+        F.col("movie_fact_id").alias("i"),
+        F.col("title").alias("__ta"),
+        "release_year",
+    )
+    b = facts.select(
+        F.col("movie_fact_id").alias("j"),
+        F.col("title").alias("__tb"),
+        "release_year",
+    )
+    return (
+        a.join(b, "release_year")
+        .filter(F.col("i") < F.col("j"))
+        .filter(F.levenshtein("__ta", "__tb") <= 3)
+        .select(
+            "i",
+            "j",
+            "release_year",
+            F.levenshtein("__ta", "__tb").cast("long").alias("edit_distance"),
+        )
+    )

@@ -966,3 +966,131 @@ def q_partitioned_layer_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
     )
+
+
+@register(
+    "asof_forward_next_purchase",
+    """
+SELECT e.event_id, e.user_id,
+       p.event_id AS next_purchase_event_id,
+       CAST(FLOOR(p.value * 100) AS BIGINT) AS next_purchase_cents
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts <= p.ts
+""",
+    "forward as-of join: each error event picks up the user's NEXT "
+    "purchase at-or-after it — the mirrored direction of "
+    "asof_error_purchase (same union + keyed-window plan, frame flipped "
+    "to current-row..following with first ignorenulls); one shuffle on "
+    "the key, no range explosion",
+    tags=("temporal", "join"),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_star_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("next_purchase_event_id"),
+        _cents(F.col("value")).alias("next_purchase_cents"),
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        "user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["next_purchase_event_id", "next_purchase_cents"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "next_purchase_event_id", "next_purchase_cents"
+    )
+
+
+@register(
+    "deterministic_sample_5pct",
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 100 < 5
+""",
+    "reproducible sampling: a 5% hash-gate on md5(id) — unlike "
+    "rand()-based TABLESAMPLE this is deterministic across runs, "
+    "engines, and partitionings (the property a training-data pipeline "
+    "needs so a sample can be re-derived and audited); shuffle-free "
+    "filter, ~5% selectivity",
+    tags=("sampling",),
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_star_table(spark, sf_dir, "documents")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.filter(gate < 5).select("doc_id", "lang")
+
+
+@register(
+    "topk_parts_per_brand",
+    """
+SELECT p_brand, p_partkey, p_retailprice
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3
+""",
+    "top-k per group (k=3 priciest parts per brand): the partitioned "
+    "window complement of the global TakeOrderedAndProject top-k — rank "
+    "runs inside each group's partition after one shuffle on the group "
+    "key, so no single-task bottleneck at any group count",
+    tags=("window",),
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_star_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "customer_balance_deciles",
+    """
+WITH t AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+SELECT c_mktsegment, decile,
+       COUNT(*) AS n_customers,
+       CAST(MIN(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS lo_cents,
+       CAST(MAX(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS hi_cents
+FROM t GROUP BY 1, 2
+""",
+    "decile bucketing (ntile over a total order with unique tie-break) "
+    "+ per-bucket bounds — the quantile-bucket summary shape; ntile is "
+    "deterministic only with the tie-break key, which both engines get",
+    tags=("window", "stats"),
+)
+def q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_star_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min(_cents(F.col("c_acctbal"))).alias("lo_cents"),
+            F.max(_cents(F.col("c_acctbal"))).alias("hi_cents"),
+        )
+    )
