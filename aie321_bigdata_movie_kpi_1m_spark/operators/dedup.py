@@ -14,6 +14,17 @@ Scale design notes
   no driver state, no UDFs.
 - SimHash gives a 63-bit locality-sensitive fingerprint (bit 63 left
   clear to stay in a signed long) assembled from per-bit weighted sums.
+
+Minimum-length contract
+-----------------------
+The shingle-based tiers (Jaccard, MinHash, SimHash) operate on ``n``-token
+shingles: documents with fewer than ``n`` tokens produce zero shingles and
+are ABSENT from their outputs by design.  Short and empty documents are
+the exact tier's job — ``dedup_exact`` fingerprints every document,
+including empty ones — and a real pipeline runs exact dedup first, so
+sub-``n``-token duplicates are always surfaced there.  Callers who need
+near-dup coverage of short texts should lower ``n`` (n=1 shingles = bag
+of words), not expect sentinel signatures.
 """
 
 from __future__ import annotations

@@ -75,3 +75,118 @@ def connected_components(
             "a component's diameter exceeds max_iters — raise max_iters"
         )
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _round_checksum(edges: DataFrame):
+    # (count, sum of per-edge hashes) — an exact-enough fixed-point signal:
+    # two different edge sets colliding on BOTH count and a 64-bit-hash sum
+    # is ~2^-64; decimal(38,0) cannot overflow.  One scan, no join.
+    return tuple(
+        edges.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+        ).collect()[0]
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    src: str = "i",
+    dst: str = "j",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — converges in O(log^2 n) rounds regardless of component
+    DIAMETER, vs O(diameter) for min-label propagation.  This is the
+    scale path for pathological graphs (long chains of pairwise
+    near-duplicates); for the shallow graphs real near-dup corpora
+    produce, ``connected_components`` converges in fewer wall-clock
+    rounds and stays the default.
+
+    Both star steps are expressed as join + groupBy (per-node min over
+    the neighborhood rides through an aggregation, never a
+    ``collect_list``), so a celebrity node with 10^7 neighbors costs a
+    wide shuffle partition, not an executor OOM.
+
+    Returns (node, cluster_id) with cluster_id = component min; nodes
+    with no edges are not in the output (same contract as
+    ``connected_components``).
+    """
+    # undirected edge set, kept as a<->b pairs with self-loops dropped
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(sym: DataFrame) -> DataFrame:
+        # m(u) = min over N(u) ∪ {u}; emit (v, m) for v ∈ N(u), v > u
+        m = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("__mb"))
+            .select("a", F.least("__mb", "a").alias("m"))
+        )
+        return (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("big"), F.col("m").alias("small"))
+        )
+
+    def small_star(directed: DataFrame) -> DataFrame:
+        # edges arrive big->small; m(u) = min(N⁻(u) ∪ {u}); emit (v, m)
+        # for every v ∈ N⁻(u) ∪ {u} except m itself
+        m = directed.groupBy("big").agg(F.min("small").alias("m"))
+        attach = directed.join(m, "big").filter(F.col("small") != F.col("m"))
+        re_nbrs = attach.select(F.col("small").alias("big"), F.col("m").alias("small"))
+        re_self = m.select(F.col("big"), F.col("m").alias("small"))
+        return re_nbrs.union(re_self).filter(F.col("big") != F.col("small"))
+
+    prev = None
+    converged = False
+    for _ in range(max_iters):
+        ss = small_star(large_star(e))
+        # mirror each directed edge in ONE pass (explode, not a
+        # self-union that would re-evaluate the star subtree twice)
+        e = (
+            ss.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("big").alias("a"), F.col("small").alias("b")
+                        ),
+                        F.struct(
+                            F.col("small").alias("a"), F.col("big").alias("b")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.a", "e.b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = _round_checksum(e)
+        if sig == prev:
+            converged = True
+            break
+        prev = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds — raise max_iters"
+        )
+    # fixed point is a star forest mirrored into both directions: every
+    # non-root points at its component min
+    out = (
+        e.filter(F.col("a") > F.col("b"))
+        .groupBy("a")
+        .agg(F.min("b").alias("cluster_id"))
+        .select(F.col("a").alias("node"), "cluster_id")
+    )
+    roots = out.select(F.col("cluster_id").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    return out.union(roots)

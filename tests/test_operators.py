@@ -322,6 +322,49 @@ def test_connected_components_chain_triangle_singles(spark):
     assert got == expect
 
 
+def test_connected_components_star_matches_min_label(spark):
+    import random
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(7)
+    raw = [
+        (random.randrange(300), random.randrange(300)) for _ in range(250)
+    ]
+    edges = spark.createDataFrame(
+        [e for e in raw if e[0] != e[1]], "i long, j long"
+    )
+    a = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    b = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert a == b
+
+
+def test_connected_components_star_deep_chain_few_rounds(spark):
+    from aie321_bigdata_movie_kpi_1m_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # a 300-node path has diameter 299 — min-label would need ~300 rounds;
+    # star contraction must collapse it within its default O(log^2 n) cap
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "i long, j long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(chain).collect()
+    }
+    assert got == {n: 0 for n in range(300)}
+
+
 def test_pack_sequences_greedy_fill_and_straddle(spark):
     from aie321_bigdata_movie_kpi_1m_spark.operators.packing import (
         bin_fill_stats,
