@@ -220,6 +220,35 @@ def _run_to_memory_sink(
 
 
 @register(
+    "streaming_sliding_counts",
+    """
+SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE
+           AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS k) k
+GROUP BY 1, 2
+""",
+    "Structured Streaming: watermarked SLIDING windows (2h window, 30m "
+    "slide — every event belongs to 4 overlapping windows, expanded "
+    "inline by Spark's window assignment, never a self-join); the "
+    "oracle replays the 4-way assignment with an explicit offset cross "
+    "join.  complete mode for the same single-availableNow-batch reason "
+    "as streaming_window_counts",
+    tags=("streaming",),
+)
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import read_events_stream, sliding_event_counts
+
+    return _run_to_memory_sink(
+        spark,
+        sliding_event_counts(read_events_stream(spark, sf_dir)),
+        name="stream_sliding_counts",
+        output_mode="complete",
+    )
+
+
+@register(
     "streaming_stream_join",
     """
 SELECT e.user_id,

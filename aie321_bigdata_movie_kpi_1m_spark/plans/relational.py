@@ -1094,3 +1094,120 @@ def q_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(_cents(F.col("c_acctbal"))).alias("hi_cents"),
         )
     )
+
+
+@register(
+    "session_window_native",
+    """
+WITH m AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 21600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS seq
+  FROM m
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 6 HOUR AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, seq
+""",
+    "native session_window aggregation (6h gap): Spark's built-in "
+    "merging session windows over a batch frame — the declarative twin "
+    "of the applyInPandasWithState sessionizer (sessionize_events), "
+    "same islands semantics (a gap of exactly 6h starts a new session: "
+    "session_window ends are exclusive), one shuffle on (user, window)",
+    tags=("temporal", "window"),
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_star_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    """
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+""",
+    "LATERAL correlated subquery through the SQL surface: top-2 "
+    "customers by balance per nation — Catalyst rewrites the lateral "
+    "limit into a partitioned rank, so it runs as one shuffle on the "
+    "correlation key, not a per-row subquery loop",
+    tags=("relational", "sql-api"),
+)
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_star_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load_star_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM v_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM v_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        """
+    )
+
+
+@register(
+    "events_interarrival_bands",
+    """
+WITH g AS (
+  SELECT (epoch_us(ts) - lag(epoch_us(ts))
+          OVER (PARTITION BY user_id ORDER BY epoch_us(ts))) / 1000000.0
+         AS gap_s
+  FROM events)
+SELECT CASE WHEN gap_s < 60 THEN 'lt_1m' WHEN gap_s < 3600 THEN 'lt_1h'
+            WHEN gap_s < 86400 THEN 'lt_1d' ELSE 'ge_1d' END AS band,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(CAST(FLOOR(gap_s) AS BIGINT)) AS BIGINT) AS sum_floor_secs
+FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+""",
+    "inter-arrival analysis: lag() per user on event time, gaps bucketed "
+    "into latency bands — the engagement-cadence shape; gap math runs on "
+    "integer epoch-micros (exact in both engines), one shuffle on "
+    "user_id then a tiny band rollup",
+    tags=("temporal", "window"),
+)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_star_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+    gaps = (
+        events.withColumn("__prev", F.lag(F.unix_micros("ts")).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .withColumn(
+            "gap_s", (F.unix_micros("ts") - F.col("__prev")) / F.lit(1000000)
+        )
+    )
+    band = (
+        F.when(F.col("gap_s") < 60, "lt_1m")
+        .when(F.col("gap_s") < 3600, "lt_1h")
+        .when(F.col("gap_s") < 86400, "lt_1d")
+        .otherwise("ge_1d")
+    )
+    return gaps.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.floor(F.col("gap_s")).cast("long")).alias("sum_floor_secs"),
+    )

@@ -64,6 +64,34 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "2 hours",
+    slide: str = "30 minutes",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts per event type.
+
+    Each event lands in ``window/slide`` overlapping windows (4 here);
+    Spark expands the assignment inline (no self-join), and state per
+    key-window is bounded by the watermark exactly as in the tumbling
+    case — the overlap multiplies state size by window/slide, which is
+    the knob to watch at scale.  Same batch/stream parity contract as
+    ``windowed_event_counts``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def error_purchase_join_stream(
     events: DataFrame, *, horizon: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
