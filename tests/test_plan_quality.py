@@ -220,3 +220,48 @@ def test_chunking_is_shuffle_free(spark):
     # must stream through with zero exchanges
     plan = plan_of(spark, "doc_chunk_sliding")
     assert "Exchange" not in plan
+
+
+def test_lateral_topk_rewrites_to_rank_not_loop(spark):
+    # the correlated LATERAL ... LIMIT must decorrelate into a windowed
+    # group-limit (WindowGroupLimit pushes top-k below the shuffle) +
+    # broadcast join — never a per-outer-row nested-loop replay
+    plan = plan_of(spark, "sql_lateral_topk")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    # the third pruning lever after static partition pruning and filter
+    # pushdown: a partitioned fact joined to a FILTERED dim must scan
+    # only the dim-selected partitions, via a runtime subquery on the
+    # join key (at 100 TB this is the difference between reading 3 days
+    # and reading 20 years)
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 20_000).select(
+        (F.col("id") % 50).alias("day"), F.col("id").alias("v")
+    )
+    fact.write.mode("overwrite").partitionBy("day").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("day"),
+        F.when(F.col("id") < 3, "pick").otherwise("skip").alias("tag"),
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    dm = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("tag") == "pick")
+    joined = f.join(dm, "day")
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan.lower()
+    # 3 picked days x 400 rows/day
+    assert joined.count() == 1200
