@@ -1211,3 +1211,59 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gaps"),
         F.sum(F.floor(F.col("gap_s")).cast("long")).alias("sum_floor_secs"),
     )
+
+
+@register(
+    "chunked_source_roundtrip",
+    """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderkey <= 10000
+GROUP BY o_orderstatus
+""",
+    "Python DataSource connector (sources/pyds.py): spill orders into "
+    "the chunked-CSV interchange layer (bounded chunks + min/max "
+    "manifest — the Sheets-publisher boundary of ref publish.py:102-167 "
+    "as a pluggable Spark 4 connector), re-read via "
+    "spark.read.format('chunked_csv') with a stats-column predicate, "
+    "aggregate; the pushed filter prunes whole chunks driver-side and "
+    "Spark re-applies it row-level, so the oracle on the parquet truth "
+    "catches any loss on either path",
+    tags=("sources",),
+)
+def q_chunked_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..session import ensure_package_on_workers
+    from ..sources.pyds import register_chunked_csv
+
+    ensure_package_on_workers(spark)
+    register_chunked_csv(spark)
+    orders = load_star_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/root/repo/.scratch/chunked_source/{tag}"
+    (
+        orders.repartition(4, "o_orderkey")
+        .write.format("chunked_csv")
+        .mode("overwrite")
+        .option("path", path)
+        .option("chunk_rows", "2000")
+        .option("stats_col", "o_orderkey")
+        .save()
+    )
+    back = spark.read.format("chunked_csv").option("path", path).load()
+    return (
+        back.filter(F.col("o_orderkey") <= 10000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
+        )
+    )

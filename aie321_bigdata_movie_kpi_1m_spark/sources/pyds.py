@@ -1,0 +1,286 @@
+"""Python DataSource connector: a chunked-CSV interchange layer with
+file-level min/max data skipping.
+
+The reference keeps its outbound boundary in a Sheets publisher
+(ref publish.py:102-167: bounded, chunked, quota-aware uploads).  This
+module re-expresses that boundary as a Spark 4 Python DataSource — the
+engine's *pluggable* source/sink extension point — so the same contract
+(bounded chunks + a manifest) is a real `spark.read.format(...)` /
+`df.write.format(...)` connector instead of a helper function:
+
+- the WRITER emits row-capped CSV chunks per task and a driver-side
+  ``manifest.json`` carrying the schema plus per-chunk row counts and
+  min/max stats on a chosen column;
+- the READER maps each chunk to an ``InputPartition`` and implements
+  ``pushFilters`` so comparison predicates on the stats column prune
+  whole chunks on the driver before any task launches — the same
+  file-skipping contract parquet row-group stats / lakehouse file stats
+  provide at 100 TB.  Pushed filters are returned as unsupported, so
+  Spark still applies them row-level: stats pruning is an optimization,
+  never the correctness boundary.
+
+Row parsing runs in Python: this connector is for bounded interchange
+layers (the Sheets-quota analog), not the hot scan path — the native
+CSV/parquet readers (sources/readers.py) stay the bulk path.
+
+Supported column types: long/int, double, string, boolean.  NULL is the
+``\\N`` sentinel (same convention as the csv_roundtrip layer); a string
+VALUE equal to ``\\N`` is therefore not representable here.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+_NULL = "\\N"
+_MANIFEST = "manifest.json"
+_SUPPORTED = {"long", "int", "integer", "bigint", "double", "string", "boolean"}
+
+
+def _converters(schema: StructType):
+    convs = []
+    for f in schema.fields:
+        t = f.dataType.simpleString()
+        if t not in _SUPPORTED:
+            raise ValueError(
+                f"chunked_csv supports long/int/double/string/boolean; "
+                f"column {f.name!r} has type {t}"
+            )
+        if t in ("long", "int", "integer", "bigint"):
+            convs.append(int)
+        elif t == "double":
+            convs.append(float)
+        elif t == "boolean":
+            convs.append(lambda s: s == "true")
+        else:
+            convs.append(lambda s: s)
+    return convs
+
+
+def _prune(files: list[dict], stats_col_idx: int | None, filters: list[Filter]):
+    """Keep only chunks whose [min, max] stats could satisfy every pushed
+    comparison on the stats column.  Chunks without stats (all-NULL or no
+    stats column) are always kept — pruning must never be lossy."""
+    if stats_col_idx is None or not filters:
+        return files
+
+    def keep(f: dict) -> bool:
+        mn, mx = f.get("min"), f.get("max")
+        if mn is None or mx is None:
+            return True
+        for flt in filters:
+            v = flt.value
+            if isinstance(flt, EqualTo) and not (mn <= v <= mx):
+                return False
+            if isinstance(flt, GreaterThan) and not (mx > v):
+                return False
+            if isinstance(flt, GreaterThanOrEqual) and not (mx >= v):
+                return False
+            if isinstance(flt, LessThan) and not (mn < v):
+                return False
+            if isinstance(flt, LessThanOrEqual) and not (mn <= v):
+                return False
+        return True
+
+    return [f for f in files if keep(f)]
+
+
+@dataclass
+class _ChunkPartition(InputPartition):
+    path: str
+
+
+@dataclass
+class _ChunkCommit(WriterCommitMessage):
+    files: list  # of (name, rows, min, max)
+
+
+class _ChunkedCsvReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType):
+        self._path = path
+        with open(os.path.join(path, _MANIFEST)) as fh:
+            self._manifest = json.load(fh)
+        self._schema = schema
+        names = [f.name for f in schema.fields]
+        sc = self._manifest.get("stats_col")
+        self._stats_idx = names.index(sc) if sc in names else None
+        self._pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        if self._stats_idx is not None:
+            stats_name = self._manifest["stats_col"]
+            self._pushed = [
+                f
+                for f in filters
+                if isinstance(
+                    f,
+                    (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                     LessThanOrEqual),
+                )
+                and tuple(f.attribute) == (stats_name,)
+            ]
+        # claim nothing: Spark re-applies every filter row-level, so the
+        # chunk-granular stats pruning below can never drop matching rows
+        return filters
+
+    def partitions(self):
+        kept = _prune(self._manifest["files"], self._stats_idx, self._pushed)
+        return [
+            _ChunkPartition(os.path.join(self._path, f["name"])) for f in kept
+        ]
+
+    def read(self, partition: _ChunkPartition) -> Iterator[tuple]:
+        convs = _converters(self._schema)
+        with open(partition.path, newline="") as fh:
+            for rec in csv.reader(fh):
+                yield tuple(
+                    None if s == _NULL else conv(s)
+                    for s, conv in zip(rec, convs)
+                )
+
+
+class _ChunkedCsvWriter(DataSourceWriter):
+    def __init__(self, path: str, schema: StructType, options: dict):
+        self._path = path
+        self._schema = schema
+        self._chunk_rows = int(options.get("chunk_rows", 10000))
+        self._stats_col = options.get("stats_col")
+        names = [f.name for f in schema.fields]
+        self._stats_idx = (
+            names.index(self._stats_col) if self._stats_col in names else None
+        )
+        _converters(schema)  # validate types up front, driver-side
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator) -> _ChunkCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n_fields = len(self._schema.fields)
+        files, writer, fh = [], None, None
+        name, rows, mn, mx = None, 0, None, None
+
+        def roll():
+            nonlocal writer, fh, name, rows, mn, mx
+            if fh is not None:
+                fh.close()
+                files.append((name, rows, mn, mx))
+            name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.csv"
+            fh = open(os.path.join(self._path, name), "w", newline="")
+            writer = csv.writer(fh)
+            rows, mn, mx = 0, None, None
+
+        roll()
+        for row in iterator:
+            if rows >= self._chunk_rows:
+                roll()
+            vals = [row[i] for i in range(n_fields)]
+            if self._stats_idx is not None:
+                v = vals[self._stats_idx]
+                if v is not None:
+                    mn = v if mn is None or v < mn else mn
+                    mx = v if mx is None or v > mx else mx
+            writer.writerow(
+                [
+                    _NULL
+                    if v is None
+                    else ("true" if v is True else "false")
+                    if isinstance(v, bool)
+                    else v
+                    for v in vals
+                ]
+            )
+            rows += 1
+        fh.close()
+        if rows > 0:
+            files.append((name, rows, mn, mx))
+        else:
+            os.remove(os.path.join(self._path, name))
+        return _ChunkCommit(files=files)
+
+    def commit(self, messages) -> None:
+        files = [
+            {"name": n, "rows": r, "min": mn, "max": mx}
+            for m in messages
+            for (n, r, mn, mx) in m.files
+        ]
+        manifest = {
+            "schema": self._schema.json(),
+            "stats_col": self._stats_col,
+            "files": files,
+        }
+        with open(os.path.join(self._path, _MANIFEST), "w") as fh:
+            json.dump(manifest, fh, indent=1)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for (n, *_rest) in m.files:
+                try:
+                    os.remove(os.path.join(self._path, n))
+                except OSError:
+                    pass
+
+
+class ChunkedCsvDataSource(DataSource):
+    """``spark.read.format("chunked_csv")`` / ``df.write.format("chunked_csv")``.
+
+    Options: ``path`` (required), ``chunk_rows`` (writer, default 10000),
+    ``stats_col`` (writer: column to record chunk min/max for; reader
+    prunes on it automatically).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "chunked_csv"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("chunked_csv requires a 'path' option")
+        return path
+
+    def schema(self):
+        with open(os.path.join(self._path(), _MANIFEST)) as fh:
+            return StructType.fromJson(json.loads(json.load(fh)["schema"]))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _ChunkedCsvReader(self._path(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        path = self._path()
+        if overwrite and os.path.isdir(path):
+            for f in os.listdir(path):
+                if f.endswith(".csv") or f == _MANIFEST:
+                    os.remove(os.path.join(path, f))
+        return _ChunkedCsvWriter(path, schema, dict(self.options))
+
+
+def register_chunked_csv(spark) -> None:
+    """Idempotently register the connector on a session."""
+    # pushFilters support is gated by a conf that defaults to false; set
+    # it defensively (the caller's session — e.g. the driver's own — was
+    # not necessarily built by session.get_spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ChunkedCsvDataSource)

@@ -150,3 +150,86 @@ def test_compact_parquet_layer(spark, tmp_path):
     assert len(glob.glob(f"{dst}/*.parquet")) == 1
     got = sorted(r["id"] for r in spark.read.parquet(dst).collect())
     assert got == list(range(4000))
+
+
+class TestChunkedCsvDataSource:
+    """Python DataSource connector (sources/pyds.py): roundtrip, NULLs,
+    stats-based chunk pruning, type gate."""
+
+    def _register(self, spark):
+        from aie321_bigdata_movie_kpi_1m_spark.session import (
+            ensure_package_on_workers,
+        )
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            register_chunked_csv,
+        )
+
+        ensure_package_on_workers(spark)
+        register_chunked_csv(spark)
+
+    def test_roundtrip_exact_and_chunk_cap(self, spark, tmp_path):
+        import json
+
+        self._register(spark)
+        path = str(tmp_path / "layer")
+        df = spark.range(0, 5000).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) / 7 AS x",
+            "concat('s', id) AS s", "id % 2 = 0 AS flag"
+        )
+        (df.repartition(3).write.format("chunked_csv").mode("overwrite")
+            .option("path", path).option("chunk_rows", "800")
+            .option("stats_col", "k").save())
+        man = json.load(open(f"{path}/manifest.json"))
+        assert sum(f["rows"] for f in man["files"]) == 5000
+        assert all(f["rows"] <= 800 for f in man["files"])
+        back = spark.read.format("chunked_csv").option("path", path).load()
+        assert back.schema == df.schema
+        assert back.exceptAll(df).count() == 0
+        assert df.exceptAll(back).count() == 0
+
+    def test_nulls_survive(self, spark, tmp_path):
+        self._register(spark)
+        path = str(tmp_path / "nulls")
+        rows = [(1, None, "x"), (2, 5.5, None), (3, 0.0, "")]
+        df = spark.createDataFrame(rows, "k long, d double, s string")
+        df.write.format("chunked_csv").mode("overwrite").option(
+            "path", path
+        ).save()
+        back = spark.read.format("chunked_csv").option("path", path).load()
+        assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+    def test_pushed_filter_prunes_chunks_but_not_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from pyspark.sql.datasource import LessThanOrEqual
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            _ChunkedCsvReader,
+        )
+
+        self._register(spark)
+        path = str(tmp_path / "pruned")
+        df = spark.range(0, 8000).selectExpr("id AS k", "id * 2 AS v")
+        # range-partitioned on k -> disjoint chunk min/max spans
+        (df.repartitionByRange(4, "k").write.format("chunked_csv")
+            .mode("overwrite").option("path", path)
+            .option("chunk_rows", "1000").option("stats_col", "k").save())
+        back = spark.read.format("chunked_csv").option("path", path).load()
+        got = back.filter(F.col("k") <= 1500).agg(
+            F.count(F.lit(1)), F.sum("v")
+        ).collect()[0]
+        assert tuple(got) == (1501, 2 * 1500 * 1501 // 2)
+        # driver-side pruning: the pushed predicate must drop chunks
+        r = _ChunkedCsvReader(path, back.schema)
+        n_all = len(r.partitions())
+        r.pushFilters([LessThanOrEqual(("k",), 1500)])
+        assert 0 < len(r.partitions()) < n_all
+
+    def test_unsupported_type_fails_fast(self, spark, tmp_path):
+        import pytest
+
+        self._register(spark)
+        df = spark.createDataFrame([(1, [1, 2])], "k long, arr array<long>")
+        with pytest.raises(Exception, match="chunked_csv supports"):
+            df.write.format("chunked_csv").mode("overwrite").option(
+                "path", str(tmp_path / "bad")
+            ).save()
