@@ -189,3 +189,47 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     """md5 fingerprint of normalized text per document (the exact-dedup
     key)."""
     return docs.select(F.col(id_col), md5_fingerprint(text_col).alias("fingerprint"))
+
+
+# encoding-health patterns, kept as \u escapes so the source stays ASCII:
+# U+FFFD replacement char; C3+continuation = UTF-8 2-byte lead read as
+# Latin-1 ("A-tilde" mojibake); E2+U+20AC = the cp1252 "a-circumflex Euro"
+# prefix of curly-quote/ellipsis mojibake
+_REPLACEMENT = "\ufffd"
+_MOJIBAKE_LATIN1 = "\u00c3[\u0080-\u00bf]"
+_MOJIBAKE_CP1252 = "\u00e2\u20ac"
+
+
+def encoding_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document encoding-health profile: control characters, UTF-8
+    replacement characters (U+FFFD — the scar a lossy decode leaves),
+    classic UTF-8-read-as-Latin-1 / cp1252 mojibake markers, and the
+    non-ASCII character count.
+
+    All counters are built-in ``regexp_count`` expressions (JVM-side,
+    shuffle-free scan).  Caveat: Spark's regex walks UTF-16 units, so
+    astral-plane codepoints count twice vs a codepoint engine — these
+    are threshold gates, and the contract is BMP-exact.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_control = F.regexp_count(
+        text, F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    )
+    n_replace = F.regexp_count(text, F.lit(_REPLACEMENT))
+    n_mojibake = F.regexp_count(text, F.lit(_MOJIBAKE_LATIN1)) + F.regexp_count(
+        text, F.lit(_MOJIBAKE_CP1252)
+    )
+    n_nonascii = F.regexp_count(text, F.lit("[^\\x00-\\x7f]"))
+    return docs.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        n_control.cast("long").alias("n_control"),
+        n_replace.cast("long").alias("n_replacement"),
+        n_mojibake.cast("long").alias("n_mojibake_marks"),
+        n_nonascii.cast("long").alias("n_nonascii"),
+        ((n_replace > 0) | (n_mojibake > 0) | (n_control > 0)).alias(
+            "is_encoding_suspect"
+        ),
+    )

@@ -271,3 +271,57 @@ def q_title_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("__ta", "__tb").cast("long").alias("edit_distance"),
         )
     )
+
+
+@register(
+    "spearman_budget_revenue",
+    MOVIE_FACTS_ORACLE_CTE
+    + """
+, f AS (SELECT budget, revenue FROM movie_facts
+        WHERE budget > 0 AND revenue > 0),
+r AS (SELECT
+        rank() OVER (ORDER BY budget)
+          + (COUNT(*) OVER (PARTITION BY budget) - 1) / 2.0 AS rb,
+        rank() OVER (ORDER BY revenue)
+          + (COUNT(*) OVER (PARTITION BY revenue) - 1) / 2.0 AS rr
+      FROM f)
+SELECT ROUND(corr(rb, rr), 6) AS spearman_corr, COUNT(*) AS n_movies
+FROM r
+""",
+    "Spearman rank correlation budget<->revenue: the robust complement "
+    "of BQ2's Pearson (monotone association, outlier-insensitive).  "
+    "Average ranks come from a cumulative sum over DISTINCT values "
+    "(groupBy count -> tiny ordered cumsum -> broadcast join back), so "
+    "the only global sort runs on the distinct-value table, never the "
+    "full fact — the scale-correct exact-rank shape",
+    tags=("stats",),
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = facts_from_star(spark, sf_dir).filter(
+        (F.col("budget") > 0) & (F.col("revenue") > 0)
+    )
+
+    def avg_ranks(col: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        counts = facts.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return counts.select(
+            col,
+            (
+                F.coalesce(F.sum("__c").over(w), F.lit(0))
+                + (F.col("__c") + 1) / 2.0
+            ).alias(f"__rank_{col}"),
+        )
+
+    ranked = (
+        facts.select("budget", "revenue")
+        .join(F.broadcast(avg_ranks("budget")), "budget")
+        .join(F.broadcast(avg_ranks("revenue")), "revenue")
+    )
+    return ranked.agg(
+        F.round(F.corr("__rank_budget", "__rank_revenue"), 6).alias(
+            "spearman_corr"
+        ),
+        F.count(F.lit(1)).alias("n_movies"),
+    )

@@ -957,3 +957,42 @@ def q_doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("__t", start, length))
         ).alias("chunk_hash"),
     )
+
+
+@register(
+    "doc_encoding_profile",
+    """
+SELECT doc_id,
+       CAST(length(coalesce(text, '')) AS INTEGER) AS n_chars,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT) AS n_control,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+                '\\x{FFFD}')) AS BIGINT) AS n_replacement,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+                '\\x{C3}[\\x{80}-\\x{BF}]'))
+            + len(regexp_extract_all(coalesce(text, ''),
+                '\\x{E2}\\x{20AC}')) AS BIGINT) AS n_mojibake_marks,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+                '[^\\x00-\\x7f]')) AS BIGINT) AS n_nonascii,
+       (len(regexp_extract_all(coalesce(text, ''), '\\x{FFFD}')) > 0
+        OR len(regexp_extract_all(coalesce(text, ''),
+               '\\x{C3}[\\x{80}-\\x{BF}]'))
+           + len(regexp_extract_all(coalesce(text, ''), '\\x{E2}\\x{20AC}')) > 0
+        OR len(regexp_extract_all(coalesce(text, ''),
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) > 0)
+           AS is_encoding_suspect
+FROM documents
+""",
+    "encoding-health gate (operators/text_analysis.py::encoding_profile): "
+    "control chars, U+FFFD replacement chars, Latin-1/cp1252 mojibake "
+    "markers, non-ASCII count, and the combined suspect flag — the "
+    "decode-sanity pass a web-scale corpus runs before tokenization; "
+    "pure regexp_count projection, shuffle-free (the synthetic corpus is "
+    "clean ASCII, so nonzero counters are exercised in pytest with real "
+    "mojibake fixtures)",
+    tags=("text", "quality"),
+)
+def q_doc_encoding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import encoding_profile
+
+    return encoding_profile(load_star_table(spark, sf_dir, "documents"))

@@ -487,3 +487,29 @@ class TestContiguousIds:
             ).collect()
         }
         assert a == b
+
+
+def test_encoding_profile_detects_mojibake_and_control_chars(spark):
+    from aie321_bigdata_movie_kpi_1m_spark.operators.text_analysis import (
+        encoding_profile,
+    )
+
+    rows = [
+        (0, "clean ascii text."),
+        (1, "lossy decode here: ��"),
+        (2, "cafÃ© double-encoded"),       # 'Ã©' = UTF-8 é read as Latin-1
+        (3, "curly â€™quoteâ€™ mojibake"),
+        (4, "bell\x07 and\x01 control chars"),
+        (5, None),
+        (6, "plain café (real accent, not mojibake)"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in encoding_profile(docs).collect()}
+    assert not r[0]["is_encoding_suspect"] and r[0]["n_nonascii"] == 0
+    assert r[1]["n_replacement"] == 2 and r[1]["is_encoding_suspect"]
+    assert r[2]["n_mojibake_marks"] == 1 and r[2]["is_encoding_suspect"]
+    assert r[3]["n_mojibake_marks"] == 2 and r[3]["is_encoding_suspect"]
+    assert r[4]["n_control"] == 2 and r[4]["is_encoding_suspect"]
+    assert r[5]["n_chars"] == 0 and not r[5]["is_encoding_suspect"]
+    # a real accented char is non-ASCII but NOT suspect
+    assert r[6]["n_nonascii"] == 1 and not r[6]["is_encoding_suspect"]
