@@ -1267,3 +1267,51 @@ def q_chunked_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("total_cents"),
         )
     )
+
+
+@register(
+    "events_variant_extract",
+    """
+SELECT event_type AS et,
+       COUNT(*) AS n_events,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS n_with_k,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type
+""",
+    "VARIANT ingestion path (Spark 4 semi-structured type): build a "
+    "nested JSON envelope per event, parse ONCE into a binary VARIANT, "
+    "then make several TYPED extractions (string / nested long / nested "
+    "cents) and aggregate — the modern parse-once-extract-many pattern "
+    "for heterogeneous event payloads at scan speed.  The oracle "
+    "computes the same aggregates straight from the base columns, so "
+    "any value lost or coerced anywhere in the "
+    "struct->JSON->VARIANT->typed-get chain breaks the hash",
+    tags=("relational", "functions"),
+)
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_star_table(spark, sf_dir, "events")
+    envelope = F.to_json(
+        F.struct(
+            F.col("event_type").alias("et"),
+            F.struct(
+                F.get_json_object("props", "$.k").try_cast("long").alias("k"),
+                _cents(F.col("value")).alias("cents"),
+            ).alias("payload"),
+        )
+    )
+    v = events.select(F.parse_json(envelope).alias("v"))
+    extracted = v.select(
+        F.variant_get("v", "$.et", "string").alias("et"),
+        F.try_variant_get("v", "$.payload.k", "long").alias("k"),
+        F.try_variant_get("v", "$.payload.cents", "long").alias("cents"),
+    )
+    return extracted.groupBy("et").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.count("k").alias("n_with_k"),
+        F.sum("cents").alias("sum_cents"),
+    )
