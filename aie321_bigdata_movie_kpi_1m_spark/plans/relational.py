@@ -1222,13 +1222,16 @@ SELECT o_orderstatus,
        CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS total_cents
 FROM orders
-WHERE o_orderkey <= 10000
+WHERE o_orderkey % 10 = 0 AND o_orderkey <= 100000
 GROUP BY o_orderstatus
 """,
-    "Python DataSource connector (sources/pyds.py): spill orders into "
-    "the chunked-CSV interchange layer (bounded chunks + min/max "
-    "manifest — the Sheets-publisher boundary of ref publish.py:102-167 "
-    "as a pluggable Spark 4 connector), re-read via "
+    "Python DataSource connector (sources/pyds.py): spill a bounded "
+    "10% slice of orders into the chunked-CSV interchange layer "
+    "(bounded chunks + min/max manifest — the Sheets-publisher boundary "
+    "of ref publish.py:102-167 as a pluggable Spark 4 connector; the "
+    "export is bounded by the SAME contract as the reference's "
+    "quota-capped uploads — Python row parsing is the interchange "
+    "path, never the bulk path), re-read via "
     "spark.read.format('chunked_csv') with a stats-column predicate, "
     "aggregate; the pushed filter prunes whole chunks driver-side and "
     "Spark re-applies it row-level, so the oracle on the parquet truth "
@@ -1243,8 +1246,10 @@ def q_chunked_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_on_workers(spark)
     register_chunked_csv(spark)
-    orders = load_star_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    orders = (
+        load_star_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 10 == 0)
     )
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = f"/root/repo/.scratch/chunked_source/{tag}"
@@ -1259,7 +1264,7 @@ def q_chunked_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.format("chunked_csv").option("path", path).load()
     return (
-        back.filter(F.col("o_orderkey") <= 10000)
+        back.filter(F.col("o_orderkey") <= 100000)
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
