@@ -195,6 +195,7 @@ def _run_to_memory_sink(
     name: str,
     output_mode: str,
     state_partitions: int = 32,
+    drain_all: bool = False,
 ) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
@@ -206,17 +207,68 @@ def _run_to_memory_sink(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        query = (
+        writer = (
             stream.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
         )
-        query.awaitTermination()
+        if drain_all:
+            # custom Python stream sources serve ONE micro-batch per
+            # availableNow run; loop the default trigger until the source
+            # reports no new offsets instead
+            query = writer.start()
+            query.processAllAvailable()
+            query.stop()
+            query.awaitTermination()
+        else:
+            query = writer.trigger(availableNow=True).start()
+            query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+@register(
+    "streaming_replay_source",
+    """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents
+GROUP BY lang
+""",
+    "custom STREAMING Python DataSource (sources/pyds.py "
+    "replay_parquet): the documents table replayed as an offset-tracked "
+    "stream in fixed micro-batches (SimpleDataSourceStreamReader — the "
+    "Kafka-replay contract: resumable offsets, readBetweenOffsets "
+    "re-serving), aggregated across every micro-batch into the memory "
+    "sink (drained via processAllAvailable: availableNow only takes ONE "
+    "batch from a Simple stream reader); the oracle is the batch truth, "
+    "so dropped/duplicated batches break the hash",
+    tags=("streaming", "sources"),
+)
+def q_streaming_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pyds import register_replay_parquet
+
+    register_replay_parquet(spark)
+    stream = (
+        spark.readStream.format("replay_parquet")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("cols", "doc_id,lang")
+        .option("batch_rows", "200")
+        .load()
+    )
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+    return _run_to_memory_sink(
+        spark,
+        agg,
+        name="stream_replay_docs",
+        output_mode="complete",
+        drain_all=True,
+    )
 
 
 @register(

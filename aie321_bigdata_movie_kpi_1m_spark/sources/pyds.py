@@ -48,6 +48,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -277,10 +278,118 @@ class ChunkedCsvDataSource(DataSource):
         return _ChunkedCsvWriter(path, schema, dict(self.options))
 
 
+class _ReplayStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked replay of a parquet file in fixed row-count
+    micro-batches.  The offset is the absolute row position, so a
+    restarted query resumes exactly where the checkpoint left it and
+    ``readBetweenOffsets`` can re-serve any committed range — the
+    exactly-once replay contract a Kafka-backed source provides.
+
+    ``SimpleDataSourceStreamReader`` reads on the DRIVER (Spark prefetches
+    and caches each range): right for bounded replay/backfill and tests;
+    a production bus source implements the partition-planning
+    ``DataSourceStreamReader`` instead, same offset algebra.
+    """
+
+    def __init__(self, options: dict):
+        self._path = options["path"]
+        self._batch = int(options.get("batch_rows", 10000))
+        self._cols = options["cols"].split(",")
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def _slice(self, lo: int, hi: int):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(self._path, columns=self._cols)
+        hi = min(hi, table.num_rows)
+        if lo >= hi:
+            return [], lo
+        sl = table.slice(lo, hi - lo)
+        cols = [sl.column(c).to_pylist() for c in self._cols]
+        return list(zip(*cols)), hi
+
+    def read(self, start):
+        lo = start["row"]
+        rows, hi = self._slice(lo, lo + self._batch)
+        return iter(rows), {"row": hi}
+
+    def readBetweenOffsets(self, start, end):
+        rows, _ = self._slice(start["row"], end["row"])
+        return iter(rows)
+
+    def commit(self, end) -> None:
+        pass
+
+
+class ReplayParquetDataSource(DataSource):
+    """``spark.readStream.format("replay_parquet")`` — replay a parquet
+    file as an offset-tracked stream (options: ``path``, ``cols``
+    comma-list, ``batch_rows``).  Schema is derived from the parquet
+    footer for the requested columns."""
+
+    _ARROW_TO_DDL = {
+        "int64": "long",
+        "int32": "int",
+        "double": "double",
+        "float": "float",
+        "string": "string",
+        "large_string": "string",
+        "bool": "boolean",
+    }
+
+    @classmethod
+    def name(cls) -> str:
+        return "replay_parquet"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+
+        footer = pq.read_schema(self.options["path"])
+        parts = []
+        for c in self.options["cols"].split(","):
+            arrow_t = str(footer.field(c).type)
+            if arrow_t not in self._ARROW_TO_DDL:
+                raise ValueError(
+                    f"replay_parquet: unsupported column type {arrow_t!r} "
+                    f"for {c!r}"
+                )
+            parts.append(f"{c} {self._ARROW_TO_DDL[arrow_t]}")
+        return ", ".join(parts)
+
+    def simpleStreamReader(self, schema):
+        return _ReplayStreamReader(dict(self.options))
+
+
 def register_chunked_csv(spark) -> None:
     """Idempotently register the connector on a session."""
+    from ..session import ensure_package_on_workers
+
+    # the DataSource class is pickled by module reference: the session's
+    # Python workers need this package importable (plain driver sessions
+    # don't have the repo on PYTHONPATH — same trap as mapInPandas
+    # closures, see session.ensure_package_on_workers)
+    ensure_package_on_workers(spark)
     # pushFilters support is gated by a conf that defaults to false; set
     # it defensively (the caller's session — e.g. the driver's own — was
     # not necessarily built by session.get_spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ChunkedCsvDataSource)
+
+
+def register_replay_parquet(spark) -> None:
+    """Idempotently register the streaming replay connector."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from ..session import ensure_package_on_workers
+
+    # executor-side workers learn the package via addPyFile, but the
+    # STREAMING source runner is a separate driver-side Python process
+    # that does not see addPyFile — pickle this module by value so the
+    # class arrives self-contained (it only needs pyarrow + stdlib)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(ReplayParquetDataSource)
