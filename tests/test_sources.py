@@ -295,3 +295,50 @@ class TestReplayParquetStreamSource:
             .load()
         )
         assert stream.schema.simpleString() == "struct<doc_id:bigint,lang:string>"
+
+
+def test_file_stream_rate_limit_batches(spark, tmp_path):
+    # ingestion backpressure: maxFilesPerTrigger bounds each micro-batch,
+    # so a backfill over many files cannot blow up executor memory — the
+    # per-batch cap is the knob that keeps a 100 TB backfill incremental
+    src = str(tmp_path / "files")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    batches: list = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: batches.append(df.count())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(batches) == [10, 10, 10]  # one file per micro-batch
+
+
+def test_csv_permissive_mode_captures_corrupt_rows(spark, tmp_path):
+    # PERMISSIVE contract (ref ingest.py single-shot read_csv dies on bad
+    # rows; the engine must instead quarantine them): malformed rows land
+    # in _corrupt_record with NULL typed columns, clean rows parse
+    p = tmp_path / "dirty.csv"
+    p.write_text("1,alpha,2.5\nnot_an_int,beta,3.5\n3,gamma,oops\n")
+    schema = "k long, name string, x double, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    )
+    rows = df.collect()
+    good = {r["k"]: (r["name"], r["x"]) for r in rows if r["_corrupt_record"] is None}
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1: ("alpha", 2.5)}
+    assert sorted(bad) == ["3,gamma,oops", "not_an_int,beta,3.5"]
