@@ -1320,3 +1320,135 @@ def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("k").alias("n_with_k"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@register(
+    "lineitem_zscore_outliers",
+    """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+              AS DECIMAL(38, 0)) AS s1,
+         CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                       AS DECIMAL(38, 0))
+                  * CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+              AS DECIMAL(38, 0)) AS s2
+  FROM lineitem GROUP BY l_returnflag
+),
+stats AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / n AS mean_cents,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+              / (n - 1)) AS sd_cents
+  FROM m
+)
+SELECT li.l_returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (
+         WHERE abs((CAST(FLOOR(li.l_extendedprice * 100) AS BIGINT)
+                    - st.mean_cents) / st.sd_cents) > 2
+       ) AS n_outliers_2sd
+FROM lineitem li JOIN stats st USING (l_returnflag)
+GROUP BY li.l_returnflag
+""",
+    "group-wise z-score outlier gate: per-returnflag mean/stddev built "
+    "from EXACT integer-cents sums (decimal(38) partials — "
+    "order-independent, so both engines reach bit-identical doubles), "
+    "then a per-row |z|>2 flag and count.  Two scans + one broadcast of "
+    "3 stat rows; the per-row math has no aggregation-order "
+    "nondeterminism, which is what makes an exact-equality oracle "
+    "possible for a floating-point feature-engineering op",
+    tags=("stats",),
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_star_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents(F.col("l_extendedprice")).alias("__c")
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("__c").cast("decimal(38,0)") * F.col("__c")
+        ).alias("s2"),
+    )
+    stats = m.select(
+        "l_returnflag",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_cents"),
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd_cents"),
+    )
+    z = (F.col("__c") - F.col("mean_cents")) / F.col("sd_cents")
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.abs(z) > 2).alias("n_outliers_2sd"),
+        )
+    )
+
+
+@register(
+    "orders_chi2_independence",
+    """
+WITH cells AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT s, p, n,
+         SUM(n) OVER (PARTITION BY s) AS rs,
+         SUM(n) OVER (PARTITION BY p) AS cs,
+         SUM(n) OVER () AS grand
+  FROM cells
+)
+SELECT CAST(COUNT(DISTINCT s) - 1 AS BIGINT)
+         * (COUNT(DISTINCT p) - 1) AS dof,
+       CAST(MAX(grand) AS BIGINT) AS n_orders,
+       ROUND(SUM(power(n - CAST(rs AS DOUBLE) * cs / grand, 2)
+                 / (CAST(rs AS DOUBLE) * cs / grand)), 4) AS chi2
+FROM tot
+""",
+    "chi-square test of independence (order status x priority): "
+    "contingency cells + marginals via windows over the TINY cell "
+    "table, expected counts rs*cs/N, one rounded statistic — the "
+    "categorical-association screen; all heavy work is one groupBy, "
+    "the statistic sums 15 cells (round(4) absorbs summation-order "
+    "ULP drift, same convention as the corr queries)",
+    tags=("stats",),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cells = (
+        load_star_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.select(
+        "s",
+        "p",
+        "n",
+        F.sum("n").over(Window.partitionBy("s")).alias("rs"),
+        F.sum("n").over(Window.partitionBy("p")).alias("cs"),
+        F.sum("n").over(Window.partitionBy()).alias("grand"),
+    )
+    expected = F.col("rs").cast("double") * F.col("cs") / F.col("grand")
+    return tot.agg(
+        ((F.count_distinct(F.col("s")) - 1) * (F.count_distinct(F.col("p")) - 1))
+        .cast("long")
+        .alias("dof"),
+        F.max("grand").cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.pow(F.col("n") - expected, 2) / expected), 4
+        ).alias("chi2"),
+    )

@@ -996,3 +996,89 @@ def q_doc_encoding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import encoding_profile
 
     return encoding_profile(load_star_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "weighted_downsample_by_lang",
+    """
+WITH shares AS (
+  SELECT lang, COUNT(*) AS n_lang,
+         MIN(COUNT(*)) OVER () AS n_min
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN shares s USING (lang)
+WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       % 1000000) / 1000000.0
+      < CAST(s.n_min AS DOUBLE) / s.n_lang
+""",
+    "language-rebalancing downsample: per-language keep probability "
+    "n_min/n_lang flattens the mixture to the rarest language's mass, "
+    "gated on md5(doc_id) so the sample is deterministic, auditable, "
+    "and re-derivable on any engine or partitioning (the property "
+    "rand()-sampling lacks); per-language counts are a tiny broadcast "
+    "dim, the gate is a shuffle-free scan filter.  Both engines compute "
+    "the same IEEE double for the threshold and the same hash fraction, "
+    "so the comparison is exact",
+    tags=("sampling", "text"),
+)
+def q_weighted_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    shares = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+        .withColumn("n_min", F.min("n_lang").over(Window.partitionBy()))
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ) / 1000000.0
+    keep_p = F.col("n_min").cast("double") / F.col("n_lang")
+    return (
+        docs.join(F.broadcast(shares), "lang")
+        .filter(frac < keep_p)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "dedup_savings_report",
+    """
+WITH fp AS (
+  SELECT md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))
+             AS fingerprint
+  FROM documents
+),
+g AS (SELECT fingerprint, COUNT(*) AS n FROM fp GROUP BY fingerprint)
+SELECT COUNT(*) AS n_unique_contents,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant_docs,
+       CAST(MAX(n) AS BIGINT) AS largest_dup_group,
+       COUNT(*) FILTER (WHERE n >= 2) AS n_dup_groups
+FROM g
+""",
+    "corpus-level dedup savings report: unique contents, redundant-doc "
+    "count (what exact dedup deletes), largest duplicate group, and "
+    "group count — the summary a data curator reads before committing a "
+    "dedup pass; one fingerprint groupBy + one tiny rollup",
+    tags=("dedup", "text"),
+)
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import dedup_exact
+
+    groups = dedup_exact(load_star_table(spark, sf_dir, "documents"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_unique_contents"),
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        (F.sum("n_copies") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_redundant_docs"),
+        F.max("n_copies").cast("long").alias("largest_dup_group"),
+        F.count_if(F.col("n_copies") >= 2).alias("n_dup_groups"),
+    )
