@@ -1452,3 +1452,46 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.pow(F.col("n") - expected, 2) / expected), 4
         ).alias("chi2"),
     )
+
+
+@register(
+    "lineitem_price_histogram",
+    """
+WITH b AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+)
+SELECT CASE WHEN c <  90000 THEN 0
+            WHEN c >= 10500000 THEN 21
+            ELSE CAST(FLOOR((c - 90000) / ((10500000 - 90000) / 20.0))
+                      AS BIGINT) + 1 END AS bucket,
+       COUNT(*) AS n_rows,
+       CAST(MIN(c) AS BIGINT) AS lo_cents,
+       CAST(MAX(c) AS BIGINT) AS hi_cents
+FROM b
+GROUP BY bucket
+""",
+    "fixed-bin histogram via width_bucket over integer cents (20 equal "
+    "bins on [900, 105000] dollars; DuckDB has no width_bucket, so the "
+    "oracle replays the SQL-standard bucket arithmetic — exact-integer "
+    "inputs keep the FP division >1e-6 away from bin edges, so "
+    "assignment is engine-identical) — the distribution profile shape: "
+    "one scan, one tiny groupBy, no sort",
+    tags=("stats",),
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_star_table(spark, sf_dir, "lineitem")
+    cents = _cents(F.col("l_extendedprice"))
+    return (
+        li.select(
+            F.width_bucket(cents, F.lit(90000), F.lit(10500000), F.lit(20)).alias(
+                "bucket"
+            ),
+            cents.alias("__c"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__c").alias("lo_cents"),
+            F.max("__c").alias("hi_cents"),
+        )
+    )
