@@ -265,3 +265,27 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruningexpression" in plan.lower()
     # 3 picked days x 400 rows/day
     assert joined.count() == 1200
+
+
+def test_weighted_downsample_broadcasts_the_share_dim(spark):
+    # the per-language share table is a handful of rows: it must arrive
+    # broadcast; the md5 gate itself adds no shuffle on the fact side
+    plan = plan_of(spark, "weighted_downsample_by_lang")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_outliers_two_shuffles_and_broadcast_stats(spark):
+    # scan 1 computes 3 stat rows (one shuffle), scan 2 joins them back
+    # broadcast and re-aggregates (second shuffle) — never a fact-side
+    # sort or single-partition stage
+    plan = plan_of(spark, "lineitem_zscore_outliers")
+    assert _shuffle_exchanges(plan) <= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_price_histogram_single_shuffle(spark):
+    plan = plan_of(spark, "lineitem_price_histogram")
+    assert _shuffle_exchanges(plan) == 1
+    assert "SinglePartition" not in plan
