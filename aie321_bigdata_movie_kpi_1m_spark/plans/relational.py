@@ -1495,3 +1495,47 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("__c").alias("hi_cents"),
         )
     )
+
+
+@register(
+    "priority_status_rollup_string",
+    """
+WITH cells AS (
+  SELECT o_orderpriority AS priority, o_orderstatus AS s, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority,
+       string_agg(s || ':' || n, ',' ORDER BY s) AS status_counts,
+       CAST(SUM(n) AS BIGINT) AS n_orders
+FROM cells GROUP BY priority
+""",
+    "nested-type aggregation: per priority, collect the (status, count) "
+    "pairs into an array of structs, array_sort for a deterministic "
+    "order, then transform+array_join down to a compact string — the "
+    "collect/sort/transform composition a denormalized serving row "
+    "needs; collect_list here gathers ≤3 structs per group (bounded by "
+    "the status domain, never by row count), so executor memory is safe "
+    "at any scale",
+    tags=("relational", "nested"),
+)
+def q_priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        load_star_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("s"), F.col("n")))
+    )
+    return cells.groupBy("priority").agg(
+        F.array_join(
+            F.transform(
+                pairs, lambda p: F.concat_ws(":", p["s"], p["n"])
+            ),
+            ",",
+        ).alias("status_counts"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
