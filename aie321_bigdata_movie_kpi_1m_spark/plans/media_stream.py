@@ -255,7 +255,9 @@ def q_streaming_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("replay_parquet")
         .option("path", f"{sf_dir}/documents.parquet")
         .option("cols", "doc_id,lang")
-        .option("batch_rows", "200")
+        # fixed batch COUNT, not batch size: micro-batch overhead stays
+        # constant as the corpus scales
+        .option("n_batches", "4")
         .load()
     )
     agg = stream.groupBy("lang").agg(

@@ -293,8 +293,18 @@ class _ReplayStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict):
         self._path = options["path"]
-        self._batch = int(options.get("batch_rows", 10000))
         self._cols = options["cols"].split(",")
+        self._table = None  # lazy, cached for the reader's lifetime
+        if "n_batches" in options:
+            # scale-stable batching: split the file into a fixed number
+            # of micro-batches regardless of row count (footer-only read)
+            import pyarrow.parquet as pq
+
+            n_rows = pq.ParquetFile(self._path).metadata.num_rows
+            n_b = max(1, int(options["n_batches"]))
+            self._batch = max(1, -(-n_rows // n_b))
+        else:
+            self._batch = int(options.get("batch_rows", 10000))
 
     def initialOffset(self):
         return {"row": 0}
@@ -302,7 +312,9 @@ class _ReplayStreamReader(SimpleDataSourceStreamReader):
     def _slice(self, lo: int, hi: int):
         import pyarrow.parquet as pq
 
-        table = pq.read_table(self._path, columns=self._cols)
+        if self._table is None:
+            self._table = pq.read_table(self._path, columns=self._cols)
+        table = self._table
         hi = min(hi, table.num_rows)
         if lo >= hi:
             return [], lo
