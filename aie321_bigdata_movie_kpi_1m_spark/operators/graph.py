@@ -190,3 +190,60 @@ def connected_components_star(
         "node", F.col("node").alias("cluster_id")
     )
     return out.union(roots)
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """Weighted PageRank, a FIXED number of power iterations (the
+    deterministic contract an oracle can replay; production callers pick
+    ``iters`` by convergence monitoring instead).
+
+    rank_{t+1}(v) = (1-d)/N + d * sum_{(u,v) in E} rank_t(u) * w(u,v)/out(u)
+
+    Simplified-PageRank convention: dangling mass is dropped, not
+    redistributed (ranks then sum to < 1; relative ordering is what
+    downstream consumers use).  Returns (node, rank) unnormalized.
+
+    Scale shape: each iteration is one join of the rank vector against the
+    out-normalized edge list plus one groupBy — the edge list is computed
+    once, normalized once, and reused across iterations.  For web-scale
+    graphs the rank vector join is the shuffle that matters; here lineage
+    stays linear in ``iters`` (3-5), so no checkpointing is needed
+    (contrast connected_components, whose round count is data-dependent).
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    )
+    outw = e.groupBy("u").agg(F.sum("w").alias("ow"))
+    # transition matrix rows: w/out(u), built once, reused every iteration
+    trans = e.join(outw, "u").select(
+        "u", "v", (F.col("w") / F.col("ow")).alias("p")
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        inflow = (
+            trans.join(ranks.select(F.col("node").alias("u"), "rank"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
+        )
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+    return ranks

@@ -307,3 +307,201 @@ def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents(F.col("value"))).over(w).alias("rolling_7d_cents"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph & sequence analytics
+# ---------------------------------------------------------------------------
+
+#: shared oracle prefix: the cust-nation -> supp-nation trade graph and its
+#: out-normalized transition rows (lockstep with q_pagerank_nation_flow)
+_PR_GRAPH_CTE = """
+WITH e AS (
+  SELECT c.c_nationkey AS u, s.s_nationkey AS v, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT u, SUM(w) AS ow FROM e GROUP BY u),
+trans AS (
+  SELECT e.u, e.v, CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS p
+  FROM e JOIN outw o USING (u)
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn)
+"""
+
+
+def _pr_iter_cte(prev: str, cur: str) -> str:
+    """One unrolled power-iteration step (d = 7/8 — dyadic, so 1-d is
+    bit-exact on both engines; only SUM order can drift, handled by the
+    final ROUND)."""
+    return f""",
+{cur} AS (
+  SELECT nodes.node,
+         CAST(0.125 AS DOUBLE) / nn.n
+           + CAST(0.875 AS DOUBLE) * COALESCE(f.inflow, CAST(0 AS DOUBLE))
+           AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT t.v AS node, SUM(r.rank * t.p) AS inflow
+    FROM trans t JOIN {prev} r ON r.node = t.u
+    GROUP BY t.v
+  ) f USING (node)
+)"""
+
+
+_PR_ORACLE = (
+    _PR_GRAPH_CTE
+    + _pr_iter_cte("r0", "r1")
+    + _pr_iter_cte("r1", "r2")
+    + _pr_iter_cte("r2", "r3")
+    + """
+SELECT n.n_name AS nation, ROUND(r3.rank, 6) AS rank_r6
+FROM r3 JOIN nation n ON n.n_nationkey = r3.node
+"""
+)
+
+
+@register(
+    "pagerank_nation_flow",
+    _PR_ORACLE,
+    "weighted PageRank (3 fixed power iterations, d=7/8) over the "
+    "customer-nation -> supplier-nation trade graph built from "
+    "lineitem x orders x customer x supplier — the iterative-join "
+    "family beyond connected components; the heavy work is the one-time "
+    "edge aggregation (the 4-way fact join), after which each iteration "
+    "joins a 25-node rank vector against a tiny normalized edge list; "
+    "lineage stays linear in iters so no checkpoint is needed; d=7/8 "
+    "keeps 1-d dyadic (bit-exact both engines), final ROUND(6) absorbs "
+    "SUM-order drift",
+    tags=("graph", "analytics"),
+)
+def q_pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_fixed
+
+    li = load_star_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_star_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_star_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_star_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_star_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank_fixed(edges, damping=0.875, iters=3)
+    return ranks.join(F.broadcast(nation), "node").select(
+        F.col("n_name").alias("nation"), F.round("rank", 6).alias("rank_r6")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 4)
+         AS p_next
+FROM pairs
+""",
+    "first-order Markov transition matrix over per-user event sequences: "
+    "lag window (deterministic ts, event_id tie-break) -> pair counts -> "
+    "row-normalized probabilities via a partition-sum window; the lag "
+    "shuffle partitions by user_id (the natural key, no skew), the "
+    "normalizer window runs over the tiny |types|^2 grid; exact-integer "
+    "counts, one division, ROUND(4) is cosmetic",
+    tags=("analytics", "events", "sequence"),
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_star_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 4).alias("p_next"),
+    )
+
+
+@register(
+    "events_ewma_daily",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d1.event_type, CAST(d1.day AS VARCHAR) AS day, d1.n,
+       SUM(d2.n * power(CAST(0.5 AS DOUBLE),
+                        date_diff('day', d2.day, d1.day)))
+         / SUM(power(CAST(0.5 AS DOUBLE),
+                     date_diff('day', d2.day, d1.day))) AS ewma_7d
+FROM daily d1
+JOIN daily d2
+  ON d2.event_type = d1.event_type
+ AND d2.day >= d1.day - 6 AND d2.day <= d1.day
+GROUP BY 1, 2, 3
+""",
+    "exponentially-weighted 7-day smoothing of the daily event-type "
+    "series: aggregate first (events -> tiny daily grid), then a "
+    "self-join over a 7-day trailing range with dyadic 0.5^k weights — "
+    "every term n/2^k is an exact double and the <=7-term sums stay "
+    "under 53 bits, so the result is bit-exact with NO rounding needed "
+    "(the reason alpha=1/2, not 0.3); smoothing after aggregation keeps "
+    "the range join on the grid, never on the raw fact table",
+    tags=("analytics", "events", "timeseries"),
+)
+def q_events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_star_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d1 = daily.alias("d1")
+    d2 = daily.alias("d2")
+    k = F.datediff(F.col("d1.day"), F.col("d2.day"))
+    wgt = F.pow(F.lit(0.5), k)
+    return (
+        d1.join(
+            d2,
+            (F.col("d2.event_type") == F.col("d1.event_type"))
+            & (F.col("d2.day") >= F.date_sub(F.col("d1.day"), 6))
+            & (F.col("d2.day") <= F.col("d1.day")),
+        )
+        .groupBy(
+            F.col("d1.event_type").alias("event_type"),
+            # dates surface as ISO strings (catalog canonicalization
+            # convention — see events_gapfill_ffill)
+            F.col("d1.day").cast("string").alias("day"),
+            F.col("d1.n").alias("n"),
+        )
+        .agg((F.sum(F.col("d2.n") * wgt) / F.sum(wgt)).alias("ewma_7d"))
+    )

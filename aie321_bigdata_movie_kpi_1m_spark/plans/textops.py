@@ -1082,3 +1082,97 @@ def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_copies").cast("long").alias("largest_dup_group"),
         F.count_if(F.col("n_copies") >= 2).alias("n_dup_groups"),
     )
+
+
+#: BM25 query terms (fixed keyword set; a production caller parameterizes)
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_keyword_topk",
+    _TOKENS_CTE
+    + f"""
+, ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM ex) AS total
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM ex
+  WHERE token IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT t.doc_id,
+         ln(1 + (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                / (d.df + CAST(0.5 AS DOUBLE)))
+         * (t.tf * CAST(2.2 AS DOUBLE))
+         / (t.tf + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * l.dl / (s.total / s.n_docs)))
+           AS sc
+  FROM tf t
+  JOIN dfreq d USING (token)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms, ROUND(SUM(sc), 4) AS bm25_r4
+FROM scored GROUP BY doc_id
+ORDER BY bm25_r4 DESC, doc_id
+LIMIT 20
+""",
+    "BM25 keyword retrieval (k1=1.2, b=0.75) over the document corpus "
+    "for a fixed term set: explode -> per-doc tf + doc length, global "
+    "df/avgdl (1-row broadcast), Robertson idf, top-20 by rounded score "
+    "with doc_id tie-break — the lexical-retrieval half of a RAG data "
+    "pipeline; at scale df/stats are broadcast joins against the "
+    "term-filtered tf table (the only big shuffle is the per-doc tf "
+    "groupBy) and the top-k compiles to TakeOrderedAndProject, never a "
+    "global sort",
+    tags=("text", "retrieval"),
+)
+def q_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens as _tokens
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(_tokens("text")).alias("token"))
+    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        ex.agg(F.count(F.lit(1)).alias("total"))
+    )
+    tf = (
+        ex.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total") / F.col("n_docs")
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    sc = (
+        idf
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", sc.alias("sc"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            F.round(F.sum("sc"), 4).alias("bm25_r4"),
+        )
+        .orderBy(F.col("bm25_r4").desc(), "doc_id")
+        .limit(20)
+    )

@@ -513,3 +513,43 @@ def test_encoding_profile_detects_mojibake_and_control_chars(spark):
     assert r[5]["n_chars"] == 0 and not r[5]["is_encoding_suspect"]
     # a real accented char is non-ASCII but NOT suspect
     assert r[6]["n_nonascii"] == 1 and not r[6]["is_encoding_suspect"]
+
+
+def test_pagerank_fixed_closed_form(spark):
+    from aie321_bigdata_movie_kpi_1m_spark.operators.graph import pagerank_fixed
+
+    # 3-cycle: the uniform vector is the exact fixed point, every
+    # iterate stays 1/3 bit-exactly (all constants dyadic with d=7/8)
+    cyc = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (3, 1, 5)], "src long, dst long, w long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(cyc, damping=0.875, iters=3).collect()
+    }
+    third = 1.0 / 3
+    assert got == {1: 0.125 / 3 + 0.875 * third, 2: got[1], 3: got[1]}
+
+    # single edge a->b: a gets only the teleport term after round 1 and
+    # b's inflow decays geometrically — exact dyadic arithmetic
+    edge = spark.createDataFrame([(10, 20, 1)], "src long, dst long, w long")
+    got2 = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(edge, damping=0.875, iters=2).collect()
+    }
+    # r1 = (0.0625, 0.0625 + 0.875*0.5); r2 = (0.0625, 0.0625 + 0.875*0.0625)
+    assert got2 == {10: 0.0625, 20: 0.0625 + 0.875 * 0.0625}
+
+    # weights steer the split: 1->2 (w=3), 1->3 (w=1) sends 3/4 vs 1/4
+    wgt = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1)], "src long, dst long, w long"
+    )
+    got3 = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(wgt, damping=0.875, iters=1).collect()
+    }
+    base = 0.125 / 3
+    third = 1.0 / 3
+    assert got3[2] == base + 0.875 * (third * 0.75)
+    assert got3[3] == base + 0.875 * (third * 0.25)
+    assert got3[1] == base
