@@ -204,9 +204,11 @@ STAR_SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            # stored as TIMESTAMP(NANOS): read as long (nanosAsLong) and
-            # converted to a real timestamp by sources.readers.load_star_table
-            T.StructField("ts", T.LongType()),
+            # canonical shape: a real timestamp.  The parquet file may store
+            # TIMESTAMP(MICROS) (read directly) or TIMESTAMP(NANOS) (Spark
+            # rejects it; sources.readers detects the footer logical type and
+            # falls back to nanosAsLong + div-1000 via EVENTS_NANOS_SCHEMA).
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -230,3 +232,20 @@ STAR_SCHEMAS: dict[str, T.StructType] = {
         ]
     ),
 }
+
+# Legacy events shape for TIMESTAMP(NANOS) parquet files: Spark's vectorized
+# reader rejects nanos timestamps, so those files are read as long
+# nanoseconds (spark.sql.legacy.parquet.nanosAsLong) and converted back to a
+# TimestampType column by the reader (integer ``div 1000`` — ns epochs exceed
+# 2^53, float division would lose precision).  Selected per-file by footer
+# inspection in sources.readers._events_ts_unit.
+EVENTS_NANOS_SCHEMA: T.StructType = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)

@@ -82,23 +82,57 @@ def read_jdbc(
     return reader.load()
 
 
+def _events_ts_unit(path: str) -> str:
+    """Inspect the parquet footer and return the ``ts`` column's timestamp
+    unit (``"ns"``, ``"us"``, ``"ms"``, ``"s"``).
+
+    The testdata generator has shipped ``events.ts`` as both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds; hard-coding
+    either unit silently scales every event timestamp 1000x when the file
+    changes.  Reading the footer (a metadata-only operation, no row
+    groups touched) makes the reader self-describing.  Defaults to "us"
+    (the standard parquet logical type) when the footer can't be read.
+    """
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if not parts:
+                return "us"
+            target = os.path.join(path, parts[0])
+        field = pq.read_schema(target).field("ts")
+        return getattr(field.type, "unit", "us") or "us"
+    except Exception:
+        return "us"
+
+
 def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table with its declared schema.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; it is read as long nanoseconds
-    (``spark.sql.legacy.parquet.nanosAsLong``) and converted here with
+    ``events.ts`` is canonically TimestampType.  TIMESTAMP(MICROS)/MILLIS
+    files read directly; TIMESTAMP(NANOS) files (which Spark's parquet
+    reader rejects) are detected from the footer and read as long
+    nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``), converted with
     integer division (ns epochs exceed 2^53, so float division would lose
-    precision).  Truncation matches DuckDB's ns->us parquet conversion.
+    precision — truncation matches DuckDB's ns->us conversion).
     """
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and _events_ts_unit(path) == "ns":
+        from pyspark.sql import functions as F
+
+        from ..schemas import EVENTS_NANOS_SCHEMA
+
         # set defensively at read time: the caller's session (e.g. the
         # driver's own) may not have been built by session.get_spark, and
         # without this a TIMESTAMP(NANOS) scan throws PARQUET_TYPE_ILLEGAL
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = read_parquet(spark, f"{sf_dir}/{name}.parquet", STAR_SCHEMAS.get(name))
-    if name == "events":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        df = read_parquet(spark, path, EVENTS_NANOS_SCHEMA)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return read_parquet(spark, path, STAR_SCHEMAS.get(name))

@@ -29,14 +29,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch — the property the sessionization backfill contract below
     relies on.  On a real bus this is the Kafka reader with the same
     downstream plan."""
-    # defensive: the session may not come from session.get_spark (see
-    # sources.readers.load_star_table) and TIMESTAMP(NANOS) needs this
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..schemas import EVENTS_NANOS_SCHEMA
+    from ..sources.readers import _events_ts_unit
+
+    if _events_ts_unit(f"{sf_dir}/events.parquet") == "ns":
+        # legacy TIMESTAMP(NANOS) files: Spark's parquet reader rejects
+        # nanos, so read as long ns and convert (see readers.load_star_table)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return (
         spark.readStream.schema(STAR_SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 
