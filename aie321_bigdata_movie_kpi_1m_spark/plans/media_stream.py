@@ -194,7 +194,7 @@ def _run_to_memory_sink(
     *,
     name: str,
     output_mode: str,
-    state_partitions: int = 32,
+    state_partitions: int = 8,
     drain_all: bool = False,
 ) -> DataFrame:
     for q in spark.streams.active:
@@ -203,7 +203,11 @@ def _run_to_memory_sink(
     # a streaming query's state-store partition count is frozen from
     # spark.sql.shuffle.partitions at start(): pin it so a caller session
     # with the 200-partition default (e.g. the driver's own) doesn't pay
-    # 200 state stores for a single availableNow batch (~10x slower)
+    # 200 state stores for a single availableNow batch (~10x slower).
+    # 8 is sized to the test corpora (every state store has fixed
+    # per-batch open/commit cost); a production deployment sizes this to
+    # cluster cores since it is frozen into the checkpoint for the
+    # query's lifetime
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -239,37 +243,45 @@ GROUP BY lang
 """,
     "custom STREAMING Python DataSource (sources/pyds.py "
     "replay_parquet): the documents table replayed as an offset-tracked "
-    "stream in fixed micro-batches (SimpleDataSourceStreamReader — the "
-    "Kafka-replay contract: resumable offsets, readBetweenOffsets "
-    "re-serving), aggregated across every micro-batch into the memory "
-    "sink (drained via processAllAvailable: availableNow only takes ONE "
-    "batch from a Simple stream reader); the oracle is the batch truth, "
-    "so dropped/duplicated batches break the hash",
+    "stream through the partition-planning DataSourceStreamReader — the "
+    "production shape: the driver runner does only offset algebra and "
+    "each batch's row range is read ON THE EXECUTORS via row-group-aware "
+    "range scans (no row ever passes through the driver, unlike the "
+    "SimpleDataSourceStreamReader test/backfill variant, kept under "
+    "reader_mode=simple for its readBetweenOffsets replay contract); "
+    "aggregated into the memory sink, oracle is the batch truth, so "
+    "dropped/duplicated rows break the hash",
     tags=("streaming", "sources"),
 )
 def q_streaming_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.pyds import register_replay_parquet
+    from ..sources.pyds import register_replay_parquet, replay_schema_ddl
 
     register_replay_parquet(spark)
+    path, cols = f"{sf_dir}/documents.parquet", "doc_id,lang"
     stream = (
         spark.readStream.format("replay_parquet")
-        .option("path", f"{sf_dir}/documents.parquet")
-        .option("cols", "doc_id,lang")
-        # fixed batch COUNT, not batch size: micro-batch overhead stays
-        # constant as the corpus scales
-        .option("n_batches", "4")
+        # explicit schema (footer-derived driver-side): avoids the
+        # engine's schema() round-trip through a spawned Python worker
+        .schema(replay_schema_ddl(path, cols))
+        .option("path", path)
+        .option("cols", cols)
+        # executor-side parallelism per micro-batch; scale-stable (a
+        # fixed task COUNT keeps per-batch overhead constant as the
+        # corpus grows — raise it with the cluster, not the data)
+        .option("tasks_per_batch", "8")
         .load()
     )
     agg = stream.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+    # availableNow: the partitioned reader reports the full bounded
+    # range as available, so one trigger drains it — no drain loop
     return _run_to_memory_sink(
         spark,
         agg,
         name="stream_replay_docs",
         output_mode="complete",
-        drain_all=True,
     )
 
 

@@ -88,9 +88,12 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
-        # vectorized reader rejects; read as long nanos and convert at the
-        # loader (sources.readers.load_star_table) via integer division.
+        # legacy TIMESTAMP(NANOS) parquet support: Spark's vectorized
+        # reader rejects nanos timestamps outright, so allow reading them
+        # as long nanoseconds.  The loader (sources.readers) detects the
+        # actual footer logical type per file and only takes the nanos
+        # path for genuine TIMESTAMP(NANOS) files; this conf is inert for
+        # standard TIMESTAMP(MICROS) data.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # keep driver results honest: sinks iterate, they don't giant-collect
         .config("spark.driver.maxResultSize", "2g")

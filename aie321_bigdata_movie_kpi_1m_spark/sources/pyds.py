@@ -40,6 +40,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -335,11 +336,114 @@ class _ReplayStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+@dataclass
+class _ReplayRangePartition(InputPartition):
+    path: str
+    cols: tuple
+    lo: int
+    hi: int
+
+
+class _ReplayStreamReaderPartitioned(DataSourceStreamReader):
+    """Partition-planning replay reader: the PRODUCTION shape of the
+    replay source.
+
+    The driver-side runner only does offset algebra (footer row count,
+    row-range arithmetic — metadata, never data); each micro-batch's row
+    range is split into ``tasks_per_batch`` contiguous
+    ``InputPartition``s and the parquet rows are read ON THE EXECUTORS
+    with a row-group-aware range scan.  No row ever passes through the
+    driver, so batch size can scale with the cluster instead of with
+    driver memory — the property ``SimpleDataSourceStreamReader`` (which
+    prefetches every batch on the driver) fundamentally lacks.
+
+    Offset contract is identical to the simple variant ({"row": n},
+    absolute row position), so checkpoints are interchangeable.
+
+    ``latestOffset`` reports the TRUE available end of the log (here:
+    the file's row count) — never a paced cursor.  The engine compares
+    offsets by equality and calls ``latestOffset`` before any
+    ``commit`` on restart, so a reader-local pacing cursor rewinds
+    behind the checkpoint and re-serves committed rows (verified
+    empirically); the Python API exposes no ReadLimit hook to pace
+    batches safely.  Bounded replay therefore lands as one
+    micro-batch fanned into ``tasks_per_batch`` executor tasks;
+    paced multi-batch replay (``readBetweenOffsets`` re-serving) is
+    the simple variant's documented role (``reader_mode=simple``).
+    """
+
+    def __init__(self, options: dict):
+        import pyarrow.parquet as pq
+
+        self._path = options["path"]
+        self._cols = tuple(options["cols"].split(","))
+        self._n_rows = pq.ParquetFile(self._path).metadata.num_rows
+        # n_batches is accepted as a parallelism hint so callers can
+        # switch reader modes without retuning options
+        self._tasks = max(
+            1,
+            int(
+                options.get(
+                    "tasks_per_batch", options.get("n_batches", 4)
+                )
+            ),
+        )
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        return {"row": self._n_rows}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        if hi <= lo:
+            return [_ReplayRangePartition(self._path, self._cols, lo, lo)]
+        step = max(1, -(-(hi - lo) // self._tasks))
+        return [
+            _ReplayRangePartition(self._path, self._cols, a, min(a + step, hi))
+            for a in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _ReplayRangePartition) -> Iterator[tuple]:
+        # executor-side: touch only the row groups overlapping [lo, hi)
+        import pyarrow.parquet as pq
+
+        if partition.hi <= partition.lo:
+            return
+        pf = pq.ParquetFile(partition.path)
+        md = pf.metadata
+        groups: list[int] = []
+        acc, base = 0, None
+        for i in range(md.num_row_groups):
+            n = md.row_group(i).num_rows
+            if acc < partition.hi and acc + n > partition.lo:
+                if base is None:
+                    base = acc
+                groups.append(i)
+            acc += n
+        if not groups:
+            return
+        table = pf.read_row_groups(groups, columns=list(partition.cols))
+        sl = table.slice(partition.lo - base, partition.hi - partition.lo)
+        cols = [sl.column(c).to_pylist() for c in partition.cols]
+        yield from zip(*cols)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class ReplayParquetDataSource(DataSource):
     """``spark.readStream.format("replay_parquet")`` — replay a parquet
     file as an offset-tracked stream (options: ``path``, ``cols``
-    comma-list, ``batch_rows``).  Schema is derived from the parquet
-    footer for the requested columns."""
+    comma-list, ``batch_rows`` or ``n_batches``, ``tasks_per_batch``).
+    Schema is derived from the parquet footer for the requested columns.
+
+    Two readers, one offset algebra: the default is the
+    partition-planning executor-side reader; ``reader_mode=simple``
+    selects the driver-prefetch ``SimpleDataSourceStreamReader`` (which
+    additionally serves ``readBetweenOffsets`` re-reads — the
+    test/backfill path)."""
 
     _ARROW_TO_DDL = {
         "int64": "long",
@@ -370,6 +474,18 @@ class ReplayParquetDataSource(DataSource):
             parts.append(f"{c} {self._ARROW_TO_DDL[arrow_t]}")
         return ", ".join(parts)
 
+    def streamReader(self, schema):
+        if self.options.get("reader_mode") == "simple":
+            # fall back to simpleStreamReader() (pyspark tries this
+            # method first and catches exactly this error)
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return _ReplayStreamReaderPartitioned(dict(self.options))
+
     def simpleStreamReader(self, schema):
         return _ReplayStreamReader(dict(self.options))
 
@@ -388,6 +504,28 @@ def register_chunked_csv(spark) -> None:
     # not necessarily built by session.get_spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ChunkedCsvDataSource)
+
+
+def replay_schema_ddl(path: str, cols: str) -> str:
+    """Driver-side schema DDL for a replay_parquet stream (footer-only).
+
+    Passing this to ``readStream.schema(...)`` skips the engine's
+    ``DataSource.schema()`` round-trip, which spawns a dedicated Python
+    worker process (~1.5 s of fixed latency per stream definition).
+    Same mapping as ``ReplayParquetDataSource.schema``.
+    """
+    import pyarrow.parquet as pq
+
+    footer = pq.read_schema(path)
+    parts = []
+    for c in cols.split(","):
+        arrow_t = str(footer.field(c).type)
+        if arrow_t not in ReplayParquetDataSource._ARROW_TO_DDL:
+            raise ValueError(
+                f"replay_parquet: unsupported column type {arrow_t!r} for {c!r}"
+            )
+        parts.append(f"{c} {ReplayParquetDataSource._ARROW_TO_DDL[arrow_t]}")
+    return ", ".join(parts)
 
 
 def register_replay_parquet(spark) -> None:

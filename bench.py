@@ -53,17 +53,23 @@ def main() -> None:
         CATALOG[name].fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_query_wall_seconds_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "catalog_query_wall_seconds_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # durable full artifact: the driver's captured stdout tail has
+    # truncated the head of this line before (BENCH_r02), losing half the
+    # per-query map — write the parsed dict alongside so round-over-round
+    # regression tracking always has every query
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

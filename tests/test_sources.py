@@ -240,6 +240,11 @@ class TestReplayParquetStreamSource:
     micro-batched offset replay with exactly-once restart semantics."""
 
     def test_replays_in_batches_exactly_once(self, spark, sf_dir, tmp_path):
+        # reader_mode=simple: the paced multi-batch replay contract
+        # (driver-prefetch SimpleDataSourceStreamReader).  The default
+        # partitioned reader is single-batch by design — a stateless
+        # pacing cursor rewinds behind the checkpoint on restart and
+        # re-serves committed rows (see _ReplayStreamReaderPartitioned).
         from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
             register_replay_parquet,
         )
@@ -250,6 +255,7 @@ class TestReplayParquetStreamSource:
             .option("path", f"{sf_dir}/documents.parquet")
             .option("cols", "doc_id,lang")
             .option("batch_rows", "120")
+            .option("reader_mode", "simple")
             .load()
         )
         batches: list = []
@@ -275,6 +281,54 @@ class TestReplayParquetStreamSource:
                 lambda df, bid: batches2.append(df.count())
             )
             .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination()
+        assert sum(batches2) == 0
+
+    def test_partitioned_reader_executor_side_exactly_once(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Default (production) reader: partition-planned executor-side
+        reads.  The whole bounded file arrives as one micro-batch split
+        into tasks_per_batch range partitions; a checkpoint restart
+        re-serves nothing (latestOffset is the stable true end, so the
+        offset-equality check sees no new data)."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            register_replay_parquet,
+        )
+
+        register_replay_parquet(spark)
+        stream = (
+            spark.readStream.format("replay_parquet")
+            .option("path", f"{sf_dir}/documents.parquet")
+            .option("cols", "doc_id,lang")
+            .option("tasks_per_batch", "4")
+            .load()
+        )
+        batches: list = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: batches.append((df.count(), df.rdd.getNumPartitions()))
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_part"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        assert sum(n for n, _ in batches) == 500
+        # the data batch fans out across executor tasks
+        assert max(p for n, p in batches if n > 0) == 4
+
+        batches2: list = []
+        q2 = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: batches2.append(df.count())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_part"))
             .start()
         )
         q2.processAllAvailable()
