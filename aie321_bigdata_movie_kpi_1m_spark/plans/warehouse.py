@@ -262,11 +262,12 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o_orderpriority
 """,
     "skew-safe join, driver-exercised: lineitem->orders through "
-    "operators.skew.salted_join (big side salted into 16 sub-keys, "
-    "order rows replicated across them) — result provably identical to "
-    "the plain equi-join the oracle runs; this is the lever for the "
-    "one-hot-key day at 100 TB, and its equality contract is also "
-    "pytest-pinned in test_operators.py",
+    "operators.skew.salted_join with salt='auto' — a sampled skew probe "
+    "picks the salt factor from the hottest key's observed row share, "
+    "resolving to 1 (plain join, no replication tax) on balanced keys "
+    "and to a real fan-out factor on the one-hot-key day at 100 TB; "
+    "result provably identical to the plain equi-join the oracle runs, "
+    "equality + gating also pytest-pinned in test_operators.py",
     tags=("layout", "join", "skew"),
 )
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,7 +279,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_star_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = salted_join(li, orders, "l_orderkey", salt=16)
+    joined = salted_join(li, orders, "l_orderkey", salt="auto")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))

@@ -234,6 +234,33 @@ def test_salted_join_equals_plain_join(spark):
     assert left_salted == left_plain
 
 
+def test_observed_salt_gates_on_real_skew(spark):
+    """salt='auto' pays the replication tax only when a sampled probe
+    sees a genuinely hot key; balanced keys resolve to a plain join."""
+    from aie321_bigdata_movie_kpi_1m_spark.operators.skew import (
+        observed_salt,
+        salted_join,
+    )
+
+    # one key holds ~83% of rows -> needs multiple reducers' worth
+    skewed = spark.createDataFrame(
+        [(1 if i < 500 else i % 7, i) for i in range(600)], "k int, payload int"
+    )
+    assert observed_salt(skewed, "k", sample_frac=1.0) > 1
+
+    # uniform keys -> no salting (salt machinery fully skipped)
+    uniform = spark.createDataFrame(
+        [(i % 200, i) for i in range(600)], "k int, payload int"
+    )
+    assert observed_salt(uniform, "k", sample_frac=1.0) == 1
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(200)], "k int, name string"
+    )
+    auto = salted_join(uniform, small, "k", salt="auto")
+    assert "__salt" not in auto.columns
+    assert auto.count() == uniform.join(small, "k").count()
+
+
 def test_salted_groupby_equals_plain_groupby(spark):
     from aie321_bigdata_movie_kpi_1m_spark.operators.skew import salted_groupby
 
