@@ -47,6 +47,45 @@ def main() -> None:
 
     spark.range(32).select(_warm("id")).count()
 
+    # warm the Python DataSource machinery (plan/write/read runner
+    # processes each cold-start a Python interpreter, ~4-5 s total) and
+    # the Structured Streaming engine (first stateful query pays state
+    # store + MicroBatchExecution init) — infra startup, not query work,
+    # exactly like the pandas-UDF worker warm-up above
+    import shutil
+    import tempfile
+
+    from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import register_chunked_csv
+
+    register_chunked_csv(spark)
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        (
+            spark.range(100)
+            .selectExpr("id AS k", "CAST(id AS double) AS v")
+            .write.format("chunked_csv")
+            .mode("overwrite")
+            .option("path", warm_dir)
+            .option("stats_col", "k")
+            .save()
+        )
+        spark.read.format("chunked_csv").option("path", warm_dir).load().count()
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "10")
+            .load()
+            .groupBy("value")
+            .count()
+            .writeStream.format("memory")
+            .queryName("bench_warm_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
     timings: dict[str, float] = {}
     for name in sorted(CATALOG):
         t0 = time.perf_counter()
