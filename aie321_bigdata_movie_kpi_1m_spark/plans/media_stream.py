@@ -373,6 +373,31 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_watermark",
+    """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    "built-in bounded-state streaming dedup: dropDuplicatesWithinWatermark "
+    "on (user_id, event_type) — unlike streaming dropDuplicates, per-key "
+    "state is EVICTED once the watermark passes event time + 1h, so state "
+    "is bounded by keys-per-window not keys-ever-seen (the 100 TB/day "
+    "survival property); zero Python in the loop, availableNow backfill "
+    "equals batch DISTINCT (streaming/events.py::"
+    "dedup_events_within_watermark)",
+    tags=("streaming", "stateful", "dedup"),
+)
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import dedup_events_within_watermark, read_events_stream
+
+    return _run_to_memory_sink(
+        spark,
+        dedup_events_within_watermark(read_events_stream(spark, sf_dir)),
+        name="stream_dedup_watermark",
+        output_mode="append",
+    )
+
+
+@register(
     "streaming_sessionize",
     """
 WITH marked AS (

@@ -49,6 +49,34 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_events_within_watermark(
+    events: DataFrame, *, delay: str = "1 hour"
+) -> DataFrame:
+    """Built-in BOUNDED-STATE streaming dedup:
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type).
+
+    Plain ``dropDuplicates`` on a stream keeps every key seen forever —
+    state grows without bound, the classic slow-death at 100 TB/day.
+    The within-watermark variant drops a key's state once the watermark
+    passes its event time + delay, so state is bounded by (keys active
+    per delay window), not (keys ever seen).  The stateful-API twin of
+    the fingerprint dedup in ``streaming/documents.py`` (which tracks
+    extra per-key aggregates); this one is the pure built-in, zero
+    Python in the loop.
+
+    Output projects the key columns only: which *full row* survives for
+    a key is first-arrival order, nondeterministic under parallel read —
+    the key set itself is exact.  One availableNow backfill batch never
+    advances the watermark mid-batch, so the result equals batch
+    ``SELECT DISTINCT`` (the oracle).
+    """
+    return (
+        events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
 def windowed_event_counts(
     events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -289,3 +289,50 @@ def test_price_histogram_single_shuffle(spark):
     plan = plan_of(spark, "lineitem_price_histogram")
     assert _shuffle_exchanges(plan) == 1
     assert "SinglePartition" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side_of_selective_join(spark):
+    """Runtime row-group pruning at 100 TB: when a selective dimension
+    filter feeds a shuffle join, Catalyst injects a bloom-filter
+    semi-filter (`might_contain`) on the fact scan so non-matching rows
+    die before the shuffle, not after it.  At bench scale the
+    application-side size threshold (default 10GB) gates it off, so the
+    test pins the MECHANISM with the threshold lowered — the plan shape
+    a real cluster gets for free."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from aie321_bigdata_movie_kpi_1m_spark.sources.readers import load_star_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_star_table(spark, SF, "lineitem")
+        orders = load_star_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan  # fact side pre-filtered...
+    assert "bloom_filter_agg" in plan  # ...by a bloom built on the dim side
