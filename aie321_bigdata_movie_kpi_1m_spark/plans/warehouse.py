@@ -286,3 +286,75 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+def _zorder_oracle() -> str:
+    """DuckDB replay of the full z-order pipeline: min/max normalize to
+    16 bits (IEEE double arithmetic matches Spark op-for-op), Morton
+    interleave as 32 explicit shift-mask terms, file id = top 4 bits."""
+    terms = " + ".join(
+        f"(((nx >> {k}) & 1) << {2 * k}) + (((ny >> {k}) & 1) << {2 * k + 1})"
+        for k in range(16)
+    )
+    return f"""
+WITH stats AS (
+  SELECT min(o_custkey) AS lo_c, max(o_custkey) AS hi_c,
+         min(o_totalprice) AS lo_p, max(o_totalprice) AS hi_p
+  FROM orders
+),
+norm AS (
+  SELECT o_custkey, o_totalprice,
+         LEAST(GREATEST(CAST(FLOOR((o_custkey - lo_c) / (hi_c - lo_c) * 65535)
+                             AS BIGINT), 0), 65535) AS nx,
+         LEAST(GREATEST(CAST(FLOOR((o_totalprice - lo_p) / (hi_p - lo_p) * 65535)
+                             AS BIGINT), 0), 65535) AS ny
+  FROM orders CROSS JOIN stats
+),
+zed AS (SELECT o_custkey, o_totalprice, {terms} AS z FROM norm)
+SELECT z >> 28 AS file_id,
+       COUNT(*) AS n_rows,
+       MIN(o_custkey) AS custkey_lo,
+       MAX(o_custkey) AS custkey_hi,
+       CAST(MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_lo_cents,
+       CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_hi_cents
+FROM zed
+GROUP BY 1
+"""
+
+
+@register(
+    "zorder_file_stats",
+    _zorder_oracle(),
+    "multi-dimensional layout clustering (operators/layout.py): Morton/"
+    "Z-order interleave of min/max-normalized (o_custkey, o_totalprice) "
+    "— a pure JVM expression tree, no UDF — with file assignment as the "
+    "TOP BITS of the z-value (the quad-tree cell: map-side, no global "
+    "sort/window; equal-SIZED files would use repartitionByRange on "
+    "__z).  Returns per-file min/max of BOTH dimensions — the narrow "
+    "two-dimensional ranges are exactly what lets parquet min/max stats "
+    "skip files for predicates on EITHER column at 100 TB (the Delta "
+    "OPTIMIZE ZORDER BY / Iceberg sort-order lever); the oracle replays "
+    "normalize + 32-term interleave + top-bits binning in SQL",
+    tags=("layout",),
+)
+def q_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_layout
+
+    orders = load_star_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    laid = zorder_layout(
+        orders, ["o_custkey", "o_totalprice"], bits=16, n_files=16
+    )
+    return (
+        laid.groupBy(F.col("__file_id").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("custkey_lo"),
+            F.max("o_custkey").alias("custkey_hi"),
+            F.min(_cents(F.col("o_totalprice"))).cast("long").alias("price_lo_cents"),
+            F.max(_cents(F.col("o_totalprice"))).cast("long").alias("price_hi_cents"),
+        )
+    )

@@ -580,3 +580,45 @@ def test_pagerank_fixed_closed_form(spark):
     assert got3[2] == base + 0.875 * (third * 0.75)
     assert got3[3] == base + 0.875 * (third * 0.25)
     assert got3[1] == base
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from aie321_bigdata_movie_kpi_1m_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+    # Morton layout: x bit k -> position 2k, y bit k -> position 2k+1
+    # x=101, y=011 -> z = x0<<0 | y0<<1 | x1<<2 | y1<<3 | x2<<4 | y2<<5
+    #               = 1 | 2 | 0 | 8 | 16 | 0 = 27
+    row = df.select(zorder_value(["x", "y"], bits=3).alias("z")).collect()[0]
+    assert row["z"] == 27
+
+
+def test_zorder_layout_narrows_both_dimensions(spark):
+    """The point of z-ordering: per-file min/max ranges stay narrow on
+    EVERY participating column, where a single-column sort leaves the
+    other column's per-file range at full width (no skipping)."""
+    from pyspark.sql import functions as F
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.layout import zorder_layout
+
+    n = 64
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(n) for j in range(n)], "a long, b long"
+    )
+    laid = zorder_layout(grid, ["a", "b"], bits=6, n_files=16)
+    z_stats = (
+        laid.groupBy("__file_id")
+        .agg(
+            (F.max("a") - F.min("a")).alias("ra"),
+            (F.max("b") - F.min("b")).alias("rb"),
+        )
+        .agg(F.avg("ra").alias("ra"), F.avg("rb").alias("rb"))
+        .collect()[0]
+    )
+    # 16 files over a 64x64 grid -> 4x4 quad-tree cells of 16x16: both
+    # ranges ~15.  A sort on `a` alone gives ra ~3 but rb = 63 (full).
+    assert z_stats["ra"] < 20 and z_stats["rb"] < 20
+
+    # every row lands in exactly one of the 16 files, none lost
+    assert laid.count() == n * n
+    assert laid.select("__file_id").distinct().count() == 16
