@@ -122,12 +122,20 @@ def ngram_jaccard_pairs(
         # shingles (true set size), which is the correct jaccard
         # denominator — dropped stop-shingles only shrink the overlap
         sh = sh.join(rare, "__shingle")
-    a = sh.select(F.col("__id").alias("i"), F.col("__n").alias("n_i"), "__shingle")
-    b = sh.select(F.col("__id").alias("j"), F.col("__n").alias("n_j"), "__shingle")
+    # alias self-join (NOT two renamed projections): both join inputs
+    # canonicalize to the same subplan, so Spark shuffles the exploded
+    # shingles ONCE and the second side is a ReusedExchange — the
+    # tokenize/shingle/explode work is not recomputed (plan-test pinned)
+    sa, sb = sh.alias("A"), sh.alias("B")
     return (
-        a.join(b, "__shingle")
-        .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j", "n_i", "n_j")
+        sa.join(sb, "__shingle")
+        .filter(F.col("A.__id") < F.col("B.__id"))
+        .groupBy(
+            F.col("A.__id").alias("i"),
+            F.col("B.__id").alias("j"),
+            F.col("A.__n").alias("n_i"),
+            F.col("B.__n").alias("n_j"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
             "jaccard",
