@@ -122,10 +122,13 @@ def ngram_jaccard_pairs(
         # shingles (true set size), which is the correct jaccard
         # denominator — dropped stop-shingles only shrink the overlap
         sh = sh.join(rare, "__shingle")
-    # alias self-join (NOT two renamed projections): both join inputs
-    # canonicalize to the same subplan, so Spark shuffles the exploded
-    # shingles ONCE and the second side is a ReusedExchange — the
-    # tokenize/shingle/explode work is not recomputed (plan-test pinned)
+    # alias self-join: both join inputs canonicalize to the same subplan,
+    # so in the shuffle-join regime (the 100 TB shape) Spark plans the
+    # tokenize/shingle/explode/shuffle pipeline ONCE and the second side
+    # is a ReusedExchange — pinned by plan test so no refactor (e.g. a
+    # nondeterministic column) silently doubles the heaviest stage.  At
+    # broadcast sizes there is no shuffle to reuse and the pipeline
+    # legitimately runs twice — that regime is cheap by definition.
     sa, sb = sh.alias("A"), sh.alias("B")
     return (
         sa.join(sb, "__shingle")

@@ -336,3 +336,41 @@ def test_runtime_bloom_filter_prunes_fact_side_of_selective_join(spark):
                 spark.conf.set(k, v)
     assert "might_contain" in plan  # fact side pre-filtered...
     assert "bloom_filter_agg" in plan  # ...by a bloom built on the dim side
+
+
+def test_jaccard_self_join_reuses_the_shingle_exchange(spark):
+    """The shared-shingle blocking join's two sides are the SAME shingle
+    pipeline; in the shuffle-join regime (forced here — at 100 TB the
+    exploded shingle set far exceeds broadcast thresholds) the second
+    side must be a ReusedExchange, not a recomputation of the heaviest
+    stage.  AQE performs this reuse at runtime stage dedup, so the test
+    pins the statically-visible property with AQE off."""
+    import io
+    from contextlib import redirect_stdout
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.dedup import ngram_jaccard_pairs
+    from aie321_bigdata_movie_kpi_1m_spark.sources.readers import load_star_table
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pairs = ngram_jaccard_pairs(
+            load_star_table(spark, SF, "documents"), threshold=0.5
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            pairs.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin" in plan
+    assert "ReusedExchange" in plan
