@@ -396,3 +396,54 @@ def test_csv_permissive_mode_captures_corrupt_rows(spark, tmp_path):
     bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
     assert good == {1: ("alpha", 2.5)}
     assert sorted(bad) == ["3,gamma,oops", "not_an_int,beta,3.5"]
+
+
+def test_events_reader_handles_both_timestamp_units(spark, tmp_path):
+    """The events reader must self-describe from the parquet footer: the
+    testdata generator has shipped ts as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS) across rounds, and hard-coding either unit scales
+    every timestamp 1000x (the round-2 regression).  Current testdata is
+    micros, so this fabricates a nanos file to keep the legacy fallback
+    (nanosAsLong + div-1000) exercised."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aie321_bigdata_movie_kpi_1m_spark.sources.readers import (
+        _events_ts_unit,
+        load_star_table,
+    )
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20 UTC in micros
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["view", "purchase"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    for unit, scale in (("us", 1), ("ns", 1000)):
+        sf_dir = tmp_path / unit
+        sf_dir.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": pa.array(
+                    [base_us * scale, (base_us + 3_600_000_000) * scale],
+                    pa.timestamp(unit),
+                ),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"]),
+                "value": pa.array(rows["value"], pa.float64()),
+                "props": pa.array(rows["props"]),
+            }
+        )
+        pq.write_table(table, str(sf_dir / "events.parquet"))
+        assert _events_ts_unit(str(sf_dir / "events.parquet")) == unit
+        df = load_star_table(spark, str(sf_dir), "events")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp"
+        got = sorted(r["ts"] for r in df.select("ts").collect())
+        # identical wall-clock instants regardless of storage unit
+        assert [int(t.timestamp() * 1_000_000) for t in got] == [
+            base_us,
+            base_us + 3_600_000_000,
+        ]
