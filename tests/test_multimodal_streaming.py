@@ -276,3 +276,63 @@ def test_streaming_checkpoint_restart_recovers_state(spark, tmp_path):
     # run 2's memory sink holds ONLY run 2 output: the session resumed
     # from checkpointed state (3 events, 1200 s), not a fresh (1, 0)
     assert [(r["n_events"], r["duration_secs"]) for r in rows2] == [(3, 1200)]
+
+
+def test_dedup_within_watermark_evicts_state_across_batches(spark, tmp_path):
+    """The property that makes dropDuplicatesWithinWatermark the
+    100 TB/day shape: per-key state is EVICTED once the watermark passes
+    event time + delay, so a key seen again AFTER eviction is emitted
+    again (bounded state), whereas streaming dropDuplicates would
+    suppress it forever (unbounded state).
+    """
+    from datetime import datetime
+
+    from aie321_bigdata_movie_kpi_1m_spark.streaming.events import (
+        dedup_events_within_watermark,
+    )
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_batch(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    # batch 1: key (1, click) at 00:00; a later row at 01:00 pushes the
+    # watermark (delay 10 min) to 00:50, past the key's 00:10 expiry
+    write_batch(
+        [
+            (1, t("2024-01-01 00:00:00"), 1, "click", 1.0, "{}"),
+            (2, t("2024-01-01 00:00:01"), 1, "click", 1.0, "{}"),  # in-window dup: dropped
+            (3, t("2024-01-01 01:00:00"), 9, "view", 1.0, "{}"),
+        ],
+        1,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = dedup_events_within_watermark(stream, delay="10 minutes")
+    emitted: list = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: emitted.extend(
+                (r["user_id"], r["event_type"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    assert emitted.count((1, "click")) == 1  # in-window duplicate dropped
+
+    # batch 2: same key long after its state expired -> emitted AGAIN
+    write_batch([(4, t("2024-01-01 02:00:00"), 1, "click", 1.0, "{}")], 2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    assert emitted.count((1, "click")) == 2, emitted
