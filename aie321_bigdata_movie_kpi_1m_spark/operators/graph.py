@@ -37,8 +37,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # initialize at min(self, direct neighbors) — the state the first
+    # propagation round of an identity init would produce, for the same
+    # one-shuffle cost as the identity init's distinct(); shallow
+    # components (the near-dup norm) then converge one join-round earlier
+    labels = (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__nbr_min"))
+        .select(
+            "node", F.least(F.col("node"), F.col("__nbr_min")).alias("label")
+        )
     )
 
     def label_mass(df: DataFrame):
