@@ -1539,3 +1539,83 @@ def q_priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("status_counts"),
         F.sum("n").cast("long").alias("n_orders"),
     )
+
+
+@register(
+    "theta_sketch_rollup",
+    """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS sketch_ok
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT '__all__', COUNT(DISTINCT user_id), TRUE FROM events
+UNION ALL
+SELECT '__view_and_purchase__', COUNT(*), TRUE FROM (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+""",
+    "mergeable-sketch rollup (Spark 4 DataSketches): per-event-type theta "
+    "sketches of user_id built in ONE pass, then rolled up WITHOUT "
+    "rescanning — theta_union_agg merges partials into the global "
+    "distinct-user count and theta_intersection_agg answers 'users who "
+    "did BOTH view and purchase' by sketch set-algebra alone.  This "
+    "partial-sketch-then-merge shape is the 100 TB pre-aggregation "
+    "pattern (daily sketches merged into any window, no raw re-scan), "
+    "and set INTERSECTION is what HLL cannot do.  Estimates are "
+    "engine-specific, so the oracle checks exact counts plus in-row "
+    "|est-exact|/exact tolerance flags (theta is exact below its 4096 "
+    "nominal entries; the bound holds at any SF)",
+    tags=("relational", "sketch"),
+)
+def q_theta_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_star_table(spark, sf_dir, "events").select("event_type", "user_id")
+
+    def ok(est, exact, tol):
+        return (F.abs(est - F.col(exact)) / F.col(exact) <= tol).alias("sketch_ok")
+
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("theta_sketch_agg(user_id)").alias("__sk"),
+    )
+    per_out = per.select(
+        "event_type",
+        "exact_users",
+        ok(F.expr("theta_sketch_estimate(__sk)"), "exact_users", 0.05),
+    )
+    # global rollup: merge the per-type partial sketches (no rescan)
+    total_out = (
+        per.agg(
+            F.expr("theta_sketch_estimate(theta_union_agg(__sk))").alias("__est")
+        )
+        .join(ev.agg(F.countDistinct("user_id").alias("exact_users")))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "exact_users",
+            ok(F.col("__est"), "exact_users", 0.05),
+        )
+    )
+    # sketch set-intersection: users in BOTH cohorts, from sketches alone
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exact_both = viewers.join(buyers, "user_id", "left_semi").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    inter_out = (
+        per.filter(F.col("event_type").isin("view", "purchase"))
+        .agg(
+            F.expr(
+                "theta_sketch_estimate(theta_intersection_agg(__sk))"
+            ).alias("__est")
+        )
+        .join(exact_both)
+        .select(
+            F.lit("__view_and_purchase__").alias("event_type"),
+            "exact_users",
+            ok(F.col("__est"), "exact_users", 0.1),
+        )
+    )
+    return per_out.unionByName(total_out).unionByName(inter_out)
