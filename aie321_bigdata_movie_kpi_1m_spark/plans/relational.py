@@ -1619,3 +1619,75 @@ def q_theta_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_out.unionByName(total_out).unionByName(inter_out)
+
+
+@register(
+    "kll_quantile_rollup",
+    """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+       TRUE AS kll_ok
+FROM lineitem
+GROUP BY l_returnflag
+UNION ALL
+SELECT '__all__',
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4),
+       TRUE
+FROM lineitem
+""",
+    "mergeable QUANTILE sketches (Spark 4 DataSketches KLL): per-group "
+    "kll_sketch_agg_double of l_extendedprice, per-group median read "
+    "from the sketch, and the global median from kll_merge_agg_double "
+    "over the group partials — NO rescan of raw data for the rollup, "
+    "the same partial-then-merge shape as theta_sketch_rollup but for "
+    "order statistics (exact percentile needs a full per-group sort; "
+    "the sketch is one pass + tiny mergeable state).  KLL estimates are "
+    "rank-bounded, so the oracle checks exact medians plus in-row flags "
+    "that each estimate lands inside the exact p45-p55 rank window",
+    tags=("relational", "sketch"),
+)
+def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_star_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+
+    def ok(est):
+        return (
+            (est >= F.col("__p45")) & (est <= F.col("__p55"))
+        ).alias("kll_ok")
+
+    per = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "exact_median"
+        ),
+        F.percentile("l_extendedprice", F.lit(0.45)).alias("__p45"),
+        F.percentile("l_extendedprice", F.lit(0.55)).alias("__p55"),
+        F.expr("kll_sketch_agg_double(l_extendedprice)").alias("__sk"),
+    )
+    per_out = per.select(
+        "l_returnflag",
+        "exact_median",
+        ok(F.expr("kll_sketch_get_quantile_double(__sk, 0.5)")),
+    )
+    total_out = (
+        per.agg(
+            F.expr(
+                "kll_sketch_get_quantile_double(kll_merge_agg_double(__sk), 0.5)"
+            ).alias("__est")
+        )
+        .join(
+            li.agg(
+                F.round(
+                    F.percentile("l_extendedprice", F.lit(0.5)), 4
+                ).alias("exact_median"),
+                F.percentile("l_extendedprice", F.lit(0.45)).alias("__p45"),
+                F.percentile("l_extendedprice", F.lit(0.55)).alias("__p55"),
+            )
+        )
+        .select(
+            F.lit("__all__").alias("l_returnflag"),
+            "exact_median",
+            ok(F.col("__est")),
+        )
+    )
+    return per_out.unionByName(total_out)
