@@ -374,3 +374,15 @@ def test_jaccard_self_join_reuses_the_shingle_exchange(spark):
                 spark.conf.set(k, v)
     assert "SortMergeJoin" in plan
     assert "ReusedExchange" in plan
+
+
+def test_zorder_layout_is_map_side_after_stats(spark):
+    """Z-order file assignment must be a pure map-side expression: one
+    broadcast 1-row stats pass plus the final per-file groupBy — never a
+    global Sort or Window (the ntile-over-global-order shape would
+    serialize the write through one task)."""
+    plan = plan_of(spark, "zorder_file_stats")
+    assert "(Sort " not in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert _shuffle_exchanges(plan) <= 2  # stats agg + final groupBy
