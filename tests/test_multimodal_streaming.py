@@ -336,3 +336,41 @@ def test_dedup_within_watermark_evicts_state_across_batches(spark, tmp_path):
     q.stop()
     q.awaitTermination()
     assert emitted.count((1, "click")) == 2, emitted
+
+
+def test_statestore_reader_exposes_checkpoint_state(spark, tmp_path):
+    """Operational introspection at 100 TB: a streaming checkpoint's
+    state store is queryable as a batch DataFrame
+    (spark.read.format('statestore')) — the debugging path for stuck or
+    oversized state that needs no custom tooling.  The state rows must
+    equal the batch aggregation truth."""
+    from pyspark.sql import functions as F
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    df = spark.createDataFrame([(i % 5, i) for i in range(100)], "k long, v long")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("k long, v long").parquet(src)
+    q = (
+        stream.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("ss_introspect")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    ops = [r["operatorName"] for r in meta.collect()]
+    assert "stateStoreSave" in ops
+
+    state = spark.read.format("statestore").load(ckpt)
+    # value fields carry the operator's INTERNAL schema (e.g. `count`
+    # for count(1)); key carries the grouping columns
+    got = {
+        r["key"]["k"]: r["value"][0] for r in state.collect()
+    }
+    truth = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == truth
