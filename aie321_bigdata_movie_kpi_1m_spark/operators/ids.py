@@ -38,8 +38,17 @@ def assign_contiguous_ids(
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # PIN one materialization: repartitionByRange picks boundaries by
+    # SAMPLING, so two executions of the same plan can place rows in
+    # different partitions.  The sizes collect below and the final
+    # window must see the SAME partitioning or the prefix-sum offsets
+    # are wrong (observed at sf0.1: ids off by a few boundary rows).
+    # On a cluster swap localCheckpoint for checkpoint()/persist to
+    # reliable storage — the contract is identical.
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # tiny: numPartitions rows; the only driver-side state in the op
     sizes = {

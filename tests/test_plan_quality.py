@@ -194,11 +194,17 @@ def test_bucketed_join_query_has_single_agg_exchange(spark):
 
 
 def test_stable_ids_avoids_global_single_partition_sort(spark):
-    # zipWithIndex idiom: range repartition + per-partition window, never
-    # a SinglePartition global window
+    # zipWithIndex idiom: range repartition (materialized behind an
+    # eager localCheckpoint so the sizes pass and the rank pass see ONE
+    # partitioning — repartitionByRange samples boundaries, so two
+    # executions may differ) + per-partition window, never a
+    # SinglePartition global window
     plan = plan_of(spark, "stable_doc_ids")
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan
+    # the checkpointed range partitioning arrives as an ExistingRDD scan;
+    # the rank window partitions by __pid, never a global order-by
+    assert "ExistingRDD" in plan
+    assert "windowspecdefinition(__pid" in plan
 
 
 def test_gapfill_single_user_partitioning_is_reused(spark):
