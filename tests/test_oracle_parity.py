@@ -12,13 +12,15 @@ import pytest
 
 from aie321_bigdata_movie_kpi_1m_spark.plans.catalog import CATALOG
 
-from .conftest import SF_ORACLE, SF_SMOKE
+from .conftest import PARITY_SFS, SF_ORACLE, SF_SMOKE
 from .oracle_harness import run_compare
 
 pytestmark = pytest.mark.usefixtures("spark")
 
 
-@pytest.mark.parametrize("sf", [SF_SMOKE, SF_ORACLE], ids=["sf0.001", "sf0.01"])
+@pytest.mark.parametrize(
+    "sf", PARITY_SFS, ids=[p.rsplit("/", 1)[1] for p in PARITY_SFS]
+)
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_oracle_parity(spark, sf, name):
     problems = run_compare(spark, sf, name)
