@@ -447,3 +447,46 @@ def test_events_reader_handles_both_timestamp_units(spark, tmp_path):
             base_us,
             base_us + 3_600_000_000,
         ]
+
+
+def test_declared_schemas_match_testdata_footers():
+    """Testdata-drift canary: the driver REGENERATES the parquet tables
+    between rounds (events.ts flipped nanos->micros in round 2).  This
+    compares every declared StructType against the actual parquet
+    footers so a generator-side type change fails ONE named test with
+    the exact column, instead of surfacing as dozens of query
+    mismatches.  events.ts is excluded from strictness: its unit is
+    footer-detected at read time (see readers._events_ts_unit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aie321_bigdata_movie_kpi_1m_spark.schemas import STAR_SCHEMAS, STAR_TABLES
+
+    def spark_equiv(arrow_type) -> str:
+        if pa.types.is_timestamp(arrow_type):
+            return "timestamp"  # any unit: readers normalize
+        if pa.types.is_large_string(arrow_type):
+            return "string"
+        if pa.types.is_list(arrow_type) or pa.types.is_large_list(arrow_type):
+            return f"array<{spark_equiv(arrow_type.value_type)}>"
+        return {
+            "int64": "bigint",
+            "int32": "int",
+            "double": "double",
+            "float": "float",
+            "string": "string",
+            "bool": "boolean",
+        }.get(str(arrow_type), str(arrow_type))
+
+    problems = []
+    for table in STAR_TABLES:
+        footer = pq.read_schema(f"/root/testdata/sf0.001/{table}.parquet")
+        declared = {f.name: f.dataType.simpleString() for f in STAR_SCHEMAS[table].fields}
+        actual = {f.name: spark_equiv(f.type) for f in footer}
+        if set(declared) != set(actual):
+            problems.append(f"{table}: columns {sorted(actual)} vs declared {sorted(declared)}")
+            continue
+        for name, want in declared.items():
+            if actual[name] != want:
+                problems.append(f"{table}.{name}: footer {actual[name]!r} vs declared {want!r}")
+    assert not problems, "; ".join(problems)
