@@ -374,3 +374,67 @@ def test_statestore_reader_exposes_checkpoint_state(spark, tmp_path):
     }
     truth = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == truth
+
+
+def test_append_mode_window_closes_on_watermark(spark, tmp_path):
+    """Watermark-driven window CLOSURE: in append mode a window only
+    emits once the watermark passes window end + delay — the mechanism
+    that bounds both state and late data at scale.  (The catalog's
+    windowed queries use complete mode because a single availableNow
+    batch never advances the watermark; this pins the append-mode
+    semantics the live deployment relies on.)"""
+    from datetime import datetime
+
+    from aie321_bigdata_movie_kpi_1m_spark.streaming.events import (
+        windowed_event_counts,
+    )
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    d = tmp_path / "src"
+    d.mkdir()
+    # batch 1: two events in the 10:00 hour + one at 13:30 that will
+    # push the watermark (2h delay) to 11:30 — past the 10:00-11:00
+    # window's end, closing it
+    spark.createDataFrame(
+        [
+            (1, t("2024-01-01 10:05:00"), 1, "view", 1.0, "{}"),
+            (2, t("2024-01-01 10:20:00"), 2, "view", 1.0, "{}"),
+            (3, t("2024-01-01 13:30:00"), 3, "click", 1.0, "{}"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    emitted: list = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: emitted.extend(
+                (r["window_start"], r["event_type"], r["n_events"])
+                for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # watermark only updates AFTER a batch; a second (empty-ish) batch
+    # evaluates the 10:00 window against the advanced watermark
+    spark.createDataFrame(
+        [(4, t("2024-01-01 13:31:00"), 3, "click", 1.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    closed = {(ws.hour, et, n) for ws, et, n in emitted}
+    # the 10:00 view window closed and emitted exactly once with both rows
+    assert (10, "view", 2) in closed
+    # the 13:00 window is still open (watermark 11:30 < 14:00): not emitted
+    assert not any(ws == 13 for ws, _, _ in closed)
