@@ -622,3 +622,34 @@ def test_zorder_layout_narrows_both_dimensions(spark):
     # every row lands in exactly one of the 16 files, none lost
     assert laid.count() == n * n
     assert laid.select("__file_id").distinct().count() == 16
+
+
+def test_zorder_normalize_edge_cases(spark):
+    import pytest
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.layout import (
+        normalize_to_bits,
+        zorder_layout,
+        zorder_value,
+    )
+
+    # degenerate span (constant column): everything maps to 0, no div/0
+    const = spark.createDataFrame([(5, i) for i in range(10)], "a long, b long")
+    laid = zorder_layout(const, ["a", "b"], bits=4, n_files=4)
+    assert laid.count() == 10
+    assert laid.select("__file_id").distinct().count() >= 1
+
+    # out-of-range normalized values clamp to [0, 2^bits)
+    df = spark.createDataFrame([(0,), (100,)], "x long")
+    got = df.select(
+        normalize_to_bits(F.col("x"), 10, 20, bits=4).alias("n")
+    ).collect()
+    assert {r["n"] for r in got} == {0, 15}
+
+    # key-width guard: 5 cols x 16 bits would exceed a signed long
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_value(["a", "b", "c", "d", "e"], bits=16)
+
+    # n_files must be a power of two (top-bits binning)
+    with pytest.raises(ValueError, match="power of two"):
+        zorder_layout(const, ["a", "b"], bits=4, n_files=6)
