@@ -45,11 +45,35 @@ def zorder_value(cols: list[Column | str], *, bits: int = 16) -> Column:
     return z
 
 
+def reduce_wide_key(col: Column, *, keep_bits: int = 53) -> Column:
+    """Pre-reduce a wide integer key to ``keep_bits`` significant bits
+    (sign-cleared, top bits kept) so :func:`normalize_to_bits`'s double
+    arithmetic stays exact.
+
+    Hash-derived long keys (xxhash64 ids) span the full 64-bit range;
+    IEEE doubles hold only 53 mantissa bits, so normalizing them raw
+    loses low-order bits silently and rows near cell boundaries can land
+    in the wrong file.  Keeping the TOP bits preserves ordering (what
+    Z-clustering needs); the discarded low bits only distinguish rows
+    that would share a cell anyway at any practical ``bits``.
+    """
+    if not 1 <= keep_bits <= 62:
+        raise ValueError("keep_bits must be in [1, 62]")
+    # unsigned shift keeps exactly keep_bits bits, is non-negative, and is
+    # monotone in the key's unsigned interpretation
+    return F.shiftrightunsigned(col.cast("long"), 64 - keep_bits)
+
+
 def normalize_to_bits(col: Column, lo: Column | int, hi: Column | int, *, bits: int = 16) -> Column:
     """Scale a numeric column to an integer in ``[0, 2**bits)`` given its
     min/max.  ``lo``/``hi`` may be literals or (broadcast) columns — at
     scale they come from a one-row stats pass, never hard-coded.
     Degenerate ranges (hi == lo) map to 0.
+
+    The scaling runs in IEEE double (53 mantissa bits): integer keys with
+    magnitude beyond 2^53 — e.g. xxhash64-derived ids — lose low-order
+    bits silently, which can push boundary rows into the wrong cell.
+    Pass such keys through :func:`reduce_wide_key` first.
     """
     lo_c = F.lit(lo) if isinstance(lo, (int, float)) else lo
     hi_c = F.lit(hi) if isinstance(hi, (int, float)) else hi

@@ -41,6 +41,7 @@ def observed_salt(
     sample_frac: float = 0.01,
     max_salt: int = 16,
     parallelism: int | None = None,
+    min_sample_rows: int = 256,
 ) -> int:
     """Choose a salt factor from OBSERVED key skew, not a guess.
 
@@ -51,6 +52,11 @@ def observed_salt(
     ``salt=16`` measured 9x slower than the plain join on unskewed
     data).  The two aggregates collected are a single scalar row —
     driver state, not data.
+
+    This RUNS a Spark job eagerly.  A sample smaller than
+    ``min_sample_rows`` is too noisy to diagnose skew — and implies an
+    input small enough that a plain join balances anyway — so it resolves
+    to 1 rather than salting on noise.
     """
     import math
 
@@ -62,7 +68,7 @@ def observed_salt(
         .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
         .collect()[0]
     )
-    if not row["n"]:
+    if not row["n"] or row["n"] < min_sample_rows:
         return 1
     parts = parallelism or int(
         big.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -78,6 +84,7 @@ def salted_join(
     *,
     salt: int | str = "auto",
     how: str = "inner",
+    sample_frac: float = 0.01,
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated.
 
@@ -91,12 +98,21 @@ def salted_join(
     ``salt="auto"`` (default) measures skew first (``observed_salt``)
     and resolves to 1 — a plain join, zero replication — when the keys
     are balanced; pass an int to force a factor.
+
+    NOTE: ``salt="auto"`` runs an EAGER Spark job at call time (sample +
+    groupBy + scalar collect over ``sample_frac`` of ``big``) — this
+    function is not purely plan construction in auto mode, and calling it
+    repeatedly re-probes.  Callers building plans lazily, or joining
+    inputs small enough that a 1% sample is noise, should pass an explicit
+    int salt (or a larger ``sample_frac``).
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left'")
     keys = [on] if isinstance(on, str) else list(on)
-    if salt == "auto":
-        salt = observed_salt(big, on)
+    if isinstance(salt, str):
+        if salt != "auto":
+            raise ValueError(f"salt must be an int or 'auto', got {salt!r}")
+        salt = observed_salt(big, on, sample_frac=sample_frac)
     if salt <= 1:
         return big.join(small, keys, how)
     b = big.withColumn("__salt", _row_salt(salt))

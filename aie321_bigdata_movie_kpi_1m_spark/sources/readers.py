@@ -90,27 +90,62 @@ def _events_ts_unit(path: str) -> str:
     TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds; hard-coding
     either unit silently scales every event timestamp 1000x when the file
     changes.  Reading the footer (a metadata-only operation, no row
-    groups touched) makes the reader self-describing.  Defaults to "us"
-    (the standard parquet logical type) when the footer can't be read.
+    groups touched) makes the reader self-describing.
+
+    Failure policy (deliberately narrow — a silent wrong-unit default is
+    the exact bug class this guard exists for):
+    - missing path / no part files -> "us" silently (optional input);
+    - pyarrow unavailable -> "us" with a loud warning (the NANOS path
+      would otherwise fail later with an opaque schema mismatch);
+    - unreadable footer or mixed units across part files -> raise.
+
+    For a directory, footers of up to 16 part files — evenly spaced
+    through the sorted listing, always including first and last — are
+    checked for unit agreement; an append-without-overwrite regeneration
+    (old unit at one end of the sort order, new at the other) is caught,
+    at bounded metadata cost even for a many-thousand-part layer.
     """
     import os
+    import warnings
 
     try:
         import pyarrow.parquet as pq
-
-        target = path
-        if os.path.isdir(path):
-            parts = sorted(
-                f for f in os.listdir(path)
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-            if not parts:
-                return "us"
-            target = os.path.join(path, parts[0])
-        field = pq.read_schema(target).field("ts")
-        return getattr(field.type, "unit", "us") or "us"
-    except Exception:
+    except ImportError:
+        warnings.warn(
+            "pyarrow unavailable: cannot read parquet footer for "
+            f"{path}; assuming events.ts unit 'us'. A TIMESTAMP(NANOS) "
+            "file would be misread — install pyarrow to restore the guard.",
+            stacklevel=2,
+        )
         return "us"
+
+    targets = [path]
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            return "us"
+        if len(parts) <= 16:
+            picks = parts
+        else:
+            idxs = {round(i * (len(parts) - 1) / 15) for i in range(16)}
+            picks = [parts[i] for i in sorted(idxs)]
+        targets = [os.path.join(path, p) for p in picks]
+    elif not os.path.exists(path):
+        return "us"
+
+    units = set()
+    for target in targets:
+        field = pq.read_schema(target).field("ts")
+        units.add(getattr(field.type, "unit", "us") or "us")
+    if len(units) > 1:
+        raise ValueError(
+            f"mixed ts timestamp units across part files under {path}: "
+            f"{sorted(units)} — the layer needs a rewrite to one unit"
+        )
+    return units.pop()
 
 
 def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -178,6 +178,27 @@ def bounded_export(
     return n
 
 
+def layer_parquet_bytes(spark, path: str) -> int:
+    """Total bytes of the ``.parquet`` data files under ``path``, resolved
+    through the Hadoop FileSystem API so the same call works on any
+    substrate the cluster can read — ``file://``, ``hdfs://``, ``s3a://``,
+    a bare local path alike.  (A local ``os.walk`` returns nothing for a
+    remote URI, which would silently collapse compaction sizing to one
+    output file — the failure mode this helper exists to prevent.)
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    files = fs.listFiles(hpath, True)  # recursive over partition subdirs
+    total = 0
+    while files.hasNext():
+        status = files.next()
+        if status.getPath().getName().endswith(".parquet"):
+            total += status.getLen()
+    return total
+
+
 def compact_parquet_layer(
     spark,
     src_path: str,
@@ -193,20 +214,17 @@ def compact_parquet_layer(
     Streaming ingest and fine-grained partition writes both leak small
     files; at 100 TB a scan of 10^6 tiny files is dominated by open/footer
     costs, so periodic compaction to ~128 MB files is standard hygiene.
-    Returns the output file count.  Write-then-swap is the caller's
-    policy; writing to a distinct ``dst_path`` keeps the operation atomic
-    at the directory level (no reader ever sees a half-compacted layer).
+    Byte sizing goes through the Hadoop FileSystem API
+    (``layer_parquet_bytes``) so it is substrate-portable — hdfs:// and
+    s3a:// layers size identically to local ones.  Returns the output
+    file count.  Write-then-swap is the caller's policy; writing to a
+    distinct ``dst_path`` keeps the operation atomic at the directory
+    level (no reader ever sees a half-compacted layer).
     """
     import math
-    import os
 
     df = spark.read.parquet(src_path)
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(src_path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    total = layer_parquet_bytes(spark, src_path)
     n_files = max(1, math.ceil(total / target_file_bytes))
     # coalesce, not repartition: compaction must not pay a shuffle
     df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)

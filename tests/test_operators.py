@@ -261,6 +261,27 @@ def test_observed_salt_gates_on_real_skew(spark):
     assert auto.count() == uniform.join(small, "k").count()
 
 
+def test_salted_join_rejects_bad_string_salt(spark):
+    import pytest
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(df, df, "k", salt="Auto")  # typo'd mode, not TypeError
+
+
+def test_observed_salt_floors_tiny_samples(spark):
+    """A sample below min_sample_rows is noise, not evidence of skew —
+    resolve to a plain join even if the few sampled rows share a key."""
+    from aie321_bigdata_movie_kpi_1m_spark.operators.skew import observed_salt
+
+    tiny = spark.createDataFrame([(1, i) for i in range(40)], "k int, v int")
+    assert observed_salt(tiny, "k", sample_frac=1.0) == 1
+    # same data clears the floor when the floor is lowered -> salts
+    assert observed_salt(tiny, "k", sample_frac=1.0, min_sample_rows=10) > 1
+
+
 def test_salted_groupby_equals_plain_groupby(spark):
     from aie321_bigdata_movie_kpi_1m_spark.operators.skew import salted_groupby
 
@@ -653,3 +674,32 @@ def test_zorder_normalize_edge_cases(spark):
     # n_files must be a power of two (top-bits binning)
     with pytest.raises(ValueError, match="power of two"):
         zorder_layout(const, ["a", "b"], bits=4, n_files=6)
+
+
+def test_reduce_wide_key_preserves_order_beyond_double_precision(spark):
+    """xxhash64-style keys exceed 2^53; reduced keys must stay exact in
+    double arithmetic while preserving the unsigned key order."""
+    import pytest
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.layout import reduce_wide_key
+
+    # adjacent wide keys differing only below double precision, plus a
+    # negative key (top unsigned bit set -> sorts last unsigned)
+    keys = [(1 << 62) + 7, (1 << 62) + 9, (1 << 61), -1, 0]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["r"]
+        for r in df.select("k", reduce_wide_key(F.col("k")).alias("r")).collect()
+    }
+    # all reduced values fit in 53 bits (exact as doubles)
+    assert all(0 <= v < (1 << 53) for v in got.values())
+    # unsigned order preserved (ties allowed where keys differ only in
+    # the discarded low bits — the two adjacent keys collapse together)
+    unsigned = sorted(keys, key=lambda k: k % (1 << 64))
+    reduced = [got[k] for k in unsigned]
+    assert reduced == sorted(reduced)
+    assert got[(1 << 61)] < got[(1 << 62) + 7] <= got[(1 << 62) + 9]
+    assert got[-1] == max(got.values())
+
+    with pytest.raises(ValueError, match="keep_bits"):
+        df.select(reduce_wide_key(F.col("k"), keep_bits=63))

@@ -152,6 +152,82 @@ def test_compact_parquet_layer(spark, tmp_path):
     assert got == list(range(4000))
 
 
+def test_compact_parquet_layer_uri_scheme(spark, tmp_path):
+    # sizing must work against a path WITH a URI scheme (the hdfs://s3a://
+    # shape): os.walk would see zero bytes and emit 1 file regardless of
+    # target size; the Hadoop FS listing sizes it correctly
+    import glob
+    import os
+
+    from aie321_bigdata_movie_kpi_1m_spark.sources.sinks import (
+        compact_parquet_layer,
+        layer_parquet_bytes,
+    )
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    spark.range(0, 40_000).repartition(40).write.parquet(src)
+
+    local_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    assert layer_parquet_bytes(spark, f"file://{src}") == local_bytes
+
+    # pick a target that forces >1 output file iff bytes were actually seen
+    target = max(1, local_bytes // 4)
+    n = compact_parquet_layer(
+        spark, f"file://{src}", f"file://{dst}", target_file_bytes=target
+    )
+    assert n >= 2  # os.walk on the URI would have yielded n == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == n
+    assert spark.read.parquet(dst).count() == 40_000
+
+
+def test_events_ts_unit_detects_and_rejects_mixed(tmp_path):
+    # footer-based unit detection: agreement across parts -> unit;
+    # a mixed-unit layer (append-without-overwrite regeneration) -> raise
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from aie321_bigdata_movie_kpi_1m_spark.sources.readers import _events_ts_unit
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+
+    def part(name, unit):
+        tbl = pa.table({"ts": pa.array([1_000_000], type=pa.timestamp(unit))})
+        pq.write_table(tbl, str(d / name))
+
+    part("part-000.parquet", "us")
+    part("part-001.parquet", "us")
+    assert _events_ts_unit(str(d)) == "us"
+
+    part("part-002.parquet", "ns")  # drifted regeneration appends ns parts
+    with pytest.raises(ValueError, match="mixed ts"):
+        _events_ts_unit(str(d))
+
+    assert _events_ts_unit(str(tmp_path / "absent.parquet")) == "us"
+
+
+def test_layer_parquet_bytes_partitioned_layer(spark, tmp_path):
+    # recursive listing must descend into partition subdirectories
+    import glob
+    import os
+
+    from aie321_bigdata_movie_kpi_1m_spark.sources.sinks import layer_parquet_bytes
+
+    src = str(tmp_path / "parted")
+    spark.range(0, 1000).withColumnRenamed("id", "k").selectExpr(
+        "k", "k % 4 as p"
+    ).write.partitionBy("p").parquet(src)
+    local_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(f"{src}/**/*.parquet", recursive=True)
+    )
+    assert local_bytes > 0
+    assert layer_parquet_bytes(spark, src) == local_bytes
+
+
 class TestChunkedCsvDataSource:
     """Python DataSource connector (sources/pyds.py): roundtrip, NULLs,
     stats-based chunk pruning, type gate."""
