@@ -88,16 +88,29 @@ def synthesize_assets(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
 
 
 def _decode_bytes(content: bytes) -> tuple[int, int, bytes]:
-    """STUB decode: parses the FAKE header only.  A real implementation
-    (PIL / ffmpeg / soundfile) replaces this function body; no plan or
-    schema changes anywhere else."""
-    if content[:4] != _MAGIC:
+    """Decode one asset's bytes -> (width, height, raw pixel bytes).
+
+    FAKE-format blobs (``synthesize_assets``) decode natively — that is
+    the sandbox/test codec and stays fully deterministic.  Anything else
+    auto-upgrades to Pillow when it is importable (real clusters), so a
+    real image corpus decodes with no code change; without Pillow (this
+    container) real formats raise ``NotImplementedError``.  Audio/video
+    codecs (ffmpeg/soundfile) would slot in the same way."""
+    if content[:4] == _MAGIC:
+        _, w, h = struct.unpack(_HEADER_FMT, content[:_HEADER_SIZE])
+        return w, h, content[_HEADER_SIZE:]
+    try:
+        from PIL import Image
+    except ImportError:
         raise NotImplementedError(
-            "real codecs are not available in this environment; "
+            "real codecs are not available in this environment (no PIL); "
             "only FAKE-format blobs (synthesize_assets) decode"
-        )
-    _, w, h = struct.unpack(_HEADER_FMT, content[:_HEADER_SIZE])
-    return w, h, content[_HEADER_SIZE:]
+        ) from None
+    import io
+
+    with Image.open(io.BytesIO(bytes(content))) as img:
+        w, h = img.size
+        return w, h, img.tobytes()
 
 
 DECODED_SCHEMA = T.StructType(

@@ -233,3 +233,49 @@ def encoding_profile(
             "is_encoding_suspect"
         ),
     )
+
+
+def token_runs_udtf():
+    """Python UDTF (Spark 4, Arrow-batched) emitting maximal runs of
+    repeated tokens per document: ``(doc_id, run_start, token, run_len)``
+    with 1-based positions over a single-space split.
+
+    This is the engine's UDTF surface — the lateral table-generator
+    shape a custom model-side expander (tokenizer, augmenter, candidate
+    generator) plugs into when the fan-out logic genuinely can't be a
+    JVM expression.  ``useArrow=True`` keeps transfer columnar; state is
+    per-row only, so the operator parallelizes like any projection.
+    Registered per-session via :func:`register_token_runs`.
+
+    The run-length encoding itself is a gaps-and-islands computation, so
+    the DuckDB oracle can replay it exactly with window functions
+    (catalog query ``udtf_token_runs``).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id: bigint, run_start: bigint, token: string, run_len: bigint",
+        useArrow=True,
+    )
+    class TokenRuns:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            toks = text.split(" ")
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                yield doc_id, i + 1, toks[i], j - i
+                i = j
+
+    return TokenRuns
+
+
+def register_token_runs(spark) -> None:
+    """Idempotently register the ``token_runs`` UDTF on a session."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    spark.udtf.register("token_runs", token_runs_udtf())

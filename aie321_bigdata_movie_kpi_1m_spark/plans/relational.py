@@ -1691,3 +1691,110 @@ def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_out.unionByName(total_out)
+
+
+@register(
+    "sql_recursive_reachability",
+    """
+WITH RECURSIVE e AS (
+  SELECT c.c_nationkey AS u, s.s_nationkey AS v, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT u, v FROM (
+    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+reach(src, dst, depth) AS (
+  SELECT u, v, 1 FROM best
+  UNION ALL
+  SELECT r.src, b.v, r.depth + 1
+  FROM reach r JOIN best b ON b.u = r.dst
+  WHERE r.depth < 3
+)
+SELECT src, COUNT(DISTINCT dst) AS n_reach3, MIN(dst) AS min_reached
+FROM reach GROUP BY src
+""",
+    "recursive CTE (Spark 4 WITH RECURSIVE through the SQL API): 3-hop "
+    "reachability over each nation's heaviest trade route (the "
+    "hierarchy/graph-walk family BOM explosions and org rollups need); "
+    "the heavy work is the one-time edge aggregation — the recursion "
+    "joins a 25-row functional edge list per step with a hard depth "
+    "bound, so iteration state never exceeds nodes x depth",
+    tags=("relational", "sql-api", "graph"),
+)
+def q_sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_star_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_star_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_star_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_star_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    best = (
+        e.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("u", "v")
+    )
+    best.createOrReplaceTempView("v_best_edge")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(src, dst, depth) AS (
+          SELECT u, v, 1 FROM v_best_edge
+          UNION ALL
+          SELECT r.src, b.v, r.depth + 1
+          FROM reach r JOIN v_best_edge b ON b.u = r.dst
+          WHERE r.depth < 3
+        )
+        SELECT src, COUNT(DISTINCT dst) AS n_reach3, MIN(dst) AS min_reached
+        FROM reach GROUP BY src
+        """
+    )
+
+
+@register(
+    "listagg_order_status",
+    """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           AS statuses,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    "ANSI listagg (Spark 4 LISTAGG ... WITHIN GROUP): ordered distinct "
+    "string aggregation per group — deterministic because the in-group "
+    "order is declared, unlike collect_list; the small-domain rollup "
+    "shape for audit/debug summaries",
+    tags=("relational", "sql-api"),
+)
+def q_listagg_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_star_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_listagg_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               COUNT(*) AS n_orders
+        FROM v_listagg_orders
+        GROUP BY o_orderpriority
+        """
+    )

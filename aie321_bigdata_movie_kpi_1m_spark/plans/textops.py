@@ -1176,3 +1176,113 @@ def q_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_r4").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "udtf_token_runs",
+    """
+WITH lists AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, l FROM lists
+),
+tok2 AS (SELECT doc_id, pos, l[pos] AS tok FROM toks),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS DISTINCT FROM tok
+              THEN 1 ELSE 0 END AS brk
+  FROM tok2
+),
+runs AS (
+  SELECT doc_id, pos, tok,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM flagged
+)
+SELECT doc_id, MIN(pos) AS run_start, tok AS token,
+       COUNT(*) AS run_len
+FROM runs
+GROUP BY doc_id, run_id, tok
+""",
+    "Python UDTF surface (Spark 4 arrow-optimized table function, lateral "
+    "join): maximal repeated-token runs per document — the custom "
+    "table-generator shape (tokenizer/augmenter/candidate expander) when "
+    "fan-out logic can't be a JVM expression; per-row state only, so it "
+    "scales like a projection; oracle replays the RLE as a "
+    "gaps-and-islands window computation",
+    tags=("text", "udtf", "sql-api"),
+)
+def q_udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import register_token_runs
+
+    register_token_runs(spark)
+    load_star_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "v_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT r.doc_id, r.run_start, r.token, r.run_len
+        FROM v_udtf_docs d, LATERAL token_runs(d.doc_id, d.text) r
+        """
+    )
+
+
+@register(
+    "approx_topk_tokens",
+    _TOKENS_CTE
+    + """,
+tk AS (SELECT unnest(ts) AS token FROM tok),
+cnt AS (SELECT token, COUNT(*) AS n_exact FROM tk GROUP BY token),
+top AS (
+  SELECT token, n_exact,
+         ROW_NUMBER() OVER (ORDER BY n_exact DESC, token) AS rank
+  FROM cnt
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, n_exact, TRUE AS est_agrees
+FROM top WHERE rank <= 5
+""",
+    "frequent-items sketch (approx_top_k): mergeable heavy-hitter "
+    "estimation over the token stream — fixed memory per partition, "
+    "partials merge without a rescan (what an exact global top-k "
+    "needs a full shuffle-agg for at 100 TB); the oracle carries the "
+    "exact top-5 and the query flags in-row whether the sketch "
+    "estimate agrees (exact here: the tracked-item budget exceeds the "
+    "vocabulary)",
+    tags=("text", "sketch"),
+)
+def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ..functions.text import tokens
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    # top-5 via orderBy+limit (TakeOrderedAndProject — distributed partial
+    # top-k); the rank window then runs over 5 rows, never the full vocab
+    ranked = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok"))
+        .limit(5)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_exact").desc(), F.col("tok"))
+            ),
+        )
+    )
+    sketch = toks.agg(F.expr("approx_top_k(tok, 5, 65536)").alias("__est"))
+    return ranked.join(F.broadcast(sketch)).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("tok").alias("token"),
+        "n_exact",
+        F.coalesce(
+            F.expr(
+                "element_at(filter(__est, x -> x.item = tok), 1).count"
+            )
+            == F.col("n_exact"),
+            F.lit(False),
+        ).alias("est_agrees"),
+    )

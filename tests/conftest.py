@@ -14,15 +14,15 @@ from aie321_bigdata_movie_kpi_1m_spark.session import get_spark  # noqa: E402
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
-# Opt-in bench-scale parity tier: SPARK_GRAFT_PARITY_BENCH=1 adds sf0.1
-# to test_oracle_parity (slow — a full sweep is ~2-4 min of extra Spark
-# work, so it is not in the default suite).  Worth running once per
-# round: the sweep at this scale caught a sampling-nondeterminism bug
-# in assign_contiguous_ids that sf0.001/sf0.01 could not expose.
+# Bench-scale parity tier: sf0.1 is part of the DEFAULT suite (it caught
+# a range-partition sampling bug in assign_contiguous_ids invisible at
+# sf0.001/sf0.01 — bench-scale parity is a correctness gate, not a perf
+# nicety).  It adds a few minutes of Spark work; opt OUT for a quick
+# iteration loop with SPARK_GRAFT_PARITY_BENCH=0.
 import os  # noqa: E402
 
 PARITY_SFS = [SF_SMOKE, SF_ORACLE]
-if os.environ.get("SPARK_GRAFT_PARITY_BENCH"):
+if os.environ.get("SPARK_GRAFT_PARITY_BENCH", "1").lower() not in ("0", "", "false"):
     PARITY_SFS.append("/root/testdata/sf0.1")
 
 

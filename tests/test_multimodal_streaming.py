@@ -47,6 +47,14 @@ def test_decode_roundtrips_header(spark, assets):
 
 
 def test_decode_rejects_real_formats(spark):
+    # decode auto-upgrades to Pillow when importable; in this sandbox
+    # (no PIL) a real format must fail loudly, never mis-decode
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: real formats decode instead of raising")
+    except ImportError:
+        pass
     fake_png = spark.createDataFrame(
         [(1, "image", b"\x89PNG\r\n" + b"x" * 20, ("png", 1, 1, 0))],
         "asset_id long, modality string, content binary, "
@@ -54,6 +62,25 @@ def test_decode_rejects_real_formats(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|real codecs"):
         decode_assets(fake_png).collect()
+
+
+def test_decode_pil_upgrade_path_without_pil():
+    # driver-side unit check of the codec swap point: FAKE blobs decode
+    # natively; non-FAKE bytes raise the documented PIL-less error
+    from aie321_bigdata_movie_kpi_1m_spark.operators.multimodal import (
+        _HEADER_FMT,
+        _MAGIC,
+        _decode_bytes,
+    )
+    import struct as _struct
+
+    w, h, body = _decode_bytes(_struct.pack(_HEADER_FMT, _MAGIC, 3, 5) + b"\x01" * 15)
+    assert (w, h, body) == (3, 5, b"\x01" * 15)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            _decode_bytes(b"\x89PNG\r\nnot-a-real-png")
 
 
 def test_feature_extraction_shape_and_determinism(spark, assets):

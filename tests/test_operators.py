@@ -703,3 +703,31 @@ def test_reduce_wide_key_preserves_order_beyond_double_precision(spark):
 
     with pytest.raises(ValueError, match="keep_bits"):
         df.select(reduce_wide_key(F.col("k"), keep_bits=63))
+
+
+def test_token_runs_udtf_edge_cases(spark):
+    """UDTF surface: null text emits nothing; empty string is one run of
+    the empty token (split(' ') semantics, lockstep with the oracle);
+    runs are maximal with 1-based starts."""
+    from aie321_bigdata_movie_kpi_1m_spark.operators.text_analysis import (
+        register_token_runs,
+    )
+
+    register_token_runs(spark)
+    spark.createDataFrame(
+        [(1, "a a a"), (2, None), (3, ""), (4, "x y y x")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("v_runs_docs")
+    rows = {
+        (r["doc_id"], r["run_start"], r["token"], r["run_len"])
+        for r in spark.sql(
+            "SELECT r.* FROM v_runs_docs d, LATERAL token_runs(d.doc_id, d.text) r"
+        ).collect()
+    }
+    assert rows == {
+        (1, 1, "a", 3),
+        (3, 1, "", 1),
+        (4, 1, "x", 1),
+        (4, 2, "y", 2),
+        (4, 4, "x", 1),
+    }

@@ -22,6 +22,29 @@ def plan_of(spark, name: str) -> str:
     return buf.getvalue()
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _confs(spark, overrides: dict[str, str]):
+    """Set session confs for the block, restoring previous values after.
+    Plan-shape assertions run under BOTH AQE settings where possible: AQE
+    can mask a shape regression (e.g. hide a doubled exchange behind
+    runtime stage reuse), so the static AQE-off plan is the contract and
+    the AQE-on plan guards the default-session path."""
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_filter_and_projection_reach_the_scan(spark):
     plan = plan_of(spark, "filter_project_pushdown")
     assert "PushedFilters: [" in plan
@@ -119,22 +142,26 @@ def test_bucketed_join_skips_the_shuffle(spark, tmp_path):
     right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
     write_bucketed(left, "bkt_left", bucket_cols=["k"], n_buckets=8, sort_cols=["k"])
     write_bucketed(right, "bkt_right", bucket_cols=["k"], n_buckets=8, sort_cols=["k"])
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
-        import io
-        from contextlib import redirect_stdout
-
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            joined.explain("formatted")
-        plan = buf.getvalue()
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan  # bucketing replaced both shuffles
-        assert joined.count() == 1000
+        # assert under BOTH AQE settings: AQE stage handling must not be
+        # what makes the plan exchange-free
+        for aqe in ("true", "false"):
+            with _confs(
+                spark,
+                {
+                    "spark.sql.autoBroadcastJoinThreshold": "-1",
+                    "spark.sql.adaptive.enabled": aqe,
+                },
+            ):
+                joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+                buf = io.StringIO()
+                with redirect_stdout(buf):
+                    joined.explain("formatted")
+                plan = buf.getvalue()
+                assert "SortMergeJoin" in plan, f"aqe={aqe}"
+                assert "Exchange" not in plan, f"aqe={aqe}"  # bucketing replaced both shuffles
+                assert joined.count() == 1000
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
 
@@ -185,12 +212,15 @@ def test_aqe_splits_skewed_join_partitions(spark):
 def test_bucketed_join_query_has_single_agg_exchange(spark):
     # the catalog's bucketed-join query: the o_custkey=c_custkey join
     # must be exchange-free (bucketing pre-paid it); the only shuffle
-    # allowed is the final groupBy(c_mktsegment)
-    plan = plan_of(spark, "bucketed_join_orders")
-    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
-    assert _shuffle_exchanges(plan) <= 1
-    assert "hashpartitioning(o_custkey" not in plan
-    assert "hashpartitioning(c_custkey" not in plan
+    # allowed is the final groupBy(c_mktsegment).  Checked under both
+    # AQE settings so adaptive re-planning can't mask a doubled stage.
+    for aqe in ("true", "false"):
+        with _confs(spark, {"spark.sql.adaptive.enabled": aqe}):
+            plan = plan_of(spark, "bucketed_join_orders")
+            assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, f"aqe={aqe}"
+            assert _shuffle_exchanges(plan) <= 1, f"aqe={aqe}"
+            assert "hashpartitioning(o_custkey" not in plan, f"aqe={aqe}"
+            assert "hashpartitioning(c_custkey" not in plan, f"aqe={aqe}"
 
 
 def test_stable_ids_avoids_global_single_partition_sort(spark):
@@ -351,20 +381,16 @@ def test_jaccard_self_join_reuses_the_shingle_exchange(spark):
     side must be a ReusedExchange, not a recomputation of the heaviest
     stage.  AQE performs this reuse at runtime stage dedup, so the test
     pins the statically-visible property with AQE off."""
-    import io
-    from contextlib import redirect_stdout
-
     from aie321_bigdata_movie_kpi_1m_spark.operators.dedup import ngram_jaccard_pairs
     from aie321_bigdata_movie_kpi_1m_spark.sources.readers import load_star_table
 
-    confs = {
-        "spark.sql.adaptive.enabled": "false",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    saved = {k: spark.conf.get(k, None) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
+    with _confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
         pairs = ngram_jaccard_pairs(
             load_star_table(spark, SF, "documents"), threshold=0.5
         )
@@ -372,14 +398,12 @@ def test_jaccard_self_join_reuses_the_shingle_exchange(spark):
         with redirect_stdout(buf):
             pairs.explain("formatted")
         plan = buf.getvalue()
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     assert "SortMergeJoin" in plan
     assert "ReusedExchange" in plan
+    # exactly 2 real shuffles (shingle pipeline + pair groupBy): a
+    # refactor that recomputes the shingle stage instead of reusing it
+    # would show 3 — ReusedExchange alone can't catch that, the count can
+    assert _shuffle_exchanges(plan) == 2
 
 
 def test_zorder_layout_is_map_side_after_stats(spark):

@@ -412,6 +412,95 @@ class TestReplayParquetStreamSource:
         q2.awaitTermination()
         assert sum(batches2) == 0
 
+    def test_partitioned_reader_task_retry_exactly_once(self, sf_dir, tmp_path):
+        """Executor-side reads must be idempotent under TASK RETRY: fail
+        one range partition's first attempt mid-batch and assert the
+        retried task re-reads its exact range — total output stays
+        exactly-once.  Needs task retries enabled (master local[4,2]),
+        which the shared session fixture doesn't have, so this runs a
+        fresh Spark in a subprocess."""
+        import subprocess
+        import sys
+        import textwrap
+        from pathlib import Path
+
+        repo_root = str(Path(__file__).resolve().parents[1])
+        marker = tmp_path / "injected"
+        script = textwrap.dedent(
+            f"""
+            import os, sys
+            sys.path.insert(0, {repo_root!r})
+            from pyspark.sql import SparkSession
+
+            spark = (
+                SparkSession.builder.master("local[4,2]")
+                .appName("flaky-replay")
+                .config("spark.sql.shuffle.partitions", "4")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            from aie321_bigdata_movie_kpi_1m_spark.session import (
+                ensure_package_on_workers,
+            )
+            from aie321_bigdata_movie_kpi_1m_spark.sources import pyds
+
+            ensure_package_on_workers(spark)
+            MARKER = {str(marker)!r}
+
+            class FlakyReader(pyds._ReplayStreamReaderPartitioned):
+                def read(self, partition):
+                    # first attempt at the file-head partition dies AFTER
+                    # the failure marker lands, so the run proves both
+                    # that the fault fired and that the retry healed it
+                    if partition.lo == 0 and not os.path.exists(MARKER):
+                        with open(MARKER, "w") as fh:
+                            fh.write("injected")
+                        raise RuntimeError("injected first-attempt failure")
+                    yield from super().read(partition)
+
+            class FlakyReplaySource(pyds.ReplayParquetDataSource):
+                @classmethod
+                def name(cls):
+                    return "flaky_replay"
+
+                def streamReader(self, schema):
+                    return FlakyReader(dict(self.options))
+
+            spark.dataSource.register(FlakyReplaySource)
+            stream = (
+                spark.readStream.format("flaky_replay")
+                .option("path", {f"{sf_dir}/documents.parquet"!r})
+                .option("cols", "doc_id,lang")
+                .option("tasks_per_batch", "4")
+                .load()
+            )
+            rows = []
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda df, bid: rows.extend(r["doc_id"] for r in df.collect())
+                )
+                .option("checkpointLocation", {str(tmp_path / "ckpt_retry")!r})
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+            assert os.path.exists(MARKER), "fault injection never fired"
+            assert len(rows) == 500, f"expected 500 rows once, got {{len(rows)}}"
+            assert len(set(rows)) == 500, "duplicate rows after task retry"
+            print("RETRY_EXACTLY_ONCE_OK")
+            """
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "RETRY_EXACTLY_ONCE_OK" in proc.stdout
+        assert marker.exists()
+
     def test_schema_derived_from_footer(self, spark, sf_dir):
         from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
             register_replay_parquet,
