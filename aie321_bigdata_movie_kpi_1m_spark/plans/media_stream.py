@@ -447,3 +447,36 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("session_start").alias("start_sec"),
         "duration_secs",
     )
+
+
+@register(
+    "streaming_quota_admission",
+    """
+WITH c AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+             AS cum_chars
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
+FROM c WHERE cum_chars <= 5000
+""",
+    "streaming per-source admission quota (training-data mixture cap at "
+    "ingest): documents admitted in doc_id order while the source's "
+    "cumulative chars stay within budget, one long of state per source "
+    "(streaming/quota.py::admit_quota_stream — Spark 4 "
+    "transformWithStateInPandas where its protobuf dep exists, "
+    "applyInPandasWithState fallback here, shared admission kernel); "
+    "availableNow backfill equals the batch prefix-sum window exactly",
+    tags=("streaming", "llm-pipeline"),
+)
+def q_streaming_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents import read_documents_stream
+    from ..streaming.quota import admit_quota_stream
+
+    return _run_to_memory_sink(
+        spark,
+        admit_quota_stream(read_documents_stream(spark, sf_dir)),
+        name="stream_quota_admission",
+        output_mode="append",
+    )

@@ -1737,8 +1737,8 @@ def q_sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_star_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     e = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -1752,6 +1752,11 @@ def q_sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("u", "v")
     )
+    # materialize the (<= n_nations)-row edge list BEFORE the recursion:
+    # a temp view is a logical plan, so each recursive step would
+    # otherwise re-plan (and re-run) the 4-way fact join; after the
+    # checkpoint every step joins a tiny in-memory relation
+    best = best.localCheckpoint(eager=True)
     best.createOrReplaceTempView("v_best_edge")
     return spark.sql(
         """
@@ -1797,4 +1802,46 @@ def q_listagg_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_listagg_orders
         GROUP BY o_orderpriority
         """
+    )
+
+
+@register(
+    "observed_write_qc",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(text) AS BIGINT) AS n_text_nonnull,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM documents
+""",
+    "single-scan sink QC via df.observe (the Spark-first form of the "
+    "reference's printed row-count checkpoints, ingest.py:65 / "
+    "transform.py:116-121): metrics ride the write job's accumulators, "
+    "so the QC report on a 100 TB write costs ZERO extra scans — the "
+    "result row is the observation, and the written layer's row count "
+    "must agree with it (checked in-query by re-reading the layer "
+    "footer count, a metadata operation)",
+    tags=("sinks", "quality"),
+)
+def q_observed_write_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.sinks import observed_write
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/root/repo/.scratch/observed_write/{tag}"
+    got = observed_write(
+        docs,
+        path,
+        metrics=[
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("text").alias("n_text_nonnull"),
+            F.sum("n_chars").alias("chars_total"),
+        ],
+    )
+    # the observation must describe the layer that actually landed
+    assert got["n_rows"] == spark.read.parquet(path).count()
+    return spark.createDataFrame(
+        [(got["n_rows"], got["n_text_nonnull"], got["chars_total"])],
+        "n_rows long, n_text_nonnull long, chars_total long",
     )

@@ -229,3 +229,30 @@ def compact_parquet_layer(
     # coalesce, not repartition: compaction must not pay a shuffle
     df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    *,
+    metrics: list | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Parquet write that collects data-quality metrics IN THE SAME SCAN
+    via ``df.observe`` (the reference's printed row-count checkpoints,
+    ingest.py:65 / transform.py:116-121, done Spark-first).
+
+    The metrics ride the write job's tasks as accumulators, so a QC
+    report on a 100 TB write costs zero extra scans — where a naive
+    ``df.count(); df.write...`` pattern reads everything twice.
+    ``metrics`` are aggregate Columns (no DISTINCT aggregates — an
+    ``observe`` restriction; use ``approx_count_distinct`` instead).
+    Returns the observed metric dict.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    exprs = metrics if metrics else [F.count(F.lit(1)).alias("n_rows")]
+    write_parquet(df.observe(obs, *exprs), path, mode=mode, partition_by=partition_by)
+    return obs.get

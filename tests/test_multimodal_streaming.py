@@ -465,3 +465,96 @@ def test_append_mode_window_closes_on_watermark(spark, tmp_path):
     assert (10, "view", 2) in closed
     # the 13:00 window is still open (watermark 11:30 < 14:00): not emitted
     assert not any(ws == 13 for ws, _, _ in closed)
+
+
+class TestStreamingQuotaAdmission:
+    """streaming/quota.py: per-source prefix-quota admission — one long
+    of state per source, batch-parity with the window prefix sum."""
+
+    def _batch_truth(self, spark, budget=5000):
+        from pyspark.sql import Window
+
+        docs = load_star_table(spark, SF, "documents")
+        cum = F.sum("n_chars").over(
+            Window.partitionBy("source").orderBy("doc_id")
+        )
+        return {
+            (r["doc_id"], r["source"], r["n_chars"], r["cum_chars"])
+            for r in docs.select(
+                "doc_id", "source", "n_chars", cum.alias("cum_chars")
+            )
+            .filter(F.col("cum_chars") <= budget)
+            .collect()
+        }
+
+    def test_cross_batch_state_equals_batch_truth(self, spark, tmp_path):
+        """Multi-batch replay (documents.parquet is doc_id-ordered, so
+        per-source arrival order == admission order): the quota state
+        must carry across micro-batches for the union of admissions to
+        equal the single-pass batch prefix sum."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            register_replay_parquet,
+        )
+        from aie321_bigdata_movie_kpi_1m_spark.streaming.quota import (
+            admit_quota_stream,
+        )
+
+        register_replay_parquet(spark)
+        stream = (
+            spark.readStream.format("replay_parquet")
+            .option("path", f"{SF}/documents.parquet")
+            .option("cols", "doc_id,source,n_chars")
+            .option("batch_rows", "120")  # 500 docs -> >= 4 micro-batches
+            .option("reader_mode", "simple")
+            .load()
+        )
+        admitted = admit_quota_stream(stream)
+        rows: list = []
+        n_batches: list = []
+        q = (
+            admitted.writeStream.foreachBatch(
+                lambda df, bid: (rows.extend(df.collect()), n_batches.append(bid))
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_quota"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        assert len(n_batches) >= 4  # state genuinely crossed batches
+        got = {
+            (r["doc_id"], r["source"], r["n_chars"], r["cum_chars"])
+            for r in rows
+        }
+        assert got == self._batch_truth(spark)
+
+    def test_tws_path_gated_on_protobuf(self, spark):
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.streaming import quota
+
+        if quota.tws_available():
+            pytest.skip("protobuf present: TWS path runs, fallback untested")
+        # auto must fall back cleanly where protobuf is absent: building
+        # the plan succeeds and uses FlatMapGroupsInPandasWithState
+        from aie321_bigdata_movie_kpi_1m_spark.streaming.documents import (
+            read_documents_stream,
+        )
+
+        plan = quota.admit_quota_stream(
+            read_documents_stream(spark, SF)
+        )._jdf.queryExecution().logical().toString()
+        assert "transformWithState" not in plan
+
+    def test_rejects_unknown_api(self, spark):
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.streaming.documents import (
+            read_documents_stream,
+        )
+        from aie321_bigdata_movie_kpi_1m_spark.streaming.quota import (
+            admit_quota_stream,
+        )
+
+        with pytest.raises(ValueError, match="api"):
+            admit_quota_stream(read_documents_stream(spark, SF), api="rocksdb")

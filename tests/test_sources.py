@@ -655,3 +655,27 @@ def test_declared_schemas_match_testdata_footers():
             if actual[name] != want:
                 problems.append(f"{table}.{name}: footer {actual[name]!r} vs declared {want!r}")
     assert not problems, "; ".join(problems)
+
+
+def test_observed_write_single_scan_metrics(spark, tmp_path):
+    # QC metrics collected during the write itself (df.observe): values
+    # equal a separate aggregation, and the layer lands complete
+    from pyspark.sql import functions as F
+
+    from aie321_bigdata_movie_kpi_1m_spark.sources.sinks import observed_write
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, None), (3, "c", 1.5)],
+        "id long, name string, score double",
+    )
+    got = observed_write(
+        df,
+        str(tmp_path / "observed"),
+        metrics=[
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("name").alias("n_name"),
+            F.sum("score").alias("score_sum"),
+        ],
+    )
+    assert got == {"n_rows": 3, "n_name": 2, "score_sum": 6.5}
+    assert spark.read.parquet(str(tmp_path / "observed")).count() == 3
