@@ -416,3 +416,29 @@ def test_zorder_layout_is_map_side_after_stats(spark):
     assert "Window" not in plan
     assert "SinglePartition" not in plan or "BroadcastNestedLoopJoin" in plan
     assert _shuffle_exchanges(plan) <= 2  # stats agg + final groupBy
+
+
+def test_udtf_token_runs_streams_shuffle_free(spark):
+    # the UDTF lateral is a Generate-shaped fan-out: a corpus-scale scan
+    # must stream through ArrowEvalPythonUDTF with zero exchanges
+    plan = plan_of(spark, "udtf_token_runs")
+    assert "ArrowEvalPythonUDTF" in plan  # arrow-optimized, not row-pickled
+    assert "Exchange" not in plan
+
+
+def test_approx_topk_uses_take_ordered(spark):
+    # heavy-hitter top-5 must short-circuit via TakeOrderedAndProject;
+    # the rank window runs AFTER the limit (5 rows), so the only
+    # SinglePartition allowed is that post-limit stage
+    plan = plan_of(spark, "approx_topk_tokens")
+    assert "TakeOrderedAndProject" in plan
+    assert _shuffle_exchanges(plan) <= 2  # token agg + sketch agg
+
+
+def test_recursive_reachability_edges_checkpointed(spark):
+    # each recursive step must join the materialized edge list (an
+    # ExistingRDD after localCheckpoint), never re-plan the 4-way fact
+    # join through the temp view
+    plan = plan_of(spark, "sql_recursive_reachability")
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    assert "Scan parquet" not in plan  # recursion sees no base tables

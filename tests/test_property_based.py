@@ -152,3 +152,48 @@ def test_pack_sequences_invariants(spark, token_counts, budget):
             assert r["bin_id"] >= prev_bin
             prev_bin = r["bin_id"]
             cum += r["n_tokens"]
+
+
+@st.composite
+def quota_case(draw):
+    n = draw(st.integers(1, 30))
+    sizes = draw(st.lists(st.integers(0, 400), min_size=n, max_size=n))
+    budget = draw(st.integers(0, 3000))
+    # cut points partitioning [0, n) into ordered micro-batches
+    cuts = draw(st.sets(st.integers(1, max(1, n - 1)), max_size=5))
+    return sizes, budget, sorted(cuts)
+
+
+@given(quota_case())
+@settings(**_SETTINGS)
+def test_quota_admission_is_batch_split_invariant(case):
+    """streaming/quota.py correctness core: folding the admission kernel
+    over ANY split of a doc_id-ordered stream into micro-batches yields
+    exactly the single-pass prefix-sum admission — the invariant that
+    makes the streaming operator equal its batch oracle regardless of
+    how the source chops batches.  Pure-pandas kernel, no Spark jobs."""
+    import pandas as pd
+
+    from aie321_bigdata_movie_kpi_1m_spark.streaming.quota import _admit
+
+    sizes, budget, cuts = case
+    docs = [(i, "s", n) for i, n in enumerate(sizes)]
+
+    # reference: single-pass prefix sum
+    cum, expected = 0, []
+    for i, _, n in docs:
+        cum += n
+        if cum <= budget:
+            expected.append((i, "s", n, cum))
+
+    # kernel folded over the micro-batch split, state threaded through
+    bounds = [0, *cuts, len(docs)]
+    spent, got = 0, []
+    for lo, hi in zip(bounds, bounds[1:]):
+        frame = pd.DataFrame(
+            docs[lo:hi], columns=["doc_id", "source", "n_chars"]
+        )
+        spent, out = _admit(spent, [frame], "s", budget)
+        got.extend(out)
+    assert got == expected
+    assert spent == sum(sizes)
