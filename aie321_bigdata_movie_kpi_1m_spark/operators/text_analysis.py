@@ -279,3 +279,54 @@ def register_token_runs(spark) -> None:
 
     ensure_package_on_workers(spark)
     spark.udtf.register("token_runs", token_runs_udtf())
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated n-gram spans — the candidate pass of exact
+    substring deduplication (the "repeated passage" removal training
+    pipelines run after doc-level dedup: boilerplate, licenses, chain
+    letters that survive whole-doc fingerprinting because the documents
+    AROUND them differ).
+
+    Every length-``n`` token window becomes one row; spans whose window
+    text appears in at least ``min_docs`` DISTINCT documents are emitted
+    with their corpus frequency.  The window fan-out is a pure JVM
+    expression (``transform`` over a ``sequence``, no UDF), and the one
+    shuffle groups on ``xxhash64`` of the span — 8-byte keys, never the
+    span strings (the strings ride as an aggregated payload).  Span text
+    is the GROUP identity for the oracle; hashing only shapes the
+    shuffle, and a 64-bit collision merging two distinct spans is ~2^-64.
+    """
+    ts = tokens(F.col(text_col))
+    n_windows = F.size(ts) - (n - 1)
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so a doc with
+    # fewer than n tokens must short-circuit to an empty window list
+    # (explode then drops it) rather than reach slice() with start 0
+    grams = F.when(
+        n_windows > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("span")
+    )
+    return (
+        exploded.groupBy(F.xxhash64("span").alias("__k"))
+        .agg(
+            F.min("span").alias("span"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .drop("__k")
+    )

@@ -1286,3 +1286,35 @@ def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("est_agrees"),
     )
+
+
+@register(
+    "doc_duplicate_spans",
+    _TOKENS_CTE
+    + """,
+grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ts, i, i + 7), ' ') AS span
+  FROM tok, LATERAL unnest(generate_series(1, greatest(0, len(ts) - 7)))
+       AS t(i)
+)
+SELECT span,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_total,
+       MIN(doc_id) AS rep_doc
+FROM grams
+GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+    "exact substring-dedup candidates (the repeated-passage pass training "
+    "pipelines run after doc-level dedup): every 8-token window, grouped "
+    "corpus-wide, spans present in >= 2 distinct docs emitted with "
+    "frequency; window fan-out is a JVM transform/sequence expression and "
+    "the single shuffle groups on xxhash64(span) — 8-byte keys at 100 TB, "
+    "span text rides as aggregated payload (text_analysis.duplicate_spans)",
+    tags=("text", "dedup"),
+)
+def q_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.duplicate_spans(
+        load_star_table(spark, sf_dir, "documents")
+    )

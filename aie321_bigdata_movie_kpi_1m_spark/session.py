@@ -44,6 +44,23 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     setattr(sc, marker, True)
 
 
+#: Streaming state-store confs for production deployments: RocksDB keeps
+#: state off-heap and spillable (the default HDFSBackedStateStoreProvider
+#: holds every key in executor heap — the thing that OOMs a 100 TB
+#: streaming dedup), and changelog checkpointing uploads per-batch deltas
+#: instead of full snapshots.  Per-QUERY: the provider is frozen from
+#: session conf at query start, so set these before ``start()`` (pass as
+#: ``extra_conf`` to ``get_spark`` or ``spark.conf.set`` them).  Tests
+#: keep the default provider (faster per-batch at toy state sizes) and
+#: pin RocksDB equivalence separately.
+ROCKSDB_STATE_CONFS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
 def get_spark(
     app_name: str = "aie321-movie-kpi-spark",
     master: str | None = None,

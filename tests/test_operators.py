@@ -731,3 +731,33 @@ def test_token_runs_udtf_edge_cases(spark):
         (4, 2, "y", 2),
         (4, 4, "x", 1),
     }
+
+
+def test_duplicate_spans_finds_shared_passages(spark):
+    """Repeated-passage candidates: a boilerplate sentence shared by two
+    otherwise-different docs must surface; sub-n-token docs contribute
+    no windows; within-doc repeats alone don't cross the min_docs gate."""
+    from aie321_bigdata_movie_kpi_1m_spark.operators.text_analysis import (
+        duplicate_spans,
+    )
+
+    boiler = "this content is licensed under creative commons attribution four"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta"),
+            (2, f"{boiler} epsilon zeta eta theta iota"),
+            (3, "totally unrelated text that is short"),  # 6 tokens: no window
+            (4, "rep rep rep rep rep rep rep rep rep"),  # within-doc repeats only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["span"]: (r["n_docs"], r["n_total"], r["rep_doc"])
+            for r in duplicate_spans(docs, n=8, min_docs=2).collect()}
+    assert boiler.startswith(" ".join(boiler.split()[:8]))  # sanity
+    # the full 10-token boilerplate yields 3 shared 8-gram windows
+    shared = [s for s in rows if "licensed under" in s or "creative commons" in s]
+    assert shared, rows
+    for s in shared:
+        assert rows[s][0] == 2 and rows[s][2] == 1
+    # doc 4's self-repeated window appears once per start pos but in ONE doc
+    assert not any(s.startswith("rep rep") for s in rows)

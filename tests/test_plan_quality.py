@@ -442,3 +442,15 @@ def test_recursive_reachability_edges_checkpointed(spark):
     plan = plan_of(spark, "sql_recursive_reachability")
     assert "LogicalRDD" in plan or "ExistingRDD" in plan
     assert "Scan parquet" not in plan  # recursion sees no base tables
+
+
+def test_duplicate_spans_shuffles_on_hash_with_partial_agg(spark):
+    # span grouping must key the exchange on xxhash64 (8-byte keys), with
+    # map-side partial aggregation so the shuffle carries one row per
+    # distinct window per partition, never the raw window fan-out; the
+    # second exchange is the count_distinct(doc_id) expand
+    plan = plan_of(spark, "doc_duplicate_spans")
+    assert "xxhash64" in plan
+    assert "partial_" in plan  # map-side combine before the shuffle
+    assert _shuffle_exchanges(plan) <= 2
+    assert "CartesianProduct" not in plan
