@@ -1845,3 +1845,38 @@ def q_observed_write_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(got["n_rows"], got["n_text_nonnull"], got["chars_total"])],
         "n_rows long, n_text_nonnull long, chars_total long",
     )
+
+
+@register(
+    "udaf_trimmed_mean",
+    """
+WITH g AS (
+  SELECT l_returnflag,
+         list(l_extendedprice ORDER BY l_extendedprice) AS l,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       ROUND(list_aggregate(
+         l[CAST(n // 10 AS INT) + 1 : n - CAST(n // 10 AS INT)], 'avg'), 4)
+           AS trimmed_mean_price
+FROM g
+""",
+    "custom UDAF via Arrow grouped-agg pandas UDF (series -> scalar): "
+    "10% two-sided trimmed mean per group — a robust statistic Spark "
+    "has no builtin for; Arrow moves each group's column as one batch "
+    "(no per-row pickling) and the UDAF composes inside a normal "
+    ".agg(); completes the custom-aggregate surface next to the UDTF "
+    "(the reference has neither, SURVEY §2.8)",
+    tags=("relational", "udaf", "stats"),
+)
+def q_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udafs import trimmed_mean
+    from ..session import ensure_package_on_workers
+
+    # the UDAF is unpickled by module reference on workers
+    ensure_package_on_workers(spark)
+    li = load_star_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(trimmed_mean("l_extendedprice"), 4).alias("trimmed_mean_price")
+    )
