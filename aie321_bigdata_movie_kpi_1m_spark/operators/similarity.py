@@ -532,3 +532,252 @@ def semdedup_pairs(
     return cells.repartition("__cell").mapInPandas(emit, out_schema).select(
         "cell", "i", "j", F.round("cosine_sim", 6).alias("cosine_sim")
     )
+
+
+def _pq_assign_codes_udf(books: list[np.ndarray]) -> Column:
+    """pandas UDF: full vector -> array of ``m`` nearest-codeword ids,
+    one per subspace (squared-L2 per subspace, stable ties by code
+    index — same math as ``_nearest_centroids_udf`` applied to each
+    slice, but ONE Arrow round-trip instead of m)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    Bs = [np.asarray(b, dtype=np.float64) for b in books]
+    sqs = [(B * B).sum(axis=1) for B in Bs]
+    sub = Bs[0].shape[1]
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        outs = []
+        for s, B in enumerate(Bs):
+            seg = mat[:, s * sub : (s + 1) * sub]
+            d = sqs[s] - 2.0 * (seg @ B.T)
+            outs.append(np.argsort(d, axis=1, kind="stable")[:, 0])
+        packed = np.stack(outs, axis=1).astype(np.int32)
+        return pd.Series(list(packed))
+
+    return codes
+
+
+def pq_fit_codebooks(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 1,
+) -> list[np.ndarray]:
+    """Fit product-quantization codebooks: the vector is split into ``m``
+    contiguous subspaces of ``dims // m`` dimensions and each subspace
+    gets its own ``n_codes``-entry codebook, fitted with the SAME
+    deterministic k-means semantics as the IVF coarse quantizer (md5-id
+    seed order, ``iters`` Lloyd steps) on the sliced vectors — but all
+    ``m`` subspaces fit in ONE pass per Lloyd step: a single seed
+    collect (the seed ids are identical across subspaces), one
+    assignment UDF emitting all m codes, and one posexplode->avg over
+    (subspace, code, dim).  Driver state is ``m * n_codes * (dims/m)``
+    floats — the whole index model is a few KB regardless of corpus
+    size."""
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m} subspaces")
+    sub = dims // m
+    e = embeddings.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    )
+    # cache only pays when the corpus is re-scanned per Lloyd step; the
+    # single-step fit reads it twice (seeds + means) and a materialization
+    # costs more than the second scan
+    if iters > 1:
+        e = e.cache()
+    try:
+        seed_rows = (
+            e.withColumn("__h", F.md5(F.col("__id").cast("string")))
+            .orderBy("__h", "__id")
+            .limit(n_codes)
+            .select("__v")
+            .collect()
+        )
+        full = np.asarray([r["__v"] for r in seed_rows], dtype=np.float64)
+        books = [full[:, s * sub : (s + 1) * sub].copy() for s in range(m)]
+        for _ in range(iters):
+            assign = _pq_assign_codes_udf(books)
+            means = (
+                e.withColumn("__codes", assign(F.col("__v")))
+                .select("__codes", F.posexplode("__v").alias("__dim", "__x"))
+                .withColumn("__s", (F.col("__dim") / sub).cast("int"))
+                .withColumn("__d", F.col("__dim") % sub)
+                .withColumn("__c", F.element_at("__codes", F.col("__s") + 1))
+                .groupBy("__s", "__c", "__d")
+                .agg(F.avg("__x").alias("__m"))
+                .collect()
+            )
+            nxt = [b.copy() for b in books]  # empty codes keep their seed
+            for r in means:
+                nxt[r["__s"]][r["__c"], r["__d"]] = r["__m"]
+            books = nxt
+        return books
+    finally:
+        if iters > 1:
+            e.unpersist()
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    dims: int = 64,
+    m: int = 4,
+    n_codes: int = 16,
+    n_candidates: int = 40,
+    iters: int = 1,
+    codebooks: list[np.ndarray] | None = None,
+) -> DataFrame:
+    """Product-quantization approximate cosine top-k (ADC search).
+
+    The corpus is ENCODED once: per subspace, each vector stores only its
+    nearest codeword id — ``m`` small ints instead of ``dims`` floats
+    (64 doubles -> 4 bytes here; at 100 TB the scan side becomes code
+    lookups over a ~100x smaller table, the bandwidth win PQ exists
+    for).  A query builds one tiny distance table per subspace
+    (``n_codes`` entries, computed as bit-portable expression folds) and
+    every candidate's approximate distance is the FIXED-ORDER sum of its
+    ``m`` table entries — asymmetric distance computation.  The top
+    ``n_candidates`` by (adc, id) are exact-cosine reranked to ``k``,
+    same output contract as ``cosine_topk``.
+
+    Candidates sharing all ``m`` codes tie EXACTLY on adc in any engine
+    (same doubles, same add order), so the id tie-break keeps the
+    candidate set deterministic and SQL-replayable.
+    """
+    from pyspark.sql import Window
+
+    sub = dims // m
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_fit_codebooks(
+            embeddings,
+            id_col=id_col,
+            vec_col=vec_col,
+            dims=dims,
+            m=m,
+            n_codes=n_codes,
+            iters=iters,
+        )
+    )
+    spark = embeddings.sparkSession
+
+    # encode: all m codes from ONE Arrow round-trip (one corpus pass)
+    assign = _pq_assign_codes_udf(books)
+    codes = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign(_as_double(vec_col)).alias("__codes"),
+    ).select(
+        "neighbor_id",
+        *[
+            F.element_at("__codes", s + 1).alias(f"__code_{s}")
+            for s in range(m)
+        ],
+    )
+
+    # per-subspace ADC tables: (query, code) -> ||c||^2 - 2 q_s.c
+    # (||q_s||^2 is constant per query, so it cannot change the ranking).
+    # Evaluated ONCE as sequential expression folds (bit-portable against
+    # SQL oracles) and re-created as literal relations: n_queries * m *
+    # n_codes values — query-prep model state, like the fitted codebooks.
+    # Joining the live lineage instead would re-execute the query-side
+    # plan once per subspace join.
+    q = queries.select(F.col(query_id_col), _as_double(vec_col).alias("__qv"))
+    cb_all = spark.createDataFrame(
+        [
+            (s, int(c), [float(x) for x in books[s][c]])
+            for s in range(m)
+            for c in range(len(books[s]))
+        ],
+        "__s int, __code int, __cbv array<double>",
+    )
+    dt_rows = (
+        q.crossJoin(F.broadcast(cb_all))
+        .select(
+            query_id_col,
+            "__s",
+            "__code",
+            (
+                _dot(F.col("__cbv"), F.col("__cbv"))
+                - 2
+                * _dot(
+                    F.slice(
+                        F.col("__qv"), F.col("__s") * sub + 1, F.lit(sub)
+                    ),
+                    F.col("__cbv"),
+                )
+            ).alias("__t"),
+        )
+        .collect()
+    )
+    cand = codes
+    for s in range(m):
+        dt = spark.createDataFrame(
+            [
+                (r[query_id_col], r["__code"], r["__t"])
+                for r in dt_rows
+                if r["__s"] == s
+            ],
+            f"{query_id_col} long, __code_{s} int, __t{s} double",
+        )
+        on = [f"__code_{s}"] if s == 0 else [query_id_col, f"__code_{s}"]
+        cand = cand.join(F.broadcast(dt), on)
+
+    adc = F.col("__t0")
+    for s in range(1, m):
+        adc = adc + F.col(f"__t{s}")  # fixed left-assoc order: portable
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id")
+    )
+    short = (
+        cand.withColumn("__adc", adc)
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_candidates)
+        .select(query_id_col, "neighbor_id")
+    )
+
+    # exact cosine rerank of the shortlist (same contract as cosine_topk)
+    e = embeddings.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    qe = e.select(
+        F.col(id_col).alias(query_id_col), F.col("__v").alias("__qfull")
+    )
+    ce = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__cfull")
+    )
+    ranked = (
+        short.join(F.broadcast(qe), query_id_col)
+        .join(ce, "neighbor_id")
+        .withColumn(
+            "__sim",
+            _dot(F.col("__qfull"), F.col("__cfull"))
+            / F.sqrt(
+                _dot(F.col("__qfull"), F.col("__qfull"))
+                * _dot(F.col("__cfull"), F.col("__cfull"))
+            ),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select(
+            query_id_col, "neighbor_id", F.round("__sim", 6).alias("cosine_sim")
+        )
+    )

@@ -349,3 +349,124 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_pairs(
         emb, _IVF_INDEX_CACHE[key], threshold=0.35
     )
+
+
+_PQ_M = 4
+_PQ_CODES = 16
+_PQ_CAND = 40
+_PQ_INDEX_CACHE: dict = {}
+
+
+def _pq_oracle_sql(m: int = _PQ_M, n_codes: int = _PQ_CODES) -> str:
+    """DuckDB replay of operators.similarity.pq_topk: per subspace the
+    IVF fit (md5 seed order, 1 Lloyd step, empty cells keep seeds) on the
+    sliced vectors, corpus code assignment, per-query ADC tables, the
+    fixed-order ADC sum shortlist, exact rerank.  Same (dist, code) /
+    (adc, id) tie orders as the operator."""
+    sub = _DIMS // m
+    blocks, dt_joins, terms = [], [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        blocks.append(f"""
+sub_{s} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS sv FROM e),
+seeds_{s} AS (
+  SELECT c, sv FROM (
+    SELECT sv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+    FROM sub_{s}
+  ) WHERE c < {n_codes}
+),
+a0_{s} AS (
+  SELECT vec_id, sv, c FROM (
+    SELECT t.vec_id, t.sv, sd.c,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY list_inner_product(sd.sv, sd.sv)
+                      - 2 * list_inner_product(t.sv, sd.sv), sd.c) AS rn
+    FROM sub_{s} t, seeds_{s} sd
+  ) WHERE rn = 1
+),
+means_{s} AS (
+  SELECT c, d, avg(sv[d + 1]) AS mu
+  FROM a0_{s}, range({sub}) t(d)
+  GROUP BY c, d
+),
+cents_{s} AS (
+  SELECT sd.c, coalesce(u.cv, sd.sv) AS sv
+  FROM seeds_{s} sd
+  LEFT JOIN (SELECT c, list(mu ORDER BY d) AS cv FROM means_{s} GROUP BY c) u
+    ON u.c = sd.c
+),
+codes_{s} AS (
+  SELECT vec_id, c FROM (
+    SELECT t.vec_id, k.c,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY list_inner_product(k.sv, k.sv)
+                      - 2 * list_inner_product(t.sv, k.sv), k.c) AS rn
+    FROM sub_{s} t, cents_{s} k
+  ) WHERE rn = 1
+),
+dt_{s} AS (
+  SELECT t.vec_id AS query_id, k.c,
+         list_inner_product(k.sv, k.sv) - 2 * list_inner_product(t.sv, k.sv) AS t
+  FROM sub_{s} t, cents_{s} k WHERE t.vec_id < {_N_QUERIES}
+)""")
+        dt_joins.append(
+            f"JOIN dt_{s} d{s} ON d{s}.c = c{s}.c"
+            + ("" if s == 0 else f" AND d{s}.query_id = d0.query_id")
+        )
+        terms.append(f"d{s}.t")
+    adc_from = "codes_0 c0\n  " + "\n  ".join(
+        f"JOIN codes_{s} c{s} ON c{s}.vec_id = c0.vec_id" for s in range(1, m)
+    ) + "\n  " + "\n  ".join(dt_joins)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),{",".join(blocks)},
+adc AS (
+  SELECT d0.query_id, c0.vec_id AS neighbor_id, {" + ".join(terms)} AS adc
+  FROM {adc_from}
+),
+shortlist AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+  FROM adc WHERE neighbor_id <> query_id
+),
+cand AS (SELECT query_id, neighbor_id FROM shortlist WHERE rn <= {_PQ_CAND}),
+{_RERANK_SQL}"""
+
+
+@register(
+    "ann_pq_topk",
+    _pq_oracle_sql(),
+    "similarity search scale path #3: product quantization (ADC) — the "
+    "corpus is encoded to m=4 codeword ids (4 bytes/vector instead of "
+    "64 doubles: the ~100x scan-bandwidth compression PQ exists for), "
+    "each subspace codebook fitted with the same deterministic k-means "
+    "as IVF on the sliced vectors; a query sums m tiny distance-table "
+    "entries per candidate in fixed order, shortlists top-40 by "
+    "(adc, id), exact-reranks to top-10; the oracle replays fit + "
+    "encode + ADC + rerank fully in SQL",
+    tags=("similarity",),
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = (sf_dir, _PQ_M, _PQ_CODES)
+    if key not in _PQ_INDEX_CACHE:
+        _PQ_INDEX_CACHE[key] = similarity.pq_fit_codebooks(
+            emb, dims=_DIMS, m=_PQ_M, n_codes=_PQ_CODES, iters=1
+        )
+    return similarity.pq_topk(
+        emb,
+        queries,
+        k=_TOP_K,
+        dims=_DIMS,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        n_candidates=_PQ_CAND,
+        codebooks=_PQ_INDEX_CACHE[key],
+    )

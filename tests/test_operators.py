@@ -761,3 +761,50 @@ def test_duplicate_spans_finds_shared_passages(spark):
         assert rows[s][0] == 2 and rows[s][2] == 1
     # doc 4's self-repeated window appears once per start pos but in ONE doc
     assert not any(s.startswith("rep rep") for s in rows)
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    import numpy as np
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.similarity import (
+        cosine_topk,
+        pq_fit_codebooks,
+        pq_topk,
+    )
+
+    # clustered corpus: codewords align to clusters, ADC separates them
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(4, 32))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(12):
+            rows.append((vid, [float(x) for x in c + rng.normal(scale=0.05, size=32)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 12 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_fit_codebooks(emb, dims=32, m=4, n_codes=8, iters=1)
+    assert len(books) == 4 and all(b.shape == (8, 8) for b in books)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    kw = dict(k=5, dims=32, m=4, n_codes=8, n_candidates=15, codebooks=books)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, queries, **kw).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"PQ recall too low on clustered data: {recall}"
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, queries, **kw).collect()
+    }
+    assert approx == again
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_fit_codebooks(emb, dims=32, m=5)
