@@ -606,3 +606,44 @@ def test_stateful_streaming_under_rocksdb_state_store(spark, tmp_path):
 
     assert glob.glob(str(tmp_path / "ckpt_rocks/state/**/*.zip"), recursive=True) or \
         glob.glob(str(tmp_path / "ckpt_rocks/state/**/*.changelog"), recursive=True)
+
+
+def test_quota_checkpoint_restart_serves_nothing(spark, tmp_path):
+    """Restart over a drained checkpoint: offsets are committed, the
+    quota state is durable, and NO row is re-admitted (the exactly-once
+    contract a downstream training-data writer depends on)."""
+    from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+        register_replay_parquet,
+    )
+    from aie321_bigdata_movie_kpi_1m_spark.streaming.quota import (
+        admit_quota_stream,
+    )
+
+    register_replay_parquet(spark)
+    stream = (
+        spark.readStream.format("replay_parquet")
+        .option("path", f"{SF}/documents.parquet")
+        .option("cols", "doc_id,source,n_chars")
+        .option("batch_rows", "200")
+        .option("reader_mode", "simple")
+        .load()
+    )
+    ckpt = str(tmp_path / "ckpt_quota_restart")
+
+    def run():
+        rows: list = []
+        q = (
+            admit_quota_stream(stream)
+            .writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        return rows
+
+    first = run()
+    assert len(first) > 0
+    second = run()  # same checkpoint: nothing new to serve
+    assert second == []
