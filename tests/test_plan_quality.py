@@ -454,3 +454,35 @@ def test_duplicate_spans_shuffles_on_hash_with_partial_agg(spark):
     assert "partial_" in plan  # map-side combine before the shuffle
     assert _shuffle_exchanges(plan) <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
+    """Catalog-wide scale lint: NO query may plan a CartesianProduct
+    (unkeyed all-pairs — broadcast nested-loop against a broadcast side
+    is the only acceptable cross shape) or a row-wise Python UDF
+    (BatchEvalPython — every Python stage must be Arrow-vectorized:
+    ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas* /
+    ArrowEvalPythonUDTF).  Guards every FUTURE catalog addition against
+    the two worst 100 TB anti-patterns in one sweep."""
+    failures = []
+    for name in sorted(CATALOG):
+        try:
+            plan = plan_of(spark, name)
+        except Exception as exc:  # a query that cannot even plan is a failure
+            failures.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-wise Python UDF (BatchEvalPython)")
+    assert not failures, "\n".join(failures)
+
+
+def test_catalog_lint_descriptions_and_oracles(spark):
+    """Registry hygiene: every catalog entry carries a real description,
+    tags, and a non-empty DuckDB oracle (the zero-rows-only invariant the
+    correctness gate depends on)."""
+    for name, spec in CATALOG.items():
+        assert spec.oracle and spec.oracle.strip(), f"{name}: empty oracle"
+        assert len(spec.description) >= 20, f"{name}: missing description"
+        assert spec.tags, f"{name}: no tags"
