@@ -1318,3 +1318,104 @@ def q_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.duplicate_spans(
         load_star_table(spark, sf_dir, "documents")
     )
+
+
+@register(
+    "llm_corpus_pipeline",
+    _TOKENS_CTE
+    + """,
+kept AS (
+  SELECT d.doc_id, d.source, d.n_chars, d.text, len(ts) AS n_tokens
+  FROM tok JOIN documents d USING (doc_id)
+  WHERE len(ts) >= 20
+    AND length(coalesce(text, '')) / greatest(len(ts), 1) <= 12
+    AND len(list_filter(ts, t -> lower(t) IN ('the','a','of','and','to','in')))
+        / greatest(len(ts), 1) >= 0.05
+),
+fp AS (
+  SELECT doc_id, source, n_chars, n_tokens,
+         md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))
+             AS f
+  FROM kept
+),
+surv AS (
+  SELECT doc_id, source, n_chars, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp
+  ) WHERE rn = 1
+),
+adm AS (
+  SELECT * FROM (
+    SELECT doc_id, source, n_chars, n_tokens,
+           SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+    FROM surv
+  ) WHERE cum <= 20000
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       MIN(doc_id) AS first_doc
+FROM adm GROUP BY source
+""",
+    "FLAGSHIP composition — the end-to-end LLM corpus pipeline in one "
+    "lazy DAG: C4-style quality gates (codegen'd scan filter) -> exact "
+    "dedup survivors (fingerprint window, keep min id) -> per-source "
+    "prefix char quota (the batch twin of the streaming admission "
+    "operator) -> per-source shard rollup; every stage is an operator "
+    "the catalog verifies in isolation, composed here the way "
+    "run_pipeline.py chains the reference's stages (ref "
+    "run_pipeline.py:22-59) but as ONE Catalyst plan with no "
+    "materialization between stages",
+    tags=("text", "pipeline", "llm-pipeline"),
+)
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    from ..functions.text import md5_fingerprint, tokens
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    toks = F.col("__tok")
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.filter(
+            toks, lambda t: F.lower(t).isin("the", "a", "of", "and", "to", "in")
+        )
+    )
+    mean_word_len = F.length(F.coalesce(F.col("text"), F.lit(""))) / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    kept = (
+        docs.select(
+            "doc_id", "source", "n_chars", "text", tokens("text").alias("__tok")
+        )
+        .filter(
+            (n_tokens >= 20)
+            & (mean_word_len <= 12)
+            & ((n_stop / F.greatest(n_tokens, F.lit(1))) >= 0.05)
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            n_tokens.alias("n_tokens"),
+            md5_fingerprint("text").alias("__f"),
+        )
+    )
+    surv = (
+        kept.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("__f").orderBy("doc_id")),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__f", "__rn")
+    )
+    adm = surv.withColumn(
+        "__cum",
+        F.sum("n_chars").over(Window.partitionBy("source").orderBy("doc_id")),
+    ).filter(F.col("__cum") <= 20_000)
+    return adm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.min("doc_id").alias("first_doc"),
+    )

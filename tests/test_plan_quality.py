@@ -486,3 +486,14 @@ def test_catalog_lint_descriptions_and_oracles(spark):
         assert spec.oracle and spec.oracle.strip(), f"{name}: empty oracle"
         assert len(spec.description) >= 20, f"{name}: missing description"
         assert spec.tags, f"{name}: no tags"
+
+
+def test_llm_pipeline_two_shuffles_with_group_limit_pushdown(spark):
+    # the flagship composition must stay a 2-shuffle DAG: fingerprint
+    # window (with WindowGroupLimit pushing the keep-min-id rank below
+    # the exchange) + source window, whose partitioning the final rollup
+    # agg REUSES (no third exchange)
+    plan = plan_of(spark, "llm_corpus_pipeline")
+    assert _shuffle_exchanges(plan) == 2
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
