@@ -660,6 +660,8 @@ def pq_topk(
     """
     from pyspark.sql import Window
 
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m} subspaces")
     sub = dims // m
     books = (
         codebooks
@@ -751,13 +753,15 @@ def pq_topk(
         .select(query_id_col, "neighbor_id")
     )
 
-    # exact cosine rerank of the shortlist (same contract as cosine_topk)
-    e = embeddings.select(F.col(id_col), _as_double(vec_col).alias("__v"))
-    qe = e.select(
-        F.col(id_col).alias(query_id_col), F.col("__v").alias("__qfull")
-    )
-    ce = e.select(
-        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__cfull")
+    # exact cosine rerank of the shortlist (same contract as cosine_topk).
+    # Query vectors come from the QUERIES side — the small, broadcastable
+    # relation, and the only correct source when query ids are not corpus
+    # ids (external search queries); sourcing them from the corpus would
+    # both broadcast the full embeddings table and silently drop or
+    # mis-score external queries.
+    qe = q.select(F.col(query_id_col), F.col("__qv").alias("__qfull"))
+    ce = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cfull")
     )
     ranked = (
         short.join(F.broadcast(qe), query_id_col)

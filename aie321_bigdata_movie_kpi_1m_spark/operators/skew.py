@@ -54,26 +54,41 @@ def observed_salt(
     driver state, not data.
 
     This RUNS a Spark job eagerly.  A sample smaller than
-    ``min_sample_rows`` is too noisy to diagnose skew — and implies an
-    input small enough that a plain join balances anyway — so it resolves
-    to 1 rather than salting on noise.
+    ``min_sample_rows`` is too noisy to diagnose skew.  The floor is
+    applied to the INPUT, not just the sample: a small sample from a
+    LARGE input (caller passed a tiny ``sample_frac``) triggers one
+    re-probe at a fraction sized to clear the floor, instead of silently
+    resolving to 1 and leaving a genuinely skewed join unsalted; only a
+    genuinely small input — where a plain join balances anyway — skips
+    salting outright.
     """
     import math
 
     keys = [on] if isinstance(on, str) else list(on)
-    row = (
-        big.sample(fraction=sample_frac, seed=7)
-        .groupBy(*keys)
-        .count()
-        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
-        .collect()[0]
-    )
-    if not row["n"] or row["n"] < min_sample_rows:
-        return 1
+
+    def _probe(frac: float):
+        return (
+            big.sample(fraction=frac, seed=7)
+            .groupBy(*keys)
+            .count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+            .collect()[0]
+        )
+
+    row = _probe(sample_frac)
+    n = row["n"] or 0
+    if n < min_sample_rows:
+        est_input = n / sample_frac if sample_frac > 0 else 0.0
+        if est_input < min_sample_rows * 4:
+            return 1  # small input, not just a small sample
+        row = _probe(min(1.0, sample_frac * (min_sample_rows * 2) / max(n, 1)))
+        n = row["n"] or 0
+        if n < min_sample_rows:
+            return 1
     parts = parallelism or int(
         big.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    spread = row["mx"] / row["n"] * parts
+    spread = row["mx"] / n * parts
     return 1 if spread < 2.0 else min(max_salt, int(math.ceil(spread)))
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import cents as _cents
 from ..operators.asof import asof_join
+from ..session import scratch_dir
 from ..operators.sessions import session_summary
 from ..sources.readers import load_star_table
 from .catalog import register
@@ -53,7 +54,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_star_table(spark, sf_dir, "customer")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"/root/repo/.scratch/csv_roundtrip/{tag}"
+    path = scratch_dir("csv_roundtrip", tag)
     # nullValue sentinel keeps NULL distinguishable from '' on re-read
     write_csv(cust, path, nullValue="\\N")
     back = read_csv(spark, path, STAR_SCHEMAS["customer"], nullValue="\\N")
@@ -88,7 +89,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     supp = load_star_table(spark, sf_dir, "supplier")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"/root/repo/.scratch/json_roundtrip/{tag}"
+    path = scratch_dir("json_roundtrip", tag)
     write_json(supp, path)
     back = spark.read.schema(STAR_SCHEMAS["supplier"]).json(path)
     return back.groupBy("s_nationkey").agg(
@@ -959,7 +960,7 @@ def q_partitioned_layer_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_star_table(spark, sf_dir, "orders")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"/root/repo/.scratch/partitioned_orders/{tag}"
+    path = scratch_dir("partitioned_orders", tag)
     write_parquet(orders, path, partition_by=["o_orderstatus"])
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderpriority").agg(
@@ -1252,7 +1253,7 @@ def q_chunked_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 10 == 0)
     )
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"/root/repo/.scratch/chunked_source/{tag}"
+    path = scratch_dir("chunked_source", tag)
     (
         orders.repartition(4, "o_orderkey")
         .write.format("chunked_csv")
@@ -1829,7 +1830,7 @@ def q_observed_write_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_star_table(spark, sf_dir, "documents")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"/root/repo/.scratch/observed_write/{tag}"
+    path = scratch_dir("observed_write", tag)
     got = observed_write(
         docs,
         path,
@@ -1839,8 +1840,14 @@ def q_observed_write_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_total"),
         ],
     )
-    # the observation must describe the layer that actually landed
-    assert got["n_rows"] == spark.read.parquet(path).count()
+    # the observation must describe the layer that actually landed; an
+    # explicit raise, not assert — the invariant must survive python -O
+    landed = spark.read.parquet(path).count()
+    if got["n_rows"] != landed:
+        raise RuntimeError(
+            f"observe metrics ({got['n_rows']} rows) disagree with the "
+            f"written layer ({landed} rows) at {path}"
+        )
     return spark.createDataFrame(
         [(got["n_rows"], got["n_text_nonnull"], got["chars_total"])],
         "n_rows long, n_text_nonnull long, chars_total long",

@@ -1248,8 +1248,11 @@ FROM top WHERE rank <= 5
     "partials merge without a rescan (what an exact global top-k "
     "needs a full shuffle-agg for at 100 TB); the oracle carries the "
     "exact top-5 and the query flags in-row whether the sketch "
-    "estimate agrees (exact here: the tracked-item budget exceeds the "
-    "vocabulary)",
+    "estimate agrees UP TO COUNT TIES (the sketch's ordering among "
+    "equal counts is unspecified, so a rank-5 tie may surface the "
+    "other tie member — same count, different token — and that is "
+    "agreement, not sketch error; exact here: the tracked-item "
+    "budget exceeds the vocabulary)",
     tags=("text", "sketch"),
 )
 def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1278,13 +1281,12 @@ def q_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.col("tok").alias("token"),
         "n_exact",
-        F.coalesce(
-            F.expr(
-                "element_at(filter(__est, x -> x.item = tok), 1).count"
-            )
-            == F.col("n_exact"),
-            F.lit(False),
-        ).alias("est_agrees"),
+        # agreement up to count ties: a token whose exact count appears in
+        # the sketch's top-5 counts is "agreed" even when a rank-boundary
+        # tie made the sketch surface the OTHER tie member (its ordering
+        # among equal counts is unspecified; requiring item identity here
+        # would be a data-dependent flake, not a sketch-accuracy check)
+        F.expr("exists(__est, x -> x.count = n_exact)").alias("est_agrees"),
     )
 
 

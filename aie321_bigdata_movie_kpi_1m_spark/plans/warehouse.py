@@ -9,7 +9,7 @@ These are the operations that distinguish a 100 TB engine from a demo:
 - SCD2 merge is the declarative upsert every dimension pipeline runs;
 - ORC completes the interchange matrix (parquet/csv/json/orc).
 
-Scratch layers live under ``/root/repo/.scratch`` like the other
+Scratch layers live under the repo-local ``.scratch`` like the other
 roundtrip queries (sandbox boundary: never outside the repo).
 """
 
@@ -23,10 +23,11 @@ from pyspark.sql import functions as F
 
 from ..functions.money import cents as _cents
 from ..operators.ids import assign_contiguous_ids
+from ..session import scratch_dir
 from ..sources.readers import load_star_table
 from .catalog import register
 
-_SCRATCH = "/root/repo/.scratch"
+_SCRATCH = scratch_dir()
 
 
 def _tag(sf_dir: str) -> str:

@@ -17,6 +17,20 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def scratch_dir(*parts: str) -> str:
+    """Path under the repo-local ``.scratch`` layer (sink round-trip
+    queries write here), derived from the package location so any
+    checkout works — not a hardcoded absolute path.  Ensures the root
+    exists: it is gitignored and the harness wipes it between sessions,
+    and while Spark writers create missing parents, ``tempfile`` with an
+    explicit ``dir=`` does not."""
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, *parts) if parts else root
+
+
 def ensure_package_on_workers(spark: SparkSession) -> None:
     """Make this package importable in Python workers of an
     already-running session.
@@ -91,6 +105,8 @@ def get_spark(
             if os.environ.get("PYTHONPATH")
             else pkg_root
         )
+
+    scratch_dir()  # recreate the scratch layer (wiped between sessions)
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (

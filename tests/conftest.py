@@ -21,9 +21,34 @@ SF_ORACLE = "/root/testdata/sf0.01"
 # iteration loop with SPARK_GRAFT_PARITY_BENCH=0.
 import os  # noqa: E402
 
+# gitignored scratch layer; the harness may wipe it between sessions
+os.makedirs(REPO_ROOT / ".scratch", exist_ok=True)
+
 PARITY_SFS = [SF_SMOKE, SF_ORACLE]
 if os.environ.get("SPARK_GRAFT_PARITY_BENCH", "1").lower() not in ("0", "", "false"):
     PARITY_SFS.append("/root/testdata/sf0.1")
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def override_confs(spark, overrides: dict[str, str]):
+    """Set session confs for the block, restoring previous values (or
+    unset state) after.  Shared by plan-shape tests (which assert under
+    both AQE settings) and state-store parity tests — one copy of the
+    unset-vs-set restore semantics."""
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 @pytest.fixture(scope="session")

@@ -97,9 +97,10 @@ def test_chunk_sliding_edge_cases(spark):
     # empty doc -> one 0-token chunk; short doc -> one chunk; exactly one
     # window -> one chunk; size+1 tokens -> two chunks with 16-token overlap
     from aie321_bigdata_movie_kpi_1m_spark.plans.catalog import CATALOG
+    from aie321_bigdata_movie_kpi_1m_spark.session import scratch_dir
     import tempfile, os
 
-    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as d:
+    with tempfile.TemporaryDirectory(dir=scratch_dir()) as d:
         docs = spark.createDataFrame(
             [
                 (0, None, "en", "s", 0),

@@ -572,10 +572,9 @@ def test_stateful_streaming_under_rocksdb_state_store(spark, tmp_path):
         read_documents_stream,
     )
 
-    saved = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONFS}
-    try:
-        for k, v in ROCKSDB_STATE_CONFS.items():
-            spark.conf.set(k, v)
+    from .conftest import override_confs
+
+    with override_confs(spark, ROCKSDB_STATE_CONFS):
         q = (
             dedup_stream(read_documents_stream(spark, SF))
             .writeStream.format("memory")
@@ -590,12 +589,6 @@ def test_stateful_streaming_under_rocksdb_state_store(spark, tmp_path):
             (r["fingerprint"], r["keeper_id"], r["n_copies"])
             for r in spark.table("rocksdb_dedup_parity").collect()
         }
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     batch = {
         (r["fingerprint"], r["keeper_id"], r["n_copies"])
         for r in dedup_exact(load_star_table(spark, SF, "documents")).collect()

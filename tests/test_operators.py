@@ -282,6 +282,22 @@ def test_observed_salt_floors_tiny_samples(spark):
     assert observed_salt(tiny, "k", sample_frac=1.0, min_sample_rows=10) > 1
 
 
+def test_observed_salt_reprobes_large_input_with_tiny_fraction(spark):
+    """The sample floor must not scale as min_sample_rows/sample_frac: a
+    tiny fraction of a LARGE skewed input re-probes at a bigger fraction
+    instead of silently returning 1 (which would leave the hot key on one
+    reducer with no warning)."""
+    from aie321_bigdata_movie_kpi_1m_spark.operators.skew import observed_salt
+
+    big_skewed = spark.createDataFrame(
+        [(1 if i < 17_000 else i % 7, i) for i in range(20_000)],
+        "k int, v int",
+    )
+    # frac=0.002 samples ~40 rows (< the 256 floor); input estimate says
+    # "large", so one escalated probe runs and sees the 85%-hot key
+    assert observed_salt(big_skewed, "k", sample_frac=0.002) > 1
+
+
 def test_salted_groupby_equals_plain_groupby(spark):
     from aie321_bigdata_movie_kpi_1m_spark.operators.skew import salted_groupby
 
@@ -808,3 +824,22 @@ def test_pq_topk_recall_and_determinism(spark):
 
     with pytest.raises(ValueError, match="divisible"):
         pq_fit_codebooks(emb, dims=32, m=5)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_topk(emb, queries, dims=32, m=5, codebooks=books)
+
+    # external queries: ids NOT in the corpus (the normal search case) —
+    # rerank must score against the query's own vector, not a corpus
+    # lookup by id (which would silently return 0 rows or, on an id
+    # collision, score the wrong vector)
+    ext = emb.filter(F.col("vec_id") % 12 == 0).select(
+        (F.col("vec_id") + 10_000).alias("query_id"), "embedding"
+    )
+    ext_hits = pq_topk(emb, ext, **kw).collect()
+    assert len(ext_hits) == 4 * 5
+    ext_pairs = {(r["query_id"] - 10_000, r["neighbor_id"]) for r in ext_hits}
+    # external ids can't self-exclude, so the query's own corpus twin is a
+    # legitimate (cos=1) hit; apart from that the neighbor sets must match
+    # the in-corpus run's
+    own = {p for p in ext_pairs if p[0] == p[1]}
+    assert len(own) == 4  # each query finds its identical corpus vector
+    assert ext_pairs - own <= approx

@@ -22,27 +22,11 @@ def plan_of(spark, name: str) -> str:
     return buf.getvalue()
 
 
-from contextlib import contextmanager  # noqa: E402
-
-
-@contextmanager
-def _confs(spark, overrides: dict[str, str]):
-    """Set session confs for the block, restoring previous values after.
-    Plan-shape assertions run under BOTH AQE settings where possible: AQE
-    can mask a shape regression (e.g. hide a doubled exchange behind
-    runtime stage reuse), so the static AQE-off plan is the contract and
-    the AQE-on plan guards the default-session path."""
-    saved = {k: spark.conf.get(k, None) for k in overrides}
-    try:
-        for k, v in overrides.items():
-            spark.conf.set(k, v)
-        yield
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+# Plan-shape assertions run under BOTH AQE settings where possible: AQE
+# can mask a shape regression (e.g. hide a doubled exchange behind
+# runtime stage reuse), so the static AQE-off plan is the contract and
+# the AQE-on plan guards the default-session path.
+from .conftest import override_confs as _confs  # noqa: E402
 
 
 def test_filter_and_projection_reach_the_scan(spark):
