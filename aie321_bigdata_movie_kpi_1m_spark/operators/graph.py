@@ -49,15 +49,20 @@ def connected_components(
         )
     )
 
-    def label_mass(df: DataFrame):
-        # labels only ever DECREASE under min-propagation, so the total
-        # label mass is a strictly-monotone convergence signal: unchanged
-        # mass == unchanged labels.  One scan over the already-checkpointed
-        # partitions — much cheaper than the old per-round change-join.
-        # decimal(38,0): sums of 2^63-scale ids cannot overflow.
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    def labels_checksum(df: DataFrame):
+        # order-independent 64-bit-hash sum over (node, label) pairs: a
+        # changed label set colliding on the sum is ~2^-64.  Works for ANY
+        # id type — a plain sum of labels ("label mass") is only sound for
+        # integral ids (numeric-string ids can trade +1/-1 across nodes in
+        # one round and keep the sum fixed while labels changed; the cast
+        # itself crashes on non-numeric strings under ANSI).  One scan
+        # over the already-checkpointed partitions, no join.
+        # decimal(38,0): a sum of 64-bit hashes cannot overflow.
+        return df.agg(
+            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)"))
+        ).collect()[0][0]
 
-    prev_mass = None
+    prev_sig = None
     converged = False
     for _ in range(max_iters):
         nbr = sym.join(
@@ -69,11 +74,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        mass = label_mass(labels)
-        if mass == prev_mass:
+        sig = labels_checksum(labels)
+        if sig == prev_sig:
             converged = True
             break
-        prev_mass = mass
+        prev_sig = sig
     if not converged:
         # returning unconverged labels would be SILENTLY wrong output
         # (nodes of one component under different labels) — fail loudly;
@@ -120,8 +125,16 @@ def connected_components_star(
 
     Returns (node, cluster_id) with cluster_id = component min; nodes
     with no edges are not in the output (same contract as
-    ``connected_components``).
+    ``connected_components`` — including nodes whose only edge is a
+    SELF-loop, which the star contraction would otherwise drop when it
+    filters ``a != b``: they are unioned back as their own singleton
+    cluster at the end).
     """
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
     # undirected edge set, kept as a<->b pairs with self-loops dropped
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -197,7 +210,12 @@ def connected_components_star(
     roots = out.select(F.col("cluster_id").alias("node")).distinct().select(
         "node", F.col("node").alias("cluster_id")
     )
-    return out.union(roots)
+    labeled = out.union(roots)
+    # self-loop-only nodes never entered the contraction — singleton them
+    singletons = all_nodes.join(labeled, "node", "left_anti").select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    return labeled.union(singletons)
 
 
 def pagerank_fixed(
@@ -230,16 +248,25 @@ def pagerank_fixed(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
     )
     outw = e.groupBy("u").agg(F.sum("w").alias("ow"))
-    # transition matrix rows: w/out(u), built once, reused every iteration
-    trans = e.join(outw, "u").select(
-        "u", "v", (F.col("w") / F.col("ow")).alias("p")
+    # transition matrix rows: w/out(u) — built once and MATERIALIZED once
+    # (localCheckpoint), so every iteration's join reads the computed
+    # partitions instead of re-deriving the normalize subtree and hoping
+    # exchange reuse fires
+    trans = (
+        e.join(outw, "u")
+        .select("u", "v", (F.col("w") / F.col("ow")).alias("p"))
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: an empty (node, rank) frame, not a ZeroDivisionError
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):

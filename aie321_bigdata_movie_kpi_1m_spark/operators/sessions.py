@@ -24,12 +24,19 @@ def assign_sessions(
     ts_col: str = "ts",
     gap_seconds: int = 21600,
 ) -> DataFrame:
-    """Add ``session_seq`` (1-based per user) to each event."""
+    """Add ``session_seq`` (1-based per user) to each event.
+
+    Events with a NULL timestamp are dropped: they cannot be placed on
+    the session timeline, and letting them through would give each one
+    ``gap IS NULL`` -> its own spurious session AND shift every real
+    event's ``session_seq`` for that user (nulls sort first in the
+    ascending window).
+    """
     epoch = F.col(ts_col).cast("long")
     w_user = Window.partitionBy(user_col).orderBy(epoch)
     gap = epoch - F.lag(epoch).over(w_user)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
-    return events.withColumn(
+    return events.filter(F.col(ts_col).isNotNull()).withColumn(
         "session_seq",
         F.sum(is_new).over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
     )

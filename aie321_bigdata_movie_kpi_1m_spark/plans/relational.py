@@ -701,7 +701,7 @@ WITH marked AS (
                    > 21600
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)) IS NULL
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 sessioned AS (
   SELECT user_id, ts, sec,

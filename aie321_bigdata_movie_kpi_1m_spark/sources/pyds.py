@@ -162,9 +162,12 @@ class _ChunkedCsvReader(DataSourceReader):
 
 
 class _ChunkedCsvWriter(DataSourceWriter):
-    def __init__(self, path: str, schema: StructType, options: dict):
+    def __init__(
+        self, path: str, schema: StructType, options: dict, overwrite: bool
+    ):
         self._path = path
         self._schema = schema
+        self._overwrite = overwrite
         self._chunk_rows = int(options.get("chunk_rows", 10000))
         self._stats_col = options.get("stats_col")
         names = [f.name for f in schema.fields]
@@ -193,26 +196,38 @@ class _ChunkedCsvWriter(DataSourceWriter):
             rows, mn, mx = 0, None, None
 
         roll()
-        for row in iterator:
-            if rows >= self._chunk_rows:
-                roll()
-            vals = [row[i] for i in range(n_fields)]
-            if self._stats_idx is not None:
-                v = vals[self._stats_idx]
-                if v is not None:
-                    mn = v if mn is None or v < mn else mn
-                    mx = v if mx is None or v > mx else mx
-            writer.writerow(
-                [
-                    _NULL
-                    if v is None
-                    else ("true" if v is True else "false")
-                    if isinstance(v, bool)
-                    else v
-                    for v in vals
-                ]
-            )
-            rows += 1
+        try:
+            for row in iterator:
+                if rows >= self._chunk_rows:
+                    roll()
+                vals = [row[i] for i in range(n_fields)]
+                if self._stats_idx is not None:
+                    v = vals[self._stats_idx]
+                    if v is not None:
+                        mn = v if mn is None or v < mn else mn
+                        mx = v if mx is None or v > mx else mx
+                writer.writerow(
+                    [
+                        _NULL
+                        if v is None
+                        else ("true" if v is True else "false")
+                        if isinstance(v, bool)
+                        else v
+                        for v in vals
+                    ]
+                )
+                rows += 1
+        except BaseException:
+            # a failed task returns no commit message, so abort() cannot
+            # name these files — clean up this attempt's output here or
+            # retried tasks accumulate orphan chunks (and a leaked handle)
+            fh.close()
+            for orphan in [n for (n, *_r) in files] + [name]:
+                try:
+                    os.remove(os.path.join(self._path, orphan))
+                except OSError:
+                    pass
+            raise
         fh.close()
         if rows > 0:
             files.append((name, rows, mn, mx))
@@ -226,12 +241,30 @@ class _ChunkedCsvWriter(DataSourceWriter):
             for m in messages
             for (n, r, mn, mx) in m.files
         ]
+        manifest_path = os.path.join(self._path, _MANIFEST)
+        if not self._overwrite and os.path.exists(manifest_path):
+            # append mode: the new manifest must keep the layer's existing
+            # chunks readable — replacing it wholesale would silently drop
+            # every previously written row from reads
+            with open(manifest_path) as fh:
+                prior = json.load(fh)
+            if prior["schema"] != self._schema.json():
+                raise ValueError(
+                    "chunked_csv append: schema differs from the existing "
+                    "layer's manifest"
+                )
+            if prior.get("stats_col") != self._stats_col:
+                raise ValueError(
+                    "chunked_csv append: stats_col differs from the "
+                    "existing layer's manifest"
+                )
+            files = prior["files"] + files
         manifest = {
             "schema": self._schema.json(),
             "stats_col": self._stats_col,
             "files": files,
         }
-        with open(os.path.join(self._path, _MANIFEST), "w") as fh:
+        with open(manifest_path, "w") as fh:
             json.dump(manifest, fh, indent=1)
 
     def abort(self, messages) -> None:
@@ -276,7 +309,7 @@ class ChunkedCsvDataSource(DataSource):
             for f in os.listdir(path):
                 if f.endswith(".csv") or f == _MANIFEST:
                     os.remove(os.path.join(path, f))
-        return _ChunkedCsvWriter(path, schema, dict(self.options))
+        return _ChunkedCsvWriter(path, schema, dict(self.options), overwrite)
 
 
 class _ReplayStreamReader(SimpleDataSourceStreamReader):
@@ -460,19 +493,9 @@ class ReplayParquetDataSource(DataSource):
         return "replay_parquet"
 
     def schema(self):
-        import pyarrow.parquet as pq
-
-        footer = pq.read_schema(self.options["path"])
-        parts = []
-        for c in self.options["cols"].split(","):
-            arrow_t = str(footer.field(c).type)
-            if arrow_t not in self._ARROW_TO_DDL:
-                raise ValueError(
-                    f"replay_parquet: unsupported column type {arrow_t!r} "
-                    f"for {c!r}"
-                )
-            parts.append(f"{c} {self._ARROW_TO_DDL[arrow_t]}")
-        return ", ".join(parts)
+        # one copy of the footer-to-DDL mapping (module-level helper);
+        # the module is pickled by value, so the reference travels intact
+        return replay_schema_ddl(self.options["path"], self.options["cols"])
 
     def streamReader(self, schema):
         if self.options.get("reader_mode") == "simple":
@@ -512,7 +535,8 @@ def replay_schema_ddl(path: str, cols: str) -> str:
     Passing this to ``readStream.schema(...)`` skips the engine's
     ``DataSource.schema()`` round-trip, which spawns a dedicated Python
     worker process (~1.5 s of fixed latency per stream definition).
-    Same mapping as ``ReplayParquetDataSource.schema``.
+    ``ReplayParquetDataSource.schema`` delegates here — this is the one
+    copy of the footer-to-DDL mapping.
     """
     import pyarrow.parquet as pq
 

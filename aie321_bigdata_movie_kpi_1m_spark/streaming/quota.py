@@ -1,13 +1,24 @@
 """Streaming per-source admission quota — a training-data mixture cap
 enforced at ingest time.
 
-Semantics (prefix quota, deterministic): per ``source``, documents are
-consumed in ``doc_id`` order and a document is admitted iff the source's
-cumulative char count — over ALL its documents so far, admitted or not —
-stays within ``budget_chars``.  Once a source's stream of characters
-crosses the budget, everything later from that source is dropped at the
-door: the cheap, auditable way to stop one crawl domain from flooding a
+Semantics (prefix quota): per ``source``, documents are consumed in
+ARRIVAL order — ``doc_id`` order within each micro-batch, batches in
+delivery order — and a document is admitted iff the source's cumulative
+char count — over ALL its documents so far, admitted or not — stays
+within ``budget_chars``.  Once a source's stream of characters crosses
+the budget, everything later from that source is dropped at the door:
+the cheap, auditable way to stop one crawl domain from flooding a
 training mixture (the batch twin of ``source_mix_weights`` reweighting).
+
+Determinism contract: the admitted set equals the global-``doc_id``
+prefix (what the SQL oracle computes) exactly when the SOURCE delivers
+doc_ids in nondecreasing order across micro-batches — true for the
+replay source (offset = row position over an id-ordered file) and any
+log-ordered bus.  Under out-of-order delivery the quota is still exact
+in chars spent (every doc charged once), but WHICH docs got in depends
+on arrival order — the inherent property of admission at the door; a
+reorder-buffer would mean unbounded state.  Batch-split invariance over
+ordered delivery is property-tested.
 
 Two implementations, one semantics, selected automatically:
 

@@ -69,6 +69,22 @@ def test_session_boundaries(spark):
     ]
 
 
+def test_sessionize_drops_null_timestamps(spark):
+    """A null-ts event can't sit on the timeline; before the fix each one
+    became its own spurious session AND shifted session_seq for all of
+    that user's real events (nulls sort first in the ascending window)."""
+    events = spark.createDataFrame(
+        [(1, None),
+         (1, ts("2024-01-01 10:00:00")),
+         (1, ts("2024-01-01 10:10:00")),
+         (1, None)],
+        "user_id int, ts timestamp",
+    )
+    rows = session_summary(events, gap_seconds=3600).collect()
+    assert [(r["user_id"], r["session_seq"], r["n_events"], r["duration_secs"])
+            for r in rows] == [(1, 1, 2, 600)]
+
+
 DOCS = [
     (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
     (2, "the quick brown fox jumps over the lazy dog and runs away quickly"),  # near-dup of 1
@@ -410,6 +426,52 @@ def test_connected_components_star_matches_min_label(spark):
         for r in connected_components_star(edges).collect()
     }
     assert a == b
+
+
+def test_connected_components_string_ids_and_self_loops(spark):
+    """Two contracts that numeric-only test data can't see: (1) string
+    node ids — the convergence signal must be type-agnostic (a plain sum
+    of labels is only sound for integral ids); (2) self-loop-only nodes
+    — the star contraction drops a != b edges, so (n, n) nodes must still
+    come back as singleton clusters, matching min-label."""
+    from aie321_bigdata_movie_kpi_1m_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # numeric-string ids where +1/-1 label moves could cancel in a sum
+    sedges = spark.createDataFrame(
+        [("9", "10"), ("10", "21"), ("20", "21"), ("7", "7")],
+        "i string, j string",
+    )
+    expect = {("10", "10"), ("9", "10"), ("21", "10"), ("20", "10"),
+              ("7", "7")}
+    got_min = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(sedges).collect()
+    }
+    got_star = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components_star(sedges).collect()
+    }
+    assert got_min == expect
+    assert got_star == expect
+
+    # long ids: self-loop-only node alongside a normal component
+    ledges = spark.createDataFrame([(5, 5), (1, 2)], "i long, j long")
+    for fn in (connected_components, connected_components_star):
+        assert {
+            (r["node"], r["cluster_id"]) for r in fn(ledges).collect()
+        } == {(5, 5), (1, 1), (2, 1)}
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from aie321_bigdata_movie_kpi_1m_spark.operators.graph import pagerank_fixed
+
+    empty = spark.createDataFrame([], "src long, dst long, w double")
+    out = pagerank_fixed(empty)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
 
 
 def test_connected_components_star_deep_chain_few_rounds(spark):

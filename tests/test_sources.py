@@ -263,6 +263,33 @@ class TestChunkedCsvDataSource:
         assert back.exceptAll(df).count() == 0
         assert df.exceptAll(back).count() == 0
 
+    def test_append_mode_keeps_existing_chunks(self, spark, tmp_path):
+        """mode('append') must MERGE the manifest: the old commit()
+        rewrote it with only the new job's files, silently dropping every
+        previously written row from reads."""
+        import pytest
+
+        self._register(spark)
+        path = str(tmp_path / "append_layer")
+        mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS x"
+        )
+        for lo, hi in [(0, 100), (100, 250)]:
+            (mk(lo, hi).write.format("chunked_csv").mode("append")
+                .option("path", path).option("stats_col", "k").save())
+        back = spark.read.format("chunked_csv").option("path", path).load()
+        assert back.count() == 250
+        assert sorted(r["k"] for r in back.collect()) == list(range(250))
+        # append with a different schema must refuse, not corrupt the layer
+        bad = spark.range(5).selectExpr("id AS other", "id AS more")
+        with pytest.raises(Exception, match="schema"):
+            (bad.write.format("chunked_csv").mode("append")
+                .option("path", path).save())
+        # overwrite still replaces wholesale
+        (mk(0, 10).write.format("chunked_csv").mode("overwrite")
+            .option("path", path).option("stats_col", "k").save())
+        assert spark.read.format("chunked_csv").option("path", path).load().count() == 10
+
     def test_nulls_survive(self, spark, tmp_path):
         self._register(spark)
         path = str(tmp_path / "nulls")
