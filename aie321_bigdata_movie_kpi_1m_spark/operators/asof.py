@@ -43,12 +43,25 @@ def asof_join(
     contract as DuckDB's ``ASOF JOIN ... ON l.t >= r.t`` / ``l.t <=
     r.t``).  Ties *within* the right side at the same (key, time) are
     the caller's job to pre-dedupe.
+
+    NULL semantics follow the SQL contract exactly: a NULL never
+    compares true, so right rows with a NULL time or NULL key can match
+    nothing (dropped from the candidate side), and left rows with a NULL
+    time or NULL key keep NULL payloads.  Without this the window
+    machinery would invent matches — ascending sort puts NULLs first, so
+    a NULL-time right row would look "earlier than everything", and
+    ``partitionBy`` groups NULL keys together while an equi-join never
+    matches them.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     keys = [on] if isinstance(on, str) else list(on)
     payload_struct = F.struct(*[F.col(c) for c in payload])
     left_schema = {f.name: f.dataType for f in left.schema.fields}
+
+    right = right.filter(F.col(right_time).isNotNull())
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
 
     r = right.select(
         *[
@@ -84,7 +97,13 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = F.first(_PAYLOAD, ignorenulls=True)
-    merged = l.unionByName(r).withColumn(_PAYLOAD, pick.over(w))
+    # NULL left time -> NULL payload (a NULL-time left row sorts to the
+    # partition head, where the forward frame would otherwise hand it the
+    # earliest right payload)
+    merged = l.unionByName(r).withColumn(
+        _PAYLOAD,
+        F.when(F.col(_TIME).isNull(), F.lit(None)).otherwise(pick.over(w)),
+    )
 
     out = merged.filter(F.col(_SIDE) == 1)
     for c in payload:

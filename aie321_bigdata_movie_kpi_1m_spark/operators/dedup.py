@@ -12,19 +12,23 @@ Scale design notes
   bucket keys, candidates joined on bucket, then exact-verified on the
   candidate pairs only.  Every stage is a groupBy/join on bounded keys —
   no driver state, no UDFs.
-- SimHash gives a 63-bit locality-sensitive fingerprint (bit 63 left
-  clear to stay in a signed long) assembled from per-bit weighted sums.
+- SimHash gives a 60-bit locality-sensitive fingerprint (first 15 md5
+  hex chars per token, staying in a signed long) assembled from per-bit
+  weighted sums.
 
 Minimum-length contract
 -----------------------
-The shingle-based tiers (Jaccard, MinHash, SimHash) operate on ``n``-token
-shingles: documents with fewer than ``n`` tokens produce zero shingles and
-are ABSENT from their outputs by design.  Short and empty documents are
-the exact tier's job — ``dedup_exact`` fingerprints every document,
-including empty ones — and a real pipeline runs exact dedup first, so
-sub-``n``-token duplicates are always surfaced there.  Callers who need
-near-dup coverage of short texts should lower ``n`` (n=1 shingles = bag
-of words), not expect sentinel signatures.
+The shingle-based tiers (Jaccard, MinHash) operate on ``n``-token
+shingles with a SENTINEL for short input: a document with fewer than
+``n`` tokens contributes one whole-text shingle (empty docs share the
+``''`` sentinel — see ``functions.text.word_shingles``), so short
+exact-duplicates still surface in every shingle tier instead of silently
+vanishing.  A sentinel only ever matches an *identical* short doc (real
+shingles always have ``n`` tokens), so it adds no false positives.
+SimHash is the exception: it votes per TOKEN, so zero-token docs produce
+no fingerprint row (no evidence to vote with) — those are the exact
+tier's job (``dedup_exact`` fingerprints every document, including empty
+ones).
 """
 
 from __future__ import annotations
@@ -50,23 +54,16 @@ def dedup_exact(
     )
 
 
-def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    # Tokens MUST be materialized as a real column before shingling:
-    # word_shingles indexes the token array with element_at inside a
-    # lambda, and feeding it the raw split/filter *expression* makes the
-    # tokenizer re-run per element access (quadratic in doc length,
-    # measured 13x slower at sf0.1).
-    return (
-        docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tok"))
-        .select("__id", F.explode(word_shingles(F.col("__tok"), n)).alias("__shingle"))
-    )
-
-
 def _shingled_hashed(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Shingles as xxhash64 longs: 8-byte shuffle keys instead of strings.
     A hash collision (p ~ |shingles|^2 / 2^64) would merge two shingles;
     at any realistic corpus size this is far below the FP noise floor.
-    Tokens are materialized first — see _shingled."""
+
+    Tokens MUST be materialized as a real column before shingling:
+    word_shingles indexes the token array with element_at inside a
+    lambda, and feeding it the raw split/filter *expression* makes the
+    tokenizer re-run per element access (quadratic in doc length,
+    measured 13x slower at sf0.1)."""
     return (
         docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tok"))
         .select(
@@ -187,6 +184,12 @@ def minhash_lsh_pairs(
     jaccard 0.8 is (1 - 0.8^2)^16 ≈ 9e-8, so the verified output equals
     the exact-Jaccard answer — which is what the oracle checks.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}: the "
+            "trailing hashes would be computed but never banded, silently "
+            "changing the documented miss-probability"
+        )
     rows = num_hashes // bands
     sig = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n

@@ -213,7 +213,7 @@ def quantize_embeddings(
 
     The scale is materialized as a column BEFORE the per-element lambda:
     feeding the max-abs expression into the HOF re-evaluates it per
-    element (see operators/dedup.py::_shingled).
+    element (see operators/dedup.py::_shingled_hashed).
     """
     v = F.col("__v")
     scaled = embeddings.select(

@@ -139,7 +139,7 @@ def repetition_stats(
     text = F.coalesce(F.col(text_col), F.lit(""))
     # materialize token/sentence arrays before HOF indexing — feeding the
     # raw expressions into element_at lambdas re-evaluates the tokenizer
-    # per element (see operators/dedup.py::_shingled)
+    # per element (see operators/dedup.py::_shingled_hashed)
     base = docs.select(
         F.col(id_col),
         tokens(text_col).alias("__tok"),
@@ -304,7 +304,14 @@ def duplicate_spans(
     is the GROUP identity for the oracle; hashing only shapes the
     shuffle, and a 64-bit collision merging two distinct spans is ~2^-64.
     """
-    ts = tokens(F.col(text_col))
+    # materialize the token array as a real column FIRST: referencing the
+    # raw tokens() expression inside the per-window slice lambda would
+    # re-run the split/filter tokenizer once per window — O(T^2) in doc
+    # length, the measured-13x trap documented at dedup._shingled_hashed
+    with_toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__ts")
+    )
+    ts = F.col("__ts")
     n_windows = F.size(ts) - (n - 1)
     # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so a doc with
     # fewer than n tokens must short-circuit to an empty window list
@@ -316,9 +323,7 @@ def duplicate_spans(
             lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("span")
-    )
+    exploded = with_toks.select("doc_id", F.explode(grams).alias("span"))
     return (
         exploded.groupBy(F.xxhash64("span").alias("__k"))
         .agg(

@@ -202,9 +202,12 @@ def _session_fn(gap_seconds: int):
         out: list[tuple] = []
         secs: list[int] = []
         for pdf in pdfs:
-            secs.extend(
-                sorted(int(v) for v in pdf["ts"].astype("int64") // 1_000_000_000)
-            )
+            # drop NULL timestamps (NaT): same contract as the batch twin
+            # operators.sessions.assign_sessions — astype('int64') on NaT
+            # raises on modern pandas, and older pandas yields a min-int
+            # sentinel that would fabricate an epoch-1677 session
+            ts = pdf["ts"].dropna()
+            secs.extend(int(v) for v in ts.astype("int64") // 1_000_000_000)
         for s in sorted(secs):
             if last is None or s - last > gap_seconds:
                 if n > 0:

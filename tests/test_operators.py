@@ -53,6 +53,71 @@ def test_asof_join_inclusive_equal_timestamp(spark):
     assert row["payload"] == 7
 
 
+def test_asof_join_null_times_and_keys_follow_sql_contract(spark):
+    """A NULL never compares true in SQL: NULL-time right rows match
+    nothing (ascending sort would otherwise put them 'before everything'
+    and hand their payload to unmatched left rows), NULL-time left rows
+    keep NULL payloads (the forward frame would otherwise grab the
+    earliest right row), and NULL keys never join."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 08:00:00"), "early"),   # before any valid right
+         (1, None, "null_t"),
+         (None, ts("2024-01-01 10:00:00"), "null_k")],
+        "k int, t timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 666),                             # can match nothing
+         (1, ts("2024-01-01 09:00:00"), 100),
+         (None, ts("2024-01-01 07:00:00"), 777)],    # NULL key: no partner
+        "k int, t timestamp, payload int",
+    )
+    for direction, expect in [
+        ("backward", {"early": None, "null_t": None, "null_k": None}),
+        ("forward", {"early": 100, "null_t": None, "null_k": None}),
+    ]:
+        got = {
+            r["name"]: r["payload"]
+            for r in asof_join(
+                left, right, "k", left_time="t", right_time="t",
+                payload=["payload"], direction=direction,
+            ).collect()
+        }
+        assert got == expect, direction
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs, num_hashes=32, bands=10)
+
+
+def test_streaming_session_kernel_drops_nat(spark):
+    """The applyInPandasWithState kernel must drop NaT like its batch
+    twin — astype('int64') on NaT raises on modern pandas (query death)
+    or fabricates an epoch-1677 session on older pandas."""
+    import pandas as pd
+
+    from aie321_bigdata_movie_kpi_1m_spark.streaming.events import _session_fn
+
+    class StubState:
+        exists = False
+
+        def update(self, v):
+            self.saved = v
+
+    pdf = pd.DataFrame(
+        {"user_id": [1] * 3,
+         "ts": pd.to_datetime([None, "2024-01-01 10:00:00",
+                               "2024-01-01 10:10:00"])}
+    )
+    state = StubState()
+    [out] = list(_session_fn(3600)((1,), iter([pdf]), state))
+    assert list(out["n_events"]) == [2]
+    assert list(out["duration_secs"]) == [600]
+
+
 def test_session_boundaries(spark):
     events = spark.createDataFrame(
         [(1, ts("2024-01-01 10:00:00")),
