@@ -359,3 +359,70 @@ def q_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(_cents(F.col("o_totalprice"))).cast("long").alias("price_hi_cents"),
         )
     )
+
+
+_INC_MERGE_ORACLE = """
+WITH full_agg AS (
+  SELECT l_returnflag,
+         SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS qty_cents,
+         SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+         COUNT(*) AS n_rows
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(qty_cents AS BIGINT) AS qty_cents,
+       CAST(price_cents AS BIGINT) AS price_cents,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       ROUND(qty_cents / (100.0 * n_rows), 4) AS avg_qty
+FROM full_agg
+"""
+
+
+@register(
+    "incremental_agg_merge",
+    _INC_MERGE_ORACLE,
+    "materialized-aggregate maintenance (incremental view refresh): the "
+    "per-flag lineitem KPI is kept as a mergeable partial state "
+    "(sum/sum/count in exact integer cents) computed separately on the "
+    "base slice (l_shipdate < 1998-01-01) and the delta slice, then "
+    "merged by re-aggregating the union of states — at 100 TB the base "
+    "state is a stored few-KB table and a daily refresh touches ONLY the "
+    "delta partition instead of rescanning the corpus; derived averages "
+    "come from the merged sums so the refresh is exact, and the oracle "
+    "is the full-table recompute the merge must equal",
+    tags=("layout", "merge", "incremental"),
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_star_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("price_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    base = partial_state(li.filter(F.col("l_shipdate") < cut))
+    delta = partial_state(li.filter(F.col("l_shipdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("qty_cents").alias("qty_cents"),
+            F.sum("price_cents").alias("price_cents"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        F.col("qty_cents").cast("long").alias("qty_cents"),
+        F.col("price_cents").cast("long").alias("price_cents"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("qty_cents") / (100.0 * F.col("n_rows")), 4).alias(
+            "avg_qty"
+        ),
+    )

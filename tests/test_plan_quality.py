@@ -481,3 +481,45 @@ def test_llm_pipeline_two_shuffles_with_group_limit_pushdown(spark):
     assert _shuffle_exchanges(plan) == 2
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cooccurrence_pmi_banded_self_join_reuses_token_stage(spark):
+    """The PMI pair expansion self-joins the SAME banded-token pipeline
+    (a/b aliases of bex): with AQE off and broadcast disabled the second
+    side must be a ReusedExchange — a refactor that recomputes the
+    explode+df-join stage would double the heaviest scan at 100 TB.  The
+    df band filter and the 1-row n_docs side stay broadcast by hint."""
+    with _confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        plan = plan_of(spark, "cooccurrence_pmi")
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_kl_drift_single_token_agg(spark):
+    """KL drift scans the corpus ONCE: the per-token count aggregate
+    feeds both the totals row and the divergence fold, so the second
+    consumer must reuse the token-agg exchange, and the only cross shape
+    is the broadcast 1-row totals (BNLJ against a broadcast side)."""
+    with _confs(spark, {"spark.sql.adaptive.enabled": "false"}):
+        plan = plan_of(spark, "corpus_kl_drift")
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert _shuffle_exchanges(plan) <= 4
+
+
+def test_incremental_agg_merge_is_two_phase_mergeable(spark):
+    """The incremental refresh must stay a pure partial-state merge:
+    map-side combinable hash aggregates (partial + final) around bounded
+    shuffles, with no join, window, or driver-side state — the shape
+    that lets the base state be a stored table at 100 TB."""
+    plan = plan_of(spark, "incremental_agg_merge")
+    assert plan.count("HashAggregate") >= 2
+    assert _shuffle_exchanges(plan) <= 3
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
