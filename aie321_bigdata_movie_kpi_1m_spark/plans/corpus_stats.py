@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens as _tokens
+from ..operators.corpus_stats import kl_drift_summary, pmi_pairs
 from ..sources.readers import load_star_table
 from .catalog import register
 from .textops import _TOKENS_CTE
@@ -67,46 +67,7 @@ FROM pq
 )
 def q_corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_star_table(spark, sf_dir, "documents")
-    ex = docs.select(
-        "lang", F.explode(_tokens("text")).alias("token")
-    )
-    is_a = F.col("lang") == "en"
-    cnt = ex.groupBy("token").agg(
-        F.sum(F.when(is_a, 1).otherwise(0)).alias("c_a"),
-        F.sum(F.when(~is_a, 1).otherwise(0)).alias("c_b"),
-    )
-    # joint-vocab totals: one row after the token agg, then broadcast back
-    # by crossJoin — no driver collect in the plan
-    tot = cnt.agg(
-        F.sum("c_a").alias("t_a"),
-        F.sum("c_b").alias("t_b"),
-        F.count(F.lit(1)).alias("v"),
-    )
-    p = (F.col("c_a") + 1) / (F.col("t_a") + F.col("v")).cast("double")
-    q = (F.col("c_b") + 1) / (F.col("t_b") + F.col("v")).cast("double")
-    return (
-        cnt.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("t_a"),
-            F.col("t_b"),
-            F.col("v"),
-            (p * F.log(p / q)).alias("__kl_ab"),
-            (q * F.log(q / p)).alias("__kl_ba"),
-            (
-                0.5 * p * F.log(2 * p / (p + q))
-                + 0.5 * q * F.log(2 * q / (p + q))
-            ).alias("__js"),
-        )
-        .groupBy()
-        .agg(
-            F.min("v").alias("vocab_size"),
-            F.min("t_a").alias("tokens_a"),
-            F.min("t_b").alias("tokens_b"),
-            F.round(F.sum("__kl_ab"), 4).alias("kl_ab"),
-            F.round(F.sum("__kl_ba"), 4).alias("kl_ba"),
-            F.round(F.sum("__js"), 4).alias("js_divergence"),
-        )
-    )
+    return kl_drift_summary(docs, F.col("lang") == "en")
 
 
 @register(
@@ -142,40 +103,4 @@ WHERE n_both >= 20
 )
 def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_star_table(spark, sf_dir, "documents")
-    ex = docs.select(
-        "doc_id", F.explode(F.array_distinct(_tokens("text"))).alias("token")
-    )
-    dfs = ex.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    band = dfs.filter(F.col("df").between(50, 450))
-    bex = ex.join(F.broadcast(band), "token").select("doc_id", "token", "df")
-    n_docs = ex.agg(F.countDistinct("doc_id").alias("n"))
-    a = bex.select(
-        "doc_id", F.col("token").alias("t1"), F.col("df").alias("df1")
-    )
-    b = bex.select(
-        "doc_id", F.col("token").alias("t2"), F.col("df").alias("df2")
-    )
-    pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("t1") < F.col("t2"))
-        .groupBy("t1", "t2")
-        .agg(
-            F.count(F.lit(1)).alias("n_both"),
-            F.min("df1").alias("df1"),
-            F.min("df2").alias("df2"),
-        )
-        .filter(F.col("n_both") >= 20)
-    )
-    return pairs.crossJoin(F.broadcast(n_docs)).select(
-        "t1",
-        "t2",
-        "n_both",
-        F.round(
-            F.log(
-                F.col("n_both")
-                * F.col("n").cast("double")
-                / (F.col("df1") * F.col("df2"))
-            ),
-            4,
-        ).alias("pmi"),
-    )
+    return pmi_pairs(docs, min_df=50, max_df=450, min_both=20)

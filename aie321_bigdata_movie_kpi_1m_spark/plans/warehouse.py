@@ -361,6 +361,32 @@ def q_zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kpi_partial_state(df: DataFrame, key: str = "l_returnflag") -> DataFrame:
+    """Mergeable per-key partial state for the lineitem KPI: exact integer
+    cents sums + row count.  Any disjoint row partition of the input
+    yields states that :func:`merge_kpi_states` combines into exactly the
+    single-pass aggregate (cents are floored PER ROW, so partial sums are
+    order- and split-invariant — the property the fuzz test pins)."""
+    return df.groupBy(key).agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("price_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_kpi_states(*states: DataFrame) -> DataFrame:
+    """Merge partial KPI states by re-aggregation (sum of sums/counts)."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    key = merged.columns[0]
+    return merged.groupBy(key).agg(
+        F.sum("qty_cents").alias("qty_cents"),
+        F.sum("price_cents").alias("price_cents"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
 _INC_MERGE_ORACLE = """
 WITH full_agg AS (
   SELECT l_returnflag,
@@ -398,24 +424,9 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
     )
     cut = F.lit("1998-01-01").cast("timestamp")
-
-    def partial_state(df: DataFrame) -> DataFrame:
-        return df.groupBy("l_returnflag").agg(
-            F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"),
-            F.sum(_cents(F.col("l_extendedprice"))).alias("price_cents"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-
-    base = partial_state(li.filter(F.col("l_shipdate") < cut))
-    delta = partial_state(li.filter(F.col("l_shipdate") >= cut))
-    merged = (
-        base.unionByName(delta)
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum("qty_cents").alias("qty_cents"),
-            F.sum("price_cents").alias("price_cents"),
-            F.sum("n_rows").alias("n_rows"),
-        )
+    merged = merge_kpi_states(
+        kpi_partial_state(li.filter(F.col("l_shipdate") < cut)),
+        kpi_partial_state(li.filter(F.col("l_shipdate") >= cut)),
     )
     return merged.select(
         "l_returnflag",

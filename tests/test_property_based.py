@@ -197,3 +197,152 @@ def test_quota_admission_is_batch_split_invariant(case):
         got.extend(out)
     assert got == expected
     assert spent == sum(sizes)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-stats operators vs pure-Python references
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+@st.composite
+def corpus_case(draw):
+    n = draw(st.integers(2, 10))
+    docs = []
+    for i in range(n):
+        toks = draw(st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8))
+        lang = draw(st.sampled_from(["en", "xx"]))
+        docs.append((i, lang, " ".join(toks)))
+    return docs
+
+
+@given(corpus_case())
+@settings(**_SETTINGS)
+def test_kl_drift_matches_python_reference(spark, docs):
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.corpus_stats import (
+        kl_drift_summary,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    row = kl_drift_summary(df, F.col("lang") == "en").collect()[0]
+
+    ca, cb = Counter(), Counter()
+    for _, lang, text in docs:
+        (ca if lang == "en" else cb).update(text.split())
+    vocab = set(ca) | set(cb)
+    v, ta, tb = len(vocab), sum(ca.values()), sum(cb.values())
+    if v == 0:
+        # empty corpus: the scalar fold runs over zero vocabulary rows, so
+        # every output is NULL; the catalog query never sees this
+        # (documents is non-empty)
+        assert row["vocab_size"] is None
+        return
+    assert row["vocab_size"] == v
+    assert row["tokens_a"] == ta and row["tokens_b"] == tb
+    kl_ab = kl_ba = js = 0.0
+    for t in vocab:
+        p = (ca[t] + 1) / (ta + v)
+        q = (cb[t] + 1) / (tb + v)
+        kl_ab += p * math.log(p / q)
+        kl_ba += q * math.log(q / p)
+        js += 0.5 * p * math.log(2 * p / (p + q)) + 0.5 * q * math.log(
+            2 * q / (p + q)
+        )
+    assert abs(row["kl_ab"] - kl_ab) <= 2e-4
+    assert abs(row["kl_ba"] - kl_ba) <= 2e-4
+    assert abs(row["js_divergence"] - js) <= 2e-4
+    # information-theoretic invariants (add-one smoothing keeps all
+    # distributions strictly positive): KL >= 0, 0 <= JS <= ln 2
+    assert row["kl_ab"] >= -1e-9 and row["kl_ba"] >= -1e-9
+    assert -1e-9 <= row["js_divergence"] <= math.log(2) + 1e-9
+
+
+@given(corpus_case(), st.integers(1, 4), st.integers(4, 10))
+@settings(**_SETTINGS)
+def test_pmi_pairs_match_python_reference(spark, docs, min_df, max_df):
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.corpus_stats import pmi_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = {
+        (r["t1"], r["t2"]): (r["n_both"], r["pmi"])
+        for r in pmi_pairs(
+            df, min_df=min_df, max_df=max_df, min_both=1
+        ).collect()
+    }
+
+    doc_tokens = [set(text.split()) for _, _, text in docs]
+    dfs = Counter(t for ts in doc_tokens for t in ts)
+    n_docs = sum(1 for ts in doc_tokens if ts)  # docs with >=1 token
+    band = {t for t, c in dfs.items() if min_df <= c <= max_df}
+    want = Counter()
+    for ts in doc_tokens:
+        for t1, t2 in combinations(sorted(ts & band), 2):
+            want[(t1, t2)] += 1
+    assert set(got) == set(want)
+    for (t1, t2), (n_both, pmi) in got.items():
+        assert n_both == want[(t1, t2)]
+        ref = math.log(n_both * n_docs / (dfs[t1] * dfs[t2]))
+        assert abs(pmi - ref) <= 2e-4
+        # banded pairs can't exceed either member's df
+        assert n_both <= min(dfs[t1], dfs[t2])
+
+
+@st.composite
+def kpi_rows(draw):
+    n = draw(st.integers(1, 20))
+    rows = []
+    for _ in range(n):
+        rows.append(
+            (
+                draw(st.sampled_from(["A", "N", "R"])),
+                draw(
+                    st.floats(
+                        0, 100, allow_nan=False, allow_infinity=False, width=32
+                    )
+                ),
+                draw(
+                    st.floats(
+                        0, 9999, allow_nan=False, allow_infinity=False, width=32
+                    )
+                ),
+                draw(st.integers(0, 3)),  # split bucket
+            )
+        )
+    return rows
+
+
+@given(kpi_rows())
+@settings(**_SETTINGS)
+def test_incremental_kpi_merge_is_split_invariant(spark, rows):
+    """Merging per-split partial states == the single-pass aggregate, for
+    ANY partition of the rows into up to 4 slices (the daily-refresh
+    correctness contract: base state + delta must equal a full rescan)."""
+    from pyspark.sql import functions as F
+
+    from aie321_bigdata_movie_kpi_1m_spark.plans.warehouse import (
+        kpi_partial_state,
+        merge_kpi_states,
+    )
+
+    df = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_quantity double, l_extendedprice double, bucket int",
+    )
+    whole = kpi_partial_state(df)
+    merged = merge_kpi_states(
+        *[kpi_partial_state(df.filter(F.col("bucket") == b)) for b in range(4)]
+    )
+    key = lambda r: r["l_returnflag"]  # noqa: E731
+    assert sorted(map(tuple, whole.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, merged.collect()), key=lambda t: t[0]
+    )
