@@ -135,3 +135,60 @@ def pmi_pairs(
             4,
         ).alias("pmi"),
     )
+
+
+def grouped_kl_vs_reference(
+    obs: DataFrame,
+    ref: DataFrame,
+    *,
+    group_col: str,
+    cat_col: str,
+    obs_count: str = "c",
+    ref_count: str = "cr",
+) -> DataFrame:
+    """Per-group KL divergence of an observed categorical distribution
+    against a reference distribution (drift alerting: "does this window's
+    event mix diverge from the historical baseline?").
+
+    ``obs`` holds (group, category, count) — sparse: absent categories
+    are implicit zeros.  ``ref`` holds (category, count) over the FULL
+    category domain and is the broadcast side (the domain is tiny
+    regardless of data size).  Each group is collapsed to a count map in
+    ONE pass (no self-join — ``obs`` may be a memory-sink table, which
+    cannot self-join), densified onto the domain by broadcast cross
+    join + map lookup, add-one smoothed, and folded to one KL value in
+    nats.  One shuffle on the group key; the window sum and final fold
+    reuse its partitioning.  Returns (group_col, n_events, kl_vs_ref)
+    with kl rounded to 4.
+
+    Categories observed in a group but absent from ``ref`` are DROPPED
+    (their reference probability would be the smoothing floor and the
+    group's divergence unbounded); monitor the reference domain itself
+    separately if brand-new categories must alert.
+    """
+    from pyspark.sql import Window
+
+    tot = ref.agg(
+        F.sum(ref_count).alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    per_g = obs.groupBy(group_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(cat_col), F.col(obs_count)))
+        ).alias("__m")
+    )
+    dense = per_g.crossJoin(F.broadcast(ref)).withColumn(
+        "__c", F.coalesce(F.element_at("__m", F.col(cat_col)), F.lit(0))
+    )
+    dense = dense.withColumn(
+        "__n_w", F.sum("__c").over(Window.partitionBy(group_col))
+    )
+    p = (F.col("__c") + 1) / (F.col("__n_w") + F.col("__v")).cast("double")
+    q = (F.col(ref_count) + 1) / (F.col("__n") + F.col("__v")).cast("double")
+    return (
+        dense.crossJoin(F.broadcast(tot))
+        .groupBy(group_col)
+        .agg(
+            F.min("__n_w").alias("n_events"),
+            F.round(F.sum(p * F.log(p / q)), 4).alias("kl_vs_ref"),
+        )
+    )

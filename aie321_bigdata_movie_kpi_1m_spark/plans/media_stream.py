@@ -480,3 +480,69 @@ def q_streaming_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="stream_quota_admission",
         output_mode="append",
     )
+
+
+@register(
+    "streaming_drift_kl",
+    """
+WITH wc AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+         event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+ref AS (SELECT event_type, COUNT(*) AS cr FROM events GROUP BY 1),
+tot AS (SELECT SUM(cr) AS n, COUNT(*) AS v FROM ref),
+wins AS (SELECT DISTINCT window_start FROM wc),
+grid AS (SELECT w.window_start, r.event_type, r.cr
+         FROM wins w CROSS JOIN ref r),
+joined AS (
+  SELECT g.window_start, g.event_type, coalesce(wc.c, 0) AS c, g.cr
+  FROM grid g LEFT JOIN wc
+    ON wc.window_start = g.window_start AND wc.event_type = g.event_type
+),
+wn AS (SELECT window_start, SUM(c) AS n_w FROM joined GROUP BY 1)
+SELECT j.window_start,
+       CAST(MIN(wn.n_w) AS BIGINT) AS n_events,
+       ROUND(SUM(((j.c + 1) / CAST(wn.n_w + tot.v AS DOUBLE))
+                 * ln(((j.c + 1) / CAST(wn.n_w + tot.v AS DOUBLE))
+                      / ((j.cr + 1) / CAST(tot.n + tot.v AS DOUBLE)))), 4)
+           AS kl_vs_ref
+FROM joined j JOIN wn ON wn.window_start = j.window_start
+CROSS JOIN tot
+GROUP BY j.window_start
+""",
+    "streaming distribution-drift monitor: the event-type mix of every "
+    "1-day event-time window, counted by a watermarked streaming "
+    "aggregation, is scored by KL divergence against the historical "
+    "baseline distribution (the broadcast reference a 100 TB ingest "
+    "keeps from yesterday's warehouse) — the alert that catches a bot "
+    "flood or logging regression AT ingest; the stateful window count "
+    "streams, the divergence fold is a stateless windows x domain "
+    "post-pass (operators/corpus_stats.py::grouped_kl_vs_reference)",
+    tags=("streaming", "drift", "corpus-stats"),
+)
+def q_streaming_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus_stats import grouped_kl_vs_reference
+    from ..streaming.events import read_events_stream
+
+    stream_counts = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "c")
+    )
+    sink = _run_to_memory_sink(
+        spark,
+        stream_counts,
+        name="stream_drift_kl",
+        output_mode="complete",
+    )
+    ref = (
+        load_star_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    return grouped_kl_vs_reference(
+        sink, ref, group_col="window_start", cat_col="event_type"
+    )

@@ -346,3 +346,58 @@ def test_incremental_kpi_merge_is_split_invariant(spark, rows):
     assert sorted(map(tuple, whole.collect()), key=lambda t: t[0]) == sorted(
         map(tuple, merged.collect()), key=lambda t: t[0]
     )
+
+
+@st.composite
+def drift_case(draw):
+    cats = ["view", "click", "purchase", "error"]
+    ref = [(c, draw(st.integers(1, 50))) for c in draw(
+        st.lists(st.sampled_from(cats), min_size=1, max_size=4, unique=True)
+    )]
+    n_groups = draw(st.integers(1, 4))
+    obs = []
+    for g in range(n_groups):
+        for c in draw(
+            st.lists(st.sampled_from(cats), min_size=0, max_size=4, unique=True)
+        ):
+            obs.append((g, c, draw(st.integers(1, 30))))
+    return ref, obs
+
+
+@given(drift_case())
+@settings(**_SETTINGS)
+def test_grouped_kl_vs_reference_matches_python(spark, case):
+    """Drift operator vs pure-Python reference, covering the dropped
+    out-of-domain-category path and zero-count smoothing."""
+    import math
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.corpus_stats import (
+        grouped_kl_vs_reference,
+    )
+
+    ref, obs = case
+    ref_df = spark.createDataFrame(ref, "event_type string, cr long")
+    obs_df = spark.createDataFrame(obs, "g int, event_type string, c long")
+    got = {
+        r["g"]: (r["n_events"], r["kl_vs_ref"])
+        for r in grouped_kl_vs_reference(
+            obs_df, ref_df, group_col="g", cat_col="event_type"
+        ).collect()
+    }
+
+    ref_d = dict(ref)
+    n, v = sum(ref_d.values()), len(ref_d)
+    groups = {g for g, _, _ in obs}
+    assert set(got) == groups
+    for g in groups:
+        counts = {c: k for gg, c, k in obs if gg == g}
+        dom = {c: counts.get(c, 0) for c in ref_d}  # out-of-domain dropped
+        n_w = sum(dom.values())
+        kl = sum(
+            ((c + 1) / (n_w + v))
+            * math.log(((c + 1) / (n_w + v)) / ((ref_d[t] + 1) / (n + v)))
+            for t, c in dom.items()
+        )
+        assert got[g][0] == n_w
+        assert abs(got[g][1] - kl) <= 2e-4
+        assert got[g][1] >= -1e-9  # KL non-negativity
