@@ -437,3 +437,108 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_qty"
         ),
     )
+
+
+_SNAPSHOT_VERSIONS_CTE = """
+WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+app AS (
+  SELECT c_custkey + 10000000 AS c_custkey, 'BUILDING' AS c_mktsegment
+  FROM customer WHERE c_custkey % 100 = 0
+),
+v2 AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+v3 AS (SELECT * FROM v2 WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def _snapshot_layer(spark: SparkSession, sf_dir: str) -> str:
+    """(Re)build the versioned demo layer: v1 = customer slice
+    (overwrite), v2 = appended synthetic BUILDING customers (append —
+    commits without touching v1's files), v3 = BUILDING-only compaction
+    (overwrite).  Deterministic, so repeated runs rebuild identically."""
+    from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/customer_layer"
+    drop_snapshot_layer(spark, path)
+    base = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    app = base.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    commit_snapshot(spark, base, path, mode="overwrite")
+    commit_snapshot(spark, app, path, mode="append")
+    from ..sources.snapshots import read_snapshot
+
+    v3 = read_snapshot(spark, path, 2).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    commit_snapshot(spark, v3, path, mode="overwrite")
+    return path
+
+
+@register(
+    "snapshot_time_travel",
+    _SNAPSHOT_VERSIONS_CTE
+    + """
+SELECT 1 AS version, COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum FROM base
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(c_custkey) AS BIGINT) FROM v2
+UNION ALL
+SELECT 3, COUNT(*), CAST(SUM(c_custkey) AS BIGINT) FROM v3
+""",
+    "snapshot-versioned table layer with time travel "
+    "(sources/snapshots.py — the manifest pattern behind modern table "
+    "formats): v1 overwrite, v2 append (manifest reuse: the commit "
+    "touches ONLY delta files, O(delta) not O(table)), v3 overwrite; "
+    "every version stays readable by manifest pin — the training-data "
+    "reproducibility contract ('which exact corpus built this "
+    "checkpoint?'); all IO via the Hadoop FS API so hdfs://s3a:// "
+    "layers behave identically; the oracle recomputes what each "
+    "version must contain",
+    tags=("layout", "snapshots"),
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    path = _snapshot_layer(spark, sf_dir)
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            read_snapshot(spark, path, v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("c_custkey").alias("key_sum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "snapshot_change_feed",
+    _SNAPSHOT_VERSIONS_CTE
+    + """
+SELECT 'insert' AS change_type, c_custkey, c_mktsegment
+FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM base)
+UNION ALL
+SELECT 'delete' AS change_type, c_custkey, c_mktsegment
+FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM v3)
+""",
+    "exact change feed between two snapshot versions "
+    "(sources/snapshots.py::snapshot_changes): multiset row diff "
+    "(exceptAll both ways) labels inserts and deletes between v1 and "
+    "v3 — the CDC view downstream consumers tail instead of re-reading "
+    "the table; generic no-primary-key contract (an update = delete + "
+    "insert), full-row shuffle, with a key-equi-join diff as the "
+    "cheaper keyed specialization",
+    tags=("layout", "snapshots", "cdc"),
+)
+def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import snapshot_changes
+
+    path = _snapshot_layer(spark, sf_dir)
+    return snapshot_changes(spark, path, 1, 3)

@@ -706,3 +706,118 @@ def test_observed_write_single_scan_metrics(spark, tmp_path):
     )
     assert got == {"n_rows": 3, "n_name": 2, "score_sum": 6.5}
     assert spark.read.parquet(str(tmp_path / "observed")).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-versioned layer (sources/snapshots.py)
+# ---------------------------------------------------------------------------
+
+
+class TestSnapshotLayer:
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "k long, seg string"
+        )
+
+    def test_commit_read_time_travel(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+            snapshot_versions,
+        )
+
+        path = str(tmp_path / "layer")
+        assert snapshot_versions(spark, path) == []
+        v1 = commit_snapshot(spark, self._base(spark), path)
+        v2 = commit_snapshot(
+            spark,
+            spark.createDataFrame([(4, "c")], "k long, seg string"),
+            path,
+            mode="append",
+        )
+        assert (v1, v2) == (1, 2)
+        # head = v2, pinned v1 unchanged after later commits
+        assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == [
+            1, 2, 3, 4,
+        ]
+        assert sorted(
+            r["k"] for r in read_snapshot(spark, path, 1).collect()
+        ) == [1, 2, 3]
+
+    def test_append_reuses_previous_files(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            _manifest,
+            commit_snapshot,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(spark, self._base(spark), path)
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(4, "c")], "k long, seg string"),
+            path,
+            mode="append",
+        )
+        m1, m2 = _manifest(spark, path, 1), _manifest(spark, path, 2)
+        # O(delta) append: every v1 data file appears verbatim in v2's
+        # manifest (no rewrite), plus at least one new file
+        assert set(m1["files"]) < set(m2["files"])
+        new = set(m2["files"]) - set(m1["files"])
+        assert new and all("/data/v2/" in f for f in new)
+
+    def test_commit_is_optimistic_concurrency(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            _write_text,
+            commit_snapshot,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(spark, self._base(spark), path)
+        # a racing writer that lost must fail on the manifest create,
+        # never overwrite the committed version
+        import py4j.protocol
+        import pytest
+
+        with pytest.raises(py4j.protocol.Py4JJavaError):
+            _write_text(spark, f"{path}/_manifests/v1.json", "{}")
+
+    def test_read_missing_version_raises(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+        )
+        import pytest
+
+        path = str(tmp_path / "layer")
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, path)
+        commit_snapshot(spark, self._base(spark), path)
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, path, 7)
+
+    def test_change_feed_update_is_delete_plus_insert(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            snapshot_changes,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(spark, self._base(spark), path)
+        # v2: k=2 re-segmented (update), k=3 gone (delete), k=9 new
+        commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(1, "a"), (2, "B"), (9, "z")], "k long, seg string"
+            ),
+            path,
+        )
+        rows = {
+            (r["change_type"], r["k"], r["seg"])
+            for r in snapshot_changes(spark, path, 1, 2).collect()
+        }
+        assert rows == {
+            ("insert", 2, "B"),
+            ("insert", 9, "z"),
+            ("delete", 2, "b"),
+            ("delete", 3, "a"),
+        }
