@@ -450,14 +450,22 @@ v3 AS (SELECT * FROM v2 WHERE c_mktsegment = 'BUILDING')
 """
 
 
+_SNAPSHOT_LAYERS_BUILT: set[str] = set()
+
+
 def _snapshot_layer(spark: SparkSession, sf_dir: str) -> str:
     """(Re)build the versioned demo layer: v1 = customer slice
     (overwrite), v2 = appended synthetic BUILDING customers (append —
     commits without touching v1's files), v3 = BUILDING-only compaction
-    (overwrite).  Deterministic, so repeated runs rebuild identically."""
+    (overwrite).  Deterministic, so repeated runs rebuild identically;
+    built once per process (both snapshot queries — and a bench/driver
+    sweep running them back-to-back — read the same committed layer, as
+    production readers would)."""
     from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
 
     path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/customer_layer"
+    if path in _SNAPSHOT_LAYERS_BUILT:
+        return path
     drop_snapshot_layer(spark, path)
     base = load_star_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
@@ -474,6 +482,7 @@ def _snapshot_layer(spark: SparkSession, sf_dir: str) -> str:
         F.col("c_mktsegment") == "BUILDING"
     )
     commit_snapshot(spark, v3, path, mode="overwrite")
+    _SNAPSHOT_LAYERS_BUILT.add(path)
     return path
 
 

@@ -177,3 +177,74 @@ def drop_snapshot_layer(spark: SparkSession, path: str) -> None:
     """Delete the whole layer (test/rebuild hygiene)."""
     jvm, fs = _fs(spark, path)
     fs.delete(_hpath(jvm, path), True)
+
+
+def snapshot_changes_keyed(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Keyed change feed: with a declared primary key the diff is ONE
+    full-outer equi-join on the key instead of two full-row set
+    differences — the cheaper specialization when rows are wide (the
+    shuffle moves key + change flag logic, and updates surface as a
+    single 'update' row instead of delete+insert).
+
+    Emits (key_cols..., change_type) with change_type in
+    insert/delete/update; unchanged keys are dropped.  Assumes the key
+    is unique per version (the caller's contract, as in any MERGE).
+    """
+    before = read_snapshot(spark, path, v_from)
+    after = read_snapshot(spark, path, v_to)
+    non_key = [c for c in after.columns if c not in key_cols]
+    b = before.select(
+        *key_cols, F.struct(*non_key).alias("__b")
+    )
+    a = after.select(*key_cols, F.struct(*non_key).alias("__a"))
+    joined = b.join(a, key_cols, "full_outer")
+    # eqNullSafe: a NULL in one version's non-key field is a real change,
+    # and NULL == NULL counts as unchanged (plain != would return NULL
+    # and silently drop both cases)
+    change = (
+        F.when(F.col("__b").isNull(), F.lit("insert"))
+        .when(F.col("__a").isNull(), F.lit("delete"))
+        .when(~F.col("__a").eqNullSafe(F.col("__b")), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )
+
+
+def vacuum_snapshots(
+    spark: SparkSession, path: str, *, keep_last: int = 2
+) -> dict:
+    """Retention + orphan GC (the maintenance job every versioned layer
+    needs): drop all but the newest ``keep_last`` manifests, then delete
+    every data file no surviving manifest references — including files
+    staged by crashed commits that never reached their manifest write.
+
+    Returns {"dropped_versions": [...], "deleted_files": n}.  Safe order:
+    manifests are deleted FIRST, so a reader racing the vacuum either
+    resolves a surviving version (whose files all remain) or fails on
+    the manifest read — it can never plan a scan over a file the GC pass
+    is about to remove.
+    """
+    versions = snapshot_versions(spark, path)
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    dropped = [v for v in versions if v not in keep]
+    jvm, fs = _fs(spark, path)
+    for v in dropped:
+        fs.delete(_hpath(jvm, f"{path}/{_MANIFEST_DIR}/v{v}.json"), False)
+    live: set[str] = set()
+    for v in keep:
+        live.update(_manifest(spark, path, v)["files"])
+    deleted = 0
+    for f in _list_parquet_files(spark, f"{path}/data"):
+        if f not in live:
+            fs.delete(_hpath(jvm, f), False)
+            deleted += 1
+    return {"dropped_versions": dropped, "deleted_files": deleted}

@@ -821,3 +821,73 @@ class TestSnapshotLayer:
             ("delete", 2, "b"),
             ("delete", 3, "a"),
         }
+
+    def test_keyed_change_feed_classifies_update(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            snapshot_changes_keyed,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, None)], "k long, seg string"
+            ),
+            path,
+        )
+        # k=2 updated, k=3 NULL->NULL unchanged, k=4 inserted, k=1 kept
+        commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(1, "a"), (2, "B"), (3, None), (4, "d")], "k long, seg string"
+            ),
+            path,
+        )
+        rows = {
+            (r["k"], r["change_type"])
+            for r in snapshot_changes_keyed(spark, path, 1, 2, ["k"]).collect()
+        }
+        assert rows == {(2, "update"), (4, "insert")}
+
+    def test_vacuum_drops_old_versions_and_orphans(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            _list_parquet_files,
+            commit_snapshot,
+            read_snapshot,
+            snapshot_versions,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(spark, self._base(spark), path)  # v1 (overwritten)
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(4, "c")], "k long, seg string"),
+            path,
+            mode="append",
+        )  # v2 = v1 files + delta
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(9, "z")], "k long, seg string"),
+            path,
+        )  # v3 overwrite
+        # orphan from a "crashed commit": staged data, no manifest
+        spark.createDataFrame([(0, "x")], "k long, seg string").write.parquet(
+            f"{path}/data/v99"
+        )
+        report = vacuum_snapshots(spark, path, keep_last=2)
+        assert report["dropped_versions"] == [1]
+        assert report["deleted_files"] > 0
+        assert snapshot_versions(spark, path) == [2, 3]
+        # v2 still fully readable: its manifest references v1-era files,
+        # which must have survived the GC because v2 survived
+        assert sorted(r["k"] for r in read_snapshot(spark, path, 2).collect()) == [
+            1, 2, 3, 4,
+        ]
+        assert sorted(r["k"] for r in read_snapshot(spark, path, 3).collect()) == [9]
+        # the orphan staging dir is gone
+        assert not [
+            f for f in _list_parquet_files(spark, f"{path}/data")
+            if "/data/v99/" in f
+        ]
