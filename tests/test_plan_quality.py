@@ -523,3 +523,30 @@ def test_incremental_agg_merge_is_two_phase_mergeable(spark):
     assert _shuffle_exchanges(plan) <= 3
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_snapshot_read_pushes_filters_and_prunes(spark, tmp_path):
+    """Time travel must not cost scan quality: a manifest-pinned read is
+    still a parquet scan, so predicates push to the footer level and the
+    projection prunes unread columns — version pinning and data skipping
+    compose."""
+    from pyspark.sql import functions as F
+
+    from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "layer")
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k", "id % 7 AS g", "cast(id * 1.5 as double) AS v"
+    )
+    commit_snapshot(spark, df, path)
+    r = read_snapshot(spark, path).filter(F.col("g") == 3).select("k")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        r.explain("formatted")
+    plan = buf.getvalue()
+    assert "EqualTo(g,3)" in plan  # filter reached the scan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "v:" not in read_schema  # untouched column pruned

@@ -401,3 +401,43 @@ def test_grouped_kl_vs_reference_matches_python(spark, case):
         assert got[g][0] == n_w
         assert abs(got[g][1] - kl) <= 2e-4
         assert got[g][1] >= -1e-9  # KL non-negativity
+
+
+@st.composite
+def snapshot_ops(draw):
+    ops = []
+    for _ in range(draw(st.integers(1, 5))):
+        mode = draw(st.sampled_from(["overwrite", "append"]))
+        rows = draw(
+            st.lists(st.integers(0, 9), min_size=0, max_size=4)
+        )
+        ops.append((mode, rows))
+    return ops
+
+
+@given(snapshot_ops())
+@settings(max_examples=int(os.environ.get("HYPOTHESIS_EXAMPLES", "8")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_layer_matches_model(spark, tmp_path_factory, ops):
+    """Model-based check of the versioned layer: after ANY sequence of
+    overwrite/append commits, every historical version reads back exactly
+    the multiset the in-memory model predicts (time travel is lossless,
+    appends never mutate history)."""
+    from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    path = str(tmp_path_factory.mktemp("snap") / "layer")
+    model: list[list[int]] = []  # model[v-1] = expected multiset
+    for mode, rows in ops:
+        df = spark.createDataFrame(
+            [(r,) for r in rows], "k long"
+        ) if rows else spark.createDataFrame([], "k long")
+        commit_snapshot(spark, df, path, mode=mode)
+        prev = model[-1] if (mode == "append" and model) else []
+        model.append(sorted(prev + rows))
+    for v, expected in enumerate(model, start=1):
+        got = sorted(r["k"] for r in read_snapshot(spark, path, v).collect())
+        assert got == expected, f"version {v}"
