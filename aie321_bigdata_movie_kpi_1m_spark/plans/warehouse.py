@@ -551,3 +551,71 @@ def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _snapshot_layer(spark, sf_dir)
     return snapshot_changes(spark, path, 1, 3)
+
+
+_DPP_LAYERS_BUILT: set[str] = set()
+
+
+def _orders_partitioned_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Orders written partitioned by o_orderpriority (5 hive-style
+    partitions) — the layout that lets a selective dim join prune whole
+    partitions at runtime.  Built once per process."""
+    path = f"{_SCRATCH}/dpp/{_tag(sf_dir)}/orders_by_prio"
+    if path not in _DPP_LAYERS_BUILT:
+        load_star_table(spark, sf_dir, "orders").write.mode(
+            "overwrite"
+        ).partitionBy("o_orderpriority").parquet(path)
+        _DPP_LAYERS_BUILT.add(path)
+    return path
+
+
+@register(
+    "dpp_join_prune",
+    """
+WITH dim AS (
+  SELECT o_orderpriority FROM (
+    SELECT o_orderpriority,
+           row_number() OVER (ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+    FROM orders GROUP BY o_orderpriority
+  ) WHERE rk <= 2
+)
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders o JOIN dim ON o.o_orderpriority = dim.o_orderpriority
+GROUP BY o.o_orderpriority
+""",
+    "dynamic partition pruning: the orders fact lives partitioned by "
+    "priority; joining it to a dim whose selectivity exists only at "
+    "RUNTIME (top-2 priorities by count — not statically derivable, so "
+    "no filter can be pushed at plan time) makes Catalyst inject a "
+    "dynamicpruning subquery into the fact's PartitionFilters, and the "
+    "scan reads 2 of 5 partitions instead of the table — at 100 TB this "
+    "is the difference between scanning the star schema's fact once per "
+    "dim filter and touching only matching partitions (pinned by plan "
+    "test)",
+    tags=("layout", "join", "pruning"),
+)
+def q_dpp_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    path = _orders_partitioned_layer(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    w = Window.orderBy(F.col("n").desc(), F.col("o_orderpriority"))
+    dim = (
+        load_star_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_orderpriority")
+    )
+    return (
+        fact.join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("price_cents"),
+        )
+    )

@@ -550,3 +550,14 @@ def test_snapshot_read_pushes_filters_and_prunes(spark, tmp_path):
     assert "EqualTo(g,3)" in plan  # filter reached the scan
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "v:" not in read_schema  # untouched column pruned
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark):
+    """The partitioned-fact join must carry a dynamicpruning expression in
+    the scan's PartitionFilters: the dim's selectivity exists only at
+    runtime (top-2 priorities by count), so static pushdown is impossible
+    and runtime partition pruning is the mechanism that keeps the fact
+    scan at 2/5 partitions."""
+    plan = plan_of(spark, "dpp_join_prune")
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan
