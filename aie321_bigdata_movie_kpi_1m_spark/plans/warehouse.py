@@ -619,3 +619,64 @@ def q_dpp_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("price_cents"),
         )
     )
+
+
+_SKIP_LAYERS_BUILT: dict[str, str] = {}
+
+
+def _orders_skip_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Orders committed to a snapshot layer range-clustered on
+    o_orderkey (8 disjoint-range files) with per-file min/max stats in
+    the manifest — the layout manifest data skipping needs.  Built once
+    per process."""
+    from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/orders_skip_layer"
+    if path in _SKIP_LAYERS_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    orders = load_star_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    commit_snapshot(
+        spark,
+        orders.repartitionByRange(8, "o_orderkey"),
+        path,
+        stats_cols=["o_orderkey"],
+    )
+    _SKIP_LAYERS_BUILT[path] = path
+    return path
+
+
+@register(
+    "snapshot_skip_scan",
+    """
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 2000
+""",
+    "manifest data skipping (the min/max file index every table format "
+    "keeps): orders commit range-clustered on o_orderkey with per-file "
+    "stats in the manifest; a key-band read drops non-intersecting "
+    "files BEFORE Spark opens a footer, then the same predicate applies "
+    "normally (skipping is an optimization, never a filter) — at 100 TB "
+    "a selective range plans over a handful of files instead of the "
+    "table; the file-count reduction itself is pinned by pytest",
+    tags=("layout", "snapshots", "pruning"),
+)
+def q_snapshot_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    path = _orders_skip_layer(spark, sf_dir)
+    lo, hi = 1000, 2000
+    pruned = read_snapshot(
+        spark, path, prune_range=("o_orderkey", lo, hi)
+    ).filter(F.col("o_orderkey").between(lo, hi))
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("price_cents"),
+    )

@@ -97,12 +97,45 @@ def _manifest(spark: SparkSession, path: str, version: int) -> dict:
     )
 
 
+def _file_stats(
+    spark: SparkSession, data_dir: str, files: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file min/max for ``stats_cols`` over the files just written
+    under ``data_dir`` — ONE distributed scan of the delta only (grouped
+    by input_file_name), keyed by file basename (part file names carry a
+    write UUID, so basenames are unique for the layer's lifetime).
+
+    Written files that yield no group are ZERO-ROW part files (e.g. an
+    empty range partition); they get explicit [None, None] stats so the
+    pruner can always skip them — distinct from a file with NO stats
+    entry, which a reader must conservatively keep."""
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__lo_{c}"))
+        aggs.append(F.max(c).alias(f"__hi_{c}"))
+    rows = (
+        spark.read.parquet(data_dir)
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(*aggs)
+        .collect()
+    )
+    stats = {
+        f.rsplit("/", 1)[-1]: {c: [None, None] for c in stats_cols}
+        for f in files
+    }
+    for r in rows:
+        base = r["__f"].rsplit("/", 1)[-1]
+        stats[base] = {c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in stats_cols}
+    return stats
+
+
 def commit_snapshot(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     *,
     mode: str = "overwrite",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the layer at ``path``.
 
@@ -111,6 +144,13 @@ def commit_snapshot(
     ``df``'s new files — an append commits WITHOUT rewriting or even
     reading old data (manifest reuse), which is what makes daily
     ingest O(delta) instead of O(table).
+
+    ``stats_cols`` collects per-file min/max for those columns into the
+    manifest (one extra scan of the NEW files only) — the data-skipping
+    index ``read_snapshot(prune_range=...)`` uses to drop whole files
+    before the scan plans.  Cluster the data on the stats column first
+    (``df.repartitionByRange(n, col)``) so file ranges are disjoint and
+    skipping is sharp.  Append commits merge the prior stats map.
 
     Data files stage under ``data/v{N}/`` first; the manifest create is
     the atomic commit point and fails if the version already exists
@@ -125,28 +165,89 @@ def commit_snapshot(
     data_dir = f"{path}/data/v{version}"
     df.write.mode("error").parquet(data_dir)
     files = _list_parquet_files(spark, data_dir)
+    stats = (
+        _file_stats(spark, data_dir, files, stats_cols) if stats_cols else {}
+    )
     if mode == "append" and head:
-        files = sorted(_manifest(spark, path, head)["files"] + files)
+        prev = _manifest(spark, path, head)
+        files = sorted(prev["files"] + files)
+        stats = {**prev.get("stats", {}), **stats}
     _write_text(
         spark,
         f"{path}/{_MANIFEST_DIR}/v{version}.json",
-        json.dumps({"version": version, "mode": mode, "files": files}),
+        # default=str: non-JSON stat types (dates/timestamps) serialize as
+        # ISO strings, whose lexicographic order matches their natural
+        # order — pass string bounds to prune_range for those columns
+        json.dumps(
+            {"version": version, "mode": mode, "files": files, "stats": stats},
+            default=str,
+        ),
     )
     return version
 
 
-def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
-) -> DataFrame:
-    """Read one version of the layer (default: the head).  The scan plans
-    from the manifest's exact file list — no directory listing."""
+def snapshot_files(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    *,
+    prune_range: tuple[str, object, object] | None = None,
+) -> list[str]:
+    """The file list a read of this version plans over, after manifest
+    data skipping.  ``prune_range=(col, lo, hi)`` keeps only files whose
+    committed [min, max] for ``col`` intersects [lo, hi] (files lacking
+    stats are conservatively kept; None bounds are open)."""
     versions = snapshot_versions(spark, path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {path}")
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions} at {path}")
-    files = _manifest(spark, path, v)["files"]
+    m = _manifest(spark, path, v)
+    files = m["files"]
+    if prune_range is None:
+        return files
+    col, lo, hi = prune_range
+    stats = m.get("stats", {})
+    kept = []
+    for f in files:
+        s = stats.get(f.rsplit("/", 1)[-1], {}).get(col)
+        if s is None:
+            kept.append(f)  # no stats recorded -> cannot skip safely
+        elif s[0] is None or s[1] is None:
+            # stats recorded but no min/max: zero rows, or every value
+            # NULL — safe to skip either way, because a range predicate
+            # is NULL-rejecting (the caller's contract)
+            continue
+        elif (lo is None or s[1] >= lo) and (hi is None or s[0] <= hi):
+            kept.append(f)
+    return kept
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    *,
+    prune_range: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Read one version of the layer (default: the head).  The scan plans
+    from the manifest's exact file list — no directory listing.
+
+    ``prune_range=(col, lo, hi)`` applies manifest-level data skipping:
+    files whose committed [min, max] cannot intersect the range are
+    dropped BEFORE Spark ever opens a footer — at 100 TB this is the
+    difference between planning over the table and planning over the
+    few files a selective range touches.  Skipping is an optimization
+    only, never a filter: files that straddle the bound still contribute
+    out-of-range rows, so apply the actual predicate on the result (it
+    also pushes down to the parquet footers as usual)."""
+    files = snapshot_files(spark, path, version, prune_range=prune_range)
+    if not files:
+        # every file skipped: an empty typed frame needs the schema, which
+        # still lives in the (unpruned) manifest's files
+        all_files = snapshot_files(spark, path, version)
+        return spark.read.parquet(*all_files).limit(0)
     return spark.read.parquet(*files)
 
 

@@ -891,3 +891,47 @@ class TestSnapshotLayer:
             f for f in _list_parquet_files(spark, f"{path}/data")
             if "/data/v99/" in f
         ]
+
+    def test_manifest_data_skipping(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+            snapshot_files,
+        )
+
+        path = str(tmp_path / "layer")
+        df = spark.range(0, 800).selectExpr("id AS k", "id * 2 AS v")
+        commit_snapshot(
+            spark, df.repartitionByRange(8, "k"), path, stats_cols=["k"]
+        )
+        # sharp skipping on the clustered column: a narrow band keeps a
+        # strict subset of files
+        all_f = snapshot_files(spark, path)
+        kept = snapshot_files(spark, path, prune_range=("k", 100, 150))
+        assert len(all_f) == 8 and 1 <= len(kept) < 8
+        # skipping is an optimization, never a filter: pruned read +
+        # predicate equals the full filtered table even when the band
+        # straddles file boundaries
+        got = sorted(
+            r["k"]
+            for r in read_snapshot(spark, path, prune_range=("k", 100, 150))
+            .filter(F.col("k").between(100, 150))
+            .collect()
+        )
+        assert got == list(range(100, 151))
+        # fully out-of-range band: every file skipped, empty but typed
+        empty = read_snapshot(spark, path, prune_range=("k", 5000, 6000))
+        assert empty.count() == 0
+        assert empty.schema.fieldNames() == ["k", "v"]
+        # append merges stats: new delta file is skippable too
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(10_000, 1)], "k long, v long"),
+            path,
+            mode="append",
+            stats_cols=["k"],
+        )
+        kept2 = snapshot_files(spark, path, 2, prune_range=("k", 9000, None))
+        assert len(kept2) == 1 and "/data/v2/" in kept2[0]
