@@ -546,3 +546,56 @@ def q_streaming_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_kl_vs_reference(
         sink, ref, group_col="window_start", cat_col="event_type"
     )
+
+
+@register(
+    "streaming_static_enrich",
+    """
+SELECT time_bucket(INTERVAL 1 DAY, e.ts) AS window_start,
+       coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    "stream-static enrichment (the dimension lookup every event pipeline "
+    "does at ingest): the event stream LEFT-joins the static customer "
+    "dimension — re-planned per micro-batch, broadcast at dim size, NO "
+    "join state kept (unlike stream-stream) — then watermarked 1-day "
+    "windows count per enriched segment; unmatched users keep flowing "
+    "as UNKNOWN rather than being dropped; equals the batch join+window "
+    "replay exactly",
+    tags=("streaming", "join"),
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import cents as _money_cents
+    from ..streaming.events import read_events_stream
+
+    dim = load_star_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        read_events_stream(spark, sf_dir)
+        .join(F.broadcast(dim), "user_id", "left")
+        .withColumn(
+            "segment", F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN"))
+        )
+    )
+    counts = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_money_cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "value_cents",
+        )
+    )
+    return _run_to_memory_sink(
+        spark, counts, name="stream_static_enrich", output_mode="complete"
+    )
