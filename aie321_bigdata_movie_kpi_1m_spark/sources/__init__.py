@@ -1,5 +1,13 @@
 from .readers import load_star_table, read_csv, read_jdbc, read_parquet
 from .sinks import bounded_export, write_parquet
+from .snapshots import (
+    commit_snapshot,
+    read_snapshot,
+    snapshot_changes,
+    snapshot_changes_keyed,
+    snapshot_versions,
+    vacuum_snapshots,
+)
 
 __all__ = [
     "load_star_table",
@@ -8,4 +16,10 @@ __all__ = [
     "read_parquet",
     "bounded_export",
     "write_parquet",
+    "commit_snapshot",
+    "read_snapshot",
+    "snapshot_changes",
+    "snapshot_changes_keyed",
+    "snapshot_versions",
+    "vacuum_snapshots",
 ]
