@@ -680,3 +680,54 @@ def q_snapshot_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").alias("key_sum"),
         F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("price_cents"),
     )
+
+
+@register(
+    "xml_roundtrip",
+    """
+SELECT r_regionkey,
+       COUNT(*) AS n_nations,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM (SELECT CAST(n_regionkey AS BIGINT) AS r_regionkey, n_nationkey
+      FROM nation)
+GROUP BY r_regionkey
+""",
+    "XML interchange (Spark 4 native XML source): spill nation to an "
+    "XML layer (rowTag records), re-read with the DECLARED schema — "
+    "never inference, which at scale costs an extra pass and can drift "
+    "types — and aggregate; completes the format matrix "
+    "(parquet/csv/json/orc/xml); the oracle reads the parquet truth so "
+    "any encode/decode defect breaks the hash",
+    tags=("sources",),
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    nation = load_star_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = f"{_SCRATCH}/xml_roundtrip/{_tag(sf_dir)}"
+    (
+        nation.write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .format("xml")
+        .save(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema).option("rowTag", "nation").format("xml").load(path)
+    )
+    return (
+        back.groupBy(F.col("n_regionkey").alias("r_regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+    )
