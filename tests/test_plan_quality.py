@@ -561,3 +561,24 @@ def test_dpp_join_prunes_partitions_at_runtime(spark):
     plan = plan_of(spark, "dpp_join_prune")
     assert "dynamicpruning" in plan.lower()
     assert "PartitionFilters" in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Strategy hints are the manual override when Catalyst's size
+    estimates are wrong at scale (a common 100 TB failure: a dim just
+    over the broadcast threshold forces SMJ's sort when a shuffled hash
+    join is right).  Pin that each hint actually selects its operator so
+    the override lever keeps working."""
+    left = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1_000).selectExpr("id AS k", "id * 3 AS b")
+    with _confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        cases = {
+            "merge": "SortMergeJoin",
+            "shuffle_hash": "ShuffledHashJoin",
+            "broadcast": "BroadcastHashJoin",
+        }
+        for hint, operator in cases.items():
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                left.join(right.hint(hint), "k").explain("formatted")
+            assert operator in buf.getvalue(), hint
