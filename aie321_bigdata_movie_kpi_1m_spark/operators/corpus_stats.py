@@ -151,7 +151,10 @@ def grouped_kl_vs_reference(
     event mix diverge from the historical baseline?").
 
     ``obs`` holds (group, category, count) — sparse: absent categories
-    are implicit zeros.  ``ref`` holds (category, count) over the FULL
+    are implicit zeros; (group, category) must be unique (the natural
+    output of a count aggregation — duplicates fail loudly in the map
+    build under Spark's default map-key dedup policy rather than
+    silently summing).  ``ref`` holds (category, count) over the FULL
     category domain and is the broadcast side (the domain is tiny
     regardless of data size).  Each group is collapsed to a count map in
     ONE pass (no self-join — ``obs`` may be a memory-sink table, which
