@@ -599,3 +599,57 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory_sink(
         spark, counts, name="stream_static_enrich", output_mode="complete"
     )
+
+
+@register(
+    "streaming_window_topk",
+    """
+WITH wc AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT window_start, event_type, n_events,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rnk
+  FROM wc
+)
+SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(rnk AS INTEGER) AS rnk
+FROM rk WHERE rnk <= 3
+""",
+    "streaming per-window heavy hitters: the watermarked windowed count "
+    "is the streaming stateful stage (state bounded per window, same as "
+    "the window-counts query); the per-window top-3 rank is a stateless "
+    "post-pass over the sink whose WindowGroupLimit pushes the rank "
+    "below the exchange — the 'trending items this hour' query every "
+    "event platform serves; ties break on event_type so the cut is "
+    "deterministic in any engine",
+    tags=("streaming", "topk"),
+)
+def q_streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..streaming.events import read_events_stream
+
+    counts = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    sink = _run_to_memory_sink(
+        spark, counts, name="stream_window_topk", output_mode="complete"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        sink.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )

@@ -1421,3 +1421,48 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("chars_total"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "doc_unigram_logprob",
+    _TOKENS_CTE
+    + """
+, ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+cnt AS (SELECT token, COUNT(*) AS c FROM ex GROUP BY token),
+tot AS (SELECT SUM(c) AS n FROM cnt)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(c / CAST((SELECT n FROM tot) AS DOUBLE))), 4)
+         AS avg_logprob
+FROM ex JOIN cnt USING (token)
+GROUP BY doc_id
+""",
+    "unigram-LM quality score (the CCNet/perplexity-filter shape with an "
+    "exact replayable statistic): pass 1 fits the corpus unigram "
+    "distribution, pass 2 scores each doc by mean token log-probability "
+    "— the lower the score, the more out-of-distribution the doc; same "
+    "two-pass join-back shape as doc_unigram_df_score but on the LM "
+    "probability axis; token counts shuffle on 8-byte-hashable keys and "
+    "the distribution side is the broadcast candidate at scale",
+    tags=("text", "corpus-stats", "quality"),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens as _tokens
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(_tokens("text")).alias("token"))
+    cnt = ex.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    return (
+        ex.join(cnt, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c") / F.col("n").cast("double"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
