@@ -935,3 +935,29 @@ class TestSnapshotLayer:
         )
         kept2 = snapshot_files(spark, path, 2, prune_range=("k", 9000, None))
         assert len(kept2) == 1 and "/data/v2/" in kept2[0]
+
+    def test_corrupt_manifest_fails_loudly(self, spark, tmp_path):
+        """A truncated/garbled manifest must raise a parse error on read,
+        never silently serve a partial file list."""
+        import json as _json
+
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+        )
+
+        from py4j.protocol import Py4JJavaError
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(spark, self._base(spark), path)
+        mpath = f"{path}/_manifests/v1.json"
+        with open(mpath, "w") as f:
+            f.write('{"version": 1, "files": [')  # truncated mid-write
+        # either failure mode is loud: the checksummed local FS rejects
+        # the tampered file (ChecksumException via Py4J) before JSON
+        # parsing even runs; a filesystem without CRC sidecars surfaces
+        # the truncation as a JSON parse error instead
+        with pytest.raises((Py4JJavaError, _json.JSONDecodeError)):
+            read_snapshot(spark, path, 1)
