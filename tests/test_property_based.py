@@ -441,3 +441,75 @@ def test_snapshot_layer_matches_model(spark, tmp_path_factory, ops):
     for v, expected in enumerate(model, start=1):
         got = sorted(r["k"] for r in read_snapshot(spark, path, v).collect())
         assert got == expected, f"version {v}"
+
+
+@st.composite
+def ivm_case(draw):
+    segs = ["A", "B", "C"]
+    v1 = [
+        (draw(st.integers(1, 50)), draw(st.sampled_from(segs)))
+        for _ in range(draw(st.integers(0, 10)))
+    ]
+    v2 = [
+        (draw(st.integers(1, 50)), draw(st.sampled_from(segs)))
+        for _ in range(draw(st.integers(0, 10)))
+    ]
+    return v1, v2
+
+
+@given(ivm_case())
+@settings(**_SETTINGS)
+def test_signed_cdf_fold_refreshes_any_aggregate(spark, case):
+    """IVM-with-retractions invariant (the math behind
+    snapshot_incremental_refresh): for ANY v1 and v2 multisets,
+    agg(v1) + signed-fold(multiset-diff(v1, v2)) == agg(v2), with
+    zero-count groups retracting out."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    v1, v2 = case
+    diff = Counter(v2) - Counter(v1)   # inserts with multiplicity
+    rm = Counter(v1) - Counter(v2)     # deletes with multiplicity
+    changes = [(k, s, "insert") for (k, s), n in diff.items() for _ in range(n)]
+    changes += [(k, s, "delete") for (k, s), n in rm.items() for _ in range(n)]
+
+    schema2 = "k long, seg string"
+    base_df = (
+        spark.createDataFrame(v1, schema2)
+        if v1
+        else spark.createDataFrame([], schema2)
+    )
+    base = base_df.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("k").alias("key_sum")
+    )
+    schema3 = "k long, seg string, change_type string"
+    ch_df = (
+        spark.createDataFrame(changes, schema3)
+        if changes
+        else spark.createDataFrame([], schema3)
+    )
+    sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = ch_df.withColumn("__s", sign).groupBy("seg").agg(
+        F.sum("__s").alias("n_rows"),
+        F.sum(F.col("__s") * F.col("k")).alias("key_sum"),
+    )
+    refreshed = {
+        r["seg"]: (r["n_rows"], r["key_sum"])
+        for r in base.unionByName(delta)
+        .groupBy("seg")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("key_sum").cast("long").alias("key_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .collect()
+    }
+
+    expect = {}
+    for seg in {s for _, s in v2}:
+        ks = [k for k, s in v2 if s == seg]
+        expect[seg] = (len(ks), sum(ks))
+    assert refreshed == expect

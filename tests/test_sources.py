@@ -961,3 +961,42 @@ class TestSnapshotLayer:
         # the truncation as a JSON parse error instead
         with pytest.raises((Py4JJavaError, _json.JSONDecodeError)):
             read_snapshot(spark, path, 1)
+
+    def test_layer_works_under_uri_scheme_path(self, spark, tmp_path):
+        """The portability contract: every layer operation goes through
+        the Hadoop FS API, so an explicit URI-scheme path must behave
+        exactly like a bare local path (the local stand-in for
+        hdfs:// and s3a:// substrates)."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+            snapshot_files,
+            vacuum_snapshots,
+        )
+
+        path = f"file://{tmp_path}/layer"
+        commit_snapshot(
+            spark,
+            self._base(spark).repartitionByRange(2, "k"),
+            path,
+            stats_cols=["k"],
+        )
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(4, "c")], "k long, seg string"),
+            path,
+            mode="append",
+            stats_cols=["k"],
+        )
+        assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == [
+            1, 2, 3, 4,
+        ]
+        assert len(
+            snapshot_files(spark, path, prune_range=("k", 4, None))
+        ) < len(snapshot_files(spark, path))
+        report = vacuum_snapshots(spark, path, keep_last=1)
+        assert report["dropped_versions"] == [1]
+        # v2 (append) references v1 files, so nothing it needs was GC'd
+        assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == [
+            1, 2, 3, 4,
+        ]
