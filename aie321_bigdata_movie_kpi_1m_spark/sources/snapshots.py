@@ -230,6 +230,7 @@ def read_snapshot(
     version: int | None = None,
     *,
     prune_range: tuple[str, object, object] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read one version of the layer (default: the head).  The scan plans
     from the manifest's exact file list — no directory listing.
@@ -241,14 +242,21 @@ def read_snapshot(
     few files a selective range touches.  Skipping is an optimization
     only, never a filter: files that straddle the bound still contribute
     out-of-range rows, so apply the actual predicate on the result (it
-    also pushes down to the parquet footers as usual)."""
+    also pushes down to the parquet footers as usual).
+
+    ``merge_schema=True`` unifies schemas across commits (an append may
+    add columns; old files read NULL for them) at the cost of a footer
+    pass per distinct file schema — additive evolution, same contract as
+    parquet ``mergeSchema``.  The default reads with the newest file's
+    schema, the cheap path when the layer's schema is stable."""
     files = snapshot_files(spark, path, version, prune_range=prune_range)
+    reader = spark.read.option("mergeSchema", str(merge_schema).lower())
     if not files:
         # every file skipped: an empty typed frame needs the schema, which
         # still lives in the (unpruned) manifest's files
         all_files = snapshot_files(spark, path, version)
-        return spark.read.parquet(*all_files).limit(0)
-    return spark.read.parquet(*files)
+        return reader.parquet(*all_files).limit(0)
+    return reader.parquet(*files)
 
 
 def snapshot_changes(

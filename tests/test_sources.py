@@ -1000,3 +1000,29 @@ class TestSnapshotLayer:
         assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == [
             1, 2, 3, 4,
         ]
+
+    def test_schema_evolution_across_commits(self, spark, tmp_path):
+        """An append commit may add columns (additive evolution):
+        merge_schema=True unifies — old files read NULL for the new
+        column; the default read keeps the cheap stable-schema path."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(spark, self._base(spark), path)
+        commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(4, "c", 9.5)], "k long, seg string, score double"
+            ),
+            path,
+            mode="append",
+        )
+        merged = read_snapshot(spark, path, merge_schema=True)
+        assert set(merged.columns) == {"k", "seg", "score"}
+        rows = {r["k"]: r["score"] for r in merged.collect()}
+        assert rows == {1: None, 2: None, 3: None, 4: 9.5}
+        # v1 pinned read is untouched by the later wider commit
+        assert set(read_snapshot(spark, path, 1).columns) == {"k", "seg"}
