@@ -602,12 +602,21 @@ def q_dpp_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _orders_partitioned_layer(spark, sf_dir)
     fact = spark.read.parquet(path)
-    w = Window.orderBy(F.col("n").desc(), F.col("o_orderpriority"))
+    # rank-and-FILTER, deliberately not orderBy+limit: Catalyst's
+    # partition-pruning rule keys on a selective Filter on the dim side
+    # (a LIMIT is not recognized — verified: the limit variant plans no
+    # dynamicpruning).  The global window is over the 5-row priority
+    # aggregate — domain-bounded, so its single partition is a non-issue
     dim = (
         load_star_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("o_orderpriority"))
+            ),
+        )
         .filter(F.col("rk") <= 2)
         .select("o_orderpriority")
     )
