@@ -653,3 +653,62 @@ def q_streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("window_start", "event_type", "n_events", "rnk")
     )
+
+
+@register(
+    "streaming_window_distinct",
+    """
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_3sd
+FROM events
+GROUP BY 1
+""",
+    "streaming cardinality monitor: per-window approx_count_distinct "
+    "users (HyperLogLog++, the ONLY distinct-count Spark admits inside a "
+    "streaming aggregation — exact distinct would need unbounded "
+    "per-window key state; the sketch is fixed memory and mergeable "
+    "across partial aggregations) — the live unique-visitors metric; "
+    "raw HLL estimates are engine-specific, so the streamed estimate is "
+    "checked in-row against the exact batch replay "
+    "(|approx-exact|/exact <= 3*rsd) and the oracle carries the exact "
+    "counts plus the TRUE flags",
+    tags=("streaming", "sketch"),
+)
+def q_streaming_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import read_events_stream
+
+    rsd = 0.02
+    counts = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd).alias("__approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "__approx_users",
+        )
+    )
+    sink = _run_to_memory_sink(
+        spark, counts, name="stream_window_distinct", output_mode="complete"
+    )
+    exact = (
+        load_star_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("window_start"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return sink.join(exact, "window_start").select(
+        "window_start",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("__approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 3 * rsd
+        ).alias("approx_within_3sd"),
+    )
