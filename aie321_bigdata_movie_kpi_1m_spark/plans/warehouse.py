@@ -424,9 +424,16 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
     )
     cut = F.lit("1998-01-01").cast("timestamp")
+    # the two slices must PARTITION all rows: a NULL l_shipdate fails both
+    # `< cut` and `>= cut`, so the delta slice is NULL-inclusive — TPC-H
+    # has no NULL ship dates, but the merge contract can't depend on that
     merged = merge_kpi_states(
         kpi_partial_state(li.filter(F.col("l_shipdate") < cut)),
-        kpi_partial_state(li.filter(F.col("l_shipdate") >= cut)),
+        kpi_partial_state(
+            li.filter(
+                (F.col("l_shipdate") >= cut) | F.col("l_shipdate").isNull()
+            )
+        ),
     )
     return merged.select(
         "l_returnflag",

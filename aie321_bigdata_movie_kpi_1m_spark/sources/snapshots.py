@@ -18,8 +18,22 @@ Why manifests and not directory listing at 100 TB:
   pipeline needs ("which exact corpus built this checkpoint?").
 
 All IO goes through the Hadoop FileSystem API, so ``file://``, ``hdfs://``
-and ``s3a://`` layers behave identically (same portability contract as
-``sinks.layer_parquet_bytes``).
+and ``s3a://`` layers largely behave identically (same portability
+contract as ``sinks.layer_parquet_bytes``).  Commit atomicity is
+substrate-specific, and documented rather than over-claimed:
+
+- The manifest is staged at a temp name and **renamed** into place, so a
+  racing reader can never observe a truncated manifest (a bare
+  ``create()`` is visible on HDFS before its bytes land).
+- HDFS rename fails when the destination exists, which doubles as the
+  optimistic-concurrency lock.  The local FS ``rename(2)`` would
+  overwrite, so an existence check front-runs the rename there (the
+  single-JVM test substrate — the residual check-then-rename window is a
+  same-process race only).
+- **S3 has no atomic no-overwrite primitive at all** (S3A ``create``
+  /``rename`` are both check-then-write): a real S3 deployment needs an
+  external lock or conditional PUT, exactly as Delta's ``LogStore``
+  contract requires.  This layer does not claim otherwise.
 
 No counterpart in the reference (its "versioning" is overwriting one
 PostgreSQL table, publish.py:102-167); this generalizes S4's re-create
@@ -29,11 +43,19 @@ semantics into something auditable.
 from __future__ import annotations
 
 import json
+import re
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _MANIFEST_DIR = "_manifests"
+
+# staging dirs are data/v{N}-{token}; bare data/v{N} (the pre-uuid layout)
+# still parses so old layers stay readable
+_STAGE_RE = re.compile(r"^v(\d+)(?:-[0-9a-f]+)?$")
 
 
 def _fs(spark: SparkSession, path: str):
@@ -47,14 +69,30 @@ def _hpath(jvm, path: str):
 
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
-    """Create ``path`` with ``text``; fails if it already exists (the
-    commit point — create-no-overwrite is the optimistic lock)."""
+    """Commit ``text`` at ``path`` via stage-then-rename; fails with
+    ``FileExistsError`` if ``path`` already exists (the commit point —
+    rename-no-overwrite is the optimistic lock).
+
+    Staging the bytes at a temp name first means no reader can ever open
+    a half-written manifest: the destination either does not exist or
+    holds the complete file.  On HDFS the rename itself refuses an
+    existing destination (atomic lock); the local FS overwrites on
+    rename, so the existence checks carry the lock there.  On S3 neither
+    is atomic — see the module docstring."""
     jvm, fs = _fs(spark, path)
-    out = fs.create(_hpath(jvm, path), False)
+    dst = _hpath(jvm, path)
+    if fs.exists(dst):
+        raise FileExistsError(f"concurrent commit: {path} already exists")
+    tmp_path = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    tmp = _hpath(jvm, tmp_path)
+    out = fs.create(tmp, False)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(dst) or not fs.rename(tmp, dst):
+        fs.delete(tmp, False)
+        raise FileExistsError(f"concurrent commit: lost the race on {path}")
 
 
 def _read_text(spark: SparkSession, path: str) -> str:
@@ -95,6 +133,11 @@ def _manifest(spark: SparkSession, path: str, version: int) -> dict:
     return json.loads(
         _read_text(spark, f"{path}/{_MANIFEST_DIR}/v{version}.json")
     )
+
+
+def _type_from_json(dtype_json: str):
+    """Inverse of ``DataType.json()`` for the manifest's schema record."""
+    return T._parse_datatype_json_string(dtype_json)
 
 
 def _file_stats(
@@ -152,9 +195,19 @@ def commit_snapshot(
     (``df.repartitionByRange(n, col)``) so file ranges are disjoint and
     skipping is sharp.  Append commits merge the prior stats map.
 
-    Data files stage under ``data/v{N}/`` first; the manifest create is
-    the atomic commit point and fails if the version already exists
+    Data files stage under ``data/v{N}-{token}/`` first — the token is
+    a per-commit random suffix, so an ABORTED commit's staging dir can
+    never collide with a retry's (a crash between staging and manifest
+    write leaves an orphan dir that ``vacuum_snapshots`` GCs, and never
+    wedges the layer), and two writers racing on the same version number
+    stage independently; only the manifest rename decides the winner
     (optimistic concurrency — the loser retries against the new head).
+
+    Appends are schema-checked against the previous manifest's recorded
+    schema: NEW columns are allowed (additive evolution — read them with
+    ``merge_schema=True``), but a column re-typed between commits raises
+    ``ValueError`` at the WRITE, instead of leaving a layer whose
+    merge-schema reads explode in Spark's footer merge.
     Returns the committed version number.
     """
     if mode not in ("overwrite", "append"):
@@ -162,7 +215,20 @@ def commit_snapshot(
     versions = snapshot_versions(spark, path)
     head = versions[-1] if versions else 0
     version = head + 1
-    data_dir = f"{path}/data/v{version}"
+    schema_fields = {f.name: f.dataType.json() for f in df.schema.fields}
+    if mode == "append" and head:
+        prev_schema = _manifest(spark, path, head).get("schema")
+        if prev_schema:
+            for name, dtype in prev_schema.items():
+                if name in schema_fields and schema_fields[name] != dtype:
+                    raise ValueError(
+                        f"append re-types column {name!r}: committed "
+                        f"{dtype}, delta {schema_fields[name]} — only "
+                        "additive schema evolution is supported"
+                    )
+            # columns absent from the delta stay part of the layer schema
+            schema_fields = {**prev_schema, **schema_fields}
+    data_dir = f"{path}/data/v{version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(data_dir)
     files = _list_parquet_files(spark, data_dir)
     stats = (
@@ -179,7 +245,13 @@ def commit_snapshot(
         # ISO strings, whose lexicographic order matches their natural
         # order — pass string bounds to prune_range for those columns
         json.dumps(
-            {"version": version, "mode": mode, "files": files, "stats": stats},
+            {
+                "version": version,
+                "mode": mode,
+                "files": files,
+                "stats": stats,
+                "schema": schema_fields,
+            },
             default=str,
         ),
     )
@@ -202,7 +274,15 @@ def snapshot_files(
         raise FileNotFoundError(f"no committed snapshot under {path}")
     v = versions[-1] if version is None else version
     if v not in versions:
-        raise FileNotFoundError(f"version {v} not in {versions} at {path}")
+        raise FileNotFoundError(
+            f"version {v} not in {versions} at {path}"
+            + (
+                " (older versions may have been vacuumed — "
+                "see vacuum_snapshots keep_last)"
+                if versions and v < versions[0]
+                else ""
+            )
+        )
     m = _manifest(spark, path, v)
     files = m["files"]
     if prune_range is None:
@@ -252,8 +332,20 @@ def read_snapshot(
     files = snapshot_files(spark, path, version, prune_range=prune_range)
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
     if not files:
-        # every file skipped: an empty typed frame needs the schema, which
-        # still lives in the (unpruned) manifest's files
+        # every file skipped: an empty typed frame needs the schema.
+        # Newer manifests record it (no footer read at all); older layers
+        # fall back to the (unpruned) manifest's files
+        versions = snapshot_versions(spark, path)
+        v = versions[-1] if version is None else version
+        rec = _manifest(spark, path, v).get("schema")
+        if rec:
+            schema = T.StructType(
+                [
+                    T.StructField(name, _type_from_json(dtype))
+                    for name, dtype in rec.items()
+                ]
+            )
+            return spark.createDataFrame([], schema)
         all_files = snapshot_files(spark, path, version)
         return reader.parquet(*all_files).limit(0)
     return reader.parquet(*files)
@@ -294,6 +386,8 @@ def snapshot_changes_keyed(
     v_from: int,
     v_to: int,
     key_cols: list[str],
+    *,
+    include_values: bool = False,
 ) -> DataFrame:
     """Keyed change feed: with a declared primary key the diff is ONE
     full-outer equi-join on the key instead of two full-row set
@@ -304,10 +398,37 @@ def snapshot_changes_keyed(
     Emits (key_cols..., change_type) with change_type in
     insert/delete/update; unchanged keys are dropped.  Assumes the key
     is unique per version (the caller's contract, as in any MERGE).
+    ``include_values=True`` adds ``before``/``after`` structs of the
+    non-key columns (NULL on the missing side) — the payload a keyed
+    incremental view maintenance fold consumes.
+
+    Versions with EVOLVED schemas diff correctly: both sides read with
+    ``merge_schema=True`` and align to the union of their columns (a
+    column one version lacks reads NULL there), so a column added by an
+    append surfaces as an 'update' on rows whose new column is non-NULL
+    instead of raising an AnalysisException.
     """
-    before = read_snapshot(spark, path, v_from)
-    after = read_snapshot(spark, path, v_to)
+    before = read_snapshot(spark, path, v_from, merge_schema=True)
+    after = read_snapshot(spark, path, v_to, merge_schema=True)
     non_key = [c for c in after.columns if c not in key_cols]
+    non_key += [
+        c for c in before.columns if c not in key_cols and c not in non_key
+    ]
+    # NULL fills are CAST to the column's type on the side that has it, so
+    # the two comparison structs stay type-identical
+    types = {f.name: f.dataType for f in before.schema.fields}
+    types.update({f.name: f.dataType for f in after.schema.fields})
+
+    def _aligned(df: DataFrame) -> DataFrame:
+        cols = [
+            F.col(c)
+            if c in df.columns
+            else F.lit(None).cast(types[c]).alias(c)
+            for c in (*key_cols, *non_key)
+        ]
+        return df.select(*cols)
+
+    before, after = _aligned(before), _aligned(after)
     b = before.select(
         *key_cols, F.struct(*non_key).alias("__b")
     )
@@ -321,39 +442,153 @@ def snapshot_changes_keyed(
         .when(F.col("__a").isNull(), F.lit("delete"))
         .when(~F.col("__a").eqNullSafe(F.col("__b")), F.lit("update"))
     )
-    return (
-        joined.withColumn("change_type", change)
-        .filter(F.col("change_type").isNotNull())
-        .select(*key_cols, "change_type")
+    changed = joined.withColumn("change_type", change).filter(
+        F.col("change_type").isNotNull()
     )
+    if include_values:
+        return changed.select(
+            *key_cols,
+            "change_type",
+            F.col("__b").alias("before"),
+            F.col("__a").alias("after"),
+        )
+    return changed.select(*key_cols, "change_type")
+
+
+def rewrite_snapshot(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction INSIDE the versioned layer: read the head
+    version, rewrite it byte-sized to ~``target_file_bytes`` files
+    (``coalesce`` — compaction must not pay a shuffle), and commit the
+    compacted file set as a NEW version.  Same rows, fewer files.
+
+    This composes ``sinks.compact_parquet_layer`` with the manifest
+    layer, which is where it matters at 100 TB: O(delta) appends are
+    exactly how a snapshot layer accumulates small files, and a
+    directory-level compact would break time travel.  Here old versions
+    keep reading their original files untouched (the manifest pins
+    them); readers of the new head plan over the compacted set; and
+    ``vacuum_snapshots`` GCs the small files once retention passes.
+    File sizing resolves through the manifest's exact file list via the
+    Hadoop FileSystem API, so hdfs:// and s3a:// layers size
+    identically to local ones.
+
+    Returns {"version", "files_before", "files_after", "bytes"}.
+    """
+    import math
+
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    head = versions[-1]
+    files = snapshot_files(spark, path, head)
+    jvm, fs = _fs(spark, path)
+    total = sum(fs.getFileStatus(_hpath(jvm, f)).getLen() for f in files)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = read_snapshot(spark, path, head)
+    new_v = commit_snapshot(
+        spark,
+        df.coalesce(n_files),
+        path,
+        mode="overwrite",
+        stats_cols=stats_cols,
+    )
+    return {
+        "version": new_v,
+        "files_before": len(files),
+        "files_after": len(snapshot_files(spark, path, new_v)),
+        "bytes": total,
+    }
 
 
 def vacuum_snapshots(
-    spark: SparkSession, path: str, *, keep_last: int = 2
+    spark: SparkSession,
+    path: str,
+    *,
+    keep_last: int = 2,
+    orphan_grace_seconds: float = 24 * 3600,
 ) -> dict:
     """Retention + orphan GC (the maintenance job every versioned layer
     needs): drop all but the newest ``keep_last`` manifests, then delete
-    every data file no surviving manifest references — including files
-    staged by crashed commits that never reached their manifest write.
+    every staging DIRECTORY none of the surviving manifests reference —
+    including dirs staged by crashed commits that never reached their
+    manifest write (whole-dir recursive delete, so ``_SUCCESS`` markers
+    and CRC sidecars go too, never just the ``*.parquet`` files).
 
-    Returns {"dropped_versions": [...], "deleted_files": n}.  Safe order:
-    manifests are deleted FIRST, so a reader racing the vacuum either
-    resolves a surviving version (whose files all remain) or fails on
-    the manifest read — it can never plan a scan over a file the GC pass
-    is about to remove.
+    Writer safety — two rules keep vacuum from racing an IN-FLIGHT
+    commit (staged data, manifest not yet renamed in), which would
+    otherwise commit a version referencing deleted files:
+
+    - staging dirs whose version is GREATER than the newest committed
+      version are exactly in-flight or crashed future commits; they are
+      skipped unless older than ``orphan_grace_seconds`` (default 24 h —
+      Delta/Iceberg vacuum use the same retention idea).  Pass ``0``
+      only in tests or when no writer can be live.
+    - a dir at or below the head whose commit LOST the optimistic race
+      is doomed anyway (its manifest rename can never succeed), so
+      deleting it at worst fails a job that was already failing.
+
+    Returns {"dropped_versions": [...], "deleted_files": n,
+    "skipped_in_flight": [...]}.  Safe order for readers: manifests are
+    deleted FIRST, so a reader racing the vacuum either resolves a
+    surviving version (whose files all remain) or fails on the manifest
+    read — it can never plan a scan over a file the GC pass is about to
+    remove.
     """
     versions = snapshot_versions(spark, path)
+    head = versions[-1] if versions else 0
     keep = versions[-keep_last:] if keep_last > 0 else []
     dropped = [v for v in versions if v not in keep]
     jvm, fs = _fs(spark, path)
     for v in dropped:
         fs.delete(_hpath(jvm, f"{path}/{_MANIFEST_DIR}/v{v}.json"), False)
+    # stale manifest staging temps (crashed _write_text) age out too
+    mdir = _hpath(jvm, f"{path}/{_MANIFEST_DIR}")
+    now_ms = time.time() * 1000.0
+    grace_ms = orphan_grace_seconds * 1000.0
+    if fs.exists(mdir):
+        for status in fs.listStatus(mdir):
+            name = status.getPath().getName()
+            if ".tmp-" in name and now_ms - status.getModificationTime() > grace_ms:
+                fs.delete(status.getPath(), False)
     live: set[str] = set()
     for v in keep:
         live.update(_manifest(spark, path, v)["files"])
     deleted = 0
-    for f in _list_parquet_files(spark, f"{path}/data"):
-        if f not in live:
-            fs.delete(_hpath(jvm, f), False)
-            deleted += 1
-    return {"dropped_versions": dropped, "deleted_files": deleted}
+    skipped: list[str] = []
+    ddir = _hpath(jvm, f"{path}/data")
+    if not fs.exists(ddir):
+        return {
+            "dropped_versions": dropped,
+            "deleted_files": deleted,
+            "skipped_in_flight": skipped,
+        }
+    for status in fs.listStatus(ddir):
+        dpath = status.getPath().toString()
+        dfiles = _list_parquet_files(spark, dpath)
+        if any(f in live for f in dfiles):
+            # a surviving manifest references this commit's files; our
+            # commits reference staging dirs all-or-nothing, but stay
+            # defensive and GC file-by-file if that invariant ever bends
+            for f in dfiles:
+                if f not in live:
+                    fs.delete(_hpath(jvm, f), False)
+                    deleted += 1
+            continue
+        m = _STAGE_RE.match(status.getPath().getName())
+        stage_v = int(m.group(1)) if m else 0
+        if stage_v > head and now_ms - status.getModificationTime() <= grace_ms:
+            skipped.append(dpath)  # possibly an in-flight commit
+            continue
+        deleted += len(dfiles)
+        fs.delete(status.getPath(), True)
+    return {
+        "dropped_versions": dropped,
+        "deleted_files": deleted,
+        "skipped_in_flight": skipped,
+    }

@@ -763,7 +763,7 @@ class TestSnapshotLayer:
         # manifest (no rewrite), plus at least one new file
         assert set(m1["files"]) < set(m2["files"])
         new = set(m2["files"]) - set(m1["files"])
-        assert new and all("/data/v2/" in f for f in new)
+        assert new and all("/data/v2-" in f for f in new)
 
     def test_commit_is_optimistic_concurrency(self, spark, tmp_path):
         from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
@@ -773,13 +773,21 @@ class TestSnapshotLayer:
 
         path = str(tmp_path / "layer")
         commit_snapshot(spark, self._base(spark), path)
-        # a racing writer that lost must fail on the manifest create,
+        # a racing writer that lost must fail on the manifest commit,
         # never overwrite the committed version
-        import py4j.protocol
         import pytest
 
-        with pytest.raises(py4j.protocol.Py4JJavaError):
+        with pytest.raises(FileExistsError):
             _write_text(spark, f"{path}/_manifests/v1.json", "{}")
+        # and the staged temp it wrote is cleaned up, not leaked
+        import os
+
+        leftovers = [
+            n
+            for n in os.listdir(f"{path}/_manifests")
+            if ".tmp-" in n and not n.endswith(".crc")
+        ]
+        assert leftovers == []
 
     def test_read_missing_version_raises(self, spark, tmp_path):
         from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
@@ -872,13 +880,17 @@ class TestSnapshotLayer:
             spark.createDataFrame([(9, "z")], "k long, seg string"),
             path,
         )  # v3 overwrite
-        # orphan from a "crashed commit": staged data, no manifest
+        # staged data with no manifest and a FUTURE version number — from
+        # vacuum's seat this is indistinguishable from an in-flight commit
         spark.createDataFrame([(0, "x")], "k long, seg string").write.parquet(
-            f"{path}/data/v99"
+            f"{path}/data/v99-deadbeef"
         )
         report = vacuum_snapshots(spark, path, keep_last=2)
         assert report["dropped_versions"] == [1]
-        assert report["deleted_files"] > 0
+        # v1's files are ALL still referenced by surviving v2 (O(delta)
+        # append reuses them), and the future-version stage is graced —
+        # so this pass must delete nothing
+        assert report["deleted_files"] == 0
         assert snapshot_versions(spark, path) == [2, 3]
         # v2 still fully readable: its manifest references v1-era files,
         # which must have survived the GC because v2 survived
@@ -886,11 +898,19 @@ class TestSnapshotLayer:
             1, 2, 3, 4,
         ]
         assert sorted(r["k"] for r in read_snapshot(spark, path, 3).collect()) == [9]
-        # the orphan staging dir is gone
-        assert not [
+        # the possibly-in-flight future stage survived the graced vacuum…
+        assert any("/data/v99-deadbeef" in d for d in report["skipped_in_flight"])
+        assert [
             f for f in _list_parquet_files(spark, f"{path}/data")
-            if "/data/v99/" in f
+            if "/data/v99-deadbeef/" in f
         ]
+        # …and only an explicit zero-grace pass (no live writers) GCs it,
+        # whole-dir recursive so the _SUCCESS marker goes too
+        report2 = vacuum_snapshots(spark, path, keep_last=2, orphan_grace_seconds=0)
+        assert report2["deleted_files"] > 0
+        import os
+
+        assert not os.path.exists(f"{path}/data/v99-deadbeef")
 
     def test_manifest_data_skipping(self, spark, tmp_path):
         from pyspark.sql import functions as F
@@ -934,7 +954,7 @@ class TestSnapshotLayer:
             stats_cols=["k"],
         )
         kept2 = snapshot_files(spark, path, 2, prune_range=("k", 9000, None))
-        assert len(kept2) == 1 and "/data/v2/" in kept2[0]
+        assert len(kept2) == 1 and "/data/v2-" in kept2[0]
 
     def test_corrupt_manifest_fails_loudly(self, spark, tmp_path):
         """A truncated/garbled manifest must raise a parse error on read,
@@ -961,6 +981,154 @@ class TestSnapshotLayer:
         # the truncation as a JSON parse error instead
         with pytest.raises((Py4JJavaError, _json.JSONDecodeError)):
             read_snapshot(spark, path, 1)
+
+    def test_aborted_commit_never_wedges_the_layer(self, spark, tmp_path):
+        """A crash after staging data but before the manifest rename must
+        not block any later commit of the same version number (unique
+        staging dirs — the round-4 advice's wedge scenario)."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+            snapshot_versions,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(spark, self._base(spark), path)  # v1
+        # simulate v2 crashing between stage and manifest rename
+        spark.createDataFrame([(7, "x")], "k long, seg string").write.parquet(
+            f"{path}/data/v2-aborted0"
+        )
+        v2 = commit_snapshot(
+            spark,
+            spark.createDataFrame([(4, "c")], "k long, seg string"),
+            path,
+            mode="append",
+        )
+        assert v2 == 2 and snapshot_versions(spark, path) == [1, 2]
+        # the aborted stage's rows are invisible (manifest is the truth)
+        assert sorted(r["k"] for r in read_snapshot(spark, path).collect()) == [
+            1, 2, 3, 4,
+        ]
+
+    def test_append_retype_rejected_at_write(self, spark, tmp_path):
+        """Additive evolution only: an appended column may be NEW, but a
+        re-typed existing column must fail at the write with a clear
+        error, not at some later merge-schema read."""
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(spark, self._base(spark), path)
+        with pytest.raises(ValueError, match="re-types column 'seg'"):
+            commit_snapshot(
+                spark,
+                spark.createDataFrame([(5, 1.0)], "k long, seg double"),
+                path,
+                mode="append",
+            )
+        # additive append is fine and merge-schema readable
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(5, "e", 9)], "k long, seg string, extra long"),
+            path,
+            mode="append",
+        )
+        merged = read_snapshot(spark, path, merge_schema=True)
+        assert set(merged.columns) == {"k", "seg", "extra"}
+        assert merged.filter("extra IS NOT NULL").count() == 1
+
+    def test_keyed_feed_handles_evolved_schema_and_values(self, spark, tmp_path):
+        """Keyed diff across versions with DIFFERENT schemas (column added
+        by an append) aligns to the union instead of raising, and
+        include_values carries the before/after payloads."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            snapshot_changes_keyed,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(spark, self._base(spark), path)  # v1: k, seg
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(4, "c", 9)], "k long, seg string, extra long"),
+            path,
+            mode="append",
+        )  # v2 adds `extra`
+        rows = {
+            (r["k"], r["change_type"], r["after"]["extra"] if r["after"] else None)
+            for r in snapshot_changes_keyed(
+                spark, path, 1, 2, ["k"], include_values=True
+            ).collect()
+        }
+        # k=4 inserted with the new column; old keys unchanged (their
+        # `extra` is NULL on both aligned sides, eqNullSafe keeps them out)
+        assert rows == {(4, "insert", 9)}
+
+    def test_rewrite_snapshot_compacts_and_preserves_time_travel(
+        self, spark, tmp_path
+    ):
+        """In-layer compaction: head rewritten to fewer files as a NEW
+        version, old versions' file sets untouched and still readable;
+        vacuum then GCs the small files."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+            rewrite_snapshot,
+            snapshot_files,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "layer")
+        df = spark.range(0, 500).selectExpr("id AS k", "id % 7 AS seg")
+        commit_snapshot(spark, df.repartition(12), path)  # v1: 12 small files
+        before = snapshot_files(spark, path, 1)
+        assert len(before) == 12
+        report = rewrite_snapshot(spark, path)  # tiny bytes -> 1 file
+        assert report["version"] == 2
+        assert report["files_before"] == 12 and report["files_after"] == 1
+        # same rows, head now plans over the compacted set
+        assert read_snapshot(spark, path).count() == 500
+        assert (
+            read_snapshot(spark, path)
+            .selectExpr("CAST(SUM(k) AS BIGINT) AS s")
+            .first()["s"]
+            == sum(range(500))
+        )
+        # time travel: v1 still reads its original 12 files
+        assert snapshot_files(spark, path, 1) == before
+        assert read_snapshot(spark, path, 1).count() == 500
+        # retention pass drops v1 and GCs its 12 small files
+        vacuum_snapshots(spark, path, keep_last=1, orphan_grace_seconds=0)
+        import pytest
+
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            read_snapshot(spark, path, 1)
+        assert read_snapshot(spark, path).count() == 500
+
+    def test_empty_pruned_read_uses_manifest_schema(self, spark, tmp_path):
+        """A fully-pruned read returns an empty frame typed from the
+        manifest's recorded schema — zero parquet footers opened."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark,
+            spark.range(0, 10).selectExpr("id AS k", "CAST(id AS STRING) AS s"),
+            path,
+            stats_cols=["k"],
+        )
+        empty = read_snapshot(spark, path, prune_range=("k", 900, 999))
+        assert empty.count() == 0
+        assert [f.name for f in empty.schema.fields] == ["k", "s"]
+        assert empty.schema["k"].dataType.simpleString() == "bigint"
+        assert empty.schema["s"].dataType.simpleString() == "string"
 
     def test_layer_works_under_uri_scheme_path(self, spark, tmp_path):
         """The portability contract: every layer operation goes through
