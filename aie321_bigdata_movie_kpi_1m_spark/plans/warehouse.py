@@ -801,3 +801,152 @@ def q_snapshot_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+@register(
+    "snapshot_incremental_refresh_keyed",
+    _SNAPSHOT_VERSIONS_CTE
+    + """
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM v3 GROUP BY c_mktsegment
+""",
+    "keyed incremental view maintenance: same refresh contract as "
+    "snapshot_incremental_refresh (v1 aggregate folded to the v3 state "
+    "by the change feed only), but consuming the KEYED feed "
+    "(snapshot_changes_keyed include_values) — ONE full-outer equi-join "
+    "on the declared key instead of two full-row exceptAll shuffles, "
+    "and an update folds as retract(before)+apply(after) from a single "
+    "row; with wide rows and a real key this is the cheaper feed, which "
+    "is why every production CDC consumer declares one",
+    tags=("layout", "snapshots", "incremental", "cdc"),
+)
+def q_snapshot_incremental_refresh_keyed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.snapshots import read_snapshot, snapshot_changes_keyed
+
+    path = _snapshot_layer(spark, sf_dir)
+    base = (
+        read_snapshot(spark, path, 1)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+    )
+    feed = snapshot_changes_keyed(
+        spark, path, 1, 3, ["c_custkey"], include_values=True
+    )
+    retract = feed.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(
+        F.col("before.c_mktsegment").alias("c_mktsegment"),
+        F.lit(-1).alias("__n"),
+        (-F.col("c_custkey")).alias("__k"),
+    )
+    apply_ = feed.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(
+        F.col("after.c_mktsegment").alias("c_mktsegment"),
+        F.lit(1).alias("__n"),
+        F.col("c_custkey").alias("__k"),
+    )
+    delta = (
+        retract.unionByName(apply_)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("__n").alias("n_rows"),
+            F.sum("__k").alias("key_sum"),
+        )
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("key_sum").cast("long").alias("key_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+_COMPACT_LAYERS_BUILT: set[str] = set()
+
+
+def _compact_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Dedicated layer for the in-layer compaction roundtrip: v1 = the
+    customer slice deliberately sprayed over 12 small files, v2 = an
+    O(delta) append (more small files — exactly how a snapshot layer
+    degrades under streaming ingest), v3 = ``rewrite_snapshot`` head
+    compaction.  Built once per process; the builder asserts the file
+    count actually dropped so a silently non-compacting rewrite can't
+    hide behind a content-only oracle."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        drop_snapshot_layer,
+        rewrite_snapshot,
+        snapshot_files,
+    )
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/compact_layer"
+    if path in _COMPACT_LAYERS_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    base = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    app = base.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 20000000).alias("c_custkey"),
+        F.lit("MACHINERY").alias("c_mktsegment"),
+    )
+    commit_snapshot(spark, base.repartition(12), path, mode="overwrite")
+    commit_snapshot(spark, app.repartition(4), path, mode="append")
+    n_before = len(snapshot_files(spark, path, 2))
+    report = rewrite_snapshot(spark, path)
+    if not (report["files_after"] < n_before):
+        raise AssertionError(
+            f"rewrite_snapshot did not compact: {n_before} -> "
+            f"{report['files_after']} files"
+        )
+    _COMPACT_LAYERS_BUILT.add(path)
+    return path
+
+
+@register(
+    "snapshot_compact_roundtrip",
+    """
+WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+app AS (
+  SELECT c_custkey + 20000000 AS c_custkey, 'MACHINERY' AS c_mktsegment
+  FROM customer WHERE c_custkey % 100 = 0
+),
+head AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM head GROUP BY c_mktsegment
+""",
+    "small-file compaction INSIDE the snapshot layer "
+    "(snapshots.rewrite_snapshot): a 16-small-file head (overwrite + "
+    "O(delta) append — the way versioned layers actually degrade) is "
+    "rewritten byte-sized via shuffle-free coalesce and committed as a "
+    "NEW manifest version; old versions keep reading their original "
+    "files (time travel preserved — pinned by pytest), vacuum GCs the "
+    "small files after retention; the oracle recomputes the head "
+    "content, which compaction must not change by a single row",
+    tags=("layout", "snapshots", "maintenance"),
+)
+def q_snapshot_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    path = _compact_layer(spark, sf_dir)
+    return (
+        read_snapshot(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+    )
