@@ -726,22 +726,33 @@ def pq_topk(
         )
         .collect()
     )
-    cand = codes
-    for s in range(m):
-        dt = spark.createDataFrame(
-            [
-                (r[query_id_col], r["__code"], r["__t"])
-                for r in dt_rows
-                if r["__s"] == s
-            ],
-            f"{query_id_col} long, __code_{s} int, __t{s} double",
-        )
-        on = [f"__code_{s}"] if s == 0 else [query_id_col, f"__code_{s}"]
-        cand = cand.join(F.broadcast(dt), on)
+    # ONE broadcast join carries the whole ADC model: keyed on __code_0
+    # (the candidate x query fan-out key), each row holds t0 for that
+    # (query, code0) pair plus the full subspace-1..m-1 tables as a
+    # nested array, so the remaining m-1 lookups are expression-side
+    # element_at's instead of m-1 further joins — same doubles, same
+    # fixed left-assoc add order (bit-portable vs the SQL oracle), but
+    # 1 join stage where the sequential form paid m
+    by_q: dict = {}
+    for r in dt_rows:
+        by_q.setdefault(r[query_id_col], {})[(r["__s"], r["__code"])] = r["__t"]
+    rows0 = []
+    for qid, t in by_q.items():
+        rest = [[t[(s, c)] for c in range(len(books[s]))] for s in range(1, m)]
+        for c in range(len(books[0])):
+            rows0.append((qid, c, t[(0, c)], rest))
+    dt0 = spark.createDataFrame(
+        rows0,
+        f"{query_id_col} long, __code_0 int, __t0 double, "
+        "__rest array<array<double>>",
+    )
+    cand = codes.join(F.broadcast(dt0), "__code_0")
 
     adc = F.col("__t0")
-    for s in range(1, m):
-        adc = adc + F.col(f"__t{s}")  # fixed left-assoc order: portable
+    for s in range(1, m):  # fixed left-assoc order: portable
+        adc = adc + F.element_at(
+            F.element_at("__rest", s), F.col(f"__code_{s}") + 1
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__adc").asc(), F.col("neighbor_id")
     )

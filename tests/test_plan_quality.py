@@ -582,3 +582,14 @@ def test_join_strategy_hints_are_honored(spark):
             with redirect_stdout(buf):
                 left.join(right.hint(hint), "k").explain("formatted")
             assert operator in buf.getvalue(), hint
+
+
+def test_pq_adc_is_single_join(spark):
+    """The ADC phase carries the whole per-query distance model through
+    ONE broadcast join (nested-array lookups do the other m-1 subspaces
+    expression-side); with the two exact-rerank joins that is 3 joins
+    total — the sequential per-subspace form paid m + 2.  Formatted
+    explain prints each operator twice (tree + details)."""
+    plan = plan_of(spark, "ann_pq_topk")
+    assert plan.count("BroadcastHashJoin") <= 6
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
