@@ -11,12 +11,24 @@ share one definition of correctness.
 
 from __future__ import annotations
 
+import os
+import re
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import decode_assets, extract_features, synthesize_assets
+from ..session import scratch_dir
 from ..sources.readers import load_star_table
 from .catalog import register
+
+_SCRATCH = scratch_dir()
+
+
+def _tag(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return re.sub(r"[^A-Za-z0-9_]", "_", base)
 
 
 @register(
@@ -230,6 +242,73 @@ def _run_to_memory_sink(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+_FLUSH_TYPE = "__flush__"
+_FLUSH_DIRS_BUILT: set[str] = set()
+
+
+def _flushed_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table for a TRUE APPEND-MODE streaming run: file
+    one is the real events table (canonical micros timestamps), file two
+    — strictly later mtime, so the file source batches it second — is a
+    single ``__flush__`` sentinel event 40 days past the newest real
+    timestamp.
+
+    With ``maxFilesPerTrigger=1`` + availableNow the run is
+    (data batch) -> (sentinel batch) -> (no-data batch): the sentinel
+    advances the watermark past every real window, and the final no-data
+    micro-batch evicts + EMITS them all, exactly once.  This is the live
+    semantics — watermark-bounded state end-to-end — where a
+    complete-mode sink would instead hold every window ever seen in
+    state AND in the sink forever.  The sentinel itself never reaches
+    the sink: its own window always ends beyond the watermark, so it
+    never closes (see ``_read_flushed_events_stream`` for why it must
+    NOT be filtered).  On a real bus the same flush is a heartbeat/
+    punctuation message.  Built once per process."""
+    path = f"{_SCRATCH}/append_events/{_tag(sf_dir)}"
+    if path in _FLUSH_DIRS_BUILT:
+        return path
+    from datetime import timedelta
+
+    events = load_star_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    events.coalesce(1).write.mode("overwrite").parquet(path)
+    time.sleep(1.2)  # distinct mtimes -> deterministic batch order
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + timedelta(days=40), -1, _FLUSH_TYPE, 0.0, None)],
+        schema=events.schema,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(path)
+    _FLUSH_DIRS_BUILT.add(path)
+    return path
+
+
+def _read_flushed_events_stream(
+    spark: SparkSession, sf_dir: str, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked event stream whose run CLOSES all real windows
+    (``_flushed_events_dir``).
+
+    Deliberately does NOT filter the sentinel out: a
+    ``event_type != '__flush__'`` predicate would be PUSHED DOWN into
+    the parquet scan — *below* the EventTimeWatermark operator — so the
+    sentinel row would be pruned at the source and the watermark would
+    never advance (measured: the last real window then never emits).
+    Instead the sentinel simply lands in its own window 40 days past
+    all real data; that window's end is always beyond the watermark, so
+    it never closes and never reaches an append-mode sink.  Callers
+    must therefore aggregate by event-time window (any extra grouping
+    keys are fine) — the invariant every query below satisfies."""
+    from ..schemas import STAR_SCHEMAS
+
+    path = _flushed_events_dir(spark, sf_dir)
+    return (
+        spark.readStream.schema(STAR_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+        .withWatermark("ts", watermark)
+    )
 
 
 @register(
@@ -511,23 +590,24 @@ FROM joined j JOIN wn ON wn.window_start = j.window_start
 CROSS JOIN tot
 GROUP BY j.window_start
 """,
-    "streaming distribution-drift monitor: the event-type mix of every "
-    "1-day event-time window, counted by a watermarked streaming "
-    "aggregation, is scored by KL divergence against the historical "
-    "baseline distribution (the broadcast reference a 100 TB ingest "
-    "keeps from yesterday's warehouse) — the alert that catches a bot "
-    "flood or logging regression AT ingest; the stateful window count "
-    "streams, the divergence fold is a stateless windows x domain "
-    "post-pass (operators/corpus_stats.py::grouped_kl_vs_reference)",
+    "streaming distribution-drift monitor in TRUE APPEND MODE: the "
+    "event-type mix of every 1-day event-time window, counted by a "
+    "watermarked streaming aggregation whose windows are emitted ONCE "
+    "when the watermark closes them (flush-sentinel run — state and "
+    "sink both watermark-bounded end-to-end, the live 100 TB/day "
+    "semantics; complete mode would retain every window ever seen), is "
+    "scored by KL divergence against the historical baseline "
+    "distribution (the broadcast reference kept from yesterday's "
+    "warehouse) — the alert that catches a bot flood or logging "
+    "regression AT ingest; the divergence fold is a stateless windows "
+    "x domain post-pass (corpus_stats.py::grouped_kl_vs_reference)",
     tags=("streaming", "drift", "corpus-stats"),
 )
 def q_streaming_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus_stats import grouped_kl_vs_reference
-    from ..streaming.events import read_events_stream
 
     stream_counts = (
-        read_events_stream(spark, sf_dir)
-        .withWatermark("ts", "2 hours")
+        _read_flushed_events_stream(spark, sf_dir)
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.col("w.start").alias("window_start"), "event_type", "c")
@@ -536,7 +616,7 @@ def q_streaming_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         stream_counts,
         name="stream_drift_kl",
-        output_mode="complete",
+        output_mode="append",
     )
     ref = (
         load_star_table(spark, sf_dir, "events")
@@ -563,27 +643,28 @@ GROUP BY 1, 2
     "does at ingest): the event stream LEFT-joins the static customer "
     "dimension — re-planned per micro-batch, broadcast at dim size, NO "
     "join state kept (unlike stream-stream) — then watermarked 1-day "
-    "windows count per enriched segment; unmatched users keep flowing "
-    "as UNKNOWN rather than being dropped; equals the batch join+window "
-    "replay exactly",
+    "windows count per enriched segment, emitted ONCE per window in "
+    "TRUE APPEND MODE (flush-sentinel run: state and sink stay "
+    "watermark-bounded, the live semantics); unmatched users keep "
+    "flowing as UNKNOWN rather than being dropped; equals the batch "
+    "join+window replay exactly",
     tags=("streaming", "join"),
 )
 def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.money import cents as _money_cents
-    from ..streaming.events import read_events_stream
 
     dim = load_star_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     enriched = (
-        read_events_stream(spark, sf_dir)
+        _read_flushed_events_stream(spark, sf_dir)
         .join(F.broadcast(dim), "user_id", "left")
         .withColumn(
             "segment", F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN"))
         )
     )
     counts = (
-        enriched.withWatermark("ts", "2 hours")
+        enriched
         .groupBy(F.window("ts", "1 day").alias("w"), "segment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -597,7 +678,7 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory_sink(
-        spark, counts, name="stream_static_enrich", output_mode="complete"
+        spark, counts, name="stream_static_enrich", output_mode="append"
     )
 
 
@@ -619,23 +700,21 @@ SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events,
        CAST(rnk AS INTEGER) AS rnk
 FROM rk WHERE rnk <= 3
 """,
-    "streaming per-window heavy hitters: the watermarked windowed count "
-    "is the streaming stateful stage (state bounded per window, same as "
-    "the window-counts query); the per-window top-3 rank is a stateless "
-    "post-pass over the sink whose WindowGroupLimit pushes the rank "
-    "below the exchange — the 'trending items this hour' query every "
-    "event platform serves; ties break on event_type so the cut is "
-    "deterministic in any engine",
+    "streaming per-window heavy hitters in TRUE APPEND MODE: the "
+    "watermarked windowed count is the streaming stateful stage, each "
+    "window emitted ONCE when the watermark closes it (flush-sentinel "
+    "run — state and sink watermark-bounded end-to-end); the per-window "
+    "top-3 rank is a stateless post-pass over the sink whose "
+    "WindowGroupLimit pushes the rank below the exchange — the "
+    "'trending items this hour' query every event platform serves; "
+    "ties break on event_type so the cut is deterministic in any engine",
     tags=("streaming", "topk"),
 )
 def q_streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..streaming.events import read_events_stream
-
     counts = (
-        read_events_stream(spark, sf_dir)
-        .withWatermark("ts", "2 hours")
+        _read_flushed_events_stream(spark, sf_dir)
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -643,7 +722,7 @@ def q_streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = _run_to_memory_sink(
-        spark, counts, name="stream_window_topk", output_mode="complete"
+        spark, counts, name="stream_window_topk", output_mode="append"
     )
     w = Window.partitionBy("window_start").orderBy(
         F.col("n_events").desc(), "event_type"
@@ -665,24 +744,23 @@ SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
 FROM events
 GROUP BY 1
 """,
-    "streaming cardinality monitor: per-window approx_count_distinct "
-    "users (HyperLogLog++, the ONLY distinct-count Spark admits inside a "
-    "streaming aggregation — exact distinct would need unbounded "
-    "per-window key state; the sketch is fixed memory and mergeable "
-    "across partial aggregations) — the live unique-visitors metric; "
-    "raw HLL estimates are engine-specific, so the streamed estimate is "
-    "checked in-row against the exact batch replay "
+    "streaming cardinality monitor in TRUE APPEND MODE: per-window "
+    "approx_count_distinct users (HyperLogLog++, the ONLY distinct-"
+    "count Spark admits inside a streaming aggregation — exact distinct "
+    "would need unbounded per-window key state; the sketch is fixed "
+    "memory and mergeable across partial aggregations), each window "
+    "emitted ONCE when the watermark closes it (flush-sentinel run — "
+    "state and sink watermark-bounded end-to-end) — the live unique-"
+    "visitors metric; raw HLL estimates are engine-specific, so the "
+    "streamed estimate is checked in-row against the exact batch replay "
     "(|approx-exact|/exact <= 3*rsd) and the oracle carries the exact "
     "counts plus the TRUE flags",
     tags=("streaming", "sketch"),
 )
 def q_streaming_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.events import read_events_stream
-
     rsd = 0.02
     counts = (
-        read_events_stream(spark, sf_dir)
-        .withWatermark("ts", "2 hours")
+        _read_flushed_events_stream(spark, sf_dir)
         .groupBy(F.window("ts", "1 day").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -695,7 +773,7 @@ def q_streaming_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = _run_to_memory_sink(
-        spark, counts, name="stream_window_distinct", output_mode="complete"
+        spark, counts, name="stream_window_distinct", output_mode="append"
     )
     exact = (
         load_star_table(spark, sf_dir, "events")

@@ -640,3 +640,45 @@ def test_quota_checkpoint_restart_serves_nothing(spark, tmp_path):
     assert len(first) > 0
     second = run()  # same checkpoint: nothing new to serve
     assert second == []
+
+
+def test_flushed_append_run_emits_each_window_once(spark):
+    """Contract of the flush-sentinel append-mode run (plans/media_stream):
+    every real window is emitted EXACTLY once (watermark close), the
+    sentinel's own window never closes so no __flush__ row can reach the
+    sink, and re-emission (the complete-mode behavior) never happens."""
+    from pyspark.sql import functions as F
+
+    from aie321_bigdata_movie_kpi_1m_spark.plans.media_stream import (
+        _FLUSH_TYPE,
+        _read_flushed_events_stream,
+        _run_to_memory_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    counts = (
+        _read_flushed_events_stream(spark, sf)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events")
+    )
+    sink = _run_to_memory_sink(
+        spark, counts, name="flush_contract", output_mode="append"
+    )
+    rows = sink.collect()
+    assert rows and not any(r["event_type"] == _FLUSH_TYPE for r in rows)
+    keys = [(r["ws"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys))  # emit-once: no re-emission
+    # and the appended emissions equal the batch replay exactly
+    from aie321_bigdata_movie_kpi_1m_spark.sources.readers import load_star_table
+
+    batch = {
+        (r["ws"], r["event_type"], r["n_events"])
+        for r in load_star_table(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert {(r["ws"], r["event_type"], r["n_events"]) for r in rows} == batch
