@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Pre-commit parity smoke: the cheap regression net for the catalog's
+driver-evidence gap.
+
+The round driver samples only 50 of the catalog's queries per round, so a
+regression in exactly the never-yet-sampled population could hide until
+the round it finally gets sampled — and the two queries whose only driver
+rows are stale round-1 failures (``ann_lsh_topk``, ``ann_ivf_topk``) must
+be provably green EVERY commit so a re-sample lands green.
+
+This script therefore runs, at sf0.01 (seconds, not the 15-minute full
+matrix):
+
+1. the two stale-row queries, ALWAYS;
+2. a rotating deterministic 10-query slice of the rest of the catalog —
+   the rotation index is ``(day-of-year + optional $SMOKE_SLICE offset)``
+   so consecutive days (or consecutive explicit offsets) sweep the whole
+   catalog in ~2 weeks with no query ever structurally excluded.
+
+Usage:  python smoke.py            # today's slice
+        SMOKE_SLICE=3 python smoke.py   # explicit slice, CI sharding
+Exit code 0 = all compared queries oracle-equal.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import subprocess
+import sys
+
+ALWAYS = ["ann_lsh_topk", "ann_ivf_topk"]
+SLICE = 10
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from aie321_bigdata_movie_kpi_1m_spark.plans.catalog import CATALOG
+
+    rest = sorted(n for n in CATALOG if n not in ALWAYS)
+    n_slices = (len(rest) + SLICE - 1) // SLICE
+    idx = int(
+        os.environ.get("SMOKE_SLICE", datetime.date.today().timetuple().tm_yday)
+    ) % n_slices
+    picked = ALWAYS + rest[idx * SLICE : (idx + 1) * SLICE]
+    expr = " or ".join(f"({n} and sf0.01)" for n in picked)
+    print(f"smoke slice {idx + 1}/{n_slices}: {picked}", flush=True)
+    return subprocess.call(
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            "tests/test_oracle_parity.py",
+            "-q",
+            "-k",
+            expr,
+        ],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

