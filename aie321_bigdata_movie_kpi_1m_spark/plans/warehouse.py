@@ -950,3 +950,103 @@ def q_snapshot_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("key_sum"),
         )
     )
+
+
+_MERGE_LAYERS_BUILT: set[str] = set()
+
+
+def _merge_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Layer for the copy-on-write MERGE roundtrip: v1 = the customer
+    slice RANGE-CLUSTERED on the key across 8 files with key stats in
+    the manifest (the layout that makes MERGE file-prunable), v2 = one
+    ``merge_snapshot`` upsert whose delta is (a) updates confined to a
+    narrow low-key band and (b) inserts far beyond every file's range.
+    The builder asserts at least one file was CARRIED (not rewritten) —
+    a merge that silently rewrote the whole table could otherwise hide
+    behind the content-only oracle.  Built once per process."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        drop_snapshot_layer,
+        merge_snapshot,
+    )
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/merge_layer"
+    if path in _MERGE_LAYERS_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    base = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    commit_snapshot(
+        spark,
+        base.repartitionByRange(8, "c_custkey"),
+        path,
+        stats_cols=["c_custkey"],
+    )
+    upd = base.filter(
+        (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") <= 100)
+    ).select("c_custkey", F.lit("MERGED").alias("c_mktsegment"))
+    ins = base.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 30000000).alias("c_custkey"),
+        F.lit("MERGED").alias("c_mktsegment"),
+    )
+    report = merge_snapshot(
+        spark,
+        upd.unionByName(ins),
+        path,
+        "c_custkey",
+        stats_cols=["c_custkey"],
+    )
+    if report["files_carried"] < 1:
+        raise AssertionError(
+            f"merge rewrote every file: {report} — file pruning failed"
+        )
+    _MERGE_LAYERS_BUILT.add(path)
+    return path
+
+
+@register(
+    "snapshot_merge_cow",
+    """
+WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+delta AS (
+  SELECT c_custkey, 'MERGED' AS c_mktsegment FROM customer
+  WHERE c_custkey % 10 = 0 AND c_custkey <= 100
+  UNION ALL
+  SELECT c_custkey + 30000000, 'MERGED' FROM customer
+  WHERE c_custkey % 100 = 0
+),
+merged AS (
+  SELECT b.c_custkey, b.c_mktsegment FROM base b
+  WHERE b.c_custkey NOT IN (SELECT c_custkey FROM delta)
+  UNION ALL
+  SELECT * FROM delta
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM merged GROUP BY c_mktsegment
+""",
+    "copy-on-write MERGE (upsert) into the snapshot layer with FILE-"
+    "LEVEL PRUNING (snapshots.merge_snapshot — the Delta/Iceberg MERGE "
+    "contract): only head files whose manifest [min,max] key range "
+    "contains a delta key are anti-joined and rewritten; every other "
+    "file is carried into the new manifest verbatim (builder-asserted), "
+    "and out-of-range inserts rewrite NOTHING — a daily CDC upsert on a "
+    "key-clustered 100 TB layer touches O(affected files), not "
+    "O(table); time travel to the pre-merge version is preserved; the "
+    "oracle recomputes the post-merge state from scratch",
+    tags=("layout", "snapshots", "merge", "cdc"),
+)
+def q_snapshot_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    path = _merge_layer(spark, sf_dir)
+    return (
+        read_snapshot(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+    )

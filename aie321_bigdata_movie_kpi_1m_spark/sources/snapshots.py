@@ -455,6 +455,123 @@ def snapshot_changes_keyed(
     return changed.select(*key_cols, "change_type")
 
 
+def merge_snapshot(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    key_col: str,
+    *,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Copy-on-write MERGE (upsert) into the versioned layer: rows of
+    ``delta`` replace head rows sharing their ``key_col`` value; new
+    keys insert.  Commits the result as a new version.
+
+    The 100 TB property is FILE-LEVEL PRUNING via the manifest stats:
+    only head files whose committed [min, max] range for ``key_col``
+    actually CONTAINS a delta key are read, anti-joined, and rewritten —
+    every other file is carried into the new manifest verbatim, untouched
+    on disk (the same copy-on-write contract as Delta/Iceberg MERGE).  A
+    daily CDC upsert against a key-clustered layer therefore rewrites
+    O(touched files), not O(table).  Requires ``key_col`` stats in the
+    head manifest for pruning (``commit_snapshot(stats_cols=[key])`` on a
+    key-clustered write); files without stats are conservatively
+    rewritten.  Inserted keys outside every file's range rewrite nothing.
+
+    ``delta`` must carry exactly the layer's columns and at most one row
+    per key (the MERGE contract).  Returns {"version", "files_rewritten",
+    "files_carried"}.
+    """
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    head = versions[-1]
+    m = _manifest(spark, path, head)
+    files, stats = m["files"], m.get("stats", {})
+    head_schema = m.get("schema")
+    if head_schema is not None and sorted(head_schema) != sorted(delta.columns):
+        raise ValueError(
+            f"merge delta columns {sorted(delta.columns)} != layer "
+            f"columns {sorted(head_schema)} — MERGE does not evolve "
+            "schemas (use mode='append' commits for additive evolution)"
+        )
+
+    # exact per-file touch test: join the delta's DISTINCT keys against
+    # the (tiny) file-range relation — a file is touched iff some delta
+    # key falls inside its committed [min, max].  The collect is bounded
+    # by the file count, never the data.
+    ranges = []
+    no_stats: list[str] = []
+    for f in files:
+        s = stats.get(f.rsplit("/", 1)[-1], {}).get(key_col)
+        if s is None:
+            no_stats.append(f)  # conservatively rewritten
+        elif s[0] is None or s[1] is None:
+            continue  # zero-row / all-NULL file: no key can match
+        else:
+            ranges.append((f, s[0], s[1]))
+    touched = set(no_stats)
+    if ranges:
+        rdf = spark.createDataFrame(ranges, ["__f", "__lo", "__hi"])
+        hit = (
+            delta.select(F.col(key_col).alias("__k"))
+            .join(
+                F.broadcast(rdf),
+                (F.col("__k") >= F.col("__lo"))
+                & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        touched.update(r["__f"] for r in hit)
+    carried = [f for f in files if f not in touched]
+
+    version = head + 1
+    data_dir = f"{path}/data/v{version}-{uuid.uuid4().hex[:8]}"
+    # keep the layer's column order so all data files agree positionally
+    cols = list(head_schema) if head_schema else list(delta.columns)
+    if touched:
+        keep = spark.read.parquet(*sorted(touched)).join(
+            delta.select(key_col), key_col, "left_anti"
+        )
+        out = keep.select(*cols).unionByName(delta.select(*cols))
+    else:
+        out = delta.select(*cols)  # pure out-of-range insert: zero reads
+    out.write.mode("error").parquet(data_dir)
+    new_files = _list_parquet_files(spark, data_dir)
+    new_stats = (
+        _file_stats(spark, data_dir, new_files, stats_cols)
+        if stats_cols
+        else {}
+    )
+    carried_stats = {
+        base: entry
+        for base, entry in stats.items()
+        if base in {f.rsplit("/", 1)[-1] for f in carried}
+    }
+    _write_text(
+        spark,
+        f"{path}/{_MANIFEST_DIR}/v{version}.json",
+        json.dumps(
+            {
+                "version": version,
+                "mode": "merge",
+                "files": sorted(carried + new_files),
+                "stats": {**carried_stats, **new_stats},
+                "schema": head_schema
+                or {f.name: f.dataType.json() for f in delta.schema.fields},
+            },
+            default=str,
+        ),
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_carried": len(carried),
+    }
+
+
 def rewrite_snapshot(
     spark: SparkSession,
     path: str,

@@ -1109,6 +1109,91 @@ class TestSnapshotLayer:
             read_snapshot(spark, path, 1)
         assert read_snapshot(spark, path).count() == 500
 
+    def test_merge_cow_prunes_untouched_files(self, spark, tmp_path):
+        """merge_snapshot: only files whose key range holds a delta key
+        are rewritten; the rest are carried verbatim (same file paths in
+        the new manifest), out-of-range inserts rewrite nothing, and the
+        pre-merge version still time-travels."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            merge_snapshot,
+            read_snapshot,
+            snapshot_files,
+        )
+
+        path = str(tmp_path / "layer")
+        base = spark.range(0, 800).selectExpr("id AS k", "'old' AS v")
+        commit_snapshot(
+            spark, base.repartitionByRange(8, "k"), path, stats_cols=["k"]
+        )
+        v1_files = set(snapshot_files(spark, path, 1))
+        assert len(v1_files) == 8
+        # updates confined to the low band + inserts beyond every range
+        delta = spark.createDataFrame(
+            [(5, "new"), (7, "new"), (9000, "new")], "k long, v string"
+        )
+        report = merge_snapshot(spark, delta, path, "k", stats_cols=["k"])
+        assert report["version"] == 2
+        assert report["files_rewritten"] == 1  # only the low-band file
+        assert report["files_carried"] == 7
+        v2_files = set(snapshot_files(spark, path, 2))
+        assert len(v1_files & v2_files) == 7  # carried verbatim
+        head = {(r["k"], r["v"]) for r in read_snapshot(spark, path).collect()}
+        expect = {(k, "old") for k in range(800) if k not in (5, 7)}
+        expect |= {(5, "new"), (7, "new"), (9000, "new")}
+        assert head == expect
+        # time travel: v1 unchanged
+        assert {
+            (r["k"], r["v"]) for r in read_snapshot(spark, path, 1).collect()
+        } == {(k, "old") for k in range(800)}
+        # skipping still works on the merged manifest's stats
+        kept = snapshot_files(spark, path, 2, prune_range=("k", 8500, None))
+        assert kept and all(f not in v1_files for f in kept)
+
+    def test_merge_pure_insert_rewrites_nothing(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            merge_snapshot,
+            read_snapshot,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark,
+            spark.range(0, 100)
+            .selectExpr("id AS k", "'x' AS v")
+            .repartitionByRange(4, "k"),
+            path,
+            stats_cols=["k"],
+        )
+        report = merge_snapshot(
+            spark,
+            spark.createDataFrame([(500, "y")], "k long, v string"),
+            path,
+            "k",
+        )
+        assert report["files_rewritten"] == 0
+        assert report["files_carried"] == 4
+        assert read_snapshot(spark, path).count() == 101
+
+    def test_merge_rejects_schema_mismatch(self, spark, tmp_path):
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            merge_snapshot,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(spark, self._base(spark), path)
+        with pytest.raises(ValueError, match="MERGE does not evolve"):
+            merge_snapshot(
+                spark,
+                spark.createDataFrame([(1, "a", 2)], "k long, seg string, extra long"),
+                path,
+                "k",
+            )
+
     def test_empty_pruned_read_uses_manifest_schema(self, spark, tmp_path):
         """A fully-pruned read returns an empty frame typed from the
         manifest's recorded schema — zero parquet footers opened."""
