@@ -790,3 +790,46 @@ def q_streaming_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 3 * rsd
         ).alias("approx_within_3sd"),
     )
+
+
+@register(
+    "streaming_window_counts_update",
+    """
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+    "UPDATE-mode streaming windowed counts (completing the output-mode "
+    "matrix: complete = window_counts, append = the monitor queries, "
+    "update = this): each micro-batch emits only the windows it "
+    "CHANGED, the contract for an upsert sink (Kafka compacted topic / "
+    "keyed store); the post-pass consumes the sink exactly as such a "
+    "store would — latest emission per (window, type) via a monotone "
+    "max fold — and drops the flush sentinel's own group, which update "
+    "mode does emit (emission is change-driven, not watermark-gated); "
+    "state still watermark-evicts exactly as in append mode",
+    tags=("streaming",),
+)
+def q_streaming_window_counts_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    counts = (
+        _read_flushed_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    sink = _run_to_memory_sink(
+        spark,
+        counts,
+        name="stream_window_counts_update",
+        output_mode="update",
+    )
+    return (
+        sink.filter(F.col("event_type") != _FLUSH_TYPE)
+        .groupBy("window_start", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )

@@ -1050,3 +1050,79 @@ def q_snapshot_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("key_sum"),
         )
     )
+
+
+_CLUSTER_LAYERS_BUILT: set[str] = set()
+
+
+def _cluster_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Layer for the clustered-rewrite roundtrip: v1 = the customer slice
+    hash-scrambled across 6 files (every file straddles the whole key
+    range, so manifest skipping can prune NOTHING — the layout streaming
+    ingest actually produces), v2 = ``rewrite_snapshot(cluster_by=key)``
+    re-clustering the same rows range-wise with key stats.  The builder
+    asserts the same narrow key band keeps every file before and a
+    strict subset after — the maintenance job that turns a write-
+    optimized layout into a read-optimized one without breaking time
+    travel.  Built once per process."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        drop_snapshot_layer,
+        rewrite_snapshot,
+        snapshot_files,
+    )
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/cluster_layer"
+    if path in _CLUSTER_LAYERS_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    base = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    commit_snapshot(
+        spark, base.repartition(6), path, stats_cols=["c_custkey"]
+    )
+    band = ("c_custkey", 1, 100)
+    before = snapshot_files(spark, path, 1, prune_range=band)
+    rewrite_snapshot(spark, path, cluster_by="c_custkey", n_files=6)
+    after = snapshot_files(spark, path, 2, prune_range=band)
+    if not (len(after) < len(before) == 6):
+        raise AssertionError(
+            f"clustered rewrite did not sharpen skipping: "
+            f"{len(before)} -> {len(after)} files kept for {band}"
+        )
+    _CLUSTER_LAYERS_BUILT.add(path)
+    return path
+
+
+@register(
+    "snapshot_cluster_rewrite",
+    """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer WHERE c_custkey BETWEEN 1 AND 100
+""",
+    "read-layout maintenance: rewrite_snapshot(cluster_by=key) range-"
+    "clusters the head version (one shuffle, paid once) and records "
+    "per-file key stats, turning a hash-scrambled write-optimized "
+    "layout — where a narrow key band keeps EVERY file (builder-"
+    "asserted) — into one where manifest skipping prunes to a strict "
+    "subset BEFORE any footer is opened; the query then actually reads "
+    "through that pruned path (prune_range + residual predicate) and "
+    "the oracle recomputes the band from the base table, so a skip "
+    "that drops a straddling file breaks the hash; this is also the "
+    "layout merge_snapshot's file-level pruning needs",
+    tags=("layout", "snapshots", "maintenance"),
+)
+def q_snapshot_cluster_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    path = _cluster_layer(spark, sf_dir)
+    return (
+        read_snapshot(spark, path, prune_range=("c_custkey", 1, 100))
+        .filter(F.col("c_custkey").between(1, 100))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+    )

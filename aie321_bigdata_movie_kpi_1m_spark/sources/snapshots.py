@@ -578,11 +578,21 @@ def rewrite_snapshot(
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
     stats_cols: list[str] | None = None,
+    cluster_by: str | None = None,
+    n_files: int | None = None,
 ) -> dict:
     """Small-file compaction INSIDE the versioned layer: read the head
     version, rewrite it byte-sized to ~``target_file_bytes`` files
     (``coalesce`` — compaction must not pay a shuffle), and commit the
     compacted file set as a NEW version.  Same rows, fewer files.
+
+    ``cluster_by=col`` additionally RANGE-CLUSTERS the rewrite on that
+    column (``repartitionByRange`` — this variant deliberately pays one
+    shuffle) and records its per-file stats, making the manifest's data
+    skipping sharp where the head's layout had every file straddling
+    every value range; this is also the layout ``merge_snapshot`` needs
+    for file-level pruning.  ``n_files`` overrides the byte sizing
+    (tests / explicit re-bucketing); production sizing stays byte-based.
 
     This composes ``sinks.compact_parquet_layer`` with the manifest
     layer, which is where it matters at 100 TB: O(delta) appends are
@@ -606,11 +616,17 @@ def rewrite_snapshot(
     files = snapshot_files(spark, path, head)
     jvm, fs = _fs(spark, path)
     total = sum(fs.getFileStatus(_hpath(jvm, f)).getLen() for f in files)
-    n_files = max(1, math.ceil(total / target_file_bytes))
+    if n_files is None:
+        n_files = max(1, math.ceil(total / target_file_bytes))
     df = read_snapshot(spark, path, head)
+    if cluster_by is not None:
+        df = df.repartitionByRange(n_files, cluster_by)
+        stats_cols = sorted(set(stats_cols or []) | {cluster_by})
+    else:
+        df = df.coalesce(n_files)
     new_v = commit_snapshot(
         spark,
-        df.coalesce(n_files),
+        df,
         path,
         mode="overwrite",
         stats_cols=stats_cols,
