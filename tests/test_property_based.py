@@ -444,6 +444,64 @@ def test_snapshot_layer_matches_model(spark, tmp_path_factory, ops):
 
 
 @st.composite
+def merge_case(draw):
+    base_keys = draw(
+        st.lists(st.integers(0, 30), min_size=1, max_size=12, unique=True)
+    )
+    deltas = [
+        draw(st.lists(st.integers(0, 40), min_size=1, max_size=6, unique=True))
+        for _ in range(draw(st.integers(1, 3)))
+    ]
+    with_stats = draw(st.booleans())
+    return base_keys, deltas, with_stats
+
+
+@given(merge_case())
+@settings(max_examples=int(os.environ.get("HYPOTHESIS_EXAMPLES", "8")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_snapshot_matches_model(spark, tmp_path_factory, case):
+    """Model-based check of copy-on-write MERGE: after ANY sequence of
+    keyed upserts, every version reads back exactly the dict the model
+    predicts — updates replace, inserts add, untouched keys persist, and
+    history is immutable.  Runs both with key stats (file-pruned rewrites)
+    and without (conservative rewrite-all), which must be semantically
+    identical."""
+    from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+        commit_snapshot,
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    base_keys, deltas, with_stats = case
+    path = str(tmp_path_factory.mktemp("merge") / "layer")
+    base = spark.createDataFrame(
+        [(k, "v0") for k in base_keys], "k long, val string"
+    ).repartitionByRange(3, "k")
+    commit_snapshot(
+        spark, base, path, stats_cols=["k"] if with_stats else None
+    )
+    model = {k: "v0" for k in base_keys}
+    history = [dict(model)]
+    for i, dk in enumerate(deltas, start=1):
+        delta = spark.createDataFrame(
+            [(k, f"v{i}") for k in dk], "k long, val string"
+        )
+        report = merge_snapshot(
+            spark, delta, path, "k", stats_cols=["k"] if with_stats else None
+        )
+        assert report["version"] == i + 1
+        model.update({k: f"v{i}" for k in dk})
+        history.append(dict(model))
+    for v, expected in enumerate(history, start=1):
+        got = {
+            r["k"]: r["val"]
+            for r in read_snapshot(spark, path, v).collect()
+        }
+        assert got == expected, f"version {v} (stats={with_stats})"
+
+
+@st.composite
 def ivm_case(draw):
     segs = ["A", "B", "C"]
     v1 = [
