@@ -271,3 +271,96 @@ def simhash_fingerprints(
         )
         sig = contrib if sig is None else sig + contrib
     return per_bit.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Hamming-ball near-duplicate pairs over SimHash fingerprints via
+    PIGEONHOLE BANDING — the pair-search half of the SimHash story
+    (``simhash_fingerprints`` is the signature half).
+
+    The fingerprint splits into ``bands`` disjoint bit bands; any two
+    fingerprints within Hamming distance ``<= bands - 1`` must agree
+    EXACTLY on at least one band (pigeonhole), so the candidate set is a
+    per-band equi-self-join on (band_id, band_value) — never an
+    all-pairs scan — followed by an exact popcount verify.  This is the
+    Google-crawl simhash dedup shape (Manku et al., WWW'07): at 100 TB
+    each band join shuffles on a 15-bit-bounded key plus band id, and
+    candidates are bounded by bucket co-membership, not corpus size².
+
+    ``max_hamming`` must be < ``bands`` or the blocking would lose
+    recall (raises).  Singleton buckets are dropped before the join
+    (pure optimization); ``max_bucket`` optionally also drops
+    pathologically hot buckets (boilerplate-heavy corpora), a documented
+    recall trade like the Jaccard blocker's ``max_df``.
+
+    Emits (i, j, hamming) with i < j, exact distances, one row per pair
+    regardless of how many bands matched.
+    """
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands for "
+            f"lossless pigeonhole blocking, got bands={bands}"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash_fingerprints(
+        docs, id_col=id_col, text_col=text_col, bits=bits
+    )
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bv"),
+    )
+    sizes = banded.groupBy("__band", "__bv").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    keep = sizes.filter(F.col("__n") >= 2)
+    if max_bucket is not None:
+        keep = keep.filter(F.col("__n") <= max_bucket)
+    banded = banded.join(keep.select("__band", "__bv"), ["__band", "__bv"])
+    left = banded.select(
+        "__band",
+        "__bv",
+        F.col("__id").alias("i"),
+        F.col("simhash").alias("__si"),
+    )
+    right = banded.select(
+        "__band",
+        "__bv",
+        F.col("__id").alias("j"),
+        F.col("simhash").alias("__sj"),
+    )
+    pairs = (
+        left.join(right, ["__band", "__bv"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "__si", "__sj")
+        .distinct()  # one row per pair even when several bands match
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.expr("__si ^ __sj")).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("i", "j", "hamming")
+    )

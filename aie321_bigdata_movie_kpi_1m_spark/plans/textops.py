@@ -421,6 +421,69 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(load_star_table(spark, sf_dir, "documents"))
 
 
+def _simhash_pairs_oracle_sql(
+    bits: int = 60, bands: int = 4, max_hamming: int = 3
+) -> str:
+    """DuckDB twin of operators.dedup.simhash_neardup_pairs: replay the
+    fingerprints, band them (pigeonhole blocking), equi-join per band,
+    exact popcount verify."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return (
+        _TOKENS_CTE
+        + f""",
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM votes),
+banded AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * {width})) & {mask} AS bv
+  FROM sig, range({bands}) t(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j,
+         l.simhash AS si, r.simhash AS sj
+  FROM banded l
+  JOIN banded r ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT i, j, CAST(bit_count(xor(si, sj)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(si, sj)) <= {max_hamming}
+"""
+    )
+
+
+@register(
+    "simhash_neardup_pairs",
+    _simhash_pairs_oracle_sql(),
+    "SimHash hamming-ball near-dup pair search via PIGEONHOLE BANDING "
+    "(the Manku/WWW'07 crawl-dedup shape): the 60-bit fingerprint splits "
+    "into 4 disjoint 15-bit bands, and any pair within Hamming distance "
+    "3 must agree exactly on >= 1 band, so candidates come from per-band "
+    "equi-self-joins on bounded keys — never an all-pairs scan; "
+    "singleton buckets are dropped before the join and candidates get "
+    "an exact popcount verify (bit_count over xor, engine-portable); "
+    "completes the SimHash story next to simhash_fingerprints",
+    tags=("dedup",),
+)
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_neardup_pairs(
+        load_star_table(spark, sf_dir, "documents")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-shard assembly: packing, repetition gates, survivor policy,
 # mixture weights (the post-filter half of an LLM data pipeline)

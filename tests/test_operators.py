@@ -970,3 +970,44 @@ def test_pq_topk_recall_and_determinism(spark):
     own = {p for p in ext_pairs if p[0] == p[1]}
     assert len(own) == 4  # each query finds its identical corpus vector
     assert ext_pairs - own <= approx
+
+
+def test_simhash_neardup_pairs_equals_bruteforce(spark):
+    """Pigeonhole banding is LOSSLESS for hamming <= bands-1: the banded
+    pair search must return exactly the brute-force all-pairs answer."""
+    from itertools import combinations
+
+    from aie321_bigdata_movie_kpi_1m_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base) for i in range(3)]  # exact dups: hamming 0
+    rows += [(3, base + " today"), (4, base + " tonight quietly")]
+    rows += [(5, "completely different text about spark shuffle exchange")]
+    rows += [(6, "another unrelated document on parquet footer statistics")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["i"], r["j"], r["hamming"])
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    sig = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(docs).collect()
+    }
+    brute = {
+        (i, j, bin(sig[i] ^ sig[j]).count("1"))
+        for i, j in combinations(sorted(sig), 2)
+        if bin(sig[i] ^ sig[j]).count("1") <= 3
+    }
+    assert got == brute and any(h == 0 for _, _, h in got)
+
+    # blocking-validity guards
+    import pytest
+
+    with pytest.raises(ValueError, match="lossless"):
+        simhash_neardup_pairs(docs, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_neardup_pairs(docs, bits=60, bands=7)
