@@ -1529,3 +1529,84 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "doc_bigram_logprob",
+    _TOKENS_CTE
+    + """
+, big AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(ts[1:len(ts)-1],
+                                 (x, i) -> {'w1': x, 'w2': ts[i+1]})) AS b
+    FROM tok WHERE len(ts) >= 2)
+),
+ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+c1 AS (SELECT token AS w1, COUNT(*) AS c1 FROM ex GROUP BY 1),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+v AS (SELECT COUNT(DISTINCT token) AS v FROM ex)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln((c2 + 1)
+                    / CAST(c1 + (SELECT v FROM v) AS DOUBLE))), 4)
+         AS avg_logprob
+FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+""",
+    "bigram-LM quality score with add-one smoothing (the KenLM-style "
+    "perplexity-filter axis one order above doc_unigram_logprob): pass "
+    "1 fits corpus bigram + unigram counts, pass 2 scores each doc by "
+    "mean ln P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V) — unseen continuations "
+    "are priced by the smoothing, so boilerplate scores high and "
+    "word-salad low; bigram construction is a JVM array transform "
+    "(slice + element_at, shuffle-free), counts shuffle on bounded "
+    "string keys, and the vocabulary scalar broadcasts; docs with <2 "
+    "tokens carry no bigram evidence and are excluded, like zero-token "
+    "docs in the unigram variant",
+    tags=("text", "corpus-stats", "quality"),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens as _tokens
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    big = (
+        docs.select("doc_id", _tokens("text").alias("__ts"))
+        .filter(F.size("__ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(__ts, 1, size(__ts) - 1), "
+                    "(x, i) -> struct(x AS w1, element_at(__ts, i + 2) AS w2))"
+                )
+            ).alias("__b"),
+        )
+        .select("doc_id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    )
+    ex = docs.select("doc_id", F.explode(_tokens("text")).alias("token"))
+    c1 = ex.groupBy(F.col("token").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    v = ex.agg(F.countDistinct("token").alias("v"))
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c2") + 1)
+                        / (F.col("c1") + F.col("v")).cast("double")
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
