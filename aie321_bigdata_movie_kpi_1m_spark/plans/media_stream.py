@@ -833,3 +833,89 @@ def q_streaming_window_counts_update(
         .groupBy("window_start", "event_type")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+_SNAPSHOT_SINK_BUILT: set[str] = set()
+
+
+def _snapshot_sink_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Stream the (flush-staged) events files into a snapshot layer via
+    the exactly-once foreachBatch sink: maxFilesPerTrigger=1 makes one
+    O(delta) append COMMIT per micro-batch (builder-asserted >= 2
+    versions), each idempotent on (app_id, batch_id) so a checkpoint
+    replay cannot double-ingest.  The flush sentinel is dropped INSIDE
+    the batch function — safe here because raw ingest has no watermark.
+    Built once per process."""
+    import shutil
+
+    from ..schemas import STAR_SCHEMAS
+    from ..sources.snapshots import drop_snapshot_layer, snapshot_versions
+    from ..streaming.snapshot_sink import append_stream_to_snapshot
+
+    base = f"{_SCRATCH}/snapshot_sink/{_tag(sf_dir)}"
+    path = f"{base}/layer"
+    if path in _SNAPSHOT_SINK_BUILT:
+        return path
+    src = _flushed_events_dir(spark, sf_dir)
+    drop_snapshot_layer(spark, path)
+    shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
+    stream = (
+        spark.readStream.schema(STAR_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    append_stream_to_snapshot(
+        stream,
+        path,
+        checkpoint_dir=f"{base}/ckpt",
+        query_name="snapshot_sink_build",
+        app_id="events_ingest",
+        transform=lambda df: df.filter(F.col("event_type") != _FLUSH_TYPE),
+    )
+    versions = snapshot_versions(spark, path)
+    if len(versions) < 2:
+        raise AssertionError(
+            f"expected one commit per micro-batch, got versions={versions}"
+        )
+    _SNAPSHOT_SINK_BUILT.add(path)
+    return path
+
+
+@register(
+    "streaming_snapshot_sink",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(SUM(user_id) AS BIGINT) AS user_sum
+FROM events GROUP BY event_type
+""",
+    "EXACTLY-ONCE streaming ingest into the snapshot table layer "
+    "(streaming/snapshot_sink.py): foreachBatch is only at-least-once — "
+    "a crash between the batch function and the checkpoint commit "
+    "replays the batch — so the SINK dedupes: every micro-batch commits "
+    "as one O(delta) append version carrying a per-writer (app_id, "
+    "batch_id) high-water mark in the manifest, and a replayed batch "
+    "commits as a no-op (the Delta txnAppId/txnVersion pattern); one "
+    "commit per micro-batch is builder-asserted, replay no-op + restart "
+    "resume are pytest-pinned; the result is a live stream feeding the "
+    "same time-travel/skip-scan/compaction/vacuum loop every batch "
+    "commit uses, and the oracle is the batch truth over all events — "
+    "a dropped or doubled micro-batch breaks the hash",
+    tags=("streaming", "snapshots", "exactly-once"),
+)
+def q_streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import cents as _money_cents
+    from ..sources.snapshots import read_snapshot
+
+    path = _snapshot_sink_layer(spark, sf_dir)
+    return (
+        read_snapshot(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_money_cents(F.col("value"))).cast("long").alias("value_cents"),
+            F.sum("user_id").cast("long").alias("user_sum"),
+        )
+    )

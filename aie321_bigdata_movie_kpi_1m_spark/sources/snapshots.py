@@ -179,8 +179,17 @@ def commit_snapshot(
     *,
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the layer at ``path``.
+
+    ``txn=(app_id, version)`` makes the commit IDEMPOTENT per writer
+    application (the Delta ``txnAppId``/``txnVersion`` pattern): the
+    manifest carries a per-app high-water map, and a commit whose
+    version is <= the app's recorded high water is a NO-OP returning the
+    current head — exactly what a replayed streaming micro-batch must
+    be.  The map is carried forward by every commit, so interleaved
+    writers don't erase each other's watermarks.
 
     ``mode="overwrite"`` makes the new version exactly ``df``;
     ``mode="append"`` makes it the previous version's file set plus
@@ -214,6 +223,13 @@ def commit_snapshot(
         raise ValueError("mode must be 'overwrite' or 'append'")
     versions = snapshot_versions(spark, path)
     head = versions[-1] if versions else 0
+    txn_map: dict = _manifest(spark, path, head).get("txn", {}) if head else {}
+    if txn is not None:
+        app, tv = txn
+        prev_tv = txn_map.get(app)
+        if prev_tv is not None and int(prev_tv) >= int(tv):
+            return head  # replayed transaction: already applied
+        txn_map = {**txn_map, app: int(tv)}
     version = head + 1
     schema_fields = {f.name: f.dataType.json() for f in df.schema.fields}
     if mode == "append" and head:
@@ -251,6 +267,7 @@ def commit_snapshot(
                 "files": files,
                 "stats": stats,
                 "schema": schema_fields,
+                "txn": txn_map,
             },
             default=str,
         ),
@@ -561,6 +578,7 @@ def merge_snapshot(
                 "stats": {**carried_stats, **new_stats},
                 "schema": head_schema
                 or {f.name: f.dataType.json() for f in delta.schema.fields},
+                "txn": m.get("txn", {}),  # carry writer high-water marks
             },
             default=str,
         ),

@@ -1,0 +1,88 @@
+"""Exactly-once streaming ingest INTO the snapshot-versioned table layer.
+
+Structured Streaming's ``foreachBatch`` is at-least-once: after a crash
+between the batch function and the checkpoint commit, the SAME micro-batch
+(same ``batch_id``) is replayed on restart.  Exactly-once therefore has to
+come from the SINK — here from ``commit_snapshot(txn=(app_id, batch_id))``:
+the manifest carries a per-writer high-water mark and a replayed batch id
+commits as a no-op (the Delta transactional-sink pattern,
+``txnAppId``/``txnVersion``).
+
+This is the production "stream into a table format" story: every
+micro-batch becomes one O(delta) append version, readers time-travel and
+data-skip over it like any other commit, ``rewrite_snapshot`` compacts the
+small files the stream leaks, and ``vacuum_snapshots`` retires history —
+the full table-maintenance loop the rest of ``sources/snapshots.py``
+provides, fed by a live stream.
+
+No counterpart in the reference (batch-only pandas ETL); this is the §2.8
+streaming surface composed with the storage layer.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from ..sources.snapshots import commit_snapshot
+
+
+def snapshot_batch_writer(
+    path: str,
+    *,
+    app_id: str = "stream",
+    stats_cols: list[str] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` function: commit each micro-batch as an
+    O(delta) append version, idempotent per ``(app_id, batch_id)`` so a
+    checkpoint-replayed batch can never double-ingest.  ``transform``
+    runs inside the batch (e.g. dropping a flush sentinel) — safe here
+    because no watermark is involved in a raw-ingest sink."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        commit_snapshot(
+            out.sparkSession,
+            out,
+            path,
+            mode="append",
+            stats_cols=stats_cols,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return write_batch
+
+
+def append_stream_to_snapshot(
+    stream: DataFrame,
+    path: str,
+    *,
+    checkpoint_dir: str,
+    query_name: str = "snapshot_sink",
+    app_id: str = "stream",
+    stats_cols: list[str] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """Run ``stream`` to completion (availableNow) into the snapshot
+    layer at ``path`` via the idempotent batch writer.  Returns after the
+    final commit; restarting with the same ``checkpoint_dir`` resumes
+    from the recorded offsets and replays at most the in-flight batch,
+    which the txn high-water mark turns into a no-op."""
+    q = (
+        stream.writeStream.foreachBatch(
+            snapshot_batch_writer(
+                path,
+                app_id=app_id,
+                stats_cols=stats_cols,
+                transform=transform,
+            )
+        )
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -720,3 +720,61 @@ def test_flushed_append_run_emits_each_window_once(spark):
         .collect()
     }
     assert {(r["ws"], r["event_type"], r["n_events"]) for r in rows} == batch
+
+
+def test_snapshot_sink_exactly_once_across_restart(spark, tmp_path):
+    """The streaming snapshot sink end-to-end: run 1 ingests file 1 and
+    terminates; run 2 over the SAME checkpoint ingests only file 2; a
+    manually replayed stale batch commits as a no-op — so the layer holds
+    every row exactly once no matter how batches are retried."""
+    import time
+
+    from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+    from aie321_bigdata_movie_kpi_1m_spark.streaming.snapshot_sink import (
+        append_stream_to_snapshot,
+        snapshot_batch_writer,
+    )
+
+    src = tmp_path / "src"
+    layer = str(tmp_path / "layer")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = (
+            spark.readStream.schema("k long, v string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        append_stream_to_snapshot(
+            stream,
+            layer,
+            checkpoint_dir=ckpt,
+            query_name="sink_restart_test",
+            app_id="t",
+        )
+
+    run()
+    v_after_1 = snapshot_versions(spark, layer)
+    assert len(v_after_1) == 1
+    time.sleep(1.2)
+    spark.createDataFrame([(3, "c")], "k long, v string").coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    run()  # same checkpoint: resumes, ingests ONLY the new file
+    assert len(snapshot_versions(spark, layer)) == 2
+    assert sorted(r["k"] for r in read_snapshot(spark, layer).collect()) == [
+        1, 2, 3,
+    ]
+    # simulate a foreachBatch replay of an old batch id: must be a no-op
+    writer = snapshot_batch_writer(layer, app_id="t")
+    writer(spark.createDataFrame([(999, "z")], "k long, v string"), 0)
+    assert len(snapshot_versions(spark, layer)) == 2
+    assert sorted(r["k"] for r in read_snapshot(spark, layer).collect()) == [
+        1, 2, 3,
+    ]

@@ -1279,3 +1279,43 @@ class TestSnapshotLayer:
         assert rows == {1: None, 2: None, 3: None, 4: 9.5}
         # v1 pinned read is untouched by the later wider commit
         assert set(read_snapshot(spark, path, 1).columns) == {"k", "seg"}
+
+
+class TestSnapshotTxn:
+    def test_txn_commits_are_idempotent_per_app(self, spark, tmp_path):
+        """commit_snapshot(txn=...): a replayed (app, version) is a no-op
+        returning the head; newer versions commit; other apps are
+        independent; merge commits carry the high-water map forward."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            merge_snapshot,
+            read_snapshot,
+            snapshot_versions,
+        )
+
+        path = str(tmp_path / "layer")
+        df = lambda k: spark.createDataFrame([(k, "x")], "k long, v string")  # noqa: E731
+        assert commit_snapshot(spark, df(1), path, mode="append", txn=("a", 0)) == 1
+        # replay of batch 0: no new version, head returned
+        assert commit_snapshot(spark, df(99), path, mode="append", txn=("a", 0)) == 1
+        assert snapshot_versions(spark, path) == [1]
+        assert commit_snapshot(spark, df(2), path, mode="append", txn=("a", 1)) == 2
+        # stale replay after progress: still a no-op
+        assert commit_snapshot(spark, df(98), path, mode="append", txn=("a", 0)) == 2
+        # a different writer app has its own watermark
+        assert commit_snapshot(spark, df(3), path, mode="append", txn=("b", 0)) == 3
+        assert sorted(
+            r["k"] for r in read_snapshot(spark, path).collect()
+        ) == [1, 2, 3]
+        # merge carries the txn map: the stale replay stays a no-op after it
+        merge_snapshot(
+            spark,
+            spark.createDataFrame([(2, "y")], "k long, v string"),
+            path,
+            "k",
+        )
+        head = snapshot_versions(spark, path)[-1]
+        assert (
+            commit_snapshot(spark, df(97), path, mode="append", txn=("a", 1))
+            == head
+        )
