@@ -1126,3 +1126,76 @@ def q_snapshot_cluster_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("key_sum"),
         )
     )
+
+
+_BLOOM_LAYERS_BUILT: set[str] = set()
+
+
+def _bloom_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Layer for the Bloom point-lookup roundtrip: the documents slice
+    hash-scrambled across 8 files — the layout where min/max stats are
+    USELESS for a point probe (every file's [min, max] doc_id spans the
+    whole domain; builder-asserted) — committed with a per-file Bloom
+    index on doc_id.  The builder asserts the bloom probe keeps strictly
+    fewer files than the stats probe.  Built once per process."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        drop_snapshot_layer,
+        snapshot_files,
+    )
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/bloom_layer"
+    if path in _BLOOM_LAYERS_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    docs = load_star_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    commit_snapshot(
+        spark,
+        docs.repartition(8),
+        path,
+        stats_cols=["doc_id"],
+        bloom_col="doc_id",
+    )
+    all_f = snapshot_files(spark, path)
+    by_range = snapshot_files(spark, path, prune_range=("doc_id", 7, 7))
+    by_bloom = snapshot_files(spark, path, prune_point=("doc_id", 7))
+    # hash-scrambled files mostly straddle the probe (random min/max can
+    # still exclude a few at small scales); the bloom must beat min/max
+    if not (len(by_bloom) < len(by_range) and len(all_f) == 8):
+        raise AssertionError(
+            f"bloom index did not out-prune min/max stats: all={len(all_f)} "
+            f"range={len(by_range)} bloom={len(by_bloom)}"
+        )
+    _BLOOM_LAYERS_BUILT.add(path)
+    return path
+
+
+@register(
+    "snapshot_bloom_skip",
+    """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id = 7
+""",
+    "manifest-level BLOOM FILE INDEX for point lookups "
+    "(snapshots.commit_snapshot(bloom_col=...) — the Delta/Iceberg "
+    "secondary-index story): on a hash-scrambled layout every file's "
+    "[min,max] spans the whole key domain, so min/max skipping keeps "
+    "most files for a point probe — the per-file "
+    "Bloom bit set (xxhash64 family, 8192 bits, 4 hashes, ~1 KB/file "
+    "in the manifest) skips every file whose bloom is missing any probe "
+    "bit; false positives only cost a scanned file, never correctness, "
+    "and the residual predicate still applies, so the oracle (the "
+    "direct point lookup) breaks if skipping ever drops a true file",
+    tags=("layout", "snapshots", "index"),
+)
+def q_snapshot_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    path = _bloom_layer(spark, sf_dir)
+    return (
+        read_snapshot(spark, path, prune_point=("doc_id", 7))
+        .filter(F.col("doc_id") == 7)
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )

@@ -172,6 +172,71 @@ def _file_stats(
     return stats
 
 
+_BLOOM_BITS = 8192
+_BLOOM_HASHES = 4
+
+
+def _file_blooms(
+    spark: SparkSession,
+    data_dir: str,
+    files: list[str],
+    bloom_col: str,
+    *,
+    m: int = _BLOOM_BITS,
+    k: int = _BLOOM_HASHES,
+) -> dict:
+    """Per-file Bloom bit sets for ``bloom_col`` over the files just
+    written — the point-lookup complement to ``_file_stats`` min/max
+    (which cannot prune hash-scrambled high-cardinality keys, because
+    every file's [min, max] then spans the whole domain).  ONE
+    distributed scan of the delta; bits stored as a sorted int list in
+    the manifest (sparse-friendly; at most ``m`` per file).  Hash family
+    is xxhash64 over (value, seed) — executor-side only, which is fine:
+    the bloom picks WHICH FILES are scanned and can never change a
+    result, only cost.  NULLs set no bits (a point probe is
+    NULL-rejecting by SQL semantics)."""
+    probe = F.col(bloom_col).cast("string")
+    rows = (
+        spark.read.parquet(data_dir)
+        .filter(F.col(bloom_col).isNotNull())
+        .select(
+            F.input_file_name().alias("__f"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(probe, F.lit(i)), F.lit(m))
+                        for i in range(k)
+                    ]
+                )
+            ).alias("__bit"),
+        )
+        .groupBy("__f")
+        .agg(F.collect_set("__bit").alias("__bits"))
+        .collect()
+    )
+    blooms = {f.rsplit("/", 1)[-1]: [] for f in files}
+    for r in rows:
+        blooms[r["__f"].rsplit("/", 1)[-1]] = sorted(
+            int(b) for b in r["__bits"]
+        )
+    return blooms
+
+
+def _bloom_positions(spark: SparkSession, value, *, m: int, k: int) -> list[int]:
+    """The k bit positions a probe value hashes to — computed THROUGH
+    Spark's own xxhash64 (one scalar row) so commit and probe can never
+    drift on hash semantics."""
+    row = spark.range(1).select(
+        *[
+            F.pmod(F.xxhash64(F.lit(value).cast("string"), F.lit(i)), F.lit(m)).alias(
+                f"b{i}"
+            )
+            for i in range(k)
+        ]
+    ).first()
+    return [int(row[f"b{i}"]) for i in range(k)]
+
+
 def commit_snapshot(
     spark: SparkSession,
     df: DataFrame,
@@ -180,6 +245,7 @@ def commit_snapshot(
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    bloom_col: str | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the layer at ``path``.
 
@@ -250,10 +316,14 @@ def commit_snapshot(
     stats = (
         _file_stats(spark, data_dir, files, stats_cols) if stats_cols else {}
     )
+    blooms = (
+        _file_blooms(spark, data_dir, files, bloom_col) if bloom_col else {}
+    )
     if mode == "append" and head:
         prev = _manifest(spark, path, head)
         files = sorted(prev["files"] + files)
         stats = {**prev.get("stats", {}), **stats}
+        blooms = {**prev.get("blooms", {}), **blooms}
     _write_text(
         spark,
         f"{path}/{_MANIFEST_DIR}/v{version}.json",
@@ -266,6 +336,9 @@ def commit_snapshot(
                 "mode": mode,
                 "files": files,
                 "stats": stats,
+                "blooms": blooms,
+                "bloom_col": bloom_col
+                or (prev.get("bloom_col") if mode == "append" and head else None),
                 "schema": schema_fields,
                 "txn": txn_map,
             },
@@ -281,11 +354,19 @@ def snapshot_files(
     version: int | None = None,
     *,
     prune_range: tuple[str, object, object] | None = None,
+    prune_point: tuple[str, object] | None = None,
 ) -> list[str]:
     """The file list a read of this version plans over, after manifest
     data skipping.  ``prune_range=(col, lo, hi)`` keeps only files whose
     committed [min, max] for ``col`` intersects [lo, hi] (files lacking
-    stats are conservatively kept; None bounds are open)."""
+    stats are conservatively kept; None bounds are open).
+    ``prune_point=(col, value)`` additionally consults the per-file
+    Bloom index (``commit_snapshot(bloom_col=col)``): a file whose bloom
+    is missing ANY of the probe's bit positions definitely does not
+    contain the value and is skipped — the point-lookup index for
+    hash-scrambled high-cardinality keys where every file's [min, max]
+    spans the whole domain.  False positives only cost a scanned file,
+    never correctness; files without a bloom entry are kept."""
     versions = snapshot_versions(spark, path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {path}")
@@ -302,23 +383,38 @@ def snapshot_files(
         )
     m = _manifest(spark, path, v)
     files = m["files"]
-    if prune_range is None:
-        return files
-    col, lo, hi = prune_range
-    stats = m.get("stats", {})
-    kept = []
-    for f in files:
-        s = stats.get(f.rsplit("/", 1)[-1], {}).get(col)
-        if s is None:
-            kept.append(f)  # no stats recorded -> cannot skip safely
-        elif s[0] is None or s[1] is None:
-            # stats recorded but no min/max: zero rows, or every value
-            # NULL — safe to skip either way, because a range predicate
-            # is NULL-rejecting (the caller's contract)
-            continue
-        elif (lo is None or s[1] >= lo) and (hi is None or s[0] <= hi):
-            kept.append(f)
-    return kept
+    if prune_range is not None:
+        col, lo, hi = prune_range
+        stats = m.get("stats", {})
+        kept = []
+        for f in files:
+            s = stats.get(f.rsplit("/", 1)[-1], {}).get(col)
+            if s is None:
+                kept.append(f)  # no stats recorded -> cannot skip safely
+            elif s[0] is None or s[1] is None:
+                # stats recorded but no min/max: zero rows, or every value
+                # NULL — safe to skip either way, because a range predicate
+                # is NULL-rejecting (the caller's contract)
+                continue
+            elif (lo is None or s[1] >= lo) and (hi is None or s[0] <= hi):
+                kept.append(f)
+        files = kept
+    if prune_point is not None:
+        col, value = prune_point
+        blooms = m.get("blooms", {})
+        if m.get("bloom_col") == col and blooms:
+            pos = _bloom_positions(
+                spark, value, m=_BLOOM_BITS, k=_BLOOM_HASHES
+            )
+            kept = []
+            for f in files:
+                bits = blooms.get(f.rsplit("/", 1)[-1])
+                if bits is None:
+                    kept.append(f)  # no bloom recorded -> keep
+                elif all(p in set(bits) for p in pos):
+                    kept.append(f)  # maybe present (bloom can't say no)
+            files = kept
+    return files
 
 
 def read_snapshot(
@@ -327,6 +423,7 @@ def read_snapshot(
     version: int | None = None,
     *,
     prune_range: tuple[str, object, object] | None = None,
+    prune_point: tuple[str, object] | None = None,
     merge_schema: bool = False,
 ) -> DataFrame:
     """Read one version of the layer (default: the head).  The scan plans
@@ -346,7 +443,9 @@ def read_snapshot(
     pass per distinct file schema — additive evolution, same contract as
     parquet ``mergeSchema``.  The default reads with the newest file's
     schema, the cheap path when the layer's schema is stable."""
-    files = snapshot_files(spark, path, version, prune_range=prune_range)
+    files = snapshot_files(
+        spark, path, version, prune_range=prune_range, prune_point=prune_point
+    )
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
     if not files:
         # every file skipped: an empty typed frame needs the schema.
@@ -562,10 +661,19 @@ def merge_snapshot(
         if stats_cols
         else {}
     )
+    carried_bases = {f.rsplit("/", 1)[-1] for f in carried}
     carried_stats = {
         base: entry
         for base, entry in stats.items()
-        if base in {f.rsplit("/", 1)[-1] for f in carried}
+        if base in carried_bases
+    }
+    # carried files keep their bloom entries; rewritten files drop theirs
+    # (a conservative reader keeps bloom-less files, so this only costs
+    # skipping sharpness on the rewritten tail, never correctness)
+    carried_blooms = {
+        base: entry
+        for base, entry in m.get("blooms", {}).items()
+        if base in carried_bases
     }
     _write_text(
         spark,
@@ -576,6 +684,8 @@ def merge_snapshot(
                 "mode": "merge",
                 "files": sorted(carried + new_files),
                 "stats": {**carried_stats, **new_stats},
+                "blooms": carried_blooms,
+                "bloom_col": m.get("bloom_col"),
                 "schema": head_schema
                 or {f.name: f.dataType.json() for f in delta.schema.fields},
                 "txn": m.get("txn", {}),  # carry writer high-water marks

@@ -1319,3 +1319,91 @@ class TestSnapshotTxn:
             commit_snapshot(spark, df(97), path, mode="append", txn=("a", 1))
             == head
         )
+
+
+class TestSnapshotBloom:
+    def test_bloom_point_prune_is_safe_and_sharp(self, spark, tmp_path):
+        """Bloom file index: a point probe keeps the file(s) actually
+        holding the key (never drops a true positive — checked for EVERY
+        key), skips most others on a hash-scrambled layout, and absent
+        keys prune to (near) zero files; range + point pruning compose."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+            snapshot_files,
+        )
+
+        path = str(tmp_path / "layer")
+        df = spark.range(0, 400).selectExpr("id AS k", "id * 3 AS v")
+        commit_snapshot(
+            spark, df.repartition(8), path, stats_cols=["k"], bloom_col="k"
+        )
+        all_f = snapshot_files(spark, path)
+        assert len(all_f) == 8
+        # correctness for every key: the pruned read still finds it
+        kept_counts = []
+        for probe in (0, 7, 123, 399):
+            files = snapshot_files(spark, path, prune_point=("k", probe))
+            kept_counts.append(len(files))
+            got = (
+                read_snapshot(spark, path, prune_point=("k", probe))
+                .filter(F.col("k") == probe)
+                .collect()
+            )
+            assert [(r["k"], r["v"]) for r in got] == [(probe, probe * 3)]
+        # sharpness: on average the probe plans over far fewer files
+        assert sum(kept_counts) / len(kept_counts) < 4
+        # absent key: bloom says definitely-not for (almost) every file
+        assert len(snapshot_files(spark, path, prune_point=("k", 10**9))) <= 2
+        # composition: range band + point probe intersect
+        both = snapshot_files(
+            spark, path, prune_range=("k", 0, 1000), prune_point=("k", 7)
+        )
+        assert set(both) <= set(snapshot_files(spark, path, prune_point=("k", 7)))
+
+    def test_bloom_entries_carry_through_append_and_merge(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            _manifest,
+            commit_snapshot,
+            merge_snapshot,
+            snapshot_files,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark,
+            spark.range(0, 100).selectExpr("id AS k", "'x' AS v")
+            .repartitionByRange(4, "k"),
+            path,
+            stats_cols=["k"],
+            bloom_col="k",
+        )
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(500, "y")], "k long, v string"),
+            path,
+            mode="append",
+            bloom_col="k",
+        )
+        m2 = _manifest(spark, path, 2)
+        # >= 5: range partitioning may emit a zero-row part file, whose
+        # empty bloom ([] — no bit set) correctly always skips
+        assert m2["bloom_col"] == "k" and len(m2["blooms"]) >= 5
+        # the appended key is bloom-locatable in its single delta file
+        assert len(snapshot_files(spark, path, prune_point=("k", 500))) <= 2
+        # merge: carried files keep blooms, rewritten file drops its entry
+        # (conservatively kept by readers)
+        merge_snapshot(
+            spark,
+            spark.createDataFrame([(5, "z")], "k long, v string"),
+            path,
+            "k",
+        )
+        m3 = _manifest(spark, path, 3)
+        assert m3["bloom_col"] == "k"
+        carried = set(m3["blooms"])
+        assert carried and carried < {
+            f.rsplit("/", 1)[-1] for f in m3["files"]
+        }
