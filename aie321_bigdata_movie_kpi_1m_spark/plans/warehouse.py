@@ -1199,3 +1199,112 @@ def q_snapshot_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == 7)
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+_DELETE_LAYERS_BUILT: set[str] = set()
+
+
+def _delete_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Layer for the merge-on-read DELETE roundtrip: documents slice
+    key-clustered into 8 files, then ``doc_id % 10 = 3`` deleted as
+    position delete files — the builder asserts the data file set is
+    UNCHANGED across the delete (zero rewrite) and that the
+    metadata-only row count matches the post-delete cardinality.
+    Built once per process; both delete queries share it."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        delete_snapshot,
+        drop_snapshot_layer,
+        snapshot_files,
+        snapshot_row_count,
+    )
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/delete_layer"
+    if path in _DELETE_LAYERS_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    docs = load_star_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    commit_snapshot(
+        spark,
+        docs.repartitionByRange(8, "doc_id"),
+        path,
+        stats_cols=["doc_id"],
+    )
+    n_total = snapshot_row_count(spark, path)
+    res = delete_snapshot(spark, path, "doc_id % 10 = 3")
+    if not (
+        res["rows_deleted"] > 0
+        and snapshot_files(spark, path, 1) == snapshot_files(spark, path, 2)
+        and snapshot_row_count(spark, path) == n_total - res["rows_deleted"]
+    ):
+        raise AssertionError(f"merge-on-read delete contract broken: {res}")
+    _DELETE_LAYERS_BUILT.add(path)
+    return path
+
+
+@register(
+    "snapshot_delete_mor",
+    """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+WHERE NOT (doc_id % 10 = 3)
+GROUP BY lang
+""",
+    "merge-on-read DELETE via position delete files (the Iceberg v2 / "
+    "Delta deletion-vector design, snapshots.delete_snapshot): matching "
+    "rows are recorded as (file, pos) pairs in a delete sidecar and the "
+    "new manifest keeps the exact same data file set — a DELETE that "
+    "writes O(matches) bytes instead of rewriting every touched file; "
+    "readers anti-join only the DIRTY files against the delete set "
+    "(clean files stream through the plain scan), rewrite_snapshot "
+    "folds the vectors back in at compaction; the builder asserts zero "
+    "data files were rewritten, and the oracle (a recompute over the "
+    "surviving rows) breaks if the vectors drop or resurrect anything",
+    tags=("layout", "snapshots", "delete"),
+)
+def q_snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    path = _delete_layer(spark, sf_dir)
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+    )
+
+
+@register(
+    "snapshot_count_metadata_only",
+    """
+SELECT CAST((SELECT COUNT(*) FROM documents
+             WHERE NOT (doc_id % 10 = 3)) AS BIGINT) AS n_live,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_total
+""",
+    "metadata-only COUNT(*) (snapshots.snapshot_row_count — the "
+    "Delta/Iceberg numRecords fast path): per-file row counts recorded "
+    "by the commit-time stats pass, position-delete counts subtracted "
+    "per file, so the count of any version — including one with live "
+    "deletion vectors — resolves from a KB of manifest JSON with ZERO "
+    "data or footer reads; at 100 TB that is milliseconds vs a "
+    "cluster-wide scan; oracle recomputes both cardinalities from the "
+    "raw table",
+    tags=("snapshots", "metadata"),
+)
+def q_snapshot_count_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import snapshot_row_count
+
+    path = _delete_layer(spark, sf_dir)
+    n_live = snapshot_row_count(spark, path)       # head: post-delete
+    n_total = snapshot_row_count(spark, path, 1)   # v1: pre-delete
+    if n_live is None or n_total is None:
+        raise AssertionError("manifest row counts missing — not metadata-only")
+    return spark.createDataFrame(
+        [(n_live, n_total)], "n_live long, n_total long"
+    )

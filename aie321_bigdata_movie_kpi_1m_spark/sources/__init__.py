@@ -2,9 +2,11 @@ from .readers import load_star_table, read_csv, read_jdbc, read_parquet
 from .sinks import bounded_export, write_parquet
 from .snapshots import (
     commit_snapshot,
+    delete_snapshot,
     read_snapshot,
     snapshot_changes,
     snapshot_changes_keyed,
+    snapshot_row_count,
     snapshot_versions,
     vacuum_snapshots,
 )
@@ -17,9 +19,11 @@ __all__ = [
     "bounded_export",
     "write_parquet",
     "commit_snapshot",
+    "delete_snapshot",
     "read_snapshot",
     "snapshot_changes",
     "snapshot_changes_keyed",
+    "snapshot_row_count",
     "snapshot_versions",
     "vacuum_snapshots",
 ]

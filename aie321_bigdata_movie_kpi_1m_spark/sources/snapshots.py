@@ -142,17 +142,19 @@ def _type_from_json(dtype_json: str):
 
 def _file_stats(
     spark: SparkSession, data_dir: str, files: list[str], stats_cols: list[str]
-) -> dict:
-    """Per-file min/max for ``stats_cols`` over the files just written
-    under ``data_dir`` — ONE distributed scan of the delta only (grouped
-    by input_file_name), keyed by file basename (part file names carry a
-    write UUID, so basenames are unique for the layer's lifetime).
+) -> tuple[dict, dict]:
+    """Per-file min/max for ``stats_cols`` PLUS per-file row counts over
+    the files just written under ``data_dir`` — ONE distributed scan of
+    the delta only (grouped by input_file_name), keyed by file basename
+    (part file names carry a write UUID, so basenames are unique for the
+    layer's lifetime).  The counts are what make ``snapshot_row_count``
+    a metadata-only operation — the Delta/Iceberg numRecords idea.
 
     Written files that yield no group are ZERO-ROW part files (e.g. an
-    empty range partition); they get explicit [None, None] stats so the
-    pruner can always skip them — distinct from a file with NO stats
-    entry, which a reader must conservatively keep."""
-    aggs = []
+    empty range partition); they get explicit [None, None] stats and a 0
+    count so the pruner can always skip them — distinct from a file with
+    NO stats entry, which a reader must conservatively keep."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"__lo_{c}"))
         aggs.append(F.max(c).alias(f"__hi_{c}"))
@@ -166,10 +168,12 @@ def _file_stats(
         f.rsplit("/", 1)[-1]: {c: [None, None] for c in stats_cols}
         for f in files
     }
+    counts = {f.rsplit("/", 1)[-1]: 0 for f in files}
     for r in rows:
         base = r["__f"].rsplit("/", 1)[-1]
         stats[base] = {c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in stats_cols}
-    return stats
+        counts[base] = int(r["__n"])
+    return stats, counts
 
 
 _BLOOM_BITS = 8192
@@ -313,17 +317,21 @@ def commit_snapshot(
     data_dir = f"{path}/data/v{version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(data_dir)
     files = _list_parquet_files(spark, data_dir)
-    stats = (
-        _file_stats(spark, data_dir, files, stats_cols) if stats_cols else {}
-    )
+    stats, counts = _file_stats(spark, data_dir, files, stats_cols or [])
+    if not stats_cols:
+        stats = {}
     blooms = (
         _file_blooms(spark, data_dir, files, bloom_col) if bloom_col else {}
     )
+    delete_files: list = []
     if mode == "append" and head:
         prev = _manifest(spark, path, head)
         files = sorted(prev["files"] + files)
         stats = {**prev.get("stats", {}), **stats}
+        counts = {**(prev.get("counts") or {}), **counts}
         blooms = {**prev.get("blooms", {}), **blooms}
+        # old files' deletion vectors stay valid: appends add files only
+        delete_files = prev.get("delete_files") or []
     _write_text(
         spark,
         f"{path}/{_MANIFEST_DIR}/v{version}.json",
@@ -336,9 +344,11 @@ def commit_snapshot(
                 "mode": mode,
                 "files": files,
                 "stats": stats,
+                "counts": counts,
                 "blooms": blooms,
                 "bloom_col": bloom_col
                 or (prev.get("bloom_col") if mode == "append" and head else None),
+                "delete_files": delete_files,
                 "schema": schema_fields,
                 "txn": txn_map,
             },
@@ -417,6 +427,60 @@ def snapshot_files(
     return files
 
 
+def _apply_delete_entries(
+    spark: SparkSession, manifest: dict, files: list[str], reader
+) -> DataFrame | None:
+    """Merge-on-read application of the manifest's position delete files
+    (Iceberg v2 / Delta deletion-vector shape): rows named by a
+    ``(file, pos)`` pair in any delete file are dropped AT READ TIME via
+    a left-anti join — the data files themselves are never rewritten.
+
+    Only DIRTY files (named in some delete entry's ``touches`` map) pay
+    the metadata-column read and the anti-join; clean files stream
+    through the plain parquet scan untouched, so a layer with a handful
+    of deletes reads at full scan speed everywhere else.  Row identity
+    is ``_metadata.row_index`` — the physical position in an immutable
+    data file, stable because every other mutation path here is
+    copy-on-write.  Returns None when no kept file is dirty (caller does
+    the plain read)."""
+    entries = manifest.get("delete_files") or []
+    if not entries or not files:
+        return None
+    bases = {f.rsplit("/", 1)[-1]: f for f in files}
+    dirty_bases: set[str] = set()
+    dv_dirs: list[str] = []
+    for e in entries:
+        touch = set(e["touches"]) & set(bases)
+        if touch:
+            dirty_bases |= touch
+            dv_dirs.append(e["path"])
+    if not dirty_bases:
+        return None
+    dirty = [bases[b] for b in sorted(dirty_bases)]
+    clean = [f for f in files if f.rsplit("/", 1)[-1] not in dirty_bases]
+    dv = spark.read.parquet(*dv_dirs).select(
+        F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+    )
+    base_expr = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    dirty_df = (
+        reader.parquet(*dirty)
+        .select(
+            "*",
+            base_expr.alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        .join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    )
+    if clean:
+        # allowMissingColumns: under merge_schema the clean and dirty
+        # subsets may see different column sets; missing ones read NULL
+        return reader.parquet(*clean).unionByName(
+            dirty_df, allowMissingColumns=True
+        )
+    return dirty_df
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
@@ -447,6 +511,14 @@ def read_snapshot(
         spark, path, version, prune_range=prune_range, prune_point=prune_point
     )
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
+    if files:
+        versions = snapshot_versions(spark, path)
+        v = versions[-1] if version is None else version
+        dv_read = _apply_delete_entries(
+            spark, _manifest(spark, path, v), files, reader
+        )
+        if dv_read is not None:
+            return dv_read
     if not files:
         # every file skipped: an empty typed frame needs the schema.
         # Newer manifests record it (no footer read at all); older layers
@@ -465,6 +537,134 @@ def read_snapshot(
         all_files = snapshot_files(spark, path, version)
         return reader.parquet(*all_files).limit(0)
     return reader.parquet(*files)
+
+
+def delete_snapshot(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    *,
+    prune_range: tuple[str, object, object] | None = None,
+) -> dict:
+    """Merge-on-read DELETE: commit a new version in which every head
+    row matching ``predicate`` (a SQL boolean expression over the
+    layer's columns) is gone — WITHOUT rewriting a single data file.
+
+    Matching rows are recorded as POSITION DELETE FILES (parquet of
+    ``(file, pos)`` under ``deletes/v{N}-{token}/`` — the Iceberg v2 /
+    Delta deletion-vector design): the new manifest keeps the exact same
+    data file set and appends the delete entry; readers anti-join dirty
+    files against the delete set at scan time.  At 100 TB this is the
+    difference between a DELETE that writes O(matches) bytes and one
+    that rewrites every file containing a match (copy-on-write) — the
+    right trade for frequent small deletes (GDPR erasure, retractions),
+    with ``rewrite_snapshot`` as the periodic compaction that folds the
+    vectors back in (its read applies them; its commit resets them).
+
+    ``prune_range=(col, lo, hi)`` limits the matching SCAN to files
+    whose stats intersect the range — pass it when the predicate implies
+    a range on a stats column, so the delete scan prunes like any other
+    read.  Files outside the pruned scan keep all their rows (caller's
+    contract that the predicate cannot match there).
+
+    The scan applies existing deletion vectors first, so re-deleting an
+    already-deleted row is impossible and per-file delete counts stay
+    exact — which is what keeps ``snapshot_row_count`` metadata-only.
+    A predicate matching nothing is a NO-OP returning the current head.
+    Returns {"version", "rows_deleted", "files_touched"}.
+    """
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    head = versions[-1]
+    m = _manifest(spark, path, head)
+    candidates = snapshot_files(spark, path, head, prune_range=prune_range)
+    if not candidates:
+        return {"version": head, "rows_deleted": 0, "files_touched": 0}
+    base_expr = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    df = spark.read.parquet(*candidates).select(
+        "*",
+        base_expr.alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    entries = m.get("delete_files") or []
+    if entries:
+        dv = spark.read.parquet(*[e["path"] for e in entries]).select(
+            F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+        )
+        df = df.join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+    matches = df.filter(F.expr(predicate)).select(
+        F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+    )
+    version = head + 1
+    dv_dir = f"{path}/deletes/v{version}-{uuid.uuid4().hex[:8]}"
+    matches.write.mode("error").parquet(dv_dir)
+    per_file = (
+        spark.read.parquet(dv_dir).groupBy("file").count().collect()
+    )  # bounded by the candidate file count, never the data
+    touches = {r["file"]: int(r["count"]) for r in per_file}
+    n_deleted = sum(touches.values())
+    jvm, fs = _fs(spark, path)
+    if n_deleted == 0:
+        fs.delete(_hpath(jvm, dv_dir), True)
+        return {"version": head, "rows_deleted": 0, "files_touched": 0}
+    _write_text(
+        spark,
+        f"{path}/{_MANIFEST_DIR}/v{version}.json",
+        json.dumps(
+            {
+                "version": version,
+                "mode": "delete",
+                "files": m["files"],
+                "stats": m.get("stats", {}),
+                "counts": m.get("counts", {}),
+                "blooms": m.get("blooms", {}),
+                "bloom_col": m.get("bloom_col"),
+                "delete_files": entries + [{"path": dv_dir, "touches": touches}],
+                "schema": m.get("schema"),
+                "txn": m.get("txn", {}),
+            },
+            default=str,
+        ),
+    )
+    return {
+        "version": version,
+        "rows_deleted": n_deleted,
+        "files_touched": len(touches),
+    }
+
+
+def snapshot_row_count(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int | None:
+    """Exact row count of one version from the MANIFEST ALONE — no data
+    scan, no footer reads (the Delta/Iceberg numRecords fast path; at
+    100 TB a COUNT(*) that opens zero files is the difference between
+    milliseconds and a cluster-wide scan).  Per-file counts are recorded
+    by the commit-time stats pass; position-delete counts subtract
+    exactly because the delete scan never re-marks an already-deleted
+    row.  Returns None when the manifest predates count recording (or a
+    file lacks a count) — the caller falls back to a real count."""
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions} at {path}")
+    m = _manifest(spark, path, v)
+    counts = m.get("counts")
+    if not counts:
+        return None
+    bases = [f.rsplit("/", 1)[-1] for f in m["files"]]
+    if any(b not in counts for b in bases):
+        return None
+    total = sum(int(counts[b]) for b in bases)
+    live = set(bases)
+    for e in m.get("delete_files") or []:
+        # entries may reference files a later MERGE rewrote; only files
+        # still in this version's list carry their deletions
+        total -= sum(int(n) for b, n in e["touches"].items() if b in live)
+    return total
 
 
 def snapshot_changes(
@@ -648,23 +848,32 @@ def merge_snapshot(
     # keep the layer's column order so all data files agree positionally
     cols = list(head_schema) if head_schema else list(delta.columns)
     if touched:
-        keep = spark.read.parquet(*sorted(touched)).join(
-            delta.select(key_col), key_col, "left_anti"
-        )
+        # DV-aware: rows of a touched file already position-deleted must
+        # not resurrect through the rewrite
+        touched_sorted = sorted(touched)
+        raw = _apply_delete_entries(
+            spark, m, touched_sorted, spark.read
+        ) or spark.read.parquet(*touched_sorted)
+        keep = raw.join(delta.select(key_col), key_col, "left_anti")
         out = keep.select(*cols).unionByName(delta.select(*cols))
     else:
         out = delta.select(*cols)  # pure out-of-range insert: zero reads
     out.write.mode("error").parquet(data_dir)
     new_files = _list_parquet_files(spark, data_dir)
-    new_stats = (
-        _file_stats(spark, data_dir, new_files, stats_cols)
-        if stats_cols
-        else {}
+    new_stats, new_counts = _file_stats(
+        spark, data_dir, new_files, stats_cols or []
     )
+    if not stats_cols:
+        new_stats = {}
     carried_bases = {f.rsplit("/", 1)[-1] for f in carried}
     carried_stats = {
         base: entry
         for base, entry in stats.items()
+        if base in carried_bases
+    }
+    carried_counts = {
+        base: n
+        for base, n in (m.get("counts") or {}).items()
         if base in carried_bases
     }
     # carried files keep their bloom entries; rewritten files drop theirs
@@ -675,6 +884,14 @@ def merge_snapshot(
         for base, entry in m.get("blooms", {}).items()
         if base in carried_bases
     }
+    # delete entries survive only for carried files (rewritten files
+    # folded their deletions in above); entries left touching nothing
+    # drop out entirely, freeing their DV dirs for vacuum
+    carried_deletes = []
+    for e in m.get("delete_files") or []:
+        trimmed = {b: n for b, n in e["touches"].items() if b in carried_bases}
+        if trimmed:
+            carried_deletes.append({"path": e["path"], "touches": trimmed})
     _write_text(
         spark,
         f"{path}/{_MANIFEST_DIR}/v{version}.json",
@@ -684,8 +901,10 @@ def merge_snapshot(
                 "mode": "merge",
                 "files": sorted(carried + new_files),
                 "stats": {**carried_stats, **new_stats},
+                "counts": {**carried_counts, **new_counts},
                 "blooms": carried_blooms,
                 "bloom_col": m.get("bloom_col"),
+                "delete_files": carried_deletes,
                 "schema": head_schema
                 or {f.name: f.dataType.json() for f in delta.schema.fields},
                 "txn": m.get("txn", {}),  # carry writer high-water marks
@@ -818,10 +1037,38 @@ def vacuum_snapshots(
             if ".tmp-" in name and now_ms - status.getModificationTime() > grace_ms:
                 fs.delete(status.getPath(), False)
     live: set[str] = set()
+    live_dv: set[str] = set()
     for v in keep:
-        live.update(_manifest(spark, path, v)["files"])
+        mf = _manifest(spark, path, v)
+        live.update(mf["files"])
+        # manifest paths are as-written (possibly scheme-less); the
+        # directory listing below yields fully-qualified URIs — qualify
+        # both sides so the live check compares like with like
+        live_dv.update(
+            fs.makeQualified(_hpath(jvm, e["path"])).toString()
+            for e in mf.get("delete_files") or []
+        )
     deleted = 0
     skipped: list[str] = []
+    # position-delete dirs: same lifecycle as data staging dirs — keep
+    # those a surviving manifest references, grace-skip possible
+    # in-flight future versions, GC the rest recursively
+    dvdir = _hpath(jvm, f"{path}/deletes")
+    if fs.exists(dvdir):
+        for status in fs.listStatus(dvdir):
+            dpath = status.getPath().toString()
+            if dpath in live_dv:
+                continue
+            mm = _STAGE_RE.match(status.getPath().getName())
+            stage_v = int(mm.group(1)) if mm else 0
+            if (
+                stage_v > head
+                and now_ms - status.getModificationTime() <= grace_ms
+            ):
+                skipped.append(dpath)
+                continue
+            deleted += len(_list_parquet_files(spark, dpath))
+            fs.delete(status.getPath(), True)
     ddir = _hpath(jvm, f"{path}/data")
     if not fs.exists(ddir):
         return {

@@ -1407,3 +1407,137 @@ class TestSnapshotBloom:
         assert carried and carried < {
             f.rsplit("/", 1)[-1] for f in m3["files"]
         }
+
+
+class TestSnapshotDeletes:
+    def test_merge_on_read_delete_lifecycle(self, spark, tmp_path):
+        """Position-delete files: DELETE rewrites nothing, reads apply
+        the vectors, deletes compound, time travel sees pre-delete data,
+        and the metadata-only row count stays exact at every step."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            delete_snapshot,
+            read_snapshot,
+            snapshot_files,
+            snapshot_row_count,
+        )
+
+        path = str(tmp_path / "layer")
+        df = spark.range(0, 400).selectExpr("id AS k", "id * 3 AS v")
+        commit_snapshot(spark, df.repartitionByRange(8, "k"), path, stats_cols=["k"])
+        assert snapshot_row_count(spark, path) == 400
+
+        r = delete_snapshot(spark, path, "k % 10 = 3")
+        assert r["rows_deleted"] == 40 and r["version"] == 2
+        # same physical data files — merge-on-read, zero rewrite
+        assert snapshot_files(spark, path, 1) == snapshot_files(spark, path, 2)
+        assert read_snapshot(spark, path).count() == 360
+        assert snapshot_row_count(spark, path) == 360
+        assert read_snapshot(spark, path).filter("k % 10 = 3").count() == 0
+        # time travel: v1 unaffected
+        assert read_snapshot(spark, path, 1).count() == 400
+
+        # second delete compounds without double-counting the overlap
+        r2 = delete_snapshot(spark, path, "k % 10 = 3 OR k < 5")
+        assert r2["rows_deleted"] == 4  # only 0..4 minus already-gone 3
+        assert read_snapshot(spark, path).count() == 356
+        assert snapshot_row_count(spark, path) == 356
+
+        # no-match delete is a no-op (no new version)
+        r3 = delete_snapshot(spark, path, "k = 999999")
+        assert r3 == {"version": 3, "rows_deleted": 0, "files_touched": 0}
+
+    def test_delete_prune_range_limits_the_scan(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            delete_snapshot,
+            read_snapshot,
+            snapshot_row_count,
+        )
+
+        path = str(tmp_path / "layer")
+        df = spark.range(0, 400).selectExpr("id AS k", "id AS v")
+        commit_snapshot(spark, df.repartitionByRange(8, "k"), path, stats_cols=["k"])
+        r = delete_snapshot(
+            spark, path, "k BETWEEN 100 AND 149", prune_range=("k", 100, 149)
+        )
+        assert r["rows_deleted"] == 50 and r["files_touched"] <= 2
+        assert read_snapshot(spark, path).count() == 350
+        assert snapshot_row_count(spark, path) == 350
+
+    def test_merge_does_not_resurrect_deleted_rows(self, spark, tmp_path):
+        """A MERGE that rewrites a dirty file must fold its deletion
+        vector in: deleted keys stay gone unless the delta re-inserts
+        them, and the carried files' vectors keep applying."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            _manifest,
+            commit_snapshot,
+            delete_snapshot,
+            merge_snapshot,
+            read_snapshot,
+            snapshot_row_count,
+        )
+
+        path = str(tmp_path / "layer")
+        df = spark.range(0, 400).selectExpr("id AS k", "id * 3 AS v")
+        commit_snapshot(spark, df.repartitionByRange(8, "k"), path, stats_cols=["k"])
+        delete_snapshot(spark, path, "k % 10 = 3")  # 40 gone
+        delta = spark.createDataFrame([(3, 999), (10, 111)], "k long, v long")
+        mr = merge_snapshot(spark, delta, path, "k", stats_cols=["k"])
+        assert mr["files_rewritten"] == 1 and mr["files_carried"] == 7
+        head = read_snapshot(spark, path)
+        got = {r["k"]: r["v"] for r in head.filter("k IN (3, 10, 13, 23)").collect()}
+        assert got == {3: 999, 10: 111}  # 13/23 stay deleted
+        assert head.count() == 361 == snapshot_row_count(spark, path)
+        # the rewritten file's delete entry was trimmed away; carried
+        # files keep theirs
+        m = _manifest(spark, path, 3)
+        touches = {b for e in m["delete_files"] for b in e["touches"]}
+        bases = {f.rsplit("/", 1)[-1] for f in m["files"]}
+        assert touches and touches < bases
+
+    def test_rewrite_folds_vectors_and_vacuum_gc(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            _manifest,
+            commit_snapshot,
+            delete_snapshot,
+            read_snapshot,
+            rewrite_snapshot,
+            snapshot_row_count,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "layer")
+        df = spark.range(0, 400).selectExpr("id AS k", "id AS v")
+        commit_snapshot(spark, df.repartitionByRange(8, "k"), path, stats_cols=["k"])
+        delete_snapshot(spark, path, "k < 100")
+        rw = rewrite_snapshot(spark, path, n_files=2)
+        m = _manifest(spark, path, rw["version"])
+        assert m["delete_files"] == []  # vectors folded into the rewrite
+        assert read_snapshot(spark, path).count() == 300
+        assert snapshot_row_count(spark, path) == 300
+        # vacuum with only the head kept GCs the orphaned DV dir but the
+        # head stays readable
+        vac = vacuum_snapshots(spark, path, keep_last=1, orphan_grace_seconds=0)
+        assert vac["dropped_versions"] == [1, 2]
+        assert read_snapshot(spark, path).count() == 300
+
+    def test_vacuum_keeps_referenced_delete_files(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            delete_snapshot,
+            read_snapshot,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark,
+            spark.range(0, 100).selectExpr("id AS k", "id AS v"),
+            path,
+            stats_cols=["k"],
+        )
+        delete_snapshot(spark, path, "k < 10")
+        # keep_last=1 keeps only v2, whose delete entry must survive GC
+        vacuum_snapshots(spark, path, keep_last=1, orphan_grace_seconds=0)
+        assert read_snapshot(spark, path).count() == 90
