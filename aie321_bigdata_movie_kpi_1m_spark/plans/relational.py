@@ -1887,3 +1887,86 @@ def q_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(trimmed_mean("l_extendedprice"), 4).alias("trimmed_mean_price")
     )
+
+
+@register(
+    "interval_sessions_overlap",
+    """
+WITH marked AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE ts IS NOT NULL
+),
+iv AS (
+  SELECT user_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_seq,
+         sec
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, session_seq, MIN(sec) AS s, MAX(sec) AS e
+  FROM iv GROUP BY user_id, session_seq
+),
+pairs AS (
+  SELECT GREATEST(l.s, r.s) AS os, LEAST(l.e, r.e) AS oe
+  FROM sessions l JOIN sessions r
+    ON l.user_id < r.user_id AND l.s <= r.e AND r.s <= l.e
+)
+SELECT CAST(FLOOR(os / 86400.0) AS BIGINT) AS day_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(oe - os) AS BIGINT) AS overlap_secs
+FROM pairs
+GROUP BY 1
+""",
+    "interval OVERLAP self-join without a cartesian: concurrent-session "
+    "pairs (30-min-gap sessions of different users whose [start, end] "
+    "intervals intersect) via bin decomposition — each interval explodes "
+    "to the 1-hour bins it spans, the sides EQUI-join on the bin id "
+    "(plain shuffle hash join; the naive ON s<=e AND s<=e plan is a "
+    "quadratic BNLJ), the exact predicate filters candidates, and a "
+    "pair sharing several bins is kept only in the bin of "
+    "greatest(l_start, r_start) — exactly-once with NO distinct "
+    "shuffle; oracle replays the predicate join directly",
+    tags=("relational", "join", "temporal"),
+)
+def q_interval_sessions_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import interval_overlap_join
+    from ..operators.sessions import assign_sessions
+
+    events = load_star_table(spark, sf_dir, "events")
+    ep = F.col("ts").cast("long")
+    iv = (
+        assign_sessions(events, gap_seconds=1800)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min(ep).alias("s"), F.max(ep).alias("e"))
+    )
+    l = iv.select(
+        F.col("user_id").alias("l_user"),
+        F.col("s").alias("l_s"),
+        F.col("e").alias("l_e"),
+    )
+    r = iv.select(
+        F.col("user_id").alias("r_user"),
+        F.col("s").alias("r_s"),
+        F.col("e").alias("r_e"),
+    )
+    pairs = interval_overlap_join(
+        l, r, "l_s", "l_e", "r_s", "r_e", bin_width=3600
+    ).filter(F.col("l_user") < F.col("r_user"))
+    os_, oe = F.greatest("l_s", "r_s"), F.least("l_e", "r_e")
+    return (
+        pairs.select(os_.alias("os"), oe.alias("oe"))
+        .groupBy(F.floor(F.col("os") / 86400.0).cast("long").alias("day_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("oe") - F.col("os")).cast("long").alias("overlap_secs"),
+        )
+    )

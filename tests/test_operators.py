@@ -1011,3 +1011,114 @@ def test_simhash_neardup_pairs_equals_bruteforce(spark):
         simhash_neardup_pairs(docs, bands=4, max_hamming=4)
     with pytest.raises(ValueError, match="divisible"):
         simhash_neardup_pairs(docs, bits=60, bands=7)
+
+
+class TestIntervalOverlapJoin:
+    def _naive(self, spark, l, r):
+        from pyspark.sql import functions as F
+
+        return l.join(
+            r,
+            (F.col("l_s") <= F.col("r_e")) & (F.col("r_s") <= F.col("l_e")),
+        )
+
+    def test_matches_naive_predicate_join(self, spark):
+        """Bin-decomposed overlap join == the naive quadratic predicate
+        join, pair-for-pair (exactly once each), on a randomized-ish
+        deterministic interval set spanning many bins."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.operators.intervals import (
+            interval_overlap_join,
+        )
+
+        # deterministic pseudo-random intervals: starts scattered over
+        # [0, 10000), spans 0..600 (several 128-wide bins), incl. point
+        # intervals (span 0) and bin-boundary-aligned ones
+        base = spark.range(0, 300).select(
+            F.col("id").alias("lid"),
+            (F.pmod(F.col("id") * 2654435761, F.lit(10000))).alias("l_s"),
+        )
+        l = base.withColumn(
+            "l_e", F.col("l_s") + F.pmod(F.col("lid") * 40503, F.lit(601))
+        )
+        r = (
+            spark.range(0, 300)
+            .select(
+                F.col("id").alias("rid"),
+                (F.pmod(F.col("id") * 97 + 31, F.lit(10000))).alias("r_s"),
+            )
+            .withColumn(
+                "r_e", F.col("r_s") + F.pmod(F.col("rid") * 7919, F.lit(601))
+            )
+        )
+        got = interval_overlap_join(
+            l, r, "l_s", "l_e", "r_s", "r_e", bin_width=128
+        )
+        want = self._naive(spark, l, r)
+        gp = {(x["lid"], x["rid"]) for x in got.select("lid", "rid").collect()}
+        wp = [(x["lid"], x["rid"]) for x in want.select("lid", "rid").collect()]
+        assert gp == set(wp)
+        assert got.count() == len(wp)  # exactly-once: no bin duplicates
+        assert len(wp) > 1000  # the fixture genuinely overlaps a lot
+
+    def test_null_and_inverted_intervals_match_nothing(self, spark):
+        from aie321_bigdata_movie_kpi_1m_spark.operators.intervals import (
+            interval_overlap_join,
+        )
+
+        l = spark.createDataFrame(
+            [(1, 0, 10), (2, None, 10), (3, 5, None), (4, 9, 3)],
+            "lid long, l_s long, l_e long",
+        )
+        r = spark.createDataFrame([(1, 0, 100)], "rid long, r_s long, r_e long")
+        got = interval_overlap_join(
+            l, r, "l_s", "l_e", "r_s", "r_e", bin_width=16
+        )
+        assert [x["lid"] for x in got.collect()] == [1]
+
+    def test_keys_and_name_collision_guard(self, spark):
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.operators.intervals import (
+            interval_overlap_join,
+        )
+
+        l = spark.createDataFrame(
+            [("a", 0, 10), ("b", 0, 10)], "tenant string, l_s long, l_e long"
+        )
+        r = spark.createDataFrame(
+            [("a", 5, 15), ("b", 50, 60)], "tenant string, r_s long, r_e long"
+        )
+        got = interval_overlap_join(
+            l, r, "l_s", "l_e", "r_s", "r_e", bin_width=8, keys=["tenant"]
+        )
+        # tenant a overlaps; tenant b does not (and cross-tenant never joins)
+        assert [x["tenant"] for x in got.collect()] == ["a"]
+        with pytest.raises(ValueError, match="share non-key"):
+            interval_overlap_join(
+                l, r.withColumnRenamed("r_s", "l_s"), "l_s", "l_e", "l_s",
+                "r_e", bin_width=8,
+            )
+
+    def test_plan_has_no_nested_loop(self, spark):
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.operators.intervals import (
+            interval_overlap_join,
+        )
+
+        l = spark.range(100).select(
+            F.col("id").alias("l_s"), (F.col("id") + 5).alias("l_e")
+        )
+        r = spark.range(100).select(
+            F.col("id").alias("r_s"), (F.col("id") + 5).alias("r_e")
+        )
+        plan = (
+            interval_overlap_join(l, r, "l_s", "l_e", "r_s", "r_e", bin_width=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
