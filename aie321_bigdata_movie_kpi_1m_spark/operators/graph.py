@@ -282,3 +282,71 @@ def pagerank_fixed(
             ),
         )
     return ranks
+
+
+def triangles(
+    edges: DataFrame,
+    *,
+    src: str = "i",
+    dst: str = "j",
+) -> DataFrame:
+    """Every triangle of the undirected graph, exactly once, as
+    ``(a, b, c)`` — ``a`` the lowest-RANK vertex (the wedge apex),
+    ``(b, c)`` its closing edge.
+
+    DEGREE ORIENTATION is what makes this survive skew at 100 TB: each
+    undirected edge is directed from its lower-(degree, id) endpoint to
+    the higher, so every vertex's out-degree is bounded by ~sqrt(2m)
+    and total wedge count by O(m^1.5) REGARDLESS of hub vertices — the
+    naive "wedges at every vertex" plan explodes quadratically on the
+    first celebrity node.  One wedge self-join on the apex + one edge
+    join closes each triangle at the apex of its lowest-rank corner,
+    exactly once, with no distinct shuffle.  (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11.)
+
+    Self-loops are dropped; parallel/reversed duplicate edges collapse
+    via the canonicalizing distinct.  Output vertex type follows the
+    input id type.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.withColumnsRenamed({"node": "u", "deg": "du"}), "u")
+        .join(deg.withColumnsRenamed({"node": "v", "deg": "dv"}), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    x = oriented.select(
+        F.col("a"), F.col("b").alias("p"), F.col("db").alias("dp")
+    )
+    y = oriented.select(
+        F.col("a"), F.col("b").alias("q"), F.col("db").alias("dq")
+    )
+    p_first = (F.col("dp") < F.col("dq")) | (
+        (F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q"))
+    )
+    wedges = x.join(y, "a").filter(p_first).select("a", "p", "q")
+    closing = oriented.select(
+        F.col("a").alias("p"), F.col("b").alias("q")
+    )
+    return wedges.join(closing, ["p", "q"]).select(
+        F.col("a"), F.col("p").alias("b"), F.col("q").alias("c")
+    )

@@ -505,3 +505,68 @@ def q_events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.sum(F.col("d2.n") * wgt) / F.sum(wgt)).alias("ewma_7d"))
     )
+
+
+@register(
+    "triangle_coorder_customers",
+    """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+),
+e AS (
+  SELECT DISTINCT a.o_custkey AS u, b.o_custkey AS v
+  FROM o a JOIN o b
+    ON a.o_orderdate = b.o_orderdate
+   AND a.o_orderpriority = b.o_orderpriority
+   AND a.o_custkey < b.o_custkey
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+    "triangle counting with DEGREE ORIENTATION (operators/graph.py::"
+    "triangles, the Suri-Vassilvitskii 'last reducer' fix): the "
+    "co-order graph (customers ordering on the same day at the same "
+    "priority, 1996) is counted by directing every edge from its "
+    "lower-(degree, id) endpoint to the higher, bounding per-vertex "
+    "out-degree by ~sqrt(2m) and total wedges by O(m^1.5) no matter "
+    "how hot a hub vertex gets — the naive wedges-at-every-vertex plan "
+    "dies on the first celebrity node at 100 TB; one wedge self-join + "
+    "one closing-edge join, each triangle exactly once, no distinct "
+    "shuffle; oracle replays the ID-ordered 3-way join in SQL",
+    tags=("graph",),
+)
+def q_triangle_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangles
+
+    o = (
+        load_star_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    a = o.select(
+        F.col("o_custkey").alias("u"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("p"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("v"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("p"),
+    )
+    e = (
+        a.join(b, ["d", "p"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    tri = triangles(e, src="u", dst="v")
+    return e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -1122,3 +1122,59 @@ class TestIntervalOverlapJoin:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTriangles:
+    def test_matches_brute_force_with_noise(self, spark):
+        """Degree-oriented triangle enumeration == brute force over all
+        3-subsets, on a deterministic G(40, 0.2) graph fed with reversed
+        duplicates and a self-loop; each triangle appears exactly once."""
+        from itertools import combinations
+        import random
+
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.operators.graph import triangles
+
+        random.seed(7)
+        edges = [
+            (a, b) for a, b in combinations(range(40), 2)
+            if random.random() < 0.2
+        ]
+        es = {frozenset(e) for e in edges}
+        want = {
+            frozenset((a, b, c))
+            for a, b, c in combinations(range(40), 3)
+            if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= es
+        }
+        df = spark.createDataFrame(edges, "i long, j long")
+        noisy = df.union(
+            df.select(F.col("j").alias("i"), F.col("i").alias("j"))
+        ).union(spark.createDataFrame([(5, 5)], "i long, j long"))
+        rows = triangles(noisy).collect()
+        got = [frozenset((r["a"], r["b"], r["c"])) for r in rows]
+        assert set(got) == want
+        assert len(got) == len(want)  # exactly once each
+
+    def test_star_graph_has_no_triangles_and_bounded_wedges(self, spark):
+        """A hub-and-spoke graph (the 'celebrity vertex' that kills the
+        naive plan): zero triangles, and orientation points every edge
+        AT the hub, so no wedge is ever built from the hub's fan-out."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.operators.graph import triangles
+
+        star = spark.range(1, 200).select(
+            F.lit(0).alias("i"), F.col("id").alias("j")
+        )
+        assert triangles(star).count() == 0
+
+    def test_triangle_with_tie_degrees(self, spark):
+        from aie321_bigdata_movie_kpi_1m_spark.operators.graph import triangles
+
+        tri = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "i long, j long"
+        )
+        rows = triangles(tri).collect()
+        assert len(rows) == 1
+        assert {rows[0]["a"], rows[0]["b"], rows[0]["c"]} == {1, 2, 3}
