@@ -919,3 +919,97 @@ def q_streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_id").cast("long").alias("user_sum"),
         )
     )
+
+
+_SNAPSHOT_UPSERT_BUILT: set[str] = set()
+
+
+def _snapshot_upsert_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Stream the events table as FOUR unordered micro-batches into a
+    user-keyed snapshot layer via the CDC upsert sink: batch one
+    bootstraps the layer key-clustered, every later batch MERGEs
+    copy-on-write with last-writer-wins on (ts, event_id) — so the
+    final per-user state is independent of batch arrival order (no
+    mtime staging needed, unlike the watermark runs).  A replayed batch
+    id merges as a no-op (txn high-water).  Built once per process."""
+    import shutil
+
+    from ..sources.snapshots import drop_snapshot_layer, snapshot_versions
+    from ..streaming.snapshot_sink import upsert_stream_into_snapshot
+
+    base = f"{_SCRATCH}/snapshot_upsert/{_tag(sf_dir)}"
+    path = f"{base}/layer"
+    if path in _SNAPSHOT_UPSERT_BUILT:
+        return path
+    events = (
+        load_star_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    src = f"{base}/src"
+    drop_snapshot_layer(spark, path)
+    shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    upsert_stream_into_snapshot(
+        stream,
+        path,
+        "user_id",
+        checkpoint_dir=f"{base}/ckpt",
+        query_name="snapshot_upsert_build",
+        app_id="events_upsert",
+        resolve=["ts", "event_id"],
+    )
+    versions = snapshot_versions(spark, path)
+    if len(versions) < 2:
+        raise AssertionError(
+            f"expected one commit per micro-batch, got versions={versions}"
+        )
+    _SNAPSHOT_UPSERT_BUILT.add(path)
+    return path
+
+
+@register(
+    "streaming_snapshot_upsert",
+    """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT user_id,
+       event_type AS last_type,
+       CAST(FLOOR(value * 100) AS BIGINT) AS last_value_cents,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS last_sec
+FROM ranked WHERE rn = 1
+""",
+    "STREAMING CDC UPSERT into the snapshot layer "
+    "(streaming/snapshot_sink.py::upsert_stream_into_snapshot): each "
+    "micro-batch reduces to one row per user and MERGEs copy-on-write — "
+    "manifest key-range pruning rewrites only the files a batch's keys "
+    "hit, O(touched files) per batch, never the table — with "
+    "LAST-WRITER-WINS on (ts, event_id), so the materialized per-user "
+    "state is correct even when batches arrive out of order (the events "
+    "table streams as 4 UNORDERED batches here), and txn(app, batch_id) "
+    "makes a checkpoint-replayed batch a no-op; the oracle (latest "
+    "event per user over the whole table) breaks if any batch is "
+    "dropped, doubled, or mis-resolved",
+    tags=("streaming", "snapshots", "exactly-once"),
+)
+def q_streaming_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import cents as _money_cents
+    from ..sources.snapshots import read_snapshot
+
+    path = _snapshot_upsert_layer(spark, sf_dir)
+    return read_snapshot(spark, path).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        _money_cents(F.col("value")).cast("long").alias("last_value_cents"),
+        F.col("ts").cast("long").alias("last_sec"),
+    )

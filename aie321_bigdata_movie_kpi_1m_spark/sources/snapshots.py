@@ -778,6 +778,8 @@ def merge_snapshot(
     key_col: str,
     *,
     stats_cols: list[str] | None = None,
+    resolve: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into the versioned layer: rows of
     ``delta`` replace head rows sharing their ``key_col`` value; new
@@ -797,12 +799,37 @@ def merge_snapshot(
     ``delta`` must carry exactly the layer's columns and at most one row
     per key (the MERGE contract).  Returns {"version", "files_rewritten",
     "files_carried"}.
+
+    ``resolve=[col, ...]`` turns the blind upsert into LAST-WRITER-WINS
+    conflict resolution: among an existing row and a delta row sharing a
+    key, the one with the greater ``resolve`` tuple survives — the CDC
+    contract for out-of-order updates (an older change replayed late
+    must NOT clobber a newer committed state).  The caller guarantees
+    ``resolve`` totally orders versions of a key (e.g. event time + a
+    unique sequence id).  Default (None) keeps blind delta-wins.
+
+    ``txn=(app_id, version)`` makes the MERGE idempotent per writer,
+    exactly like ``commit_snapshot(txn=...)`` — a replayed streaming
+    micro-batch merges as a NO-OP (returns the current head with
+    ``"noop": True``).  The high-water map is carried forward either way.
     """
     versions = snapshot_versions(spark, path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {path}")
     head = versions[-1]
     m = _manifest(spark, path, head)
+    txn_map: dict = m.get("txn", {})
+    if txn is not None:
+        app, tv = txn
+        prev_tv = txn_map.get(app)
+        if prev_tv is not None and int(prev_tv) >= int(tv):
+            return {
+                "version": head,
+                "files_rewritten": 0,
+                "files_carried": len(m["files"]),
+                "noop": True,
+            }
+        txn_map = {**txn_map, app: int(tv)}
     files, stats = m["files"], m.get("stats", {})
     head_schema = m.get("schema")
     if head_schema is not None and sorted(head_schema) != sorted(delta.columns):
@@ -854,8 +881,21 @@ def merge_snapshot(
         raw = _apply_delete_entries(
             spark, m, touched_sorted, spark.read
         ) or spark.read.parquet(*touched_sorted)
-        keep = raw.join(delta.select(key_col), key_col, "left_anti")
-        out = keep.select(*cols).unionByName(delta.select(*cols))
+        if resolve:
+            from pyspark.sql import Window
+
+            combined = raw.select(*cols).unionByName(delta.select(*cols))
+            w = Window.partitionBy(key_col).orderBy(
+                *[F.col(c).desc() for c in resolve]
+            )
+            out = (
+                combined.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            keep = raw.join(delta.select(key_col), key_col, "left_anti")
+            out = keep.select(*cols).unionByName(delta.select(*cols))
     else:
         out = delta.select(*cols)  # pure out-of-range insert: zero reads
     out.write.mode("error").parquet(data_dir)
@@ -907,7 +947,7 @@ def merge_snapshot(
                 "delete_files": carried_deletes,
                 "schema": head_schema
                 or {f.name: f.dataType.json() for f in delta.schema.fields},
-                "txn": m.get("txn", {}),  # carry writer high-water marks
+                "txn": txn_map,  # carry writer high-water marks
             },
             default=str,
         ),

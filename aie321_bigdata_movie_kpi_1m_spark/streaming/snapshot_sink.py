@@ -86,3 +86,97 @@ def append_stream_to_snapshot(
     )
     q.awaitTermination()
     return q
+
+
+def snapshot_upsert_writer(
+    path: str,
+    key_col: str,
+    *,
+    app_id: str = "stream_upsert",
+    resolve: list[str] | None = None,
+    bootstrap_files: int = 4,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function for STREAMING CDC UPSERT: each
+    micro-batch is reduced to one row per key (greatest ``resolve``
+    tuple within the batch), then MERGEd copy-on-write into the layer —
+    ``merge_snapshot`` prunes to the files whose key range a batch key
+    actually hits, so a steady trickle of updates rewrites O(touched
+    files) per batch, never the table.
+
+    Exactly-once falls out of ``txn=(app_id, batch_id)``: a
+    checkpoint-replayed batch merges as a no-op.  ``resolve`` gives
+    LAST-WRITER-WINS against both in-batch duplicates and already-merged
+    state, which ALSO makes the sink insensitive to batch arrival order
+    for out-of-order sources.  The first batch bootstraps the layer
+    key-clustered (``repartitionByRange`` on the key) so every later
+    merge's file pruning is sharp."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshots import merge_snapshot, snapshot_versions
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        if resolve:
+            w = Window.partitionBy(key_col).orderBy(
+                *[F.col(c).desc() for c in resolve]
+            )
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        spark = out.sparkSession
+        if not snapshot_versions(spark, path):
+            commit_snapshot(
+                spark,
+                out.repartitionByRange(bootstrap_files, key_col),
+                path,
+                stats_cols=[key_col],
+                txn=(app_id, int(batch_id)),
+            )
+        else:
+            merge_snapshot(
+                spark,
+                out,
+                path,
+                key_col,
+                stats_cols=[key_col],
+                resolve=resolve,
+                txn=(app_id, int(batch_id)),
+            )
+
+    return write_batch
+
+
+def upsert_stream_into_snapshot(
+    stream: DataFrame,
+    path: str,
+    key_col: str,
+    *,
+    checkpoint_dir: str,
+    query_name: str = "snapshot_upsert",
+    app_id: str = "stream_upsert",
+    resolve: list[str] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """Run ``stream`` to completion (availableNow) as a CDC upsert into
+    the snapshot layer at ``path``; see ``snapshot_upsert_writer``."""
+    q = (
+        stream.writeStream.foreachBatch(
+            snapshot_upsert_writer(
+                path,
+                key_col,
+                app_id=app_id,
+                resolve=resolve,
+                transform=transform,
+            )
+        )
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1541,3 +1541,93 @@ class TestSnapshotDeletes:
         # keep_last=1 keeps only v2, whose delete entry must survive GC
         vacuum_snapshots(spark, path, keep_last=1, orphan_grace_seconds=0)
         assert read_snapshot(spark, path).count() == 90
+
+
+class TestMergeResolveTxn:
+    def test_last_writer_wins_resolve(self, spark, tmp_path):
+        """resolve=[ver]: an out-of-order (older) delta row must NOT
+        clobber newer committed state; a newer delta row must."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            merge_snapshot,
+            read_snapshot,
+        )
+
+        path = str(tmp_path / "layer")
+        base = spark.createDataFrame(
+            [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")],
+            "k long, ver long, val string",
+        )
+        commit_snapshot(
+            spark, base.repartitionByRange(2, "k"), path, stats_cols=["k"]
+        )
+        delta = spark.createDataFrame(
+            [(1, 5, "stale"), (2, 20, "fresh"), (9, 1, "new")],
+            "k long, ver long, val string",
+        )
+        merge_snapshot(spark, delta, path, "k", stats_cols=["k"], resolve=["ver"])
+        got = {
+            r["k"]: (r["ver"], r["val"])
+            for r in read_snapshot(spark, path).collect()
+        }
+        assert got == {
+            1: (10, "a"),      # stale update rejected
+            2: (20, "fresh"),  # newer update applied
+            3: (10, "c"),      # untouched
+            9: (1, "new"),     # insert
+        }
+
+    def test_merge_txn_replay_is_noop(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            merge_snapshot,
+            read_snapshot,
+            snapshot_versions,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            path,
+            stats_cols=["k"],
+            txn=("app", 0),
+        )
+        d = spark.createDataFrame([(1, "b")], "k long, v string")
+        r1 = merge_snapshot(spark, d, path, "k", txn=("app", 1))
+        assert "noop" not in r1
+        # replay of the same batch id: no new version, state unchanged
+        d2 = spark.createDataFrame([(1, "SHOULD_NOT_APPLY")], "k long, v string")
+        r2 = merge_snapshot(spark, d2, path, "k", txn=("app", 1))
+        assert r2["noop"] and r2["version"] == r1["version"]
+        assert snapshot_versions(spark, path) == [1, 2]
+        assert read_snapshot(spark, path).first()["v"] == "b"
+
+    def test_streaming_upsert_writer_replay(self, spark, tmp_path):
+        """The foreachBatch upsert writer: batch replayed with the same
+        batch_id is a no-op; in-batch duplicates resolve to the greatest
+        (ver) row before merging."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            read_snapshot,
+            snapshot_versions,
+        )
+        from aie321_bigdata_movie_kpi_1m_spark.streaming.snapshot_sink import (
+            snapshot_upsert_writer,
+        )
+
+        path = str(tmp_path / "layer")
+        w = snapshot_upsert_writer(path, "k", resolve=["ver"])
+        b0 = spark.createDataFrame(
+            [(1, 1, "x"), (1, 2, "y"), (2, 1, "z")], "k long, ver long, v string"
+        )
+        w(b0, 0)  # bootstrap, in-batch dup on k=1 resolved to ver=2
+        w(b0, 0)  # replay: no-op
+        assert snapshot_versions(spark, path) == [1]
+        got = {r["k"]: (r["ver"], r["v"]) for r in read_snapshot(spark, path).collect()}
+        assert got == {1: (2, "y"), 2: (1, "z")}
+        b1 = spark.createDataFrame([(2, 9, "w")], "k long, ver long, v string")
+        w(b1, 1)
+        w(b1, 1)  # replay: no-op
+        assert snapshot_versions(spark, path) == [1, 2]
+        got = {r["k"]: (r["ver"], r["v"]) for r in read_snapshot(spark, path).collect()}
+        assert got == {1: (2, "y"), 2: (9, "w")}
