@@ -1308,3 +1308,130 @@ def q_snapshot_count_metadata_only(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         [(n_live, n_total)], "n_live long, n_total long"
     )
+
+
+_ZORDER_LAYERS_BUILT: dict[str, tuple[int, int, int, int]] = {}
+
+
+def _zorder_layer(spark: SparkSession, sf_dir: str) -> tuple[str, tuple]:
+    """Layer for the Z-order rewrite roundtrip: a lineitem slice
+    hash-scrambled across 16 files (v1 — the builder asserts a 10%
+    l_orderkey band keeps ALL files, i.e. 1-D stats are useless), then
+    rewritten with ``zorder_by=[l_orderkey, l_partkey]`` (v2).  The
+    builder asserts the SAME band now prunes to a strict subset on
+    EACH dimension independently — the property a single-column range
+    cluster cannot deliver.  Band = [min + 40% span, min + 50% span]
+    per dimension (scale-independent).  Built once per process."""
+    import math
+
+    from ..sources.snapshots import (
+        commit_snapshot,
+        drop_snapshot_layer,
+        rewrite_snapshot,
+        snapshot_files,
+    )
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/zorder_layer"
+    if path in _ZORDER_LAYERS_BUILT:
+        return path, _ZORDER_LAYERS_BUILT[path]
+    drop_snapshot_layer(spark, path)
+    li = load_star_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    commit_snapshot(
+        spark,
+        li.repartition(16),
+        path,
+        stats_cols=["l_orderkey", "l_partkey"],
+    )
+    row = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).first()
+    o_min, o_max, p_min, p_max = (int(x) for x in row)
+
+    def band(lo: int, hi: int) -> tuple[int, int]:
+        span = hi - lo
+        return (
+            lo + int(math.floor(0.40 * span)),
+            lo + int(math.floor(0.50 * span)),
+        )
+
+    olo, ohi = band(o_min, o_max)
+    plo, phi = band(p_min, p_max)
+    pre = snapshot_files(spark, path, prune_range=("l_orderkey", olo, ohi))
+    rewrite_snapshot(
+        spark, path, zorder_by=["l_orderkey", "l_partkey"], n_files=16
+    )
+    all_f = snapshot_files(spark, path)
+    post_o = snapshot_files(spark, path, prune_range=("l_orderkey", olo, ohi))
+    post_p = snapshot_files(spark, path, prune_range=("l_partkey", plo, phi))
+    both = snapshot_files(
+        spark,
+        path,
+        prune_range=[("l_orderkey", olo, ohi), ("l_partkey", plo, phi)],
+    )
+    if not (
+        len(pre) == 16
+        and len(post_o) < len(all_f)
+        and len(post_p) < len(all_f)
+        and len(both) <= min(len(post_o), len(post_p))
+    ):
+        raise AssertionError(
+            "zorder rewrite did not sharpen multi-dim skipping: "
+            f"pre={len(pre)} all={len(all_f)} o={len(post_o)} "
+            f"p={len(post_p)} both={len(both)}"
+        )
+    bounds = (olo, ohi, plo, phi)
+    _ZORDER_LAYERS_BUILT[path] = bounds
+    return path, bounds
+
+
+@register(
+    "snapshot_zorder_rewrite",
+    """
+WITH b AS (
+  SELECT CAST(MIN(l_orderkey) + FLOOR(0.40*(MAX(l_orderkey)-MIN(l_orderkey))) AS BIGINT) AS olo,
+         CAST(MIN(l_orderkey) + FLOOR(0.50*(MAX(l_orderkey)-MIN(l_orderkey))) AS BIGINT) AS ohi,
+         CAST(MIN(l_partkey) + FLOOR(0.40*(MAX(l_partkey)-MIN(l_partkey))) AS BIGINT) AS plo,
+         CAST(MIN(l_partkey) + FLOOR(0.50*(MAX(l_partkey)-MIN(l_partkey))) AS BIGINT) AS phi
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem, b
+WHERE l_orderkey BETWEEN b.olo AND b.ohi
+  AND l_partkey BETWEEN b.plo AND b.phi
+""",
+    "multi-dimensional Z-ORDER rewrite inside the snapshot layer "
+    "(rewrite_snapshot(zorder_by=[...]) — Delta OPTIMIZE ZORDER BY): "
+    "the head is range-partitioned + sorted on the Morton interleave "
+    "of the normalized keys (pure JVM bit expression after one "
+    "broadcast min/max row, operators/layout.py), so per-file [min, "
+    "max] stays narrow on EVERY participating column — the builder "
+    "asserts a 10% band on EACH dimension independently prunes to a "
+    "strict file subset where the hash-scrambled v1 kept all 16, and "
+    "the 2-D probe composes both prunes; old versions time-travel to "
+    "their original files; oracle recomputes the band aggregate from "
+    "the raw table, so over-pruning a truly-needed file breaks it",
+    tags=("layout", "snapshots", "index"),
+)
+def q_snapshot_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    path, (olo, ohi, plo, phi) = _zorder_layer(spark, sf_dir)
+    return (
+        read_snapshot(
+            spark,
+            path,
+            prune_range=[("l_orderkey", olo, ohi), ("l_partkey", plo, phi)],
+        )
+        .filter(
+            F.col("l_orderkey").between(olo, ohi)
+            & F.col("l_partkey").between(plo, phi)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(_cents(F.col("l_quantity"))).cast("long").alias("qty_cents"),
+        )
+    )

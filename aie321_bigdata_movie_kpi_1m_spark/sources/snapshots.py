@@ -363,7 +363,7 @@ def snapshot_files(
     path: str,
     version: int | None = None,
     *,
-    prune_range: tuple[str, object, object] | None = None,
+    prune_range: tuple[str, object, object] | list[tuple] | None = None,
     prune_point: tuple[str, object] | None = None,
 ) -> list[str]:
     """The file list a read of this version plans over, after manifest
@@ -394,21 +394,28 @@ def snapshot_files(
     m = _manifest(spark, path, v)
     files = m["files"]
     if prune_range is not None:
-        col, lo, hi = prune_range
+        # one (col, lo, hi) tuple, or a list of them ANDed together —
+        # the multi-dimensional probe a Z-ordered layout makes sharp
+        ranges = (
+            [prune_range]
+            if isinstance(prune_range, tuple)
+            else list(prune_range)
+        )
         stats = m.get("stats", {})
-        kept = []
-        for f in files:
-            s = stats.get(f.rsplit("/", 1)[-1], {}).get(col)
-            if s is None:
-                kept.append(f)  # no stats recorded -> cannot skip safely
-            elif s[0] is None or s[1] is None:
-                # stats recorded but no min/max: zero rows, or every value
-                # NULL — safe to skip either way, because a range predicate
-                # is NULL-rejecting (the caller's contract)
-                continue
-            elif (lo is None or s[1] >= lo) and (hi is None or s[0] <= hi):
-                kept.append(f)
-        files = kept
+        for col, lo, hi in ranges:
+            kept = []
+            for f in files:
+                s = stats.get(f.rsplit("/", 1)[-1], {}).get(col)
+                if s is None:
+                    kept.append(f)  # no stats recorded -> cannot skip safely
+                elif s[0] is None or s[1] is None:
+                    # stats recorded but no min/max: zero rows, or every
+                    # value NULL — safe to skip either way, because a range
+                    # predicate is NULL-rejecting (the caller's contract)
+                    continue
+                elif (lo is None or s[1] >= lo) and (hi is None or s[0] <= hi):
+                    kept.append(f)
+            files = kept
     if prune_point is not None:
         col, value = prune_point
         blooms = m.get("blooms", {})
@@ -486,7 +493,7 @@ def read_snapshot(
     path: str,
     version: int | None = None,
     *,
-    prune_range: tuple[str, object, object] | None = None,
+    prune_range: tuple[str, object, object] | list[tuple] | None = None,
     prune_point: tuple[str, object] | None = None,
     merge_schema: bool = False,
 ) -> DataFrame:
@@ -544,7 +551,7 @@ def delete_snapshot(
     path: str,
     predicate: str,
     *,
-    prune_range: tuple[str, object, object] | None = None,
+    prune_range: tuple[str, object, object] | list[tuple] | None = None,
 ) -> dict:
     """Merge-on-read DELETE: commit a new version in which every head
     row matching ``predicate`` (a SQL boolean expression over the
@@ -966,6 +973,7 @@ def rewrite_snapshot(
     target_file_bytes: int = 128 * 1024 * 1024,
     stats_cols: list[str] | None = None,
     cluster_by: str | None = None,
+    zorder_by: list[str] | None = None,
     n_files: int | None = None,
 ) -> dict:
     """Small-file compaction INSIDE the versioned layer: read the head
@@ -980,6 +988,16 @@ def rewrite_snapshot(
     every value range; this is also the layout ``merge_snapshot`` needs
     for file-level pruning.  ``n_files`` overrides the byte sizing
     (tests / explicit re-bucketing); production sizing stays byte-based.
+
+    ``zorder_by=[c1, c2, ...]`` (mutually exclusive with ``cluster_by``)
+    is the MULTI-dimensional variant — Delta ``OPTIMIZE ZORDER BY``:
+    the rewrite range-partitions + sorts on the Morton interleave of the
+    normalized key columns (``operators.layout.zorder_value``, a pure
+    JVM expression after one broadcast min/max row), so per-file
+    [min, max] stays narrow on EVERY participating column and a
+    predicate on ANY of them prunes files, where a single-column
+    cluster leaves every other dimension scrambled.  Columns must be
+    numeric (hash strings upstream); their stats are recorded.
 
     This composes ``sinks.compact_parquet_layer`` with the manifest
     layer, which is where it matters at 100 TB: O(delta) appends are
@@ -1005,10 +1023,23 @@ def rewrite_snapshot(
     total = sum(fs.getFileStatus(_hpath(jvm, f)).getLen() for f in files)
     if n_files is None:
         n_files = max(1, math.ceil(total / target_file_bytes))
+    if cluster_by is not None and zorder_by is not None:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     df = read_snapshot(spark, path, head)
     if cluster_by is not None:
         df = df.repartitionByRange(n_files, cluster_by)
         stats_cols = sorted(set(stats_cols or []) | {cluster_by})
+    elif zorder_by is not None:
+        from ..operators.layout import zorder_layout
+
+        pow2 = 1 << max(1, (max(2, n_files) - 1).bit_length())
+        df = (
+            zorder_layout(df, list(zorder_by), n_files=pow2)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z", "__file_id")
+        )
+        stats_cols = sorted(set(stats_cols or []) | set(zorder_by))
     else:
         df = df.coalesce(n_files)
     new_v = commit_snapshot(

@@ -1631,3 +1631,69 @@ class TestMergeResolveTxn:
         assert snapshot_versions(spark, path) == [1, 2]
         got = {r["k"]: (r["ver"], r["v"]) for r in read_snapshot(spark, path).collect()}
         assert got == {1: (2, "y"), 2: (9, "w")}
+
+
+class TestSnapshotZorder:
+    def test_zorder_rewrite_sharpens_every_dimension(self, spark, tmp_path):
+        """zorder_by rewrite: a band probe on EITHER dimension prunes to
+        a strict subset (hash-scrambled v1 kept everything), the 2-D
+        probe composes, time travel still reads v1, and no row is lost."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+            rewrite_snapshot,
+            snapshot_files,
+        )
+
+        path = str(tmp_path / "layer")
+        df = spark.range(0, 4096).select(
+            F.col("id").alias("x"),
+            F.pmod(F.col("id") * 2654435761, F.lit(4096)).alias("y"),
+        )
+        commit_snapshot(
+            spark, df.repartition(16), path, stats_cols=["x", "y"]
+        )
+        assert len(snapshot_files(spark, path, prune_range=("x", 1000, 1400))) == 16
+        rewrite_snapshot(spark, path, zorder_by=["x", "y"], n_files=16)
+        all_f = snapshot_files(spark, path)
+        fx = snapshot_files(spark, path, prune_range=("x", 1000, 1400))
+        fy = snapshot_files(spark, path, prune_range=("y", 1000, 1400))
+        fboth = snapshot_files(
+            spark, path, prune_range=[("x", 1000, 1400), ("y", 1000, 1400)]
+        )
+        assert len(fx) < len(all_f) and len(fy) < len(all_f)
+        assert set(fboth) <= set(fx) and set(fboth) <= set(fy)
+        # pruned read + residual predicate == full truth
+        got = (
+            read_snapshot(
+                spark, path,
+                prune_range=[("x", 1000, 1400), ("y", 1000, 1400)],
+            )
+            .filter(F.col("x").between(1000, 1400) & F.col("y").between(1000, 1400))
+            .count()
+        )
+        want = df.filter(
+            F.col("x").between(1000, 1400) & F.col("y").between(1000, 1400)
+        ).count()
+        assert got == want
+        assert read_snapshot(spark, path, 1).count() == 4096
+        assert read_snapshot(spark, path, 2).count() == 4096
+
+    def test_zorder_and_cluster_by_exclusive(self, spark, tmp_path):
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            rewrite_snapshot,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark, spark.range(10).selectExpr("id AS x", "id AS y"), path
+        )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            rewrite_snapshot(
+                spark, path, cluster_by="x", zorder_by=["x", "y"], n_files=2
+            )
