@@ -570,3 +570,80 @@ def q_triangle_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
         tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+@register(
+    "events_anomaly_mad",
+    """
+WITH daily AS (
+  SELECT CAST(FLOOR(EPOCH(ts)/86400.0) AS BIGINT) AS day_idx,
+         CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+roll AS (
+  SELECT day_idx, value_cents,
+         list(value_cents) OVER (ORDER BY day_idx
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w
+  FROM daily
+),
+m AS (
+  SELECT day_idx, value_cents,
+         list_aggregate(w, 'median') AS med7,
+         list_aggregate(
+           list_transform(w, x -> abs(x - list_aggregate(w, 'median'))),
+           'median') AS mad7
+  FROM roll
+)
+SELECT day_idx, value_cents, med7, mad7,
+       (abs(value_cents - med7) > 3 * mad7) AS is_anomaly
+FROM m
+""",
+    "robust rolling anomaly detection: daily revenue vs a 7-day rolling "
+    "MEDIAN with a 3x rolling-MAD band — median/MAD ignore the outliers "
+    "a mean/stddev band is dragged by, so a single spike day cannot "
+    "mask itself; the nested median-of-deviations is a pure JVM array "
+    "expression over a ROWS window (collect_list -> array_sort -> "
+    "element_at, transform lambda), NO Python stage and ONE shuffle for "
+    "the daily rollup (the window then runs on a single ordered day "
+    "spine, ~365 rows/year — driver-scale math on executor-side "
+    "expressions); every median is order-independent dyadic-rational "
+    "arithmetic, so Spark and DuckDB agree bit-for-bit",
+    tags=("temporal", "stats"),
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_star_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    daily = events.groupBy(
+        F.floor(F.col("ts").cast("long") / 86400.0).cast("long").alias("day_idx")
+    ).agg(F.sum(_cents(F.col("value"))).cast("long").alias("value_cents"))
+
+    def arr_median(arr):
+        s = F.array_sort(arr)
+        n = F.size(s)
+        mid = F.floor(n / 2).cast("int")
+        return (
+            F.when(
+                n % 2 == 1, F.element_at(s, mid + 1).cast("double")
+            ).otherwise(
+                (F.element_at(s, mid) + F.element_at(s, mid + 1)) / 2.0
+            )
+        )
+
+    w = Window.orderBy("day_idx").rowsBetween(-6, 0)
+    rolled = daily.withColumn("w", F.collect_list("value_cents").over(w))
+    med = arr_median(F.col("w"))
+    with_med = rolled.withColumn("med7", med)
+    devs = F.transform(
+        F.col("w"), lambda x: F.abs(x.cast("double") - F.col("med7"))
+    )
+    out = with_med.withColumn("mad7", arr_median(devs))
+    return out.select(
+        "day_idx",
+        "value_cents",
+        "med7",
+        "mad7",
+        (F.abs(F.col("value_cents") - F.col("med7")) > 3 * F.col("mad7")).alias(
+            "is_anomaly"
+        ),
+    )

@@ -1435,3 +1435,35 @@ def q_snapshot_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents(F.col("l_quantity"))).cast("long").alias("qty_cents"),
         )
     )
+
+
+@register(
+    "snapshot_minmax_metadata_only",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents
+""",
+    "metadata-only MIN/MAX + COUNT (snapshots.snapshot_minmax / "
+    "snapshot_row_count): the commit-time per-file stats answer the "
+    "aggregate from a KB of manifest JSON with zero file or footer "
+    "opens — sound because MIN/MAX distribute over the file union and "
+    "each file's bounds are exact; the API refuses (returns None) when "
+    "exactness is lost — a file without stats, or ANY live deletion "
+    "vector (a deleted row could be the extremum), pinned by pytest; "
+    "oracle recomputes all three from the raw table",
+    tags=("snapshots", "metadata"),
+)
+def q_snapshot_minmax_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import snapshot_minmax, snapshot_row_count
+
+    # the bloom layer commits doc_id stats and never deletes: eligible
+    path = _bloom_layer(spark, sf_dir)
+    n = snapshot_row_count(spark, path)
+    mm = snapshot_minmax(spark, path, "doc_id")
+    if n is None or mm is None:
+        raise AssertionError("manifest could not answer metadata-only")
+    return spark.createDataFrame(
+        [(n, int(mm[0]), int(mm[1]))], "n_docs long, min_doc long, max_doc long"
+    )

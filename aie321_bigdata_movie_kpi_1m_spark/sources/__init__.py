@@ -6,6 +6,7 @@ from .snapshots import (
     read_snapshot,
     snapshot_changes,
     snapshot_changes_keyed,
+    snapshot_minmax,
     snapshot_row_count,
     snapshot_versions,
     vacuum_snapshots,
@@ -23,6 +24,7 @@ __all__ = [
     "read_snapshot",
     "snapshot_changes",
     "snapshot_changes_keyed",
+    "snapshot_minmax",
     "snapshot_row_count",
     "snapshot_versions",
     "vacuum_snapshots",

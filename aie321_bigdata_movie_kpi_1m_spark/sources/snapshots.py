@@ -674,6 +674,43 @@ def snapshot_row_count(
     return total
 
 
+def snapshot_minmax(
+    spark: SparkSession, path: str, col: str, version: int | None = None
+) -> tuple | None:
+    """Exact MIN/MAX of ``col`` for one version from the MANIFEST ALONE
+    — the aggregate-pushdown-to-metadata fast path (Spark's own parquet
+    aggregate pushdown does this per footer; here it is zero opens of
+    any kind).  Sound because per-file [min, max] are exact over the
+    file's rows and MIN/MAX distribute over the file union.
+
+    Returns None when it CANNOT answer exactly: a file without recorded
+    stats for ``col``, or any live position-delete entry (a deleted row
+    could be the extremum — merge-on-read makes file stats upper
+    bounds, so the caller must fall back to a real scan).  A version
+    whose every file is empty/all-NULL returns (None, None), matching
+    SQL MIN/MAX over no rows."""
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions} at {path}")
+    m = _manifest(spark, path, v)
+    if m.get("delete_files"):
+        return None
+    stats = m.get("stats", {})
+    lo = hi = None
+    for f in m["files"]:
+        s = stats.get(f.rsplit("/", 1)[-1], {}).get(col)
+        if s is None:
+            return None  # a file without stats: cannot answer exactly
+        if s[0] is None or s[1] is None:
+            continue  # zero rows / all NULL contributes nothing
+        lo = s[0] if lo is None or s[0] < lo else lo
+        hi = s[1] if hi is None or s[1] > hi else hi
+    return (lo, hi)
+
+
 def snapshot_changes(
     spark: SparkSession, path: str, v_from: int, v_to: int
 ) -> DataFrame:

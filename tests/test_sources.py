@@ -1697,3 +1697,41 @@ class TestSnapshotZorder:
             rewrite_snapshot(
                 spark, path, cluster_by="x", zorder_by=["x", "y"], n_files=2
             )
+
+
+class TestSnapshotMinMax:
+    def test_minmax_from_manifest_and_guards(self, spark, tmp_path):
+        """snapshot_minmax answers exactly from stats; refuses (None)
+        without stats or with live deletion vectors; empty/all-NULL
+        files contribute nothing."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            delete_snapshot,
+            rewrite_snapshot,
+            snapshot_minmax,
+        )
+
+        path = str(tmp_path / "layer")
+        df = spark.range(5, 405).selectExpr("id AS k", "id AS v")
+        commit_snapshot(
+            spark, df.repartitionByRange(8, "k"), path, stats_cols=["k"]
+        )
+        assert snapshot_minmax(spark, path, "k") == (5, 404)
+        assert snapshot_minmax(spark, path, "v") is None  # no stats for v
+        # append an all-NULL-k batch: extrema unchanged
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(None, 1)], "k long, v long"),
+            path,
+            mode="append",
+            stats_cols=["k"],
+        )
+        assert snapshot_minmax(spark, path, "k") == (5, 404)
+        # a live deletion vector could have removed the extremum: refuse
+        delete_snapshot(spark, path, "k = 404")
+        assert snapshot_minmax(spark, path, "k") is None
+        # compaction folds the vectors in; answers again, new max
+        rewrite_snapshot(spark, path, n_files=2, stats_cols=["k"])
+        assert snapshot_minmax(spark, path, "k") == (5, 403)
