@@ -1467,3 +1467,100 @@ def q_snapshot_minmax_metadata_only(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         [(n, int(mm[0]), int(mm[1]))], "n_docs long, min_doc long, max_doc long"
     )
+
+
+_BINPACK_LAYERS_BUILT: set[str] = set()
+
+
+def _binpack_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Layer for the bin-packing compaction roundtrip: one healthy base
+    file (90% of documents) plus three tiny append files (the remaining
+    10% split three ways — the shape a streaming sink leaks).  The
+    builder compacts with a threshold between the two sizes and asserts
+    the big file is carried VERBATIM (same basename in the new
+    manifest) while the three small files pack into one."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        compact_small_files,
+        drop_snapshot_layer,
+        snapshot_files,
+    )
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/binpack_layer"
+    if path in _BINPACK_LAYERS_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    docs = load_star_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("doc_id") % 10 != 0).coalesce(1), path
+    )
+    for k in range(3):
+        commit_snapshot(
+            spark,
+            docs.filter(
+                (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 3 == k)
+            ).coalesce(1),
+            path,
+            mode="append",
+        )
+    before = snapshot_files(spark, path)
+    from ..sources.snapshots import _fs, _hpath
+
+    jvm, fs = _fs(spark, path)
+    sizes = {f: fs.getFileStatus(_hpath(jvm, f)).getLen() for f in before}
+    big = max(sizes, key=sizes.get)
+    threshold = sizes[big]  # strictly-below-big threshold
+    res = compact_small_files(
+        spark, path, small_file_bytes=threshold, target_file_bytes=10**9
+    )
+    after = snapshot_files(spark, path)
+    if not (
+        res["files_rewritten"] == 3
+        and res["files_carried"] == 1
+        and big in after
+        and len(after) == 2
+    ):
+        raise AssertionError(
+            f"bin-packing contract broken: {res}, "
+            f"before={len(before)} after={len(after)} big_carried={big in after}"
+        )
+    _BINPACK_LAYERS_BUILT.add(path)
+    return path
+
+
+@register(
+    "snapshot_compact_small_files",
+    """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+GROUP BY lang
+""",
+    "BIN-PACKING compaction (snapshots.compact_small_files — Delta "
+    "OPTIMIZE semantics): only head files under the size threshold are "
+    "rewritten, coalesced to target-size outputs; healthy files are "
+    "carried into the new manifest verbatim with their stats/counts/"
+    "bloom/deletion-vector entries — each maintenance run costs "
+    "O(small-file bytes), never O(table), which is what keeps a layer "
+    "fed by O(delta) appends or streaming micro-batches healthy at "
+    "100 TB; the builder asserts the big file's basename survives "
+    "untouched while 3 tiny appends pack into 1; oracle recomputes the "
+    "full content from the raw table, so losing or doubling any packed "
+    "row breaks it",
+    tags=("layout", "snapshots"),
+)
+def q_snapshot_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    path = _binpack_layer(spark, sf_dir)
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+    )

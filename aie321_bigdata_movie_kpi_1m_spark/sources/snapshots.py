@@ -1003,6 +1003,113 @@ def merge_snapshot(
     }
 
 
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """BIN-PACKING compaction (Delta ``OPTIMIZE`` semantics): rewrite
+    ONLY the head files smaller than ``small_file_bytes``, coalesced
+    into ~``target_file_bytes`` outputs; every file already at a healthy
+    size is carried into the new manifest verbatim — stats, counts,
+    Bloom entries and deletion-vector entries intact, zero bytes moved.
+
+    This is the steady-state maintenance job for a layer fed by
+    O(delta) appends or streaming micro-batches: each run costs
+    O(small-file bytes), not O(table) — ``rewrite_snapshot`` (full
+    rewrite) is only for re-layout (clustering / Z-order).  Small files
+    read through the merge-on-read path, so THEIR deletion vectors fold
+    into the rewrite; carried files keep theirs live.  Fewer than two
+    small files is a NO-OP (nothing to pack) returning the head.
+    Returns {"version", "files_rewritten", "files_carried"}.
+    """
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    head = versions[-1]
+    m = _manifest(spark, path, head)
+    jvm, fs = _fs(spark, path)
+    sized = [
+        (f, fs.getFileStatus(_hpath(jvm, f)).getLen()) for f in m["files"]
+    ]
+    small = [f for f, n in sized if n < small_file_bytes]
+    carried = [f for f, n in sized if n >= small_file_bytes]
+    if len(small) < 2:
+        return {
+            "version": head,
+            "files_rewritten": 0,
+            "files_carried": len(m["files"]),
+        }
+    import math
+
+    small_bytes = sum(n for f, n in sized if n < small_file_bytes)
+    n_out = max(1, math.ceil(small_bytes / target_file_bytes))
+    reader = spark.read.option("mergeSchema", "true")
+    raw = _apply_delete_entries(spark, m, small, reader) or reader.parquet(
+        *small
+    )
+    version = head + 1
+    data_dir = f"{path}/data/v{version}-{uuid.uuid4().hex[:8]}"
+    raw.coalesce(n_out).write.mode("error").parquet(data_dir)
+    new_files = _list_parquet_files(spark, data_dir)
+    new_stats, new_counts = _file_stats(
+        spark, data_dir, new_files, stats_cols or []
+    )
+    if not stats_cols:
+        new_stats = {}
+    carried_bases = {f.rsplit("/", 1)[-1] for f in carried}
+    carried_deletes = []
+    for e in m.get("delete_files") or []:
+        trimmed = {b: n for b, n in e["touches"].items() if b in carried_bases}
+        if trimmed:
+            carried_deletes.append({"path": e["path"], "touches": trimmed})
+    _write_text(
+        spark,
+        f"{path}/{_MANIFEST_DIR}/v{version}.json",
+        json.dumps(
+            {
+                "version": version,
+                "mode": "compact",
+                "files": sorted(carried + new_files),
+                "stats": {
+                    **{
+                        b: e
+                        for b, e in m.get("stats", {}).items()
+                        if b in carried_bases
+                    },
+                    **new_stats,
+                },
+                "counts": {
+                    **{
+                        b: n
+                        for b, n in (m.get("counts") or {}).items()
+                        if b in carried_bases
+                    },
+                    **new_counts,
+                },
+                "blooms": {
+                    b: e
+                    for b, e in m.get("blooms", {}).items()
+                    if b in carried_bases
+                },
+                "bloom_col": m.get("bloom_col"),
+                "delete_files": carried_deletes,
+                "schema": m.get("schema"),
+                "txn": m.get("txn", {}),
+            },
+            default=str,
+        ),
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(small),
+        "files_carried": len(carried),
+    }
+
+
 def rewrite_snapshot(
     spark: SparkSession,
     path: str,

@@ -1735,3 +1735,74 @@ class TestSnapshotMinMax:
         # compaction folds the vectors in; answers again, new max
         rewrite_snapshot(spark, path, n_files=2, stats_cols=["k"])
         assert snapshot_minmax(spark, path, "k") == (5, 403)
+
+
+class TestCompactSmallFiles:
+    def test_binpack_carries_big_and_folds_small_dvs(self, spark, tmp_path):
+        """compact_small_files rewrites only under-threshold files; the
+        big file is carried byte-identical WITH its live deletion
+        vector; small files' vectors fold into the packed output; row
+        counts stay metadata-exact throughout."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            _fs,
+            _hpath,
+            _manifest,
+            commit_snapshot,
+            compact_small_files,
+            delete_snapshot,
+            read_snapshot,
+            snapshot_files,
+            snapshot_row_count,
+        )
+
+        path = str(tmp_path / "layer")
+        big = spark.range(0, 5000).selectExpr("id AS k", "id AS v")
+        commit_snapshot(spark, big.coalesce(1), path, stats_cols=["k"])
+        for lo in (5000, 5010, 5020):
+            commit_snapshot(
+                spark,
+                spark.range(lo, lo + 10).selectExpr("id AS k", "id AS v"),
+                path,
+                mode="append",
+                stats_cols=["k"],
+            )
+        # one delete touching the big file, one touching a small file
+        delete_snapshot(spark, path, "k = 4999 OR k = 5005")
+        n_before = read_snapshot(spark, path).count()
+        files = snapshot_files(spark, path)
+        jvm, fs = _fs(spark, path)
+        sizes = {f: fs.getFileStatus(_hpath(jvm, f)).getLen() for f in files}
+        bigf = max(sizes, key=sizes.get)
+        res = compact_small_files(
+            spark, path, small_file_bytes=sizes[bigf], stats_cols=["k"]
+        )
+        assert res["files_carried"] == 1 and res["files_rewritten"] >= 3
+        after = snapshot_files(spark, path)
+        assert bigf in after
+        m = _manifest(spark, path, res["version"])
+        # big file's DV entry carried; small-file entries folded away
+        touched = {b for e in m["delete_files"] for b in e["touches"]}
+        assert touched == {bigf.rsplit("/", 1)[-1]}
+        assert read_snapshot(spark, path).count() == n_before
+        assert snapshot_row_count(spark, path) == n_before
+        # both deleted keys stay gone through the packed layout
+        assert (
+            read_snapshot(spark, path).filter("k IN (4999, 5005)").count() == 0
+        )
+
+    def test_binpack_noop_with_one_small_file(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            compact_small_files,
+            snapshot_versions,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark, spark.range(10).selectExpr("id AS k").coalesce(1), path
+        )
+        res = compact_small_files(spark, path, small_file_bytes=10**9)
+        assert res["files_rewritten"] == 0
+        assert snapshot_versions(spark, path) == [1]
