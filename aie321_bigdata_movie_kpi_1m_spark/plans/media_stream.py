@@ -1013,3 +1013,43 @@ def q_streaming_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money_cents(F.col("value")).cast("long").alias("last_value_cents"),
         F.col("ts").cast("long").alias("last_sec"),
     )
+
+
+@register(
+    "streaming_stream_join_outer",
+    """
+SELECT e.user_id,
+       CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS error_sec,
+       CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_sec
+FROM events e
+LEFT JOIN events p
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= e.ts
+ AND p.ts <= e.ts + INTERVAL 1 HOUR
+WHERE e.event_type = 'error'
+""",
+    "LEFT OUTER stream-stream event-time join in TRUE APPEND MODE: "
+    "errors with no purchase within 1h emit a NULL-purchase row only "
+    "after the watermark proves no match can still arrive — the "
+    "flush-sentinel run advances the watermark past every real event "
+    "so ALL unmatched errors emit exactly once (the sentinel must "
+    "survive both side filters: an equality predicate would be pushed "
+    "below the EventTimeWatermark operator and the outer rows would "
+    "never emit); the time-range condition bounds both sides' join "
+    "state; oracle is the batch LEFT JOIN, so a lost, doubled, or "
+    "never-emitted unmatched row breaks the hash",
+    tags=("streaming", "join"),
+)
+def q_streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import error_purchase_left_join_stream
+
+    out = _run_to_memory_sink(
+        spark,
+        error_purchase_left_join_stream(
+            _read_flushed_events_stream(spark, sf_dir)
+        ),
+        name="stream_err_purchase_outer",
+        output_mode="append",
+    )
+    return out.filter(F.col("user_id") != -1)  # sentinel self-match

@@ -256,3 +256,51 @@ def sessionize_stream(events: DataFrame, *, gap_seconds: int = 21600) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def error_purchase_left_join_stream(
+    events_wm: DataFrame,
+    *,
+    horizon: str = "1 hour",
+    flush_type: str = "__flush__",
+) -> DataFrame:
+    """LEFT OUTER stream-stream event-time join: every error, joined to
+    the same user's purchases within ``horizon`` after it — errors with
+    NO such purchase emit a NULL-purchase row, but only once the
+    watermark proves no match can still arrive (error_ts + horizon is
+    behind the watermark); until then the row waits in state.  This is
+    the semantics an inner join cannot give: the unmatched side is the
+    interesting one (errors never recovered by a purchase).
+
+    ``events_wm`` must already carry the watermark.  Both side filters
+    deliberately KEEP the ``flush_type`` sentinel: a plain
+    ``event_type == 'error'`` predicate is pushed below the
+    EventTimeWatermark operator and would prune the very row that
+    advances the watermark, so no outer row would ever emit (the
+    pushdown trap pinned in ``_read_flushed_events_stream``).  The
+    sentinel self-match (user -1) is dropped by the caller's batch
+    post-pass.  The time-range condition bounds both sides' state.
+    """
+    errors = events_wm.filter(
+        F.col("event_type").isin("error", flush_type)
+    ).select(F.col("user_id").alias("e_user"), F.col("ts").alias("error_ts"))
+    purchases = events_wm.filter(
+        F.col("event_type").isin("purchase", flush_type)
+    ).select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+    return (
+        errors.join(
+            purchases,
+            (F.col("e_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("error_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("error_ts") + F.expr(f"INTERVAL {horizon}")
+            ),
+            "leftOuter",
+        )
+        .select(
+            F.col("e_user").alias("user_id"),
+            F.unix_timestamp("error_ts").alias("error_sec"),
+            F.unix_timestamp("purchase_ts").alias("purchase_sec"),
+        )
+    )
