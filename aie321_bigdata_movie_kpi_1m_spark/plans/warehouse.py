@@ -1564,3 +1564,37 @@ def q_snapshot_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("n_chars").cast("long").alias("chars_sum"),
         )
     )
+
+
+@register(
+    "snapshot_history_audit",
+    """
+SELECT 1 AS version, 'overwrite' AS mode, 8 AS n_files,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_rows,
+       0 AS n_delete_entries
+UNION ALL
+SELECT 2, 'delete', 8,
+       CAST((SELECT COUNT(*) FROM documents
+             WHERE NOT (doc_id % 10 = 3)) AS BIGINT),
+       1
+""",
+    "DESCRIBE HISTORY for the snapshot layer "
+    "(snapshots.snapshot_history): one row per surviving version with "
+    "its commit mode, file count, metadata-exact row count (per-file "
+    "counts minus live position-delete counts — correct across the "
+    "merge-on-read DELETE, where the file set is UNCHANGED but the "
+    "logical cardinality drops), and live delete-entry count — the "
+    "audit surface a reproducibility contract needs ('which exact "
+    "corpus state trained this checkpoint'); resolved from manifest "
+    "JSON only, zero data reads; companion snapshot_version_as_of "
+    "gives TIMESTAMP AS OF resolution (pytest-pinned); oracle states "
+    "the expected audit rows with recomputed cardinalities",
+    tags=("snapshots", "metadata"),
+)
+def q_snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import snapshot_history
+
+    path = _delete_layer(spark, sf_dir)
+    return snapshot_history(spark, path).select(
+        "version", "mode", "n_files", "n_rows", "n_delete_entries"
+    )

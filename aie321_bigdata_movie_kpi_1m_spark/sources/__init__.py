@@ -6,8 +6,10 @@ from .snapshots import (
     read_snapshot,
     snapshot_changes,
     snapshot_changes_keyed,
+    snapshot_history,
     snapshot_minmax,
     snapshot_row_count,
+    snapshot_version_as_of,
     snapshot_versions,
     vacuum_snapshots,
 )
@@ -24,8 +26,10 @@ __all__ = [
     "read_snapshot",
     "snapshot_changes",
     "snapshot_changes_keyed",
+    "snapshot_history",
     "snapshot_minmax",
     "snapshot_row_count",
+    "snapshot_version_as_of",
     "snapshot_versions",
     "vacuum_snapshots",
 ]

@@ -341,6 +341,7 @@ def commit_snapshot(
         json.dumps(
             {
                 "version": version,
+                "committed_at": time.time(),
                 "mode": mode,
                 "files": files,
                 "stats": stats,
@@ -496,9 +497,12 @@ def read_snapshot(
     prune_range: tuple[str, object, object] | list[tuple] | None = None,
     prune_point: tuple[str, object] | None = None,
     merge_schema: bool = False,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Read one version of the layer (default: the head).  The scan plans
     from the manifest's exact file list — no directory listing.
+    ``as_of=epoch_seconds`` resolves the version by commit time instead
+    (TIMESTAMP AS OF; mutually exclusive with ``version``).
 
     ``prune_range=(col, lo, hi)`` applies manifest-level data skipping:
     files whose committed [min, max] cannot intersect the range are
@@ -514,6 +518,10 @@ def read_snapshot(
     pass per distinct file schema — additive evolution, same contract as
     parquet ``mergeSchema``.  The default reads with the newest file's
     schema, the cheap path when the layer's schema is stable."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("version and as_of are mutually exclusive")
+        version = snapshot_version_as_of(spark, path, as_of)
     files = snapshot_files(
         spark, path, version, prune_range=prune_range, prune_point=prune_point
     )
@@ -621,6 +629,7 @@ def delete_snapshot(
         json.dumps(
             {
                 "version": version,
+                "committed_at": time.time(),
                 "mode": "delete",
                 "files": m["files"],
                 "stats": m.get("stats", {}),
@@ -672,6 +681,65 @@ def snapshot_row_count(
         # still in this version's list carry their deletions
         total -= sum(int(n) for b, n in e["touches"].items() if b in live)
     return total
+
+
+def snapshot_version_as_of(
+    spark: SparkSession, path: str, ts_epoch: float
+) -> int:
+    """TIMESTAMP AS OF resolution (the Delta/Iceberg twin of VERSION AS
+    OF): the newest version whose manifest ``committed_at`` is at or
+    before ``ts_epoch``.  Commit timestamps are recorded at manifest
+    write; manifests from before timestamp recording count as epoch 0
+    (always eligible, preserving old layers).  Raises when every
+    surviving version is newer than the asked instant — including when
+    the one that WAS current then has been vacuumed, which is the honest
+    answer (the bytes are gone)."""
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    eligible = [
+        v
+        for v in versions
+        if float(_manifest(spark, path, v).get("committed_at") or 0)
+        <= ts_epoch
+    ]
+    if not eligible:
+        raise FileNotFoundError(
+            f"no version at or before epoch {ts_epoch} survives at {path} "
+            "(it may have been vacuumed)"
+        )
+    return eligible[-1]
+
+
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY for the layer: one row per surviving version —
+    (version, mode, n_files, n_rows, n_delete_entries, committed_at).
+    Metadata-only (manifest JSON; ``n_rows`` via the same per-file
+    counts as ``snapshot_row_count``, NULL where a manifest predates
+    count recording); row count is bounded by the version count, so the
+    driver-side materialization is audit-log-sized, never data-sized."""
+    rows = []
+    for v in snapshot_versions(spark, path):
+        m = _manifest(spark, path, v)
+        try:
+            n_rows = snapshot_row_count(spark, path, v)
+        except FileNotFoundError:
+            n_rows = None
+        rows.append(
+            (
+                v,
+                m.get("mode"),
+                len(m["files"]),
+                n_rows,
+                len(m.get("delete_files") or []),
+                float(m["committed_at"]) if m.get("committed_at") else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, mode string, n_files int, n_rows long, "
+        "n_delete_entries int, committed_at double",
+    )
 
 
 def snapshot_minmax(
@@ -982,6 +1050,7 @@ def merge_snapshot(
         json.dumps(
             {
                 "version": version,
+                "committed_at": time.time(),
                 "mode": "merge",
                 "files": sorted(carried + new_files),
                 "stats": {**carried_stats, **new_stats},
@@ -1072,6 +1141,7 @@ def compact_small_files(
         json.dumps(
             {
                 "version": version,
+                "committed_at": time.time(),
                 "mode": "compact",
                 "files": sorted(carried + new_files),
                 "stats": {

@@ -1806,3 +1806,59 @@ class TestCompactSmallFiles:
         res = compact_small_files(spark, path, small_file_bytes=10**9)
         assert res["files_rewritten"] == 0
         assert snapshot_versions(spark, path) == [1]
+
+
+class TestSnapshotHistory:
+    def test_history_and_timestamp_as_of(self, spark, tmp_path):
+        """snapshot_history rows track mode/file/row counts through
+        append + delete; TIMESTAMP AS OF resolves the version current
+        at an instant, errors before the first commit and after vacuum."""
+        import time as _time
+
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            delete_snapshot,
+            read_snapshot,
+            snapshot_history,
+            snapshot_version_as_of,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "layer")
+        t_before = _time.time()
+        commit_snapshot(
+            spark,
+            spark.range(0, 100).selectExpr("id AS k").coalesce(2),
+            path,
+            stats_cols=["k"],
+        )
+        t_v1 = _time.time()
+        _time.sleep(0.05)
+        commit_snapshot(
+            spark,
+            spark.range(100, 150).selectExpr("id AS k").coalesce(1),
+            path,
+            mode="append",
+            stats_cols=["k"],
+        )
+        delete_snapshot(spark, path, "k < 10")
+        hist = {r["version"]: r for r in snapshot_history(spark, path).collect()}
+        assert hist[1]["mode"] == "overwrite" and hist[1]["n_rows"] == 100
+        assert hist[2]["mode"] == "append" and hist[2]["n_rows"] == 150
+        assert hist[3]["mode"] == "delete" and hist[3]["n_rows"] == 140
+        assert hist[3]["n_files"] == hist[2]["n_files"]  # MoR: no rewrite
+        assert hist[3]["n_delete_entries"] == 1
+        # timestamp resolution
+        assert snapshot_version_as_of(spark, path, t_v1) == 1
+        assert snapshot_version_as_of(spark, path, _time.time()) == 3
+        assert read_snapshot(spark, path, as_of=t_v1).count() == 100
+        with pytest.raises(FileNotFoundError):
+            snapshot_version_as_of(spark, path, t_before)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            read_snapshot(spark, path, 2, as_of=t_v1)
+        # vacuum drops v1; its instant now resolves to nothing
+        vacuum_snapshots(spark, path, keep_last=2, orphan_grace_seconds=0)
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            snapshot_version_as_of(spark, path, t_v1)
