@@ -1157,6 +1157,9 @@ def _bloom_layer(spark: SparkSession, sf_dir: str) -> str:
         path,
         stats_cols=["doc_id"],
         bloom_col="doc_id",
+        # live CHECK-constraint enforcement on a real build path (one
+        # aggregate scan of the staged delta; violations abort pre-commit)
+        checks={"doc_id_nonneg": "doc_id >= 0", "lang_set": "lang IS NOT NULL"},
     )
     all_f = snapshot_files(spark, path)
     by_range = snapshot_files(spark, path, prune_range=("doc_id", 7, 7))

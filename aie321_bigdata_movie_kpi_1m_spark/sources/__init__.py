@@ -4,6 +4,7 @@ from .snapshots import (
     commit_snapshot,
     delete_snapshot,
     read_snapshot,
+    retry_commit,
     snapshot_changes,
     snapshot_changes_keyed,
     snapshot_history,
@@ -24,6 +25,7 @@ __all__ = [
     "commit_snapshot",
     "delete_snapshot",
     "read_snapshot",
+    "retry_commit",
     "snapshot_changes",
     "snapshot_changes_keyed",
     "snapshot_history",

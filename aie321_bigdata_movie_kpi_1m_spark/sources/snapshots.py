@@ -250,6 +250,7 @@ def commit_snapshot(
     stats_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     bloom_col: str | None = None,
+    checks: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the layer at ``path``.
 
@@ -314,8 +315,17 @@ def commit_snapshot(
                     )
             # columns absent from the delta stay part of the layer schema
             schema_fields = {**prev_schema, **schema_fields}
+    # CHECK constraints: explicit ``checks`` become the layer's table
+    # property; an append inherits the head's recorded checks when none
+    # are passed — the Delta CHECK-constraint contract (a writer cannot
+    # dodge the table's invariants by omitting them)
+    effective_checks = dict(checks or {})
+    if mode == "append" and head and checks is None:
+        effective_checks = _manifest(spark, path, head).get("checks") or {}
     data_dir = f"{path}/data/v{version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(data_dir)
+    if effective_checks:
+        _enforce_checks(spark, data_dir, effective_checks)
     files = _list_parquet_files(spark, data_dir)
     stats, counts = _file_stats(spark, data_dir, files, stats_cols or [])
     if not stats_cols:
@@ -351,12 +361,63 @@ def commit_snapshot(
                 or (prev.get("bloom_col") if mode == "append" and head else None),
                 "delete_files": delete_files,
                 "schema": schema_fields,
+                "checks": effective_checks,
                 "txn": txn_map,
             },
             default=str,
         ),
     )
     return version
+
+
+def _enforce_checks(
+    spark: SparkSession, data_dir: str, checks: dict[str, str]
+) -> None:
+    """Reject the staged delta if any CHECK predicate has violations —
+    ONE aggregate scan of the NEW files only, all predicates at once.
+    SQL CHECK semantics: a predicate evaluating to NULL is NOT a
+    violation (use an explicit ``col IS NOT NULL`` check for NOT NULL).
+    On failure the staged directory is deleted — nothing was committed
+    (the manifest is the commit point), so the layer is untouched."""
+    aggs = [
+        F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(name)
+        for name, pred in checks.items()
+    ]
+    row = spark.read.parquet(data_dir).agg(*aggs).first()
+    bad = {
+        name: int(row[name]) for name in checks if row[name] and row[name] > 0
+    }
+    if bad:
+        jvm, fs = _fs(spark, data_dir)
+        fs.delete(_hpath(jvm, data_dir), True)
+        raise ValueError(
+            f"CHECK constraint violation(s), commit rejected: "
+            + ", ".join(
+                f"{n!r} ({c} rows fail: {checks[n]})" for n, c in bad.items()
+            )
+        )
+
+
+def retry_commit(fn, *, attempts: int = 3):
+    """Run a layer mutation under OPTIMISTIC-CONCURRENCY retry: call
+    ``fn`` (a zero-arg closure over ``commit_snapshot`` /
+    ``merge_snapshot`` / ``delete_snapshot``), and when it loses the
+    manifest rename race (``FileExistsError``), call it again — every
+    mutator re-reads the head INSIDE the call, so the loser recomputes
+    against the winner's committed state, exactly the
+    read-check-rewrite loop Delta/Iceberg writers run.  The loser's
+    orphaned staging dir is retention-GC'd by ``vacuum_snapshots``.
+    Idempotent ``txn`` markers compose: a retry whose transaction
+    already won just no-ops.  Raises the last conflict after
+    ``attempts`` tries (contention beyond that needs backoff or a
+    single-writer queue, not more retries)."""
+    last: FileExistsError | None = None
+    for _ in range(max(1, attempts)):
+        try:
+            return fn()
+        except FileExistsError as e:
+            last = e
+    raise last
 
 
 def snapshot_files(
@@ -638,6 +699,7 @@ def delete_snapshot(
                 "bloom_col": m.get("bloom_col"),
                 "delete_files": entries + [{"path": dv_dir, "touches": touches}],
                 "schema": m.get("schema"),
+                "checks": m.get("checks") or {},
                 "txn": m.get("txn", {}),
             },
             default=str,
@@ -1011,6 +1073,10 @@ def merge_snapshot(
     else:
         out = delta.select(*cols)  # pure out-of-range insert: zero reads
     out.write.mode("error").parquet(data_dir)
+    if m.get("checks"):
+        # existing rows pass by induction; this rejects a delta that
+        # violates the layer's recorded CHECK constraints
+        _enforce_checks(spark, data_dir, m["checks"])
     new_files = _list_parquet_files(spark, data_dir)
     new_stats, new_counts = _file_stats(
         spark, data_dir, new_files, stats_cols or []
@@ -1060,6 +1126,7 @@ def merge_snapshot(
                 "delete_files": carried_deletes,
                 "schema": head_schema
                 or {f.name: f.dataType.json() for f in delta.schema.fields},
+                "checks": m.get("checks") or {},
                 "txn": txn_map,  # carry writer high-water marks
             },
             default=str,
@@ -1168,6 +1235,7 @@ def compact_small_files(
                 "bloom_col": m.get("bloom_col"),
                 "delete_files": carried_deletes,
                 "schema": m.get("schema"),
+                "checks": m.get("checks") or {},
                 "txn": m.get("txn", {}),
             },
             default=str,

@@ -1862,3 +1862,112 @@ class TestSnapshotHistory:
         vacuum_snapshots(spark, path, keep_last=2, orphan_grace_seconds=0)
         with pytest.raises(FileNotFoundError, match="vacuumed"):
             snapshot_version_as_of(spark, path, t_v1)
+
+
+class TestChecksAndRetry:
+    def test_check_constraints_reject_and_inherit(self, spark, tmp_path):
+        """CHECK constraints: a violating commit is rejected atomically
+        (layer unchanged, staged dir gone); appends inherit the head's
+        checks without restating them; NULL predicate results pass
+        (SQL CHECK semantics); MERGE enforces them on the delta."""
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            merge_snapshot,
+            read_snapshot,
+            snapshot_versions,
+        )
+
+        path = str(tmp_path / "layer")
+        ok = spark.createDataFrame(
+            [(1, 10), (2, None)], "k long, n long"  # NULL passes the check
+        )
+        commit_snapshot(
+            spark, ok, path, stats_cols=["k"], checks={"n_nonneg": "n >= 0"}
+        )
+        bad = spark.createDataFrame([(3, -5)], "k long, n long")
+        with pytest.raises(ValueError, match="n_nonneg"):
+            commit_snapshot(spark, bad, path, mode="append")  # inherited
+        assert snapshot_versions(spark, path) == [1]
+        assert read_snapshot(spark, path).count() == 2
+        # merge enforces the recorded checks on the delta too
+        with pytest.raises(ValueError, match="n_nonneg"):
+            merge_snapshot(spark, bad.withColumnRenamed("n", "n"), path, "k")
+        assert snapshot_versions(spark, path) == [1]
+        # a clean append still lands and carries the checks forward
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(4, 7)], "k long, n long"),
+            path,
+            mode="append",
+        )
+        assert read_snapshot(spark, path).count() == 3
+
+    def test_retry_commit_recomputes_against_new_head(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Optimistic-concurrency retry: a MERGE that loses the manifest
+        rename race retries, re-reads the winner's head, and lands its
+        delta WITHOUT losing the winner's rows."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources import snapshots
+
+        path = str(tmp_path / "layer")
+        snapshots.commit_snapshot(
+            spark,
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            path,
+            stats_cols=["k"],
+        )
+        orig = snapshots._write_text
+        state = {"raced": False}
+
+        def racing_write(sp, p, text):
+            # first attempt to write v2: let a racer append k=777 first,
+            # so OUR write loses the rename race exactly once
+            if p.endswith("v2.json") and not state["raced"]:
+                state["raced"] = True
+                monkeypatch.setattr(snapshots, "_write_text", orig)
+                snapshots.commit_snapshot(
+                    spark,
+                    spark.createDataFrame([(777, "racer")], "k long, v string"),
+                    path,
+                    mode="append",
+                )
+                monkeypatch.setattr(snapshots, "_write_text", racing_write)
+            return orig(sp, p, text)
+
+        monkeypatch.setattr(snapshots, "_write_text", racing_write)
+        res = snapshots.retry_commit(
+            lambda: snapshots.merge_snapshot(
+                spark,
+                spark.createDataFrame([(2, "B2")], "k long, v string"),
+                path,
+                "k",
+            ),
+            attempts=3,
+        )
+        monkeypatch.setattr(snapshots, "_write_text", orig)
+        assert res["version"] == 3  # recomputed against the racer's head
+        got = {
+            r["k"]: r["v"]
+            for r in snapshots.read_snapshot(spark, path).collect()
+        }
+        assert got == {1: "a", 2: "B2", 777: "racer"}
+
+    def test_retry_commit_exhausts(self, spark, tmp_path, monkeypatch):
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            retry_commit,
+        )
+
+        calls = {"n": 0}
+
+        def always_lose():
+            calls["n"] += 1
+            raise FileExistsError("lost")
+
+        with pytest.raises(FileExistsError):
+            retry_commit(always_lose, attempts=3)
+        assert calls["n"] == 3
