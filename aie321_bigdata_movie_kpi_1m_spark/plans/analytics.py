@@ -647,3 +647,90 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@register(
+    "association_rules_parts",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (SELECT l_orderkey FROM items GROUP BY 1 HAVING COUNT(*) <= 100),
+it AS (SELECT i.* FROM items i JOIN sized s USING (l_orderkey)),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM it),
+cnt AS (SELECT l_partkey, COUNT(*) AS c FROM it GROUP BY 1),
+p AS (SELECT a.l_partkey pa, b.l_partkey pb, COUNT(*) pn
+      FROM it a JOIN it b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, pn, ca.c AS na, cb.c AS nb
+  FROM p JOIN cnt ca ON ca.l_partkey = pa JOIN cnt cb ON cb.l_partkey = pb
+  UNION ALL
+  SELECT pb, pa, pn, cb.c, ca.c
+  FROM p JOIN cnt ca ON ca.l_partkey = pa JOIN cnt cb ON cb.l_partkey = pb
+)
+SELECT antecedent, consequent,
+       CAST(pn AS BIGINT) AS support_n,
+       CAST(pn AS DOUBLE) / na AS confidence,
+       CAST(pn * n.n_orders AS DOUBLE) / (na * nb) AS lift
+FROM rules, n
+""",
+    "association-rule mining over order baskets (the A-Priori pair "
+    "pass, distributed): per-basket distinct items self-join on the "
+    "basket key (pairs per basket C(k,2) — baskets over 100 items are "
+    "CAPPED OUT before the quadratic step, the guard that keeps one "
+    "hot basket from emitting millions of pairs at 100 TB), pair "
+    "counts filtered to min-support, then support/confidence/lift via "
+    "a broadcast join against the item-count dim; lift is computed as "
+    "one exact integer product per side divided once, so Spark and "
+    "DuckDB doubles agree bit-for-bit; both rule directions emitted",
+    tags=("analytics", "mining"),
+)
+def q_association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_star_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .filter(F.col("__k") <= 100)
+        .select("l_orderkey")
+    )
+    it = items.join(sized, "l_orderkey")
+    total = it.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    cnt = it.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = it.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = it.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    p = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .filter(F.col("pn") >= 2)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("na"))
+    cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("nb"))
+    joined = p.join(F.broadcast(ca), "pa").join(F.broadcast(cb), "pb")
+    fwd = joined.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "pn", "na", "nb",
+    )
+    rev = joined.select(
+        F.col("pb").alias("antecedent"),
+        F.col("pa").alias("consequent"),
+        "pn",
+        F.col("nb").alias("na"),
+        F.col("na").alias("nb"),
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(total))
+    return rules.select(
+        "antecedent",
+        "consequent",
+        F.col("pn").cast("long").alias("support_n"),
+        (F.col("pn").cast("double") / F.col("na")).alias("confidence"),
+        (
+            (F.col("pn") * F.col("n_orders")).cast("double")
+            / (F.col("na") * F.col("nb"))
+        ).alias("lift"),
+    )
