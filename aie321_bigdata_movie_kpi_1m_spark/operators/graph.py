@@ -308,6 +308,10 @@ def triangles(
     via the canonicalizing distinct.  Output vertex type follows the
     input id type.
     """
+    # both the degree pass and the orientation join consume the
+    # canonical edge set, and the wedge + closing joins consume the
+    # oriented set: lazy localCheckpoints collapse each to ONE
+    # computation (ReuseExchange cannot match the differing projections)
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -315,6 +319,7 @@ def triangles(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -333,7 +338,7 @@ def triangles(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint(eager=False)
     x = oriented.select(
         F.col("a"), F.col("b").alias("p"), F.col("db").alias("dp")
     )

@@ -694,7 +694,9 @@ def q_association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__k") <= 100)
         .select("l_orderkey")
     )
-    it = items.join(sized, "l_orderkey")
+    # `it` feeds four consumers (total, item counts, both join sides):
+    # a lazy localCheckpoint computes the distinct+cap pipeline once
+    it = items.join(sized, "l_orderkey").localCheckpoint(eager=False)
     total = it.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )

@@ -1943,10 +1943,13 @@ def q_interval_sessions_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_star_table(spark, sf_dir, "events")
     ep = F.col("ts").cast("long")
+    # both join sides are the same interval set: checkpoint so the
+    # sessionization window + rollup run once, not twice
     iv = (
         assign_sessions(events, gap_seconds=1800)
         .groupBy("user_id", "session_seq")
         .agg(F.min(ep).alias("s"), F.max(ep).alias("e"))
+        .localCheckpoint(eager=False)
     )
     l = iv.select(
         F.col("user_id").alias("l_user"),

@@ -593,3 +593,21 @@ def test_pq_adc_is_single_join(spark):
     plan = plan_of(spark, "ann_pq_topk")
     assert plan.count("BroadcastHashJoin") <= 6
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_overlap_is_binned_equi_join(spark):
+    """The interval overlap join must reach the executor as an EQUI-join
+    on the bin id — never the quadratic shapes the raw ON-predicate
+    would plan (cartesian / broadcast nested loop)."""
+    plan = plan_of(spark, "interval_sessions_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__bin" in plan  # the decomposition key is the join key
+
+
+def test_association_rules_broadcasts_count_dims(spark):
+    """support/confidence/lift derivation joins the (tiny) item-count
+    dims as broadcasts — the pair relation must never shuffle for them."""
+    plan = plan_of(spark, "association_rules_parts")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
