@@ -1601,3 +1601,82 @@ def q_snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_history(spark, path).select(
         "version", "mode", "n_files", "n_rows", "n_delete_entries"
     )
+
+
+_RESTORE_LAYERS_BUILT: set[str] = set()
+
+
+def _restore_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Layer for the RESTORE roundtrip: v1 = the full documents slice,
+    v2 = a botched overwrite (a 10% subset — the bad-job scenario),
+    v3 = RESTORE to v1 (new manifest referencing v1's files, zero data
+    movement — builder asserts the file list is v1's verbatim and the
+    botched v2 stays in history)."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        drop_snapshot_layer,
+        restore_snapshot,
+        snapshot_files,
+        snapshot_history,
+    )
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/restore_layer"
+    if path in _RESTORE_LAYERS_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    docs = load_star_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    commit_snapshot(spark, docs.coalesce(2), path)
+    commit_snapshot(spark, docs.filter(F.col("doc_id") % 10 == 0).coalesce(1), path)
+    v3 = restore_snapshot(spark, path, 1)
+    hist = {
+        r["version"]: r["mode"]
+        for r in snapshot_history(spark, path).collect()
+    }
+    if not (
+        v3 == 3
+        and hist[3] == "restore"
+        and hist[2] == "overwrite"
+        and snapshot_files(spark, path, 3) == snapshot_files(spark, path, 1)
+    ):
+        raise AssertionError(f"restore contract broken: v3={v3} hist={hist}")
+    _RESTORE_LAYERS_BUILT.add(path)
+    return path
+
+
+@register(
+    "snapshot_restore_rollback",
+    """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+GROUP BY lang
+""",
+    "RESTORE / rollback-as-a-commit (snapshots.restore_snapshot — "
+    "Delta RESTORE semantics): after a botched overwrite, the head is "
+    "rolled back by committing a NEW manifest that references the good "
+    "version's exact files, stats, blooms and deletion vectors — zero "
+    "data movement, the bad version stays in history for audit, and "
+    "writer txn high-water marks carry from the CURRENT head so a "
+    "replayed streaming batch still no-ops after the rollback "
+    "(pytest-pinned, with the vacuumed-version up-front failure); the "
+    "oracle (the good version's content, i.e. the full table) breaks "
+    "if the rollback loses or resurrects anything; companion "
+    "clone_snapshot gives zero-copy SHALLOW CLONE (pytest: clone "
+    "diverges via its own COW merge, source untouched)",
+    tags=("snapshots", "metadata"),
+)
+def q_snapshot_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    path = _restore_layer(spark, sf_dir)
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+    )

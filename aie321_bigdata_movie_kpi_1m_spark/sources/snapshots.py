@@ -804,6 +804,125 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
+    """ROLLBACK as a new commit (Delta RESTORE): make the head's content
+    equal to ``version`` by committing a NEW manifest that references
+    the old version's exact file set, stats, blooms and deletion
+    vectors — zero data movement, and the botched intermediate versions
+    stay in history for audit (this is *not* a destructive rewind).
+
+    Writer transaction high-water marks are carried from the CURRENT
+    head, not the restored version: a streaming batch that committed
+    after ``version`` must still replay as a no-op after the restore —
+    rolling the txn map back would let the sink double-ingest it.
+
+    Fails up front, naming the missing files, when the target version's
+    data has already been vacuumed (the honest answer; a scan-time
+    surprise helps nobody)."""
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not in {versions} at {path}"
+            + (
+                " (older versions may have been vacuumed)"
+                if versions and version < versions[0]
+                else ""
+            )
+        )
+    head = versions[-1]
+    old = _manifest(spark, path, version)
+    cur = _manifest(spark, path, head)
+    jvm, fs = _fs(spark, path)
+    missing = [
+        f
+        for f in old["files"]
+        + [e["path"] for e in old.get("delete_files") or []]
+        if not fs.exists(_hpath(jvm, f))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore v{version}: {len(missing)} referenced "
+            f"file(s) vacuumed, e.g. {missing[0]}"
+        )
+    new_v = head + 1
+    _write_text(
+        spark,
+        f"{path}/{_MANIFEST_DIR}/v{new_v}.json",
+        json.dumps(
+            {
+                "version": new_v,
+                "committed_at": time.time(),
+                "mode": "restore",
+                "files": old["files"],
+                "stats": old.get("stats", {}),
+                "counts": old.get("counts", {}),
+                "blooms": old.get("blooms", {}),
+                "bloom_col": old.get("bloom_col"),
+                "delete_files": old.get("delete_files") or [],
+                "schema": old.get("schema"),
+                "checks": old.get("checks") or {},
+                "txn": cur.get("txn", {}),  # never roll back idempotence
+            },
+            default=str,
+        ),
+    )
+    return new_v
+
+
+def clone_snapshot(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE (Delta semantics): commit version 1 of a NEW layer
+    at ``dst_path`` whose manifest references the SOURCE version's data
+    files and deletion vectors in place — zero bytes copied, however
+    large the table.  The clone then evolves independently: appends
+    stage under the clone's own directories, and a copy-on-write MERGE
+    rewrites touched source files INTO the clone, never back into the
+    source.  Writer txn marks reset (a clone is a new table).
+
+    Caveat, same as Delta's: the clone references the source's files,
+    so vacuuming the SOURCE can break the clone — retention policy must
+    cover live clones.  The clone's own vacuum only touches its own
+    directories and can never harm the source."""
+    if snapshot_versions(spark, dst_path):
+        raise FileExistsError(f"clone target {dst_path} already has commits")
+    versions = snapshot_versions(spark, src_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {src_path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions} at {src_path}")
+    m = _manifest(spark, src_path, v)
+    _write_text(
+        spark,
+        f"{dst_path}/{_MANIFEST_DIR}/v1.json",
+        json.dumps(
+            {
+                "version": 1,
+                "committed_at": time.time(),
+                "mode": "clone",
+                "clone_of": {"path": src_path, "version": v},
+                "files": m["files"],
+                "stats": m.get("stats", {}),
+                "counts": m.get("counts", {}),
+                "blooms": m.get("blooms", {}),
+                "bloom_col": m.get("bloom_col"),
+                "delete_files": m.get("delete_files") or [],
+                "schema": m.get("schema"),
+                "checks": m.get("checks") or {},
+                "txn": {},
+            },
+            default=str,
+        ),
+    )
+    return 1
+
+
 def snapshot_minmax(
     spark: SparkSession, path: str, col: str, version: int | None = None
 ) -> tuple | None:

@@ -1971,3 +1971,92 @@ class TestChecksAndRetry:
         with pytest.raises(FileExistsError):
             retry_commit(always_lose, attempts=3)
         assert calls["n"] == 3
+
+
+class TestRestoreClone:
+    def test_restore_is_a_new_commit_preserving_txn(self, spark, tmp_path):
+        """RESTORE makes head content equal an old version via a new
+        manifest (zero data movement, history intact); txn high-water
+        marks come from the CURRENT head so replayed batches still
+        no-op; restoring a vacuumed version fails up front."""
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+            restore_snapshot,
+            snapshot_history,
+            snapshot_versions,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark,
+            spark.range(0, 100).selectExpr("id AS k").coalesce(1),
+            path,
+            txn=("app", 1),
+        )
+        commit_snapshot(
+            spark,
+            spark.range(0, 10).selectExpr("id AS k").coalesce(1),
+            path,
+            txn=("app", 2),
+        )
+        v3 = restore_snapshot(spark, path, 1)
+        assert v3 == 3 and read_snapshot(spark, path).count() == 100
+        hist = {r["version"]: r["mode"] for r in snapshot_history(spark, path).collect()}
+        assert hist[3] == "restore" and hist[2] == "overwrite"
+        # a replayed post-restore batch id must STILL no-op
+        head = commit_snapshot(
+            spark,
+            spark.range(0, 5).selectExpr("id AS k"),
+            path,
+            mode="append",
+            txn=("app", 2),
+        )
+        assert head == 3  # replay recognized, nothing committed
+        # vacuum v1+v2's files, then restoring v2 fails loudly
+        vacuum_snapshots(spark, path, keep_last=1, orphan_grace_seconds=0)
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            restore_snapshot(spark, path, 2)
+
+    def test_shallow_clone_is_zero_copy_and_independent(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            _manifest,
+            clone_snapshot,
+            commit_snapshot,
+            delete_snapshot,
+            merge_snapshot,
+            read_snapshot,
+            snapshot_files,
+        )
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "clone")
+        commit_snapshot(
+            spark,
+            spark.range(0, 100).selectExpr("id AS k", "id AS v")
+            .repartitionByRange(4, "k"),
+            src,
+            stats_cols=["k"],
+        )
+        delete_snapshot(spark, src, "k = 7")  # clone must carry the DV
+        clone_snapshot(spark, src, dst)
+        # zero-copy: the clone's v1 plans over the SOURCE's files
+        assert snapshot_files(spark, dst) == snapshot_files(spark, src)
+        assert read_snapshot(spark, dst).count() == 99
+        # divergence: merge on the clone rewrites INTO the clone only
+        merge_snapshot(
+            spark,
+            spark.createDataFrame([(7, 777)], "k long, v long"),
+            dst,
+            "k",
+            stats_cols=["k"],
+        )
+        assert read_snapshot(spark, dst).filter("k = 7").first()["v"] == 777
+        assert read_snapshot(spark, src).filter("k = 7").count() == 0
+        # source files untouched; clone's new file lives under the clone
+        m = _manifest(spark, dst, 2)
+        assert any(dst in f for f in m["files"])
+        assert read_snapshot(spark, src).count() == 99
