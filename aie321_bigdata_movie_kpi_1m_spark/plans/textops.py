@@ -1610,3 +1610,55 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "train_val_test_split",
+    """
+WITH gated AS (
+  SELECT doc_id, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS g
+  FROM documents
+)
+SELECT CASE WHEN g < 80 THEN 'train'
+            WHEN g < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM gated
+GROUP BY 1
+""",
+    "deterministic train/val/test split (80/10/10): the md5(id) "
+    "hash-gate assigns every document to EXACTLY one split, stable "
+    "across runs, engines, partitionings and cluster sizes — the "
+    "property that makes a held-out set auditable and leak-proof "
+    "(rand()-based splits reshuffle membership on every retry, "
+    "silently contaminating eval); disjoint-and-exhaustive by "
+    "construction (one gate value, three disjoint ranges), checked by "
+    "the per-split id checksums the oracle recomputes; shuffle-free "
+    "until the count rollup",
+    tags=("sampling",),
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(gate < 80, "train").when(gate < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
