@@ -804,6 +804,56 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def snapshot_append_delta(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Change-feed SPECIALIZATION for append-only version ranges: the
+    rows added between ``v_from`` and ``v_to`` are exactly the files in
+    ``v_to``'s manifest that ``v_from``'s lacks — a manifest SET
+    DIFFERENCE, so the delta reads O(delta files) with ZERO comparison
+    compute, where the generic ``snapshot_changes`` pays two full-table
+    ``exceptAll`` shuffles.  This is what makes incremental view
+    maintenance over a streaming-ingest layer O(new data) end to end.
+
+    Guarded, not assumed: every intermediate version's mode must be
+    'append' and the deletion-vector entries must be unchanged —
+    otherwise file difference is not row difference and the generic
+    feed is the correct tool (the error says so)."""
+    versions = snapshot_versions(spark, path)
+    for v in (v_from, v_to):
+        if v not in versions:
+            raise FileNotFoundError(f"version {v} not in {versions} at {path}")
+    if v_to < v_from:
+        raise ValueError(f"v_to {v_to} < v_from {v_from}")
+    m_from = _manifest(spark, path, v_from)
+    m_to = _manifest(spark, path, v_to)
+    for v in range(v_from + 1, v_to + 1):
+        mode = _manifest(spark, path, v).get("mode")
+        if mode != "append":
+            raise ValueError(
+                f"version {v} has mode {mode!r}, not 'append' — file "
+                "difference is not row difference; use snapshot_changes"
+            )
+    dv_from = [e["path"] for e in m_from.get("delete_files") or []]
+    dv_to = [e["path"] for e in m_to.get("delete_files") or []]
+    if dv_from != dv_to:
+        raise ValueError(
+            "deletion vectors changed across the range — use "
+            "snapshot_changes"
+        )
+    new_files = sorted(set(m_to["files"]) - set(m_from["files"]))
+    if not new_files:
+        rec = m_to.get("schema")
+        schema = T.StructType(
+            [
+                T.StructField(name, _type_from_json(dtype))
+                for name, dtype in (rec or {}).items()
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*new_files)
+
+
 def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
     """ROLLBACK as a new commit (Delta RESTORE): make the head's content
     equal to ``version`` by committing a NEW manifest that references
@@ -1464,6 +1514,7 @@ def vacuum_snapshots(
     *,
     keep_last: int = 2,
     orphan_grace_seconds: float = 24 * 3600,
+    dry_run: bool = False,
 ) -> dict:
     """Retention + orphan GC (the maintenance job every versioned layer
     needs): drop all but the newest ``keep_last`` manifests, then delete
@@ -1485,8 +1536,14 @@ def vacuum_snapshots(
       is doomed anyway (its manifest rename can never succeed), so
       deleting it at worst fails a job that was already failing.
 
+    ``dry_run=True`` reports exactly what a real run would drop and
+    delete — versions, file counts, in-flight skips — while touching
+    NOTHING (Delta's VACUUM DRY RUN): the audit step before pointing a
+    retention job at a production layer.
+
     Returns {"dropped_versions": [...], "deleted_files": n,
-    "skipped_in_flight": [...]}.  Safe order for readers: manifests are
+    "skipped_in_flight": [...], "dry_run": bool}.  Safe order for
+    readers: manifests are
     deleted FIRST, so a reader racing the vacuum either resolves a
     surviving version (whose files all remain) or fails on the manifest
     read — it can never plan a scan over a file the GC pass is about to
@@ -1497,8 +1554,9 @@ def vacuum_snapshots(
     keep = versions[-keep_last:] if keep_last > 0 else []
     dropped = [v for v in versions if v not in keep]
     jvm, fs = _fs(spark, path)
-    for v in dropped:
-        fs.delete(_hpath(jvm, f"{path}/{_MANIFEST_DIR}/v{v}.json"), False)
+    if not dry_run:
+        for v in dropped:
+            fs.delete(_hpath(jvm, f"{path}/{_MANIFEST_DIR}/v{v}.json"), False)
     # stale manifest staging temps (crashed _write_text) age out too
     mdir = _hpath(jvm, f"{path}/{_MANIFEST_DIR}")
     now_ms = time.time() * 1000.0
@@ -1507,7 +1565,8 @@ def vacuum_snapshots(
         for status in fs.listStatus(mdir):
             name = status.getPath().getName()
             if ".tmp-" in name and now_ms - status.getModificationTime() > grace_ms:
-                fs.delete(status.getPath(), False)
+                if not dry_run:
+                    fs.delete(status.getPath(), False)
     live: set[str] = set()
     live_dv: set[str] = set()
     for v in keep:
@@ -1540,13 +1599,15 @@ def vacuum_snapshots(
                 skipped.append(dpath)
                 continue
             deleted += len(_list_parquet_files(spark, dpath))
-            fs.delete(status.getPath(), True)
+            if not dry_run:
+                fs.delete(status.getPath(), True)
     ddir = _hpath(jvm, f"{path}/data")
     if not fs.exists(ddir):
         return {
             "dropped_versions": dropped,
             "deleted_files": deleted,
             "skipped_in_flight": skipped,
+            "dry_run": dry_run,
         }
     for status in fs.listStatus(ddir):
         dpath = status.getPath().toString()
@@ -1557,7 +1618,8 @@ def vacuum_snapshots(
             # defensive and GC file-by-file if that invariant ever bends
             for f in dfiles:
                 if f not in live:
-                    fs.delete(_hpath(jvm, f), False)
+                    if not dry_run:
+                        fs.delete(_hpath(jvm, f), False)
                     deleted += 1
             continue
         m = _STAGE_RE.match(status.getPath().getName())
@@ -1566,9 +1628,11 @@ def vacuum_snapshots(
             skipped.append(dpath)  # possibly an in-flight commit
             continue
         deleted += len(dfiles)
-        fs.delete(status.getPath(), True)
+        if not dry_run:
+            fs.delete(status.getPath(), True)
     return {
         "dropped_versions": dropped,
         "deleted_files": deleted,
         "skipped_in_flight": skipped,
+        "dry_run": dry_run,
     }

@@ -2060,3 +2060,78 @@ class TestRestoreClone:
         m = _manifest(spark, dst, 2)
         assert any(dst in f for f in m["files"])
         assert read_snapshot(spark, src).count() == 99
+
+
+class TestVacuumDryRun:
+    def test_dry_run_reports_without_deleting(self, spark, tmp_path):
+        """VACUUM DRY RUN: reports exactly what the real run would drop
+        (versions + file counts) while leaving every manifest and data
+        file in place; the subsequent real run deletes precisely that."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+            snapshot_versions,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "layer")
+        for i in range(3):
+            commit_snapshot(
+                spark,
+                spark.range(i * 10, i * 10 + 10).selectExpr("id AS k").coalesce(1),
+                path,
+            )
+        dry = vacuum_snapshots(
+            spark, path, keep_last=1, orphan_grace_seconds=0, dry_run=True
+        )
+        assert dry["dry_run"] and dry["dropped_versions"] == [1, 2]
+        assert dry["deleted_files"] == 2
+        # nothing actually happened: all versions still readable
+        assert snapshot_versions(spark, path) == [1, 2, 3]
+        assert read_snapshot(spark, path, 1).count() == 10
+        real = vacuum_snapshots(
+            spark, path, keep_last=1, orphan_grace_seconds=0
+        )
+        assert not real["dry_run"]
+        assert real["dropped_versions"] == dry["dropped_versions"]
+        assert real["deleted_files"] == dry["deleted_files"]
+        assert snapshot_versions(spark, path) == [3]
+
+
+class TestAppendDelta:
+    def test_manifest_diff_delta_and_guards(self, spark, tmp_path):
+        """snapshot_append_delta reads exactly the appended rows from
+        the manifest file diff; refuses non-append ranges and ranges
+        whose deletion vectors changed."""
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            delete_snapshot,
+            snapshot_append_delta,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark, spark.range(0, 50).selectExpr("id AS k").coalesce(1), path
+        )
+        commit_snapshot(
+            spark,
+            spark.range(50, 80).selectExpr("id AS k").coalesce(1),
+            path,
+            mode="append",
+        )
+        delta = snapshot_append_delta(spark, path, 1, 2)
+        assert sorted(r["k"] for r in delta.collect()) == list(range(50, 80))
+        # empty range: typed empty frame
+        assert snapshot_append_delta(spark, path, 2, 2).count() == 0
+        # a delete in the range breaks the append-only contract
+        delete_snapshot(spark, path, "k = 0")
+        with pytest.raises(ValueError, match="snapshot_changes"):
+            snapshot_append_delta(spark, path, 1, 3)
+        # overwrite breaks it too
+        commit_snapshot(
+            spark, spark.range(5).selectExpr("id AS k"), path
+        )
+        with pytest.raises(ValueError, match="not 'append'"):
+            snapshot_append_delta(spark, path, 3, 4)
