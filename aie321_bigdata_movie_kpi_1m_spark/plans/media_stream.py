@@ -1053,3 +1053,87 @@ def q_streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         output_mode="append",
     )
     return out.filter(F.col("user_id") != -1)  # sentinel self-match
+
+
+_SNAPSHOT_SOURCE_BUILT: set[str] = set()
+
+
+def _snapshot_source_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Layer for the snapshot-as-a-STREAM-SOURCE roundtrip: documents
+    committed as v1 = one third, then two appends — so the head equals
+    the full table and the streamed union is oracle-checkable.  Built
+    once per process."""
+    from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/stream_source_layer"
+    if path in _SNAPSHOT_SOURCE_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    docs = load_star_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    commit_snapshot(spark, docs.filter(F.col("doc_id") % 3 == 0).coalesce(2), path)
+    for k in (1, 2):
+        commit_snapshot(
+            spark,
+            docs.filter(F.col("doc_id") % 3 == k).coalesce(1),
+            path,
+            mode="append",
+        )
+    _SNAPSHOT_SOURCE_BUILT.add(path)
+    return path
+
+
+@register(
+    "streaming_snapshot_source",
+    """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+GROUP BY lang
+""",
+    "the snapshot layer as a STREAM SOURCE (sources/pyds.py::"
+    "SnapshotStreamDataSource — Delta streaming-source semantics): "
+    "offsets are MANIFEST VERSIONS, each micro-batch's rows are the "
+    "files added across the consumed range (the same manifest set "
+    "difference as the batch append-delta feed), the driver-side "
+    "runner does only manifest-JSON algebra and every row reads on "
+    "executors one task per new file; checkpointed restarts consume "
+    "ONLY newly committed versions (pytest-pinned), non-append "
+    "versions / live deletion vectors / vacuumed offsets raise; this "
+    "closes the medallion loop — the layer every batch query maintains "
+    "is also a live stream feed; oracle is the batch truth over the "
+    "full table, so a dropped or doubled version breaks the hash",
+    tags=("streaming", "snapshots", "sources"),
+)
+def q_streaming_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sources.pyds import register_snapshot_stream, snapshot_stream_schema
+
+    register_snapshot_stream(spark)
+    path = _snapshot_source_layer(spark, sf_dir)
+    ckpt = f"{path}_ckpt_{_tag(sf_dir)}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.format("snapshot_stream")
+        .schema(snapshot_stream_schema(path, "doc_id,lang,n_chars"))
+        .option("path", path)
+        .option("cols", "doc_id,lang,n_chars")
+        .load()
+    )
+    out = _run_to_memory_sink(
+        spark,
+        stream.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+        ),
+        name="snapshot_source_counts",
+        output_mode="complete",
+    )
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("chars_sum").cast("long").alias("chars_sum"),
+    )

@@ -567,3 +567,170 @@ def register_replay_parquet(spark) -> None:
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     ensure_package_on_workers(spark)
     spark.dataSource.register(ReplayParquetDataSource)
+
+
+@dataclass
+class _SnapshotFilePartition(InputPartition):
+    file: str | None
+    cols: tuple
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    """Streaming reader over the snapshot-versioned table layer — the
+    layer as a STREAM SOURCE (Delta's streaming-source semantics):
+    offsets are MANIFEST VERSIONS, and a micro-batch's rows are the
+    data files added across the consumed version range (the same
+    manifest set difference as ``snapshots.snapshot_append_delta``), so
+    the driver-side runner does only manifest-JSON algebra and every
+    row is read ON THE EXECUTORS, one task per new file.
+
+    First batch = the start version's full file set (the initial
+    snapshot); every later batch = appended files only.  Non-append
+    versions or live deletion vectors in the consumed range RAISE
+    (file difference is not row difference there — the same guard the
+    batch delta feed enforces; Delta calls this ignoreChanges
+    territory).  A vacuumed start offset raises rather than silently
+    re-serving the whole table.
+
+    The runner process has no JVM, so manifests are read with plain
+    file IO — file:// layers (the test substrate); an object-store
+    deployment would read manifests through its native client here.
+    """
+
+    def __init__(self, options: dict):
+        self._path = options["path"]
+        self._cols = tuple(options["cols"].split(","))
+
+    def _versions(self) -> list[int]:
+        import os
+
+        d = os.path.join(self._path, "_manifests")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in os.listdir(d)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _manifest(self, v: int) -> dict:
+        import json
+        import os
+
+        with open(
+            os.path.join(self._path, "_manifests", f"v{v}.json")
+        ) as fh:
+            return json.load(fh)
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        vs = self._versions()
+        return {"version": vs[-1] if vs else 0}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        if e <= s:
+            return [_SnapshotFilePartition(None, self._cols)]
+        vs = self._versions()
+        if s != 0 and s not in vs:
+            raise ValueError(
+                f"stream offset v{s} was vacuumed from {self._path}; "
+                "restart the stream from a fresh checkpoint"
+            )
+        prev_files = set(self._manifest(s)["files"]) if s in vs else set()
+        files: list[str] = []
+        for v in [x for x in vs if s < x <= e]:
+            m = self._manifest(v)
+            if prev_files and m.get("mode") != "append":
+                raise ValueError(
+                    f"version {v} has mode {m.get('mode')!r}: a snapshot "
+                    "stream consumes append-only ranges (overwrite/merge/"
+                    "delete need a CDC reader, not file tailing)"
+                )
+            if m.get("delete_files"):
+                raise ValueError(
+                    f"version {v} carries deletion vectors — file "
+                    "difference is not row difference; compact first"
+                )
+            cur = set(m["files"])
+            files.extend(sorted(cur - prev_files))
+            prev_files = cur
+        if not files:
+            return [_SnapshotFilePartition(None, self._cols)]
+        return [_SnapshotFilePartition(f, self._cols) for f in files]
+
+    def read(self, partition: _SnapshotFilePartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        if partition.file is None:
+            return
+        table = pq.read_table(
+            partition.file.removeprefix("file:"),
+            columns=list(partition.cols),
+        )
+        cols = [table.column(c).to_pylist() for c in partition.cols]
+        yield from zip(*cols)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def snapshot_stream_schema(path: str, cols: str):
+    """Driver-side schema for a snapshot_stream (manifest-only; pass to
+    ``readStream.schema(...)`` to skip the engine's DataSource.schema
+    Python-worker round-trip, same latency story as replay_schema_ddl)."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    d = os.path.join(path, "_manifests")
+    head = sorted(
+        int(n[1:-5])
+        for n in os.listdir(d)
+        if n.startswith("v") and n.endswith(".json")
+    )[-1]
+    with open(os.path.join(d, f"v{head}.json")) as fh:
+        rec = json.load(fh)["schema"]
+    return T.StructType(
+        [
+            T.StructField(c, T._parse_datatype_json_string(rec[c]))
+            for c in cols.split(",")
+        ]
+    )
+
+
+class SnapshotStreamDataSource(DataSource):
+    """``spark.readStream.format("snapshot_stream")`` — stream the
+    snapshot-versioned table layer (options: ``path`` = layer root,
+    ``cols`` = comma-list).  Each manifest version is an offset; see
+    ``_SnapshotStreamReader`` for semantics and guards."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_stream"
+
+    def schema(self):
+        return snapshot_stream_schema(
+            self.options["path"], self.options["cols"]
+        )
+
+    def streamReader(self, schema):
+        return _SnapshotStreamReader(dict(self.options))
+
+
+def register_snapshot_stream(spark) -> None:
+    """Idempotently register the snapshot-layer streaming source."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from ..session import ensure_package_on_workers
+
+    # same by-value pickle as replay_parquet: the stream-runner is a
+    # separate driver-side Python process that never sees addPyFile
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(SnapshotStreamDataSource)

@@ -2135,3 +2135,85 @@ class TestAppendDelta:
         )
         with pytest.raises(ValueError, match="not 'append'"):
             snapshot_append_delta(spark, path, 3, 4)
+
+
+class TestSnapshotStreamSource:
+    def test_checkpointed_incremental_consumption(self, spark, tmp_path):
+        """The layer as a stream source: first availableNow run serves
+        the full head; after two more appends, a restart from the SAME
+        checkpoint serves ONLY the newly committed rows."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            register_snapshot_stream,
+            snapshot_stream_schema,
+        )
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+        )
+
+        register_snapshot_stream(spark)
+        path = str(tmp_path / "layer")
+        ckpt = str(tmp_path / "ckpt")
+        commit_snapshot(
+            spark,
+            spark.range(0, 50).selectExpr("id AS k").coalesce(2),
+            path,
+        )
+
+        def run(batches):
+            q = (
+                spark.readStream.format("snapshot_stream")
+                .schema(snapshot_stream_schema(path, "k"))
+                .option("path", path)
+                .option("cols", "k")
+                .load()
+                .writeStream.foreachBatch(
+                    lambda df, bid: batches.append(
+                        sorted(r["k"] for r in df.collect())
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        first: list = []
+        run(first)
+        assert sorted(sum(first, [])) == list(range(50))
+        for lo in (50, 70):
+            commit_snapshot(
+                spark,
+                spark.range(lo, lo + 20).selectExpr("id AS k").coalesce(1),
+                path,
+                mode="append",
+            )
+        second: list = []
+        run(second)
+        assert sorted(sum(second, [])) == list(range(50, 90))  # delta only
+
+    def test_stream_refuses_non_append_and_dv_ranges(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            _SnapshotStreamReader,
+        )
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            delete_snapshot,
+        )
+
+        import pytest
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark, spark.range(10).selectExpr("id AS k").coalesce(1), path
+        )
+        delete_snapshot(spark, path, "k = 3")
+        r = _SnapshotStreamReader({"path": path, "cols": "k"})
+        # a delete version trips the mode guard (its mode is 'delete');
+        # either wording is the correct refusal
+        with pytest.raises(ValueError, match="append-only|deletion vectors"):
+            r.partitions({"version": 1}, {"version": 2})
+        commit_snapshot(
+            spark, spark.range(5).selectExpr("id AS k").coalesce(1), path
+        )
+        with pytest.raises(ValueError, match="append-only"):
+            r.partitions({"version": 2}, {"version": 3})
