@@ -1137,3 +1137,84 @@ def q_streaming_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("chars_sum").cast("long").alias("chars_sum"),
     )
+
+
+_MEDALLION_BUILT: set[str] = set()
+
+
+def _medallion_silver_layer(spark: SparkSession, sf_dir: str) -> str:
+    """End-to-end MEDALLION hop: the bronze documents layer (3 manifest
+    versions) is consumed AS A STREAM (snapshot_stream source), a
+    quality gate filters in-flight, and the result commits into a
+    SILVER snapshot layer through the exactly-once foreachBatch sink —
+    source offsets are manifest versions, sink idempotence is the
+    (app_id, batch_id) txn high-water mark, so the hop is restartable
+    at both ends.  Built once per process."""
+    import shutil
+
+    from ..sources.pyds import register_snapshot_stream, snapshot_stream_schema
+    from ..sources.snapshots import drop_snapshot_layer
+    from ..streaming.snapshot_sink import append_stream_to_snapshot
+
+    silver = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/medallion_silver"
+    if silver in _MEDALLION_BUILT:
+        return silver
+    register_snapshot_stream(spark)
+    bronze = _snapshot_source_layer(spark, sf_dir)
+    drop_snapshot_layer(spark, silver)
+    ckpt = f"{silver}_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.format("snapshot_stream")
+        .schema(snapshot_stream_schema(bronze, "doc_id,lang,n_chars"))
+        .option("path", bronze)
+        .option("cols", "doc_id,lang,n_chars")
+        .load()
+        .filter(F.col("n_chars") >= 100)  # the silver quality gate
+    )
+    append_stream_to_snapshot(
+        stream,
+        silver,
+        checkpoint_dir=ckpt,
+        query_name="medallion_hop",
+        app_id="bronze_to_silver",
+        stats_cols=["doc_id"],
+    )
+    _MEDALLION_BUILT.add(silver)
+    return silver
+
+
+@register(
+    "streaming_medallion_hop",
+    """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+WHERE n_chars >= 100
+GROUP BY lang
+""",
+    "end-to-end MEDALLION hop, layer to layer: the bronze snapshot "
+    "layer streams out through the manifest-version source "
+    "(snapshot_stream), a quality gate filters in-flight, and the "
+    "silver snapshot layer ingests through the exactly-once "
+    "foreachBatch sink — restartable at BOTH ends (source: checkpointed "
+    "version offsets; sink: (app_id, batch_id) txn no-op on replay); "
+    "the silver layer then serves every table-format affordance (time "
+    "travel, skip scan, compaction, its own downstream stream); oracle "
+    "is the batch truth of the gated transform over the full bronze "
+    "content, so a dropped/doubled version or batch breaks the hash",
+    tags=("streaming", "snapshots", "exactly-once"),
+)
+def q_streaming_medallion_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    silver = _medallion_silver_layer(spark, sf_dir)
+    return (
+        read_snapshot(spark, silver)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+    )
