@@ -745,6 +745,25 @@ def snapshot_row_count(
     return total
 
 
+def register_snapshot_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    *,
+    as_of: float | None = None,
+) -> None:
+    """SQL façade: expose one version of the layer as a temp view, so
+    ``spark.sql("SELECT ... FROM name")`` composes the whole SQL
+    surface (joins, windows, CTEs) over the manifest-planned,
+    deletion-vector-aware read.  Re-registering replaces the view (a
+    view pins the version resolved AT registration — re-register to
+    follow the head)."""
+    read_snapshot(
+        spark, path, version, as_of=as_of
+    ).createOrReplaceTempView(name)
+
+
 def snapshot_version_as_of(
     spark: SparkSession, path: str, ts_epoch: float
 ) -> int:

@@ -2217,3 +2217,31 @@ class TestSnapshotStreamSource:
         )
         with pytest.raises(ValueError, match="append-only"):
             r.partitions({"version": 2}, {"version": 3})
+
+
+class TestSnapshotView:
+    def test_sql_facade_pins_version_and_sees_deletes(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            delete_snapshot,
+            register_snapshot_view,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark,
+            spark.range(0, 100).selectExpr("id AS k").coalesce(1),
+            path,
+        )
+        delete_snapshot(spark, path, "k < 10")
+        register_snapshot_view(spark, path, "snap_head")
+        register_snapshot_view(spark, path, "snap_v1", version=1)
+        assert spark.sql("SELECT COUNT(*) n FROM snap_head").first()["n"] == 90
+        assert spark.sql(
+            "SELECT COUNT(*) n FROM snap_v1 WHERE k < 10"
+        ).first()["n"] == 10
+        # full SQL surface composes over the MoR read
+        j = spark.sql(
+            "SELECT COUNT(*) n FROM snap_head a JOIN snap_v1 b ON a.k = b.k"
+        ).first()["n"]
+        assert j == 90
