@@ -736,3 +736,55 @@ def q_association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("na") * F.col("nb"))
         ).alias("lift"),
     )
+
+
+@register(
+    "user_feature_vector",
+    """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(MAX(FLOOR(epoch(ts))) AS BIGINT) AS last_seen_sec,
+       CAST(COUNT(DISTINCT CAST(FLOOR(epoch(ts)/86400.0) AS BIGINT)) AS BIGINT)
+         AS active_days
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL
+GROUP BY user_id
+""",
+    "per-entity feature engineering in ONE pass (the feature-store "
+    "materialization shape): event counts by type (conditional "
+    "aggregates, not a pivot's wide shuffle), monetary sum in exact "
+    "cents, recency, and distinct active days — all fold in a single "
+    "groupBy with map-side partial aggregation (the distinct-days "
+    "count runs as Spark's standard two-phase distinct aggregate), so "
+    "the per-user feature table materializes with one shuffle of "
+    "partial states however wide the event log gets",
+    tags=("analytics", "features"),
+)
+def q_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_star_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    sec = F.col("ts").cast("long")
+
+    def n_of(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1)).cast("long")
+
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        n_of("click").alias("n_click"),
+        n_of("view").alias("n_view"),
+        n_of("purchase").alias("n_purchase"),
+        n_of("error").alias("n_error"),
+        n_of("signup").alias("n_signup"),
+        F.sum(_cents(F.col("value"))).cast("long").alias("value_cents"),
+        F.max(sec).cast("long").alias("last_seen_sec"),
+        F.countDistinct(F.floor(sec / 86400.0).cast("long"))
+        .cast("long")
+        .alias("active_days"),
+    )
