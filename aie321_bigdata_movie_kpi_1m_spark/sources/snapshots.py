@@ -251,8 +251,17 @@ def commit_snapshot(
     txn: tuple[str, int] | None = None,
     bloom_col: str | None = None,
     checks: dict[str, str] | None = None,
+    expect_version: int | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the layer at ``path``.
+
+    ``expect_version=N`` turns the commit into a COMPARE-AND-SWAP on the
+    version number: it fails with ``FileExistsError`` unless the commit
+    would land exactly at version N.  This is how a caller makes a
+    check-then-act sequence safe (e.g. "bootstrap the layer iff it is
+    still empty" -> ``expect_version=1``): without it, a writer that
+    raced past the caller's check would silently make this commit an
+    overwrite of the winner's data instead of a detectable conflict.
 
     ``txn=(app_id, version)`` makes the commit IDEMPOTENT per writer
     application (the Delta ``txnAppId``/``txnVersion`` pattern): the
@@ -294,7 +303,8 @@ def commit_snapshot(
         raise ValueError("mode must be 'overwrite' or 'append'")
     versions = snapshot_versions(spark, path)
     head = versions[-1] if versions else 0
-    txn_map: dict = _manifest(spark, path, head).get("txn", {}) if head else {}
+    prev: dict = _manifest(spark, path, head) if head else {}
+    txn_map: dict = prev.get("txn", {})
     if txn is not None:
         app, tv = txn
         prev_tv = txn_map.get(app)
@@ -302,9 +312,14 @@ def commit_snapshot(
             return head  # replayed transaction: already applied
         txn_map = {**txn_map, app: int(tv)}
     version = head + 1
+    if expect_version is not None and expect_version != version:
+        raise FileExistsError(
+            f"concurrent commit: expected to commit v{expect_version} "
+            f"at {path} but the head is v{head}"
+        )
     schema_fields = {f.name: f.dataType.json() for f in df.schema.fields}
     if mode == "append" and head:
-        prev_schema = _manifest(spark, path, head).get("schema")
+        prev_schema = prev.get("schema")
         if prev_schema:
             for name, dtype in prev_schema.items():
                 if name in schema_fields and schema_fields[name] != dtype:
@@ -321,7 +336,15 @@ def commit_snapshot(
     # dodge the table's invariants by omitting them)
     effective_checks = dict(checks or {})
     if mode == "append" and head and checks is None:
-        effective_checks = _manifest(spark, path, head).get("checks") or {}
+        effective_checks = prev.get("checks") or {}
+    # Bloom parameters are PER LAYER, recorded in the manifest at commit
+    # time and used verbatim at probe time: an append extending a layer
+    # whose blooms were built with different (m, k) than the current
+    # module constants must keep the layer's recorded parameters, or the
+    # mixed bit sets would silently skip files that contain the value
+    bloom_m, bloom_k = _BLOOM_BITS, _BLOOM_HASHES
+    if mode == "append" and head and prev.get("bloom_m"):
+        bloom_m, bloom_k = int(prev["bloom_m"]), int(prev["bloom_k"])
     data_dir = f"{path}/data/v{version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(data_dir)
     if effective_checks:
@@ -331,11 +354,12 @@ def commit_snapshot(
     if not stats_cols:
         stats = {}
     blooms = (
-        _file_blooms(spark, data_dir, files, bloom_col) if bloom_col else {}
+        _file_blooms(spark, data_dir, files, bloom_col, m=bloom_m, k=bloom_k)
+        if bloom_col
+        else {}
     )
     delete_files: list = []
     if mode == "append" and head:
-        prev = _manifest(spark, path, head)
         files = sorted(prev["files"] + files)
         stats = {**prev.get("stats", {}), **stats}
         counts = {**(prev.get("counts") or {}), **counts}
@@ -359,6 +383,8 @@ def commit_snapshot(
                 "blooms": blooms,
                 "bloom_col": bloom_col
                 or (prev.get("bloom_col") if mode == "append" and head else None),
+                "bloom_m": bloom_m,
+                "bloom_k": bloom_k,
                 "delete_files": delete_files,
                 "schema": schema_fields,
                 "checks": effective_checks,
@@ -482,8 +508,14 @@ def snapshot_files(
         col, value = prune_point
         blooms = m.get("blooms", {})
         if m.get("bloom_col") == col and blooms:
+            # probe with the LAYER'S recorded bloom parameters (manifests
+            # from before parameter recording used the then-current
+            # constants, which the defaults preserve)
             pos = _bloom_positions(
-                spark, value, m=_BLOOM_BITS, k=_BLOOM_HASHES
+                spark,
+                value,
+                m=int(m.get("bloom_m") or _BLOOM_BITS),
+                k=int(m.get("bloom_k") or _BLOOM_HASHES),
             )
             kept = []
             for f in files:
@@ -583,13 +615,18 @@ def read_snapshot(
         if version is not None:
             raise ValueError("version and as_of are mutually exclusive")
         version = snapshot_version_as_of(spark, path, as_of)
+    # resolve the head ONCE and pin it: resolving again per sub-step
+    # (file list vs delete entries) would let a commit landing in between
+    # produce a torn read — version N's files with version N+1's deletes
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    v = versions[-1] if version is None else version
     files = snapshot_files(
-        spark, path, version, prune_range=prune_range, prune_point=prune_point
+        spark, path, v, prune_range=prune_range, prune_point=prune_point
     )
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
     if files:
-        versions = snapshot_versions(spark, path)
-        v = versions[-1] if version is None else version
         dv_read = _apply_delete_entries(
             spark, _manifest(spark, path, v), files, reader
         )
@@ -599,8 +636,6 @@ def read_snapshot(
         # every file skipped: an empty typed frame needs the schema.
         # Newer manifests record it (no footer read at all); older layers
         # fall back to the (unpruned) manifest's files
-        versions = snapshot_versions(spark, path)
-        v = versions[-1] if version is None else version
         rec = _manifest(spark, path, v).get("schema")
         if rec:
             schema = T.StructType(
@@ -610,7 +645,7 @@ def read_snapshot(
                 ]
             )
             return spark.createDataFrame([], schema)
-        all_files = snapshot_files(spark, path, version)
+        all_files = snapshot_files(spark, path, v)
         return reader.parquet(*all_files).limit(0)
     return reader.parquet(*files)
 
@@ -697,6 +732,8 @@ def delete_snapshot(
                 "counts": m.get("counts", {}),
                 "blooms": m.get("blooms", {}),
                 "bloom_col": m.get("bloom_col"),
+                "bloom_m": m.get("bloom_m"),
+                "bloom_k": m.get("bloom_k"),
                 "delete_files": entries + [{"path": dv_dir, "touches": touches}],
                 "schema": m.get("schema"),
                 "checks": m.get("checks") or {},
@@ -929,6 +966,8 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
                 "counts": old.get("counts", {}),
                 "blooms": old.get("blooms", {}),
                 "bloom_col": old.get("bloom_col"),
+                "bloom_m": old.get("bloom_m"),
+                "bloom_k": old.get("bloom_k"),
                 "delete_files": old.get("delete_files") or [],
                 "schema": old.get("schema"),
                 "checks": old.get("checks") or {},
@@ -981,6 +1020,8 @@ def clone_snapshot(
                 "counts": m.get("counts", {}),
                 "blooms": m.get("blooms", {}),
                 "bloom_col": m.get("bloom_col"),
+                "bloom_m": m.get("bloom_m"),
+                "bloom_k": m.get("bloom_k"),
                 "delete_files": m.get("delete_files") or [],
                 "schema": m.get("schema"),
                 "checks": m.get("checks") or {},
@@ -1200,6 +1241,19 @@ def merge_snapshot(
             f"columns {sorted(head_schema)} — MERGE does not evolve "
             "schemas (use mode='append' commits for additive evolution)"
         )
+    if head_schema is not None:
+        # mirror the append path's re-type check: a delta that re-types a
+        # column would widen the rewritten files while carried files keep
+        # the old type — exactly the mixed-footer layer merge-schema
+        # reads explode on, with a manifest still recording the head type
+        delta_types = {f.name: f.dataType.json() for f in delta.schema.fields}
+        for name, dtype in head_schema.items():
+            if name in delta_types and delta_types[name] != dtype:
+                raise ValueError(
+                    f"merge delta re-types column {name!r}: committed "
+                    f"{dtype}, delta {delta_types[name]} — MERGE does "
+                    "not evolve schemas"
+                )
 
     # exact per-file touch test: join the delta's DISTINCT keys against
     # the (tiny) file-range relation — a file is touched iff some delta
@@ -1311,6 +1365,8 @@ def merge_snapshot(
                 "counts": {**carried_counts, **new_counts},
                 "blooms": carried_blooms,
                 "bloom_col": m.get("bloom_col"),
+                "bloom_m": m.get("bloom_m"),
+                "bloom_k": m.get("bloom_k"),
                 "delete_files": carried_deletes,
                 "schema": head_schema
                 or {f.name: f.dataType.json() for f in delta.schema.fields},
@@ -1421,6 +1477,8 @@ def compact_small_files(
                     if b in carried_bases
                 },
                 "bloom_col": m.get("bloom_col"),
+                "bloom_m": m.get("bloom_m"),
+                "bloom_k": m.get("bloom_k"),
                 "delete_files": carried_deletes,
                 "schema": m.get("schema"),
                 "checks": m.get("checks") or {},
@@ -1488,6 +1546,7 @@ def rewrite_snapshot(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {path}")
     head = versions[-1]
+    head_m = _manifest(spark, path, head)
     files = snapshot_files(spark, path, head)
     jvm, fs = _fs(spark, path)
     total = sum(fs.getFileStatus(_hpath(jvm, f)).getLen() for f in files)
@@ -1512,12 +1571,19 @@ def rewrite_snapshot(
         stats_cols = sorted(set(stats_cols or []) | set(zorder_by))
     else:
         df = df.coalesce(n_files)
+    # a re-LAYOUT must not change the table's invariants or indexes: the
+    # head's CHECK constraints and bloom column pass through the
+    # overwrite commit (which never inherits them on its own — only
+    # appends do), exactly as compact_small_files carries them; the
+    # bloom index is recomputed over the rewritten files
     new_v = commit_snapshot(
         spark,
         df,
         path,
         mode="overwrite",
         stats_cols=stats_cols,
+        bloom_col=head_m.get("bloom_col"),
+        checks=head_m.get("checks") or None,
     )
     return {
         "version": new_v,

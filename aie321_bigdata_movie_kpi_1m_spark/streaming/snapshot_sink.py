@@ -114,7 +114,11 @@ def snapshot_upsert_writer(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..sources.snapshots import merge_snapshot, snapshot_versions
+    from ..sources.snapshots import (
+        merge_snapshot,
+        retry_commit,
+        snapshot_versions,
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
@@ -128,24 +132,40 @@ def snapshot_upsert_writer(
                 .drop("__rn")
             )
         spark = out.sparkSession
-        if not snapshot_versions(spark, path):
-            commit_snapshot(
-                spark,
-                out.repartitionByRange(bootstrap_files, key_col),
-                path,
-                stats_cols=[key_col],
-                txn=(app_id, int(batch_id)),
-            )
-        else:
-            merge_snapshot(
-                spark,
-                out,
-                path,
-                key_col,
-                stats_cols=[key_col],
-                resolve=resolve,
-                txn=(app_id, int(batch_id)),
-            )
+
+        # the bootstrap is check-then-act (empty layer -> first commit),
+        # so a concurrent writer — or a leftover v1 from a racing
+        # bootstrap — can make the losing commit raise FileExistsError;
+        # retry_commit re-runs the WHOLE closure, which re-reads the
+        # head and falls through to merge_snapshot once the layer has a
+        # version, instead of killing the streaming query.  The txn
+        # marker keeps every retry idempotent.
+        def attempt():
+            if not snapshot_versions(spark, path):
+                # expect_version=1 makes the bootstrap a compare-and-swap:
+                # if a racer committed first, this raises FileExistsError
+                # (instead of silently OVERWRITING the racer's v1) and
+                # the retry merges against the new head
+                commit_snapshot(
+                    spark,
+                    out.repartitionByRange(bootstrap_files, key_col),
+                    path,
+                    stats_cols=[key_col],
+                    txn=(app_id, int(batch_id)),
+                    expect_version=1,
+                )
+            else:
+                merge_snapshot(
+                    spark,
+                    out,
+                    path,
+                    key_col,
+                    stats_cols=[key_col],
+                    resolve=resolve,
+                    txn=(app_id, int(batch_id)),
+                )
+
+        retry_commit(attempt)
 
     return write_batch
 

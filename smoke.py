@@ -29,7 +29,19 @@ import os
 import subprocess
 import sys
 
-ALWAYS = ["ann_lsh_topk", "ann_ivf_topk"]
+# - ann_lsh_topk / ann_ivf_topk: the two queries whose only driver rows
+#   are stale round-1 failures — must be provably green every commit
+# - snapshot_merge_cow / streaming_drift_kl: one representative each of
+#   the two families dominating the never-driver-sampled population (the
+#   snapshot table layer and the flush-sentinel streaming monitors) —
+#   their members share failure modes, so a green representative guards
+#   the family between rotations
+ALWAYS = [
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "snapshot_merge_cow",
+    "streaming_drift_kl",
+]
 SLICE = 10
 
 

@@ -2245,3 +2245,190 @@ class TestSnapshotView:
             "SELECT COUNT(*) n FROM snap_head a JOIN snap_v1 b ON a.k = b.k"
         ).first()["n"]
         assert j == 90
+
+
+class TestAdviceRound5Fixes:
+    """Regression pins for the round-5 ADVICE findings: invariants a
+    maintenance rewrite must not drop, re-type guards on MERGE, bloom
+    parameters recorded per layer, single-resolution reads, and a
+    bootstrap race that must not kill a streaming upsert."""
+
+    def test_rewrite_preserves_checks_and_bloom(self, spark, tmp_path):
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            _manifest,
+            commit_snapshot,
+            rewrite_snapshot,
+            snapshot_files,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark,
+            spark.range(0, 200).selectExpr("id AS k").repartition(4),
+            path,
+            bloom_col="k",
+            checks={"k_nonneg": "k >= 0"},
+        )
+        rewrite_snapshot(spark, path, n_files=2)
+        m = _manifest(spark, path, 2)
+        # an OPTIMIZE-style rewrite keeps the table's invariants + index
+        assert m.get("checks") == {"k_nonneg": "k >= 0"}
+        assert m.get("bloom_col") == "k"
+        # bloom index was recomputed over the rewritten files and probes
+        kept = snapshot_files(spark, path, 2, prune_point=("k", 5))
+        assert 1 <= len(kept) <= 2
+        # later appends still enforce the carried CHECK
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            commit_snapshot(
+                spark,
+                spark.createDataFrame([(-1,)], "k long"),
+                path,
+                mode="append",
+            )
+
+    def test_merge_rejects_retyped_column(self, spark, tmp_path):
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            merge_snapshot,
+        )
+
+        path = str(tmp_path / "layer")
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+            path,
+            stats_cols=["k"],
+        )
+        retyped = spark.createDataFrame([(1, 99.5)], "k long, v double")
+        with pytest.raises(ValueError, match="re-types column"):
+            merge_snapshot(spark, retyped, path, "k")
+
+    def test_bloom_params_recorded_and_used_at_probe(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from pyspark.sql import functions as F
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark,
+            spark.range(0, 400).selectExpr("id AS k").repartition(4),
+            path,
+            bloom_col="k",
+        )
+        m = snap._manifest(spark, path, 1)
+        assert (m["bloom_m"], m["bloom_k"]) == (
+            snap._BLOOM_BITS,
+            snap._BLOOM_HASHES,
+        )
+        # simulate a FUTURE build changing the module constants: probes
+        # of the existing layer must use the layer's RECORDED (m, k) —
+        # with the old behavior the probe would compute wrong positions
+        # and silently skip files that contain the value
+        monkeypatch.setattr(snap, "_BLOOM_BITS", 1024)
+        monkeypatch.setattr(snap, "_BLOOM_HASHES", 7)
+        for probe in (3, 123, 399):
+            kept = snap.snapshot_files(spark, path, prune_point=("k", probe))
+            got = sorted(
+                r["k"]
+                for r in spark.read.parquet(*kept)
+                .where(F.col("k") == probe)
+                .collect()
+            )
+            assert got == [probe]
+        # and an APPEND to the layer keeps the recorded params, so old
+        # and new bloom entries stay mutually probe-compatible
+        snap.commit_snapshot(
+            spark,
+            spark.range(400, 500).selectExpr("id AS k"),
+            path,
+            mode="append",
+            bloom_col="k",
+        )
+        m2 = snap._manifest(spark, path, 2)
+        assert (m2["bloom_m"], m2["bloom_k"]) == (m["bloom_m"], m["bloom_k"])
+        kept = snap.snapshot_files(spark, path, prune_point=("k", 450))
+        vals = {
+            r["k"]
+            for r in spark.read.parquet(*kept)
+            .where(F.col("k") == 450)
+            .collect()
+        }
+        assert vals == {450}
+
+    def test_read_snapshot_resolves_head_once(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark, spark.range(0, 50).selectExpr("id AS k").coalesce(1), path
+        )
+        snap.delete_snapshot(spark, path, "k < 10")
+
+        # simulate a commit landing MID-READ: the first head resolution
+        # sees v1, later resolutions see v2.  A torn read would combine
+        # v1's file list with v2's delete entries (40 rows); the fixed
+        # single-resolution read returns exactly v1's 50 rows.
+        real = snap.snapshot_versions
+        calls = {"n": 0}
+
+        def racing(spark_, path_):
+            calls["n"] += 1
+            out = real(spark_, path_)
+            return out[:1] if calls["n"] == 1 else out
+
+        monkeypatch.setattr(snap, "snapshot_versions", racing)
+        assert snap.read_snapshot(spark, path).count() == 50
+
+    def test_upsert_bootstrap_race_falls_back_to_merge(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.streaming.snapshot_sink as sink
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+            snapshot_versions,
+        )
+
+        path = str(tmp_path / "layer")
+        # a RACING writer bootstraps the layer between this writer's
+        # emptiness check and its commit: make the sink's first
+        # emptiness check lie (return []), so its bootstrap commit loses
+        # the v1 rename race — the retry must re-read the head and MERGE
+        # instead of killing the query with FileExistsError
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(1, "old"), (2, "old")], "k long, v string"),
+            path,
+            stats_cols=["k"],
+        )
+        calls = {"n": 0}
+
+        def lying(spark_, path_):
+            calls["n"] += 1
+            return [] if calls["n"] == 1 else snapshot_versions(spark_, path_)
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        monkeypatch.setattr(snap, "snapshot_versions", lying)
+        # writer created UNDER the patch so its closure binds the lying
+        # emptiness check; snapshots-internal calls see it too
+        write_batch = sink.snapshot_upsert_writer(path, "k", app_id="t")
+        try:
+            write_batch(
+                spark.createDataFrame([(2, "new"), (3, "new")], "k long, v string"),
+                0,
+            )
+        finally:
+            monkeypatch.undo()
+        got = {
+            (r["k"], r["v"]) for r in read_snapshot(spark, path).collect()
+        }
+        assert got == {(1, "old"), (2, "new"), (3, "new")}
