@@ -622,6 +622,23 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         ) as fh:
             return json.load(fh)
 
+    def _segment_files(self, seg_path: str) -> list[str]:
+        import json
+
+        with open(seg_path.removeprefix("file:")) as fh:
+            return json.load(fh)["files"]
+
+    def _file_set(self, m: dict) -> set[str]:
+        """All data files of one manifest — segment-aware (format 2
+        loads every segment; only used for initial snapshots and
+        format-migration boundaries, where O(all) is the honest cost)."""
+        if m.get("format", 1) >= 2:
+            out: set[str] = set()
+            for e in m.get("segments") or []:
+                out.update(self._segment_files(e["path"]))
+            return out
+        return set(m["files"])
+
     def initialOffset(self) -> dict:
         return {"version": 0}
 
@@ -639,11 +656,19 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 f"stream offset v{s} was vacuumed from {self._path}; "
                 "restart the stream from a fresh checkpoint"
             )
-        prev_files = set(self._manifest(s)["files"]) if s in vs else set()
+        have_prev = s in vs
+        prev_seg: set[str] | None = None
+        prev_files: set[str] = set()
+        if have_prev:
+            pm = self._manifest(s)
+            if pm.get("format", 1) >= 2:
+                prev_seg = {e["path"] for e in pm.get("segments") or []}
+            else:
+                prev_files = self._file_set(pm)
         files: list[str] = []
         for v in [x for x in vs if s < x <= e]:
             m = self._manifest(v)
-            if prev_files and m.get("mode") != "append":
+            if have_prev and m.get("mode") != "append":
                 raise ValueError(
                     f"version {v} has mode {m.get('mode')!r}: a snapshot "
                     "stream consumes append-only ranges (overwrite/merge/"
@@ -654,9 +679,28 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     f"version {v} carries deletion vectors — file "
                     "difference is not row difference; compact first"
                 )
-            cur = set(m["files"])
-            files.extend(sorted(cur - prev_files))
-            prev_files = cur
+            fmt2 = m.get("format", 1) >= 2
+            if prev_seg is not None and fmt2:
+                # SEGMENT set difference: appends carry prior entries by
+                # reference, so only the NEW segments' files are read —
+                # the O(delta) planning path for a long-lived tail
+                cur_seg = {e["path"] for e in m.get("segments") or []}
+                for entry in m.get("segments") or []:
+                    if entry["path"] not in prev_seg:
+                        files.extend(sorted(self._segment_files(entry["path"])))
+                prev_seg = cur_seg
+            else:
+                # initial snapshot, or a format boundary in the range:
+                # fall back to the file-set difference once
+                cur = self._file_set(m)
+                files.extend(sorted(cur - prev_files))
+                prev_files = cur
+                prev_seg = (
+                    {e["path"] for e in m.get("segments") or []}
+                    if fmt2
+                    else None
+                )
+            have_prev = True
         if not files:
             return [_SnapshotFilePartition(None, self._cols)]
         return [_SnapshotFilePartition(f, self._cols) for f in files]

@@ -115,6 +115,22 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     return sorted(files)
 
 
+def _list_parquet_sizes(spark: SparkSession, path: str) -> dict[str, int]:
+    """Basename -> byte size for the parquet files under ``path`` (one
+    recursive listing; the commit-time source of the manifest's ``sizes``
+    map, which is what lets compaction and broadcast-size estimation run
+    without per-file RPCs later)."""
+    jvm, fs = _fs(spark, path)
+    it = fs.listFiles(_hpath(jvm, path), True)
+    sizes: dict[str, int] = {}
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if p.getName().endswith(".parquet"):
+            sizes[p.getName()] = int(st.getLen())
+    return sizes
+
+
 def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
     """Committed versions of the layer at ``path``, ascending."""
     jvm, fs = _fs(spark, path)
@@ -129,10 +145,211 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(versions)
 
 
-def _manifest(spark: SparkSession, path: str, version: int) -> dict:
+# ---------------------------------------------------------------------------
+# Segmented manifests (format 2) — Iceberg's manifest-list idea.
+#
+# A format-1 manifest inlines every live data file with its stats into ONE
+# JSON document, so read planning parses O(all files ever) on the driver:
+# at 100 TB (10^6-10^7 files) that is a multi-GB parse per query — the one
+# real scale-killer in a single-document design.  Format 2 instead stores
+# the per-file maps (files / stats / counts / blooms / sizes) in immutable
+# SEGMENT files under ``_manifests/segments/``, and the version manifest
+# carries only one small entry per segment: path, file/row/byte totals,
+# and per-column [min, max] aggregated over the segment's files.  The
+# consequences, each load-bearing at scale:
+#
+# - **Planning is O(pruned segments).** ``snapshot_files(prune_range=...)``
+#   drops whole segments on the entry-level [min, max] before reading a
+#   single segment file; only surviving segments are loaded for file-level
+#   skipping.  A range-clustered layer answers a narrow scan by parsing a
+#   handful of KB-sized JSONs, however many files the table has.
+# - **Appends write O(delta) manifest bytes.** An append carries the head's
+#   segment entries BY REFERENCE and writes new segment(s) for the new
+#   files only — where format 1 re-serialized the whole file inventory on
+#   every commit.
+# - **COUNT(*) is entry-arithmetic.** Per-segment n_rows makes
+#   ``snapshot_row_count`` a zero-segment-read fold.
+#
+# Segments are immutable and content-addressed (version + random token in
+# the name), so carrying an entry by reference is always safe; vacuum GCs
+# segment files no surviving manifest references, with the same in-flight
+# grace window as data staging dirs.  Format-1 manifests remain fully
+# readable; the first mutating commit migrates them by packing the inline
+# maps into segments (one-time O(head files) metadata write, zero data IO).
+# ---------------------------------------------------------------------------
+
+_SEGMENT_MAX_FILES = 256
+
+# observability hook: tests assert planning cost is O(pruned segments) by
+# counting actual segment-file reads
+_SEGMENT_READS = {"n": 0}
+
+
+def _manifest_raw(spark: SparkSession, path: str, version: int) -> dict:
+    """The version manifest EXACTLY as written — for format 2 the
+    per-file maps live in segment files and are NOT loaded.  Planning
+    paths work from this plus only the segments they need."""
     return json.loads(
         _read_text(spark, f"{path}/{_MANIFEST_DIR}/v{version}.json")
     )
+
+
+def _read_segment(spark: SparkSession, seg_path: str) -> dict:
+    _SEGMENT_READS["n"] += 1
+    return json.loads(_read_text(spark, seg_path))
+
+
+def _manifest(spark: SparkSession, path: str, version: int) -> dict:
+    """MATERIALIZED view of one version's manifest: for segmented
+    manifests the per-file maps (files/stats/counts/blooms/sizes) are
+    loaded from ALL segment files and inlined — the compatibility path
+    for maintenance jobs and tests that want the full inventory.  Hot
+    paths (snapshot_files, row_count, merge, append delta) must NOT use
+    this; they stay O(relevant segments) via ``_manifest_raw``."""
+    m = _manifest_raw(spark, path, version)
+    if m.get("format", 1) < 2:
+        return m
+    files: list[str] = []
+    stats: dict = {}
+    counts: dict = {}
+    blooms: dict = {}
+    sizes: dict = {}
+    for entry in m.get("segments") or []:
+        seg = _read_segment(spark, entry["path"])
+        files.extend(seg["files"])
+        stats.update(seg.get("stats") or {})
+        counts.update(seg.get("counts") or {})
+        blooms.update(seg.get("blooms") or {})
+        sizes.update(seg.get("sizes") or {})
+    m["files"] = sorted(files)
+    m["stats"] = stats
+    m["counts"] = counts
+    m["blooms"] = blooms
+    m["sizes"] = sizes
+    return m
+
+
+def _aggregate_seg_stats(bases: list[str], seg_stats: dict) -> dict:
+    """Per-SEGMENT [min, max] per column for the version manifest's
+    segment entry.  A column appears ONLY when every member file has a
+    recorded stats entry for it (absence = 'cannot skip safely', the
+    same conservative contract as per-file stats); ``[None, None]``
+    means recorded-but-empty (all member files zero-row / all-NULL) —
+    safe to skip under the NULL-rejecting prune contract."""
+    if not bases or any(b not in seg_stats for b in bases):
+        return {}
+    cols = set(seg_stats[bases[0]])
+    for b in bases[1:]:
+        cols &= set(seg_stats[b])
+    out: dict = {}
+    for c in sorted(cols):
+        lo = hi = None
+        for b in bases:
+            s = seg_stats[b][c]
+            if s[0] is None or s[1] is None:
+                continue
+            lo = s[0] if lo is None or s[0] < lo else lo
+            hi = s[1] if hi is None or s[1] > hi else hi
+        out[c] = [lo, hi]
+    return out
+
+
+def _write_segment_entries(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    files: list[str],
+    stats: dict,
+    counts: dict,
+    blooms: dict,
+    sizes: dict,
+) -> list[dict]:
+    """Pack per-file metadata into immutable segment files and return
+    the version manifest's segment entries.  Chunking at
+    ``_SEGMENT_MAX_FILES`` bounds both the size of one segment JSON and
+    the planning cost per surviving segment; entry ``n_rows`` / ``bytes``
+    are None when any member file lacks the figure (callers then fall
+    back to a real scan / listing)."""
+    entries: list[dict] = []
+    ordered = sorted(files)
+    for i in range(0, len(ordered), _SEGMENT_MAX_FILES):
+        chunk = ordered[i : i + _SEGMENT_MAX_FILES]
+        bases = [f.rsplit("/", 1)[-1] for f in chunk]
+        seg_stats = {b: stats[b] for b in bases if b in stats}
+        seg_counts = {b: counts[b] for b in bases if b in counts}
+        seg_blooms = {b: blooms[b] for b in bases if b in blooms}
+        seg_sizes = {b: sizes[b] for b in bases if b in sizes}
+        seg_path = (
+            f"{path}/{_MANIFEST_DIR}/segments/"
+            f"v{version}-{uuid.uuid4().hex[:8]}.json"
+        )
+        _write_text(
+            spark,
+            seg_path,
+            json.dumps(
+                {
+                    "files": chunk,
+                    "stats": seg_stats,
+                    "counts": seg_counts,
+                    "blooms": seg_blooms,
+                    "sizes": seg_sizes,
+                },
+                default=str,
+            ),
+        )
+        entries.append(
+            {
+                "path": seg_path,
+                "n_files": len(chunk),
+                "n_rows": (
+                    sum(int(seg_counts[b]) for b in bases)
+                    if all(b in seg_counts for b in bases)
+                    else None
+                ),
+                "bytes": (
+                    sum(int(seg_sizes[b]) for b in bases)
+                    if all(b in seg_sizes for b in bases)
+                    else None
+                ),
+                "stats": _aggregate_seg_stats(bases, seg_stats),
+            }
+        )
+    return entries
+
+
+def _entries_from_inline(
+    spark: SparkSession, path: str, version: int, m: dict
+) -> list[dict]:
+    """One-time migration of a format-1 manifest: pack its inline
+    per-file maps into segment files (written under ``version``'s name,
+    so vacuum's in-flight grace covers them) and return the entries —
+    zero data IO, O(head files) metadata."""
+    return _write_segment_entries(
+        spark,
+        path,
+        version,
+        m["files"],
+        m.get("stats", {}) or {},
+        m.get("counts") or {},
+        m.get("blooms", {}) or {},
+        m.get("sizes", {}) or {},
+    )
+
+
+def _entry_range_keeps(entry_stats: dict, col: str, lo, hi) -> bool:
+    """Segment-entry-level range test (True = cannot skip).  Mirrors the
+    per-file semantics; a bound/stat pair the comparison cannot order
+    (e.g. a date bound against a migrated string stat) conservatively
+    keeps the segment — pruning is an optimization, never a filter."""
+    s = entry_stats.get(col)
+    if s is None:
+        return True
+    if s[0] is None or s[1] is None:
+        return False
+    try:
+        return (lo is None or s[1] >= lo) and (hi is None or s[0] <= hi)
+    except TypeError:
+        return True
 
 
 def _type_from_json(dtype_json: str):
@@ -303,7 +520,7 @@ def commit_snapshot(
         raise ValueError("mode must be 'overwrite' or 'append'")
     versions = snapshot_versions(spark, path)
     head = versions[-1] if versions else 0
-    prev: dict = _manifest(spark, path, head) if head else {}
+    prev: dict = _manifest_raw(spark, path, head) if head else {}
     txn_map: dict = prev.get("txn", {})
     if txn is not None:
         app, tv = txn
@@ -358,29 +575,39 @@ def commit_snapshot(
         if bloom_col
         else {}
     )
+    sizes = _list_parquet_sizes(spark, data_dir)
+    # default=str inside the segment/manifest writers: non-JSON stat
+    # types (dates/timestamps) serialize as ISO strings, whose
+    # lexicographic order matches their natural order — pass string
+    # bounds to prune_range for those columns
+    new_entries = _write_segment_entries(
+        spark, path, version, files, stats, counts, blooms, sizes
+    )
     delete_files: list = []
+    carried_entries: list = []
     if mode == "append" and head:
-        files = sorted(prev["files"] + files)
-        stats = {**prev.get("stats", {}), **stats}
-        counts = {**(prev.get("counts") or {}), **counts}
-        blooms = {**prev.get("blooms", {}), **blooms}
+        # O(delta) manifest write: the head's segment entries carry BY
+        # REFERENCE; only the delta's files got new segments.  A
+        # format-1 head migrates here (its inline maps pack into
+        # segments once; zero data IO)
+        if prev.get("format", 1) >= 2:
+            carried_entries = prev.get("segments") or []
+        else:
+            carried_entries = _entries_from_inline(
+                spark, path, version, _manifest(spark, path, head)
+            )
         # old files' deletion vectors stay valid: appends add files only
         delete_files = prev.get("delete_files") or []
     _write_text(
         spark,
         f"{path}/{_MANIFEST_DIR}/v{version}.json",
-        # default=str: non-JSON stat types (dates/timestamps) serialize as
-        # ISO strings, whose lexicographic order matches their natural
-        # order — pass string bounds to prune_range for those columns
         json.dumps(
             {
                 "version": version,
                 "committed_at": time.time(),
                 "mode": mode,
-                "files": files,
-                "stats": stats,
-                "counts": counts,
-                "blooms": blooms,
+                "format": 2,
+                "segments": carried_entries + new_entries,
                 "bloom_col": bloom_col
                 or (prev.get("bloom_col") if mode == "append" and head else None),
                 "bloom_m": bloom_m,
@@ -479,34 +706,58 @@ def snapshot_files(
                 else ""
             )
         )
-    m = _manifest(spark, path, v)
-    files = m["files"]
-    if prune_range is not None:
-        # one (col, lo, hi) tuple, or a list of them ANDed together —
-        # the multi-dimensional probe a Z-ordered layout makes sharp
-        ranges = (
-            [prune_range]
-            if isinstance(prune_range, tuple)
-            else list(prune_range)
-        )
-        stats = m.get("stats", {})
+    m = _manifest_raw(spark, path, v)
+    # one (col, lo, hi) tuple, or a list of them ANDed together —
+    # the multi-dimensional probe a Z-ordered layout makes sharp
+    ranges = (
+        []
+        if prune_range is None
+        else [prune_range]
+        if isinstance(prune_range, tuple)
+        else list(prune_range)
+    )
+    if m.get("format", 1) >= 2:
+        # segment-level skip FIRST: entries whose per-column [min, max]
+        # cannot intersect the range are dropped before their segment
+        # file is even opened — planning cost is O(surviving segments),
+        # not O(all files ever), the property that keeps a 10^7-file
+        # layer plannable from KBs of JSON
+        entries = m.get("segments") or []
         for col, lo, hi in ranges:
-            kept = []
-            for f in files:
-                s = stats.get(f.rsplit("/", 1)[-1], {}).get(col)
-                if s is None:
-                    kept.append(f)  # no stats recorded -> cannot skip safely
-                elif s[0] is None or s[1] is None:
-                    # stats recorded but no min/max: zero rows, or every
-                    # value NULL — safe to skip either way, because a range
-                    # predicate is NULL-rejecting (the caller's contract)
-                    continue
-                elif (lo is None or s[1] >= lo) and (hi is None or s[0] <= hi):
-                    kept.append(f)
-            files = kept
+            entries = [
+                e
+                for e in entries
+                if _entry_range_keeps(e.get("stats") or {}, col, lo, hi)
+            ]
+        files = []
+        stats = {}
+        blooms = {}
+        for e in entries:
+            seg = _read_segment(spark, e["path"])
+            files.extend(seg["files"])
+            stats.update(seg.get("stats") or {})
+            blooms.update(seg.get("blooms") or {})
+        files = sorted(files)
+    else:
+        files = m["files"]
+        stats = m.get("stats", {})
+        blooms = m.get("blooms", {})
+    for col, lo, hi in ranges:
+        kept = []
+        for f in files:
+            s = stats.get(f.rsplit("/", 1)[-1], {}).get(col)
+            if s is None:
+                kept.append(f)  # no stats recorded -> cannot skip safely
+            elif s[0] is None or s[1] is None:
+                # stats recorded but no min/max: zero rows, or every
+                # value NULL — safe to skip either way, because a range
+                # predicate is NULL-rejecting (the caller's contract)
+                continue
+            elif (lo is None or s[1] >= lo) and (hi is None or s[0] <= hi):
+                kept.append(f)
+        files = kept
     if prune_point is not None:
         col, value = prune_point
-        blooms = m.get("blooms", {})
         if m.get("bloom_col") == col and blooms:
             # probe with the LAYER'S recorded bloom parameters (manifests
             # from before parameter recording used the then-current
@@ -628,7 +879,7 @@ def read_snapshot(
     reader = spark.read.option("mergeSchema", str(merge_schema).lower())
     if files:
         dv_read = _apply_delete_entries(
-            spark, _manifest(spark, path, v), files, reader
+            spark, _manifest_raw(spark, path, v), files, reader
         )
         if dv_read is not None:
             return dv_read
@@ -636,7 +887,7 @@ def read_snapshot(
         # every file skipped: an empty typed frame needs the schema.
         # Newer manifests record it (no footer read at all); older layers
         # fall back to the (unpruned) manifest's files
-        rec = _manifest(spark, path, v).get("schema")
+        rec = _manifest_raw(spark, path, v).get("schema")
         if rec:
             schema = T.StructType(
                 [
@@ -688,7 +939,7 @@ def delete_snapshot(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {path}")
     head = versions[-1]
-    m = _manifest(spark, path, head)
+    m = _manifest_raw(spark, path, head)
     candidates = snapshot_files(spark, path, head, prune_range=prune_range)
     if not candidates:
         return {"version": head, "rows_deleted": 0, "files_touched": 0}
@@ -719,6 +970,15 @@ def delete_snapshot(
     if n_deleted == 0:
         fs.delete(_hpath(jvm, dv_dir), True)
         return {"version": head, "rows_deleted": 0, "files_touched": 0}
+    # a DELETE changes no data file: the new manifest carries the head's
+    # segment entries BY REFERENCE and only appends the delete entry —
+    # O(1) manifest bytes however large the table
+    if m.get("format", 1) >= 2:
+        seg_entries = m.get("segments") or []
+    else:
+        seg_entries = _entries_from_inline(
+            spark, path, version, _manifest(spark, path, head)
+        )
     _write_text(
         spark,
         f"{path}/{_MANIFEST_DIR}/v{version}.json",
@@ -727,10 +987,8 @@ def delete_snapshot(
                 "version": version,
                 "committed_at": time.time(),
                 "mode": "delete",
-                "files": m["files"],
-                "stats": m.get("stats", {}),
-                "counts": m.get("counts", {}),
-                "blooms": m.get("blooms", {}),
+                "format": 2,
+                "segments": seg_entries,
                 "bloom_col": m.get("bloom_col"),
                 "bloom_m": m.get("bloom_m"),
                 "bloom_k": m.get("bloom_k"),
@@ -766,7 +1024,20 @@ def snapshot_row_count(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions} at {path}")
-    m = _manifest(spark, path, v)
+    m = _manifest_raw(spark, path, v)
+    if m.get("format", 1) >= 2:
+        # pure segment-entry arithmetic — ZERO segment reads, zero data
+        # scans.  Sound because every mutator maintains the invariant
+        # that delete-entry touches reference only files live in the
+        # same manifest (appends carry entries verbatim over a growing
+        # file set; merge/compact trim rewritten bases out)
+        entries = m.get("segments") or []
+        if any(e.get("n_rows") is None for e in entries):
+            return None
+        total = sum(int(e["n_rows"]) for e in entries)
+        for e in m.get("delete_files") or []:
+            total -= sum(int(n) for n in e["touches"].values())
+        return total
     counts = m.get("counts")
     if not counts:
         return None
@@ -838,16 +1109,22 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     driver-side materialization is audit-log-sized, never data-sized."""
     rows = []
     for v in snapshot_versions(spark, path):
-        m = _manifest(spark, path, v)
+        m = _manifest_raw(spark, path, v)
         try:
             n_rows = snapshot_row_count(spark, path, v)
         except FileNotFoundError:
             n_rows = None
+        if m.get("format", 1) >= 2:
+            n_files = sum(
+                int(e["n_files"]) for e in m.get("segments") or []
+            )
+        else:
+            n_files = len(m["files"])
         rows.append(
             (
                 v,
                 m.get("mode"),
-                len(m["files"]),
+                n_files,
                 n_rows,
                 len(m.get("delete_files") or []),
                 float(m["committed_at"]) if m.get("committed_at") else None,
@@ -881,10 +1158,10 @@ def snapshot_append_delta(
             raise FileNotFoundError(f"version {v} not in {versions} at {path}")
     if v_to < v_from:
         raise ValueError(f"v_to {v_to} < v_from {v_from}")
-    m_from = _manifest(spark, path, v_from)
-    m_to = _manifest(spark, path, v_to)
+    m_from = _manifest_raw(spark, path, v_from)
+    m_to = _manifest_raw(spark, path, v_to)
     for v in range(v_from + 1, v_to + 1):
-        mode = _manifest(spark, path, v).get("mode")
+        mode = _manifest_raw(spark, path, v).get("mode")
         if mode != "append":
             raise ValueError(
                 f"version {v} has mode {mode!r}, not 'append' — file "
@@ -897,7 +1174,25 @@ def snapshot_append_delta(
             "deletion vectors changed across the range — use "
             "snapshot_changes"
         )
-    new_files = sorted(set(m_to["files"]) - set(m_from["files"]))
+    if m_from.get("format", 1) >= 2 and m_to.get("format", 1) >= 2:
+        # SEGMENT set difference: appends carry the prior entries by
+        # reference, so the delta is exactly v_to's new segment entries
+        # — only THOSE segment files are read, O(delta) end to end even
+        # on a 10^7-file layer
+        from_paths = {e["path"] for e in m_from.get("segments") or []}
+        new_files = sorted(
+            f
+            for e in m_to.get("segments") or []
+            if e["path"] not in from_paths
+            for f in _read_segment(spark, e["path"])["files"]
+        )
+    else:
+        # a format migration inside the range: fall back to the
+        # materialized file-set difference (one-time cost)
+        new_files = sorted(
+            set(_manifest(spark, path, v_to)["files"])
+            - set(_manifest(spark, path, v_from)["files"])
+        )
     if not new_files:
         rec = m_to.get("schema")
         schema = T.StructType(
@@ -938,13 +1233,15 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
             )
         )
     head = versions[-1]
+    old_raw = _manifest_raw(spark, path, version)
     old = _manifest(spark, path, version)
-    cur = _manifest(spark, path, head)
+    cur = _manifest_raw(spark, path, head)
     jvm, fs = _fs(spark, path)
     missing = [
         f
         for f in old["files"]
         + [e["path"] for e in old.get("delete_files") or []]
+        + [e["path"] for e in old_raw.get("segments") or []]
         if not fs.exists(_hpath(jvm, f))
     ]
     if missing:
@@ -953,6 +1250,10 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
             f"file(s) vacuumed, e.g. {missing[0]}"
         )
     new_v = head + 1
+    if old_raw.get("format", 1) >= 2:
+        seg_entries = old_raw.get("segments") or []
+    else:
+        seg_entries = _entries_from_inline(spark, path, new_v, old)
     _write_text(
         spark,
         f"{path}/{_MANIFEST_DIR}/v{new_v}.json",
@@ -961,10 +1262,9 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
                 "version": new_v,
                 "committed_at": time.time(),
                 "mode": "restore",
-                "files": old["files"],
-                "stats": old.get("stats", {}),
-                "counts": old.get("counts", {}),
-                "blooms": old.get("blooms", {}),
+                "format": 2,
+                "restore_of": version,
+                "segments": seg_entries,
                 "bloom_col": old.get("bloom_col"),
                 "bloom_m": old.get("bloom_m"),
                 "bloom_k": old.get("bloom_k"),
@@ -1005,7 +1305,18 @@ def clone_snapshot(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions} at {src_path}")
-    m = _manifest(spark, src_path, v)
+    m = _manifest_raw(spark, src_path, v)
+    if m.get("format", 1) >= 2:
+        # the clone references the SOURCE's segment files in place, like
+        # its data files — zero bytes copied; the clone's own vacuum
+        # lists only its own _manifests/segments dir, so it can never
+        # GC the source's segments (same caveat as data: vacuuming the
+        # SOURCE can break the clone)
+        seg_entries = m.get("segments") or []
+    else:
+        seg_entries = _entries_from_inline(
+            spark, dst_path, 1, _manifest(spark, src_path, v)
+        )
     _write_text(
         spark,
         f"{dst_path}/{_MANIFEST_DIR}/v1.json",
@@ -1015,10 +1326,8 @@ def clone_snapshot(
                 "committed_at": time.time(),
                 "mode": "clone",
                 "clone_of": {"path": src_path, "version": v},
-                "files": m["files"],
-                "stats": m.get("stats", {}),
-                "counts": m.get("counts", {}),
-                "blooms": m.get("blooms", {}),
+                "format": 2,
+                "segments": seg_entries,
                 "bloom_col": m.get("bloom_col"),
                 "bloom_m": m.get("bloom_m"),
                 "bloom_k": m.get("bloom_k"),
@@ -1054,9 +1363,24 @@ def snapshot_minmax(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions} at {path}")
-    m = _manifest(spark, path, v)
+    m = _manifest_raw(spark, path, v)
     if m.get("delete_files"):
         return None
+    if m.get("format", 1) >= 2:
+        # fold the SEGMENT-entry aggregates — zero segment reads.  An
+        # entry lacking the column means some member file has no stats
+        # for it (the entry-level contract), so the answer cannot be
+        # exact and the caller must scan
+        lo = hi = None
+        for e in m.get("segments") or []:
+            s = (e.get("stats") or {}).get(col)
+            if s is None:
+                return None
+            if s[0] is None or s[1] is None:
+                continue
+            lo = s[0] if lo is None or s[0] < lo else lo
+            hi = s[1] if hi is None or s[1] > hi else hi
+        return (lo, hi)
     stats = m.get("stats", {})
     lo = hi = None
     for f in m["files"]:
@@ -1220,7 +1544,12 @@ def merge_snapshot(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {path}")
     head = versions[-1]
-    m = _manifest(spark, path, head)
+    m = _manifest_raw(spark, path, head)
+    fmt2 = m.get("format", 1) >= 2
+    if fmt2:
+        total_files = sum(int(e["n_files"]) for e in m.get("segments") or [])
+    else:
+        total_files = len(m["files"])
     txn_map: dict = m.get("txn", {})
     if txn is not None:
         app, tv = txn
@@ -1229,11 +1558,10 @@ def merge_snapshot(
             return {
                 "version": head,
                 "files_rewritten": 0,
-                "files_carried": len(m["files"]),
+                "files_carried": total_files,
                 "noop": True,
             }
         txn_map = {**txn_map, app: int(tv)}
-    files, stats = m["files"], m.get("stats", {})
     head_schema = m.get("schema")
     if head_schema is not None and sorted(head_schema) != sorted(delta.columns):
         raise ValueError(
@@ -1255,10 +1583,48 @@ def merge_snapshot(
                     "not evolve schemas"
                 )
 
+    # SEGMENT-level candidate selection first (format 2): the delta's
+    # key envelope [min, max] — one delta-sized agg job — is tested
+    # against each segment entry's aggregate range, so untouched
+    # segments are never even LOADED, let alone their files inspected:
+    # a narrow CDC batch against a key-clustered 10^7-file layer plans
+    # its merge from a handful of segment JSONs.  Untouched candidate
+    # segments carry back into the new manifest VERBATIM (by entry
+    # reference); only segments that lose a file to the rewrite repack.
+    carried_entries: list[dict] = []
+    loaded: list[tuple[dict, dict]] = []
+    if fmt2:
+        env = delta.agg(
+            F.min(key_col).alias("__lo"), F.max(key_col).alias("__hi")
+        ).first()
+        dlo, dhi = env["__lo"], env["__hi"]
+        for e in m.get("segments") or []:
+            if dlo is not None and _entry_range_keeps(
+                e.get("stats") or {}, key_col, dlo, dhi
+            ):
+                loaded.append((e, _read_segment(spark, e["path"])))
+            else:
+                carried_entries.append(e)
+        files = [f for _, seg in loaded for f in seg["files"]]
+        stats = {}
+        counts_map: dict = {}
+        blooms_map: dict = {}
+        sizes_map: dict = {}
+        for _, seg in loaded:
+            stats.update(seg.get("stats") or {})
+            counts_map.update(seg.get("counts") or {})
+            blooms_map.update(seg.get("blooms") or {})
+            sizes_map.update(seg.get("sizes") or {})
+    else:
+        files, stats = m["files"], m.get("stats", {})
+        counts_map = m.get("counts") or {}
+        blooms_map = m.get("blooms", {})
+        sizes_map = m.get("sizes") or {}
+
     # exact per-file touch test: join the delta's DISTINCT keys against
     # the (tiny) file-range relation — a file is touched iff some delta
     # key falls inside its committed [min, max].  The collect is bounded
-    # by the file count, never the data.
+    # by the CANDIDATE file count, never the data.
     ranges = []
     no_stats: list[str] = []
     for f in files:
@@ -1284,7 +1650,19 @@ def merge_snapshot(
             .collect()
         )
         touched.update(r["__f"] for r in hit)
-    carried = [f for f in files if f not in touched]
+    # candidate files that survive: repacked into fresh segments with
+    # their metadata carried (fmt2), or the legacy carried list
+    if fmt2:
+        repack_files: list[str] = []
+        for e, seg in loaded:
+            if not any(f in touched for f in seg["files"]):
+                carried_entries.append(e)  # untouched after exact test
+            else:
+                repack_files.extend(
+                    f for f in seg["files"] if f not in touched
+                )
+    else:
+        repack_files = [f for f in files if f not in touched]
 
     version = head + 1
     data_dir = f"{path}/data/v{version}-{uuid.uuid4().hex[:8]}"
@@ -1325,31 +1703,44 @@ def merge_snapshot(
     )
     if not stats_cols:
         new_stats = {}
-    carried_bases = {f.rsplit("/", 1)[-1] for f in carried}
-    carried_stats = {
-        base: entry
-        for base, entry in stats.items()
-        if base in carried_bases
-    }
-    carried_counts = {
-        base: n
-        for base, n in (m.get("counts") or {}).items()
-        if base in carried_bases
-    }
-    # carried files keep their bloom entries; rewritten files drop theirs
-    # (a conservative reader keeps bloom-less files, so this only costs
+    repack_bases = {f.rsplit("/", 1)[-1] for f in repack_files}
+    # repacked files keep their stats / counts / bloom entries verbatim
+    # (their bytes never moved); rewritten files drop their blooms (a
+    # conservative reader keeps bloom-less files, so this only costs
     # skipping sharpness on the rewritten tail, never correctness)
-    carried_blooms = {
-        base: entry
-        for base, entry in m.get("blooms", {}).items()
-        if base in carried_bases
-    }
-    # delete entries survive only for carried files (rewritten files
-    # folded their deletions in above); entries left touching nothing
-    # drop out entirely, freeing their DV dirs for vacuum
+    repack_entries = _write_segment_entries(
+        spark,
+        path,
+        version,
+        repack_files,
+        {b: s for b, s in stats.items() if b in repack_bases},
+        {b: n for b, n in counts_map.items() if b in repack_bases},
+        {b: e for b, e in blooms_map.items() if b in repack_bases},
+        {b: n for b, n in sizes_map.items() if b in repack_bases},
+    )
+    new_entries = _write_segment_entries(
+        spark,
+        path,
+        version,
+        new_files,
+        new_stats,
+        new_counts,
+        {},
+        _list_parquet_sizes(spark, data_dir),
+    )
+    # delete entries: REWRITTEN files folded their deletions into the
+    # rewrite above, so exactly those bases drop out of each entry's
+    # touches; every other touched base is still live (the mutator
+    # invariant), in a carried or repacked segment.  Entries left
+    # touching nothing drop entirely, freeing their DV dirs for vacuum
+    rewritten_bases = {f.rsplit("/", 1)[-1] for f in touched}
     carried_deletes = []
     for e in m.get("delete_files") or []:
-        trimmed = {b: n for b, n in e["touches"].items() if b in carried_bases}
+        trimmed = {
+            b: n
+            for b, n in e["touches"].items()
+            if b not in rewritten_bases
+        }
         if trimmed:
             carried_deletes.append({"path": e["path"], "touches": trimmed})
     _write_text(
@@ -1360,10 +1751,8 @@ def merge_snapshot(
                 "version": version,
                 "committed_at": time.time(),
                 "mode": "merge",
-                "files": sorted(carried + new_files),
-                "stats": {**carried_stats, **new_stats},
-                "counts": {**carried_counts, **new_counts},
-                "blooms": carried_blooms,
+                "format": 2,
+                "segments": carried_entries + repack_entries + new_entries,
                 "bloom_col": m.get("bloom_col"),
                 "bloom_m": m.get("bloom_m"),
                 "bloom_k": m.get("bloom_k"),
@@ -1379,7 +1768,7 @@ def merge_snapshot(
     return {
         "version": version,
         "files_rewritten": len(touched),
-        "files_carried": len(carried),
+        "files_carried": total_files - len(touched),
     }
 
 
@@ -1410,22 +1799,77 @@ def compact_small_files(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {path}")
     head = versions[-1]
-    m = _manifest(spark, path, head)
+    m = _manifest_raw(spark, path, head)
+    fmt2 = m.get("format", 1) >= 2
     jvm, fs = _fs(spark, path)
-    sized = [
-        (f, fs.getFileStatus(_hpath(jvm, f)).getLen()) for f in m["files"]
-    ]
-    small = [f for f, n in sized if n < small_file_bytes]
-    carried = [f for f, n in sized if n >= small_file_bytes]
+
+    def _size(f: str, sizes: dict) -> int:
+        # manifest-recorded size when present (no RPC), fs stat otherwise
+        b = f.rsplit("/", 1)[-1]
+        return (
+            int(sizes[b])
+            if b in sizes
+            else int(fs.getFileStatus(_hpath(jvm, f)).getLen())
+        )
+
+    carried_entries: list[dict] = []
+    small: list[str] = []
+    small_bytes = 0
+    repack_files: list[str] = []
+    stats_map: dict = {}
+    counts_map: dict = {}
+    blooms_map: dict = {}
+    sizes_map: dict = {}
+    total_files = 0
+    if fmt2:
+        # per-segment: a segment with NO small file carries into the new
+        # manifest verbatim (entry reference, metadata untouched); a
+        # mixed segment splits — small files rewrite, healthy files
+        # repack with their metadata carried
+        for e in m.get("segments") or []:
+            total_files += int(e["n_files"])
+            seg = _read_segment(spark, e["path"])
+            sizes = seg.get("sizes") or {}
+            seg_small = [
+                f
+                for f in seg["files"]
+                if _size(f, sizes) < small_file_bytes
+            ]
+            if not seg_small:
+                carried_entries.append(e)
+                continue
+            small.extend(seg_small)
+            small_bytes += sum(_size(f, sizes) for f in seg_small)
+            small_set = set(seg_small)
+            repack_files.extend(
+                f for f in seg["files"] if f not in small_set
+            )
+            stats_map.update(seg.get("stats") or {})
+            counts_map.update(seg.get("counts") or {})
+            blooms_map.update(seg.get("blooms") or {})
+            sizes_map.update(sizes)
+    else:
+        mm = _manifest(spark, path, head)
+        total_files = len(mm["files"])
+        sizes_map = mm.get("sizes") or {}
+        for f in mm["files"]:
+            n = _size(f, sizes_map)
+            if n < small_file_bytes:
+                small.append(f)
+                small_bytes += n
+            else:
+                repack_files.append(f)
+        stats_map = mm.get("stats", {})
+        counts_map = mm.get("counts") or {}
+        blooms_map = mm.get("blooms", {})
     if len(small) < 2:
         return {
             "version": head,
             "files_rewritten": 0,
-            "files_carried": len(m["files"]),
+            "files_carried": total_files,
         }
     import math
 
-    small_bytes = sum(n for f, n in sized if n < small_file_bytes)
     n_out = max(1, math.ceil(small_bytes / target_file_bytes))
     reader = spark.read.option("mergeSchema", "true")
     raw = _apply_delete_entries(spark, m, small, reader) or reader.parquet(
@@ -1440,10 +1884,35 @@ def compact_small_files(
     )
     if not stats_cols:
         new_stats = {}
-    carried_bases = {f.rsplit("/", 1)[-1] for f in carried}
+    repack_bases = {f.rsplit("/", 1)[-1] for f in repack_files}
+    repack_entries = _write_segment_entries(
+        spark,
+        path,
+        version,
+        repack_files,
+        {b: s for b, s in stats_map.items() if b in repack_bases},
+        {b: n for b, n in counts_map.items() if b in repack_bases},
+        {b: e for b, e in blooms_map.items() if b in repack_bases},
+        {b: n for b, n in sizes_map.items() if b in repack_bases},
+    )
+    new_entries = _write_segment_entries(
+        spark,
+        path,
+        version,
+        new_files,
+        new_stats,
+        new_counts,
+        {},
+        _list_parquet_sizes(spark, data_dir),
+    )
+    rewritten_bases = {f.rsplit("/", 1)[-1] for f in small}
     carried_deletes = []
     for e in m.get("delete_files") or []:
-        trimmed = {b: n for b, n in e["touches"].items() if b in carried_bases}
+        trimmed = {
+            b: n
+            for b, n in e["touches"].items()
+            if b not in rewritten_bases
+        }
         if trimmed:
             carried_deletes.append({"path": e["path"], "touches": trimmed})
     _write_text(
@@ -1454,28 +1923,8 @@ def compact_small_files(
                 "version": version,
                 "committed_at": time.time(),
                 "mode": "compact",
-                "files": sorted(carried + new_files),
-                "stats": {
-                    **{
-                        b: e
-                        for b, e in m.get("stats", {}).items()
-                        if b in carried_bases
-                    },
-                    **new_stats,
-                },
-                "counts": {
-                    **{
-                        b: n
-                        for b, n in (m.get("counts") or {}).items()
-                        if b in carried_bases
-                    },
-                    **new_counts,
-                },
-                "blooms": {
-                    b: e
-                    for b, e in m.get("blooms", {}).items()
-                    if b in carried_bases
-                },
+                "format": 2,
+                "segments": carried_entries + repack_entries + new_entries,
                 "bloom_col": m.get("bloom_col"),
                 "bloom_m": m.get("bloom_m"),
                 "bloom_k": m.get("bloom_k"),
@@ -1490,7 +1939,7 @@ def compact_small_files(
     return {
         "version": version,
         "files_rewritten": len(small),
-        "files_carried": len(carried),
+        "files_carried": total_files - len(small),
     }
 
 
@@ -1627,7 +2076,7 @@ def vacuum_snapshots(
     retention job at a production layer.
 
     Returns {"dropped_versions": [...], "deleted_files": n,
-    "skipped_in_flight": [...], "dry_run": bool}.  Safe order for
+    "deleted_segments": n, "skipped_in_flight": [...], "dry_run": bool}.  Safe order for
     readers: manifests are
     deleted FIRST, so a reader racing the vacuum either resolves a
     surviving version (whose files all remain) or fails on the manifest
@@ -1654,6 +2103,7 @@ def vacuum_snapshots(
                     fs.delete(status.getPath(), False)
     live: set[str] = set()
     live_dv: set[str] = set()
+    live_seg: set[str] = set()
     for v in keep:
         mf = _manifest(spark, path, v)
         live.update(mf["files"])
@@ -1664,8 +2114,42 @@ def vacuum_snapshots(
             fs.makeQualified(_hpath(jvm, e["path"])).toString()
             for e in mf.get("delete_files") or []
         )
+        live_seg.update(
+            fs.makeQualified(_hpath(jvm, e["path"])).toString()
+            for e in mf.get("segments") or []
+        )
     deleted = 0
+    deleted_segments = 0
     skipped: list[str] = []
+    # segment files (manifest metadata, counted separately from data
+    # files): same lifecycle as data staging dirs — keep those a
+    # surviving manifest references (including a CLONE's references into
+    # its own dir; a clone's vacuum lists only its own segments dir, so
+    # it can never GC the source's), grace-skip possible in-flight
+    # future commits, GC the rest.  _write_text staging temps age out.
+    segdir = _hpath(jvm, f"{path}/{_MANIFEST_DIR}/segments")
+    seg_re = re.compile(r"^v(\d+)-[0-9a-f]+\.json$")
+    if fs.exists(segdir):
+        for status in fs.listStatus(segdir):
+            name = status.getPath().getName()
+            spath = status.getPath().toString()
+            if spath in live_seg:
+                continue
+            if ".tmp-" in name:
+                if now_ms - status.getModificationTime() > grace_ms and not dry_run:
+                    fs.delete(status.getPath(), False)
+                continue
+            sm = seg_re.match(name)
+            seg_v = int(sm.group(1)) if sm else 0
+            if (
+                seg_v > head
+                and now_ms - status.getModificationTime() <= grace_ms
+            ):
+                skipped.append(spath)
+                continue
+            deleted_segments += 1
+            if not dry_run:
+                fs.delete(status.getPath(), False)
     # position-delete dirs: same lifecycle as data staging dirs — keep
     # those a surviving manifest references, grace-skip possible
     # in-flight future versions, GC the rest recursively
@@ -1691,6 +2175,7 @@ def vacuum_snapshots(
         return {
             "dropped_versions": dropped,
             "deleted_files": deleted,
+            "deleted_segments": deleted_segments,
             "skipped_in_flight": skipped,
             "dry_run": dry_run,
         }
@@ -1718,6 +2203,7 @@ def vacuum_snapshots(
     return {
         "dropped_versions": dropped,
         "deleted_files": deleted,
+        "deleted_segments": deleted_segments,
         "skipped_in_flight": skipped,
         "dry_run": dry_run,
     }

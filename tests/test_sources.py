@@ -2432,3 +2432,174 @@ class TestAdviceRound5Fixes:
             (r["k"], r["v"]) for r in read_snapshot(spark, path).collect()
         }
         assert got == {(1, "old"), (2, "new"), (3, "new")}
+
+
+class TestManifestSegmentation:
+    """Format-2 manifests: the Iceberg manifest-list idea.  Planning must
+    be O(pruned segments) — measured by counting actual segment-file
+    reads — and appends/deletes must carry segment entries by reference
+    (O(delta) manifest writes)."""
+
+    def _clustered(self, spark, path, monkeypatch, snap, n=16):
+        monkeypatch.setattr(snap, "_SEGMENT_MAX_FILES", 4)
+        snap.commit_snapshot(
+            spark,
+            spark.range(0, 1600)
+            .selectExpr("id AS k", "id % 7 AS v")
+            .repartitionByRange(n, "k"),
+            path,
+            stats_cols=["k"],
+        )
+
+    def test_pruned_planning_reads_one_segment(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._clustered(spark, path, monkeypatch, snap)
+        raw = snap._manifest_raw(spark, path, 1)
+        assert raw["format"] == 2 and "files" not in raw
+        assert len(raw["segments"]) == 4
+        assert all(e["n_files"] == 4 for e in raw["segments"])
+        # a narrow range must load exactly ONE segment file — planning
+        # is O(pruned segments), not O(all files)
+        snap._SEGMENT_READS["n"] = 0
+        kept = snap.snapshot_files(spark, path, prune_range=("k", 10, 20))
+        assert snap._SEGMENT_READS["n"] == 1
+        assert 1 <= len(kept) <= 2
+        got = sorted(
+            r["k"]
+            for r in snap.read_snapshot(
+                spark, path, prune_range=("k", 10, 20)
+            )
+            .where("k BETWEEN 10 AND 20")
+            .collect()
+        )
+        assert got == list(range(10, 21))
+
+    def test_append_and_delta_are_segment_o_delta(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._clustered(spark, path, monkeypatch, snap)
+        v1_entries = snap._manifest_raw(spark, path, 1)["segments"]
+        snap.commit_snapshot(
+            spark,
+            spark.range(1600, 1700).selectExpr("id AS k", "id % 7 AS v"),
+            path,
+            mode="append",
+            stats_cols=["k"],
+        )
+        raw2 = snap._manifest_raw(spark, path, 2)
+        # the head's entries carried BY REFERENCE, verbatim
+        assert raw2["segments"][: len(v1_entries)] == v1_entries
+        new = raw2["segments"][len(v1_entries) :]
+        assert new and all("/segments/v2-" in e["path"] for e in new)
+        # the append delta loads ONLY the new segments
+        snap._SEGMENT_READS["n"] = 0
+        delta = snap.snapshot_append_delta(spark, path, 1, 2)
+        assert snap._SEGMENT_READS["n"] == len(new)
+        assert delta.count() == 100
+
+    def test_row_count_minmax_history_zero_segment_reads(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._clustered(spark, path, monkeypatch, snap)
+        snap.delete_snapshot(spark, path, "k < 100")
+        snap._SEGMENT_READS["n"] = 0
+        assert snap.snapshot_row_count(spark, path) == 1500
+        assert snap.snapshot_minmax(spark, path, "k", version=1) == (0, 1599)
+        hist = snap.snapshot_history(spark, path)
+        assert snap._SEGMENT_READS["n"] == 0
+        rows = {r["version"]: r for r in hist.collect()}
+        assert rows[1]["n_files"] == 16 and rows[2]["n_rows"] == 1500
+
+    def test_merge_loads_only_candidate_segments(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._clustered(spark, path, monkeypatch, snap)
+        v1_entries = snap._manifest_raw(spark, path, 1)["segments"]
+        delta = spark.createDataFrame(
+            [(5, 999), (7, 999)], "k long, v long"
+        )
+        snap._SEGMENT_READS["n"] = 0
+        rep = snap.merge_snapshot(spark, delta, path, "k", stats_cols=["k"])
+        # only the ONE segment whose key range covers the delta was read
+        assert snap._SEGMENT_READS["n"] == 1
+        assert rep["files_rewritten"] == 1 and rep["files_carried"] == 15
+        raw2 = snap._manifest_raw(spark, path, 2)
+        # the 3 out-of-range segments carried verbatim by reference
+        carried = [e for e in raw2["segments"] if e in v1_entries]
+        assert len(carried) == 3
+        got = {
+            r["k"]: r["v"]
+            for r in snap.read_snapshot(spark, path)
+            .where("k IN (4, 5, 7)")
+            .collect()
+        }
+        assert got == {4: 4 % 7, 5: 999, 7: 999}
+
+    def test_legacy_inline_manifest_reads_and_migrates(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import json
+        import os
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._clustered(spark, path, monkeypatch, snap, n=4)
+        # rewrite v1.json as a FORMAT-1 inline manifest (the pre-segment
+        # layout) from the materialized view
+        m = snap._manifest(spark, path, 1)
+        legacy = {
+            k: m[k]
+            for k in (
+                "version",
+                "committed_at",
+                "mode",
+                "files",
+                "stats",
+                "counts",
+                "blooms",
+                "schema",
+                "checks",
+                "txn",
+            )
+        }
+        mpath = os.path.join(path, "_manifests", "v1.json")
+        os.remove(mpath)
+        crc = os.path.join(path, "_manifests", ".v1.json.crc")
+        if os.path.exists(crc):  # Hadoop local-FS checksum sidecar
+            os.remove(crc)
+        with open(mpath, "w") as fh:
+            json.dump(legacy, fh, default=str)
+        # reads, pruning, counts all work on the legacy layout
+        assert snap.read_snapshot(spark, path).count() == 1600
+        assert snap.snapshot_row_count(spark, path) == 1600
+        band = snap.snapshot_files(spark, path, prune_range=("k", 0, 10))
+        assert len(band) == 1
+        # the first APPEND migrates: inline maps pack into segments once
+        snap.commit_snapshot(
+            spark,
+            spark.range(1600, 1650).selectExpr("id AS k", "id % 7 AS v"),
+            path,
+            mode="append",
+            stats_cols=["k"],
+        )
+        raw2 = snap._manifest_raw(spark, path, 2)
+        assert raw2["format"] == 2 and "files" not in raw2
+        assert snap.read_snapshot(spark, path).count() == 1650
+        # migrated entries keep per-file stats: pruning stays sharp
+        snap._SEGMENT_READS["n"] = 0
+        band = snap.snapshot_files(spark, path, prune_range=("k", 0, 10))
+        assert len(band) == 1 and snap._SEGMENT_READS["n"] <= 2
