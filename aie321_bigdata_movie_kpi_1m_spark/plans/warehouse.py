@@ -1283,6 +1283,102 @@ def q_snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EQ_DELETE_LAYERS_BUILT: set[str] = set()
+
+
+def _eq_delete_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Layer for the KEY-EQUALITY delete roundtrip: v1 = customer slice
+    range-clustered on the key (8 files, key stats), v2 =
+    ``delete_snapshot_keys`` for the multiples of 7 up to 100 — O(keys)
+    metadata, ZERO data reads, and the builder asserts the touch scope
+    resolved from manifest stats alone is a strict subset of the files —
+    v3 = an append RE-INSERTING two deleted keys, which must survive
+    (no-resurrect: the delete's scope is the files live at delete time).
+    Built once per process."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        delete_snapshot_keys,
+        drop_snapshot_layer,
+    )
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/eq_delete_layer"
+    if path in _EQ_DELETE_LAYERS_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    base = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    commit_snapshot(
+        spark,
+        base.repartitionByRange(8, "c_custkey"),
+        path,
+        stats_cols=["c_custkey"],
+    )
+    res = delete_snapshot_keys(
+        spark, path, "c_custkey", list(range(7, 101, 7))
+    )
+    if not (0 < res["files_in_scope"] < 8):
+        raise AssertionError(
+            f"equality delete scope not stats-pruned: {res}"
+        )
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(14, "REBORN"), (28, "REBORN")],
+            "c_custkey long, c_mktsegment string",
+        ),
+        path,
+        mode="append",
+        stats_cols=["c_custkey"],
+    )
+    _EQ_DELETE_LAYERS_BUILT.add(path)
+    return path
+
+
+@register(
+    "snapshot_delete_equality",
+    """
+WITH alive AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE NOT (c_custkey % 7 = 0 AND c_custkey BETWEEN 7 AND 100)
+  UNION ALL
+  SELECT * FROM (VALUES (14, 'REBORN'), (28, 'REBORN'))
+           AS t(c_custkey, c_mktsegment)
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM alive GROUP BY c_mktsegment
+""",
+    "KEY-EQUALITY merge-on-read DELETE (snapshots.delete_snapshot_keys "
+    "— the Iceberg v2 equality-delete flavor): a DELETE by key writes "
+    "O(keys) metadata and reads ZERO data files — the key set lands as "
+    "a small parquet sidecar and the manifest entry records the touch "
+    "scope resolved from SEGMENT + FILE stats alone (builder-asserted "
+    "strict subset of the layer's files); readers apply it as two "
+    "broadcast joins on only the in-scope dirty files; a later append "
+    "re-inserting a deleted key is outside the scope and SURVIVES "
+    "(no-resurrect, Iceberg's sequence-number semantics); this is the "
+    "delete shape streaming CDC issues constantly at 100 TB, where "
+    "delete_snapshot's O(matching data) scan per DELETE defeats the "
+    "O(delta) design; the oracle recomputes the surviving rows from "
+    "scratch, so a scope, fold, or resurrect bug breaks the hash",
+    tags=("layout", "snapshots", "delete", "cdc"),
+)
+def q_snapshot_delete_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    path = _eq_delete_layer(spark, sf_dir)
+    return (
+        read_snapshot(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
 @register(
     "snapshot_count_metadata_only",
     """

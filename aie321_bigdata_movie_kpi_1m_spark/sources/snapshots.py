@@ -779,19 +779,109 @@ def snapshot_files(
     return files
 
 
+def _split_delete_entries(
+    entries: list, bases: set[str]
+) -> tuple[list[str], list[tuple], set[str]]:
+    """Classify the manifest's delete entries against a file-base set:
+    returns (position-delete dirs, [(keys_path, key_col, touch_set)]
+    for equality entries, union of touched bases)."""
+    pos_dirs: list[str] = []
+    eq: list[tuple] = []
+    dirty: set[str] = set()
+    for e in entries:
+        touch = set(e["touches"]) & bases
+        if not touch:
+            continue
+        dirty |= touch
+        if e.get("kind") == "equality":
+            eq.append((e["path"], e["key_col"], touch))
+        else:
+            pos_dirs.append(e["path"])
+    return pos_dirs, eq, dirty
+
+
+def _apply_deletes_meta(
+    spark: SparkSession, df: DataFrame, pos_dirs: list[str], eq: list[tuple]
+) -> DataFrame:
+    """Drop deleted rows from ``df`` (which must carry ``__dv_file`` /
+    ``__dv_pos`` metadata columns).  Position deletes are one anti-join
+    on (file, pos).  Each EQUALITY entry is two broadcast joins — the
+    key set (O(keys) metadata) and the entry's touch scope (O(touched
+    files)) — and a residual filter: a row is dropped iff its key is in
+    the entry's key set AND its file was live when the delete committed,
+    which is what keeps later-appended rows with the same key alive
+    (no-resurrect, the Iceberg sequence-number semantics).  A NULL key
+    never matches (SQL equality).  No step is ever O(data x keys)."""
+    if pos_dirs:
+        dv = spark.read.parquet(*pos_dirs).select(
+            F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+        )
+        df = df.join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+    for i, (kpath, key_col, touch) in enumerate(eq):
+        keys = (
+            spark.read.parquet(kpath)
+            .select(F.col(key_col).alias(f"__eq_k_{i}"))
+            .distinct()
+            .withColumn(f"__eq_hit_{i}", F.lit(True))
+        )
+        scope = spark.createDataFrame(
+            [(b,) for b in sorted(touch)], "__dv_file string"
+        ).withColumn(f"__eq_scope_{i}", F.lit(True))
+        df = (
+            df.join(
+                F.broadcast(keys),
+                F.col(key_col) == F.col(f"__eq_k_{i}"),
+                "left",
+            )
+            .join(F.broadcast(scope), "__dv_file", "left")
+            .filter(
+                ~(
+                    F.coalesce(F.col(f"__eq_hit_{i}"), F.lit(False))
+                    & F.coalesce(F.col(f"__eq_scope_{i}"), F.lit(False))
+                )
+            )
+            .drop(f"__eq_k_{i}", f"__eq_hit_{i}", f"__eq_scope_{i}")
+        )
+    return df
+
+
+def _trim_delete_entries(entries: list, rewritten_bases: set[str]) -> list:
+    """Carry delete entries past a rewrite: REWRITTEN files folded their
+    deletions into the rewrite, so exactly those bases drop out of each
+    entry's touches (position entries keep per-file counts; equality
+    entries keep their touch list and kind/key metadata).  Entries left
+    touching nothing drop entirely, freeing their dirs for vacuum."""
+    out = []
+    for e in entries or []:
+        if e.get("kind") == "equality":
+            trimmed = [b for b in e["touches"] if b not in rewritten_bases]
+            if trimmed:
+                out.append({**e, "touches": trimmed})
+        else:
+            trimmed_map = {
+                b: n
+                for b, n in e["touches"].items()
+                if b not in rewritten_bases
+            }
+            if trimmed_map:
+                out.append({"path": e["path"], "touches": trimmed_map})
+    return out
+
+
 def _apply_delete_entries(
     spark: SparkSession, manifest: dict, files: list[str], reader
 ) -> DataFrame | None:
-    """Merge-on-read application of the manifest's position delete files
-    (Iceberg v2 / Delta deletion-vector shape): rows named by a
-    ``(file, pos)`` pair in any delete file are dropped AT READ TIME via
-    a left-anti join — the data files themselves are never rewritten.
+    """Merge-on-read application of the manifest's delete files —
+    POSITION deletes (``(file, pos)`` pairs, the Iceberg v2 / Delta
+    deletion-vector shape) and EQUALITY deletes (a key set scoped to the
+    files live at delete time, Iceberg's second v2 flavor): matching
+    rows are dropped AT READ TIME; the data files are never rewritten.
 
-    Only DIRTY files (named in some delete entry's ``touches`` map) pay
-    the metadata-column read and the anti-join; clean files stream
-    through the plain parquet scan untouched, so a layer with a handful
-    of deletes reads at full scan speed everywhere else.  Row identity
-    is ``_metadata.row_index`` — the physical position in an immutable
+    Only DIRTY files (named in some delete entry's ``touches``) pay the
+    metadata-column read and the joins; clean files stream through the
+    plain parquet scan untouched, so a layer with a handful of deletes
+    reads at full scan speed everywhere else.  Row identity is
+    ``_metadata.row_index`` — the physical position in an immutable
     data file, stable because every other mutation path here is
     copy-on-write.  Returns None when no kept file is dirty (caller does
     the plain read)."""
@@ -799,31 +889,22 @@ def _apply_delete_entries(
     if not entries or not files:
         return None
     bases = {f.rsplit("/", 1)[-1]: f for f in files}
-    dirty_bases: set[str] = set()
-    dv_dirs: list[str] = []
-    for e in entries:
-        touch = set(e["touches"]) & set(bases)
-        if touch:
-            dirty_bases |= touch
-            dv_dirs.append(e["path"])
+    pos_dirs, eq, dirty_bases = _split_delete_entries(entries, set(bases))
     if not dirty_bases:
         return None
     dirty = [bases[b] for b in sorted(dirty_bases)]
     clean = [f for f in files if f.rsplit("/", 1)[-1] not in dirty_bases]
-    dv = spark.read.parquet(*dv_dirs).select(
-        F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
-    )
     base_expr = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-    dirty_df = (
-        reader.parquet(*dirty)
-        .select(
+    dirty_df = _apply_deletes_meta(
+        spark,
+        reader.parquet(*dirty).select(
             "*",
             base_expr.alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_pos"),
-        )
-        .join(dv, ["__dv_file", "__dv_pos"], "left_anti")
-        .drop("__dv_file", "__dv_pos")
-    )
+        ),
+        pos_dirs,
+        eq,
+    ).drop("__dv_file", "__dv_pos")
     if clean:
         # allowMissingColumns: under merge_schema the clean and dirty
         # subsets may see different column sets; missing ones read NULL
@@ -951,10 +1032,13 @@ def delete_snapshot(
     )
     entries = m.get("delete_files") or []
     if entries:
-        dv = spark.read.parquet(*[e["path"] for e in entries]).select(
-            F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+        # apply existing deletes (both kinds) first: re-deleting an
+        # already-deleted row is impossible, so per-file delete counts
+        # stay exact
+        pos_dirs, eq, _ = _split_delete_entries(
+            entries, {f.rsplit("/", 1)[-1] for f in candidates}
         )
-        df = df.join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+        df = _apply_deletes_meta(spark, df, pos_dirs, eq)
     matches = df.filter(F.expr(predicate)).select(
         F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
     )
@@ -1007,6 +1091,145 @@ def delete_snapshot(
     }
 
 
+def delete_snapshot_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: list,
+) -> dict:
+    """KEY-EQUALITY merge-on-read DELETE (the Iceberg v2 second delete
+    flavor): commit a new version in which every head row whose
+    ``key_col`` equals one of ``keys`` is gone — writing **O(keys)
+    metadata and reading ZERO data files**.
+
+    This is the delete shape streaming CDC issues constantly at 100 TB:
+    a position delete (``delete_snapshot``) must SCAN the matching files
+    to name (file, pos) pairs — O(matching data) per DELETE — which
+    defeats the O(delta) design when deletes arrive by key at stream
+    rate.  Here the key set lands as a small parquet under ``deletes/``
+    and the manifest entry records ``kind: "equality"`` plus the TOUCH
+    SCOPE: the live files whose committed [min, max] key range could
+    contain a key, resolved from MANIFEST STATS ALONE (segment-entry
+    envelope first, then per-file ranges — the same two-level pruning as
+    MERGE, no data IO).  Readers anti-join only in-scope dirty files
+    against the key set (two broadcast joins per entry); rows appended
+    AFTER the delete are outside every entry's scope, so a re-inserted
+    key survives (no-resurrect — Iceberg's sequence-number semantics,
+    expressed as an explicit file scope).
+
+    Equality deletes make ``snapshot_row_count`` return None (their
+    match count is unknown without a scan — that is the point); MERGE,
+    ``compact_small_files`` and ``rewrite_snapshot`` FOLD them into
+    rewritten files exactly like position deletes, restoring
+    metadata-only counts.  A key set whose range touches no live file
+    commits nothing (no-op returning the head).  NULL keys never match
+    (SQL equality).  Returns {"version", "n_keys", "files_in_scope"}.
+    """
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    head = versions[-1]
+    m = _manifest_raw(spark, path, head)
+    schema_rec = m.get("schema") or {}
+    if key_col not in schema_rec:
+        raise ValueError(
+            f"key column {key_col!r} not in layer schema "
+            f"{sorted(schema_rec)}"
+        )
+    ktype = _type_from_json(schema_rec[key_col])
+    kvals = [k for k in keys if k is not None]
+    if not kvals:
+        return {"version": head, "n_keys": 0, "files_in_scope": 0}
+    kdf = spark.createDataFrame(
+        [(k,) for k in kvals],
+        T.StructType([T.StructField(key_col, ktype)]),
+    ).distinct()
+    klo, khi = min(kvals), max(kvals)
+    # two-level metadata-only touch-scope resolution (zero data reads):
+    # segment entries by key envelope, then per-file [min, max] ranges
+    if m.get("format", 1) >= 2:
+        cand_stats: dict = {}
+        cand_bases: list[str] = []
+        for e in m.get("segments") or []:
+            if not _entry_range_keeps(e.get("stats") or {}, key_col, klo, khi):
+                continue
+            seg = _read_segment(spark, e["path"])
+            cand_bases.extend(f.rsplit("/", 1)[-1] for f in seg["files"])
+            cand_stats.update(seg.get("stats") or {})
+    else:
+        cand_bases = [f.rsplit("/", 1)[-1] for f in m["files"]]
+        cand_stats = m.get("stats", {})
+    ranges = []
+    touched: set[str] = set()
+    for b in cand_bases:
+        s = cand_stats.get(b, {}).get(key_col)
+        if s is None:
+            touched.add(b)  # no stats: conservatively in scope
+        elif s[0] is None or s[1] is None:
+            continue  # zero-row / all-NULL file: no key can match
+        else:
+            ranges.append((b, s[0], s[1]))
+    if ranges:
+        rdf = spark.createDataFrame(ranges, ["__f", "__lo", "__hi"])
+        hit = (
+            kdf.select(F.col(key_col).alias("__k"))
+            .join(
+                F.broadcast(rdf),
+                (F.col("__k") >= F.col("__lo"))
+                & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        touched.update(r["__f"] for r in hit)
+    if not touched:
+        return {"version": head, "n_keys": 0, "files_in_scope": 0}
+    version = head + 1
+    key_dir = f"{path}/deletes/v{version}-{uuid.uuid4().hex[:8]}"
+    kdf.coalesce(1).write.mode("error").parquet(key_dir)
+    if m.get("format", 1) >= 2:
+        seg_entries = m.get("segments") or []
+    else:
+        seg_entries = _entries_from_inline(
+            spark, path, version, _manifest(spark, path, head)
+        )
+    _write_text(
+        spark,
+        f"{path}/{_MANIFEST_DIR}/v{version}.json",
+        json.dumps(
+            {
+                "version": version,
+                "committed_at": time.time(),
+                "mode": "delete",
+                "format": 2,
+                "segments": seg_entries,
+                "bloom_col": m.get("bloom_col"),
+                "bloom_m": m.get("bloom_m"),
+                "bloom_k": m.get("bloom_k"),
+                "delete_files": (m.get("delete_files") or [])
+                + [
+                    {
+                        "path": key_dir,
+                        "kind": "equality",
+                        "key_col": key_col,
+                        "touches": sorted(touched),
+                    }
+                ],
+                "schema": m.get("schema"),
+                "checks": m.get("checks") or {},
+                "txn": m.get("txn", {}),
+            },
+            default=str,
+        ),
+    )
+    return {
+        "version": version,
+        "n_keys": kdf.count(),
+        "files_in_scope": len(touched),
+    }
+
+
 def snapshot_row_count(
     spark: SparkSession, path: str, version: int | None = None
 ) -> int | None:
@@ -1034,12 +1257,21 @@ def snapshot_row_count(
         entries = m.get("segments") or []
         if any(e.get("n_rows") is None for e in entries):
             return None
+        if any(
+            e.get("kind") == "equality" for e in m.get("delete_files") or []
+        ):
+            # an equality delete's match count is unknown without a scan
+            # (that is its point: O(keys) metadata, no data read) — the
+            # manifest cannot answer exactly until compaction folds it
+            return None
         total = sum(int(e["n_rows"]) for e in entries)
         for e in m.get("delete_files") or []:
             total -= sum(int(n) for n in e["touches"].values())
         return total
     counts = m.get("counts")
     if not counts:
+        return None
+    if any(e.get("kind") == "equality" for e in m.get("delete_files") or []):
         return None
     bases = [f.rsplit("/", 1)[-1] for f in m["files"]]
     if any(b not in counts for b in bases):
@@ -1728,21 +1960,10 @@ def merge_snapshot(
         {},
         _list_parquet_sizes(spark, data_dir),
     )
-    # delete entries: REWRITTEN files folded their deletions into the
-    # rewrite above, so exactly those bases drop out of each entry's
-    # touches; every other touched base is still live (the mutator
-    # invariant), in a carried or repacked segment.  Entries left
-    # touching nothing drop entirely, freeing their DV dirs for vacuum
     rewritten_bases = {f.rsplit("/", 1)[-1] for f in touched}
-    carried_deletes = []
-    for e in m.get("delete_files") or []:
-        trimmed = {
-            b: n
-            for b, n in e["touches"].items()
-            if b not in rewritten_bases
-        }
-        if trimmed:
-            carried_deletes.append({"path": e["path"], "touches": trimmed})
+    carried_deletes = _trim_delete_entries(
+        m.get("delete_files") or [], rewritten_bases
+    )
     _write_text(
         spark,
         f"{path}/{_MANIFEST_DIR}/v{version}.json",
@@ -1906,15 +2127,9 @@ def compact_small_files(
         _list_parquet_sizes(spark, data_dir),
     )
     rewritten_bases = {f.rsplit("/", 1)[-1] for f in small}
-    carried_deletes = []
-    for e in m.get("delete_files") or []:
-        trimmed = {
-            b: n
-            for b, n in e["touches"].items()
-            if b not in rewritten_bases
-        }
-        if trimmed:
-            carried_deletes.append({"path": e["path"], "touches": trimmed})
+    carried_deletes = _trim_delete_entries(
+        m.get("delete_files") or [], rewritten_bases
+    )
     _write_text(
         spark,
         f"{path}/{_MANIFEST_DIR}/v{version}.json",

@@ -2603,3 +2603,125 @@ class TestManifestSegmentation:
         snap._SEGMENT_READS["n"] = 0
         band = snap.snapshot_files(spark, path, prune_range=("k", 0, 10))
         assert len(band) == 1 and snap._SEGMENT_READS["n"] <= 2
+
+
+class TestEqualityDeletes:
+    """Key-equality MoR deletes (Iceberg v2 second flavor): O(keys)
+    metadata writes, zero data reads at delete time, scoped application
+    at read time, folded back to exactness by compaction."""
+
+    def _layer(self, spark, path, snap):
+        snap.commit_snapshot(
+            spark,
+            spark.range(0, 800)
+            .selectExpr("id AS k", "CAST(id % 5 AS STRING) AS v")
+            .repartitionByRange(8, "k"),
+            path,
+            stats_cols=["k"],
+        )
+
+    def test_delete_by_key_scopes_and_reads_no_data(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._layer(spark, path, snap)
+        rep = snap.delete_snapshot_keys(spark, path, "k", [3, 5, 7, 750])
+        assert rep["version"] == 2 and rep["n_keys"] == 4
+        # touch scope resolved from manifest stats: the narrow key set
+        # hits 2 of the 8 range-clustered files, not the whole layer
+        assert rep["files_in_scope"] == 2
+        got = sorted(
+            r["k"]
+            for r in snap.read_snapshot(spark, path)
+            .where("k < 10 OR k > 745")
+            .collect()
+        )
+        assert got == [0, 1, 2, 4, 6, 8, 9, 746, 747, 748, 749] + list(
+            range(751, 800)
+        )
+        assert snap.read_snapshot(spark, path).count() == 796
+        # match count unknown without a scan -> metadata count honest
+        assert snap.snapshot_row_count(spark, path) is None
+        # time travel to v1 unaffected
+        assert snap.read_snapshot(spark, path, 1).count() == 800
+
+    def test_no_resurrect_append_and_merge_fold(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._layer(spark, path, snap)
+        snap.delete_snapshot_keys(spark, path, "k", [10, 11])
+        # a LATER append re-inserting key 10 is outside the delete's
+        # scope: the new row must survive
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(10, "reborn")], "k long, v string"),
+            path,
+            mode="append",
+            stats_cols=["k"],
+        )
+        got = {
+            (r["k"], r["v"])
+            for r in snap.read_snapshot(spark, path)
+            .where("k IN (10, 11)")
+            .collect()
+        }
+        assert got == {(10, "reborn")}
+        # a MERGE rewriting the touched band folds the equality delete
+        # into the rewrite: the entry disappears for rewritten files and
+        # deleted rows stay gone
+        rep = snap.merge_snapshot(
+            spark,
+            spark.createDataFrame([(12, "merged")], "k long, v string"),
+            path,
+            "k",
+            stats_cols=["k"],
+        )
+        assert rep["files_rewritten"] >= 1
+        got = sorted(
+            r["k"]
+            for r in snap.read_snapshot(spark, path)
+            .where("k BETWEEN 9 AND 13")
+            .collect()
+        )
+        assert got == [9, 10, 12, 13]  # 11 still deleted, 10 reborn
+
+    def test_compaction_restores_metadata_count(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._layer(spark, path, snap)
+        snap.delete_snapshot_keys(spark, path, "k", list(range(0, 50)))
+        assert snap.snapshot_row_count(spark, path) is None
+        snap.rewrite_snapshot(spark, path, n_files=4)
+        # the full rewrite folded the equality delete: counts exact again
+        assert snap.snapshot_row_count(spark, path) == 750
+        assert snap.read_snapshot(spark, path).count() == 750
+
+    def test_composes_with_position_deletes(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._layer(spark, path, snap)
+        snap.delete_snapshot(spark, path, "k BETWEEN 100 AND 109")
+        snap.delete_snapshot_keys(spark, path, "k", [105, 200, 201])
+        # position deletes applied, equality deletes applied, overlap
+        # (105) deleted exactly once
+        assert snap.read_snapshot(spark, path).count() == 800 - 10 - 2
+        # a position DELETE issued on top of live equality deletes must
+        # not re-mark already-equality-deleted rows
+        rep = snap.delete_snapshot(spark, path, "k BETWEEN 198 AND 203")
+        assert rep["rows_deleted"] == 4  # 198 199 202 203
+        assert snap.read_snapshot(spark, path).count() == 800 - 10 - 2 - 4
+
+    def test_noop_and_null_keys(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._layer(spark, path, snap)
+        # keys entirely outside every file's range: no commit at all
+        rep = snap.delete_snapshot_keys(spark, path, "k", [10_000, 20_000])
+        assert rep == {"version": 1, "n_keys": 0, "files_in_scope": 0}
+        rep = snap.delete_snapshot_keys(spark, path, "k", [None])
+        assert rep["files_in_scope"] == 0
+        assert snap.snapshot_versions(spark, path) == [1]
