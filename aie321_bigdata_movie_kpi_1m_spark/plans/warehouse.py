@@ -1283,6 +1283,120 @@ def q_snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_BROADCAST_BUILT: set[str] = set()
+
+
+def _stats_broadcast_views(spark: SparkSession, sf_dir: str) -> str:
+    """Dimension layer + stats-driven SQL facade for the broadcast-join
+    roundtrip: the nation slice committed as a snapshot layer (sizes
+    recorded per segment entry), registered TWICE — once plain, once
+    with ``auto_broadcast_bytes`` above its recorded size.  The builder
+    disables Spark's own size-based broadcasting (threshold -1, Spark's
+    estimator is blind through a manifest-planned read) and asserts the
+    hinted view plans a BroadcastHashJoin while the unhinted one does
+    NOT — proving the hint is STATS-driven, not a blanket broadcast.
+    Built once per process."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        drop_snapshot_layer,
+        register_snapshot_view,
+        snapshot_table_bytes,
+    )
+
+    tag = _tag(sf_dir)
+    path = f"{_SCRATCH}/snapshots/{tag}/stats_bcast_dim"
+    view = f"nation_snap_{tag}"
+    if path in _STATS_BROADCAST_BUILT:
+        return view
+    drop_snapshot_layer(spark, path)
+    commit_snapshot(
+        spark,
+        load_star_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        ),
+        path,
+        stats_cols=["n_nationkey"],
+    )
+    total = snapshot_table_bytes(spark, path)
+    if not total:
+        raise AssertionError("segment entries missing byte sizes")
+    cust = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        register_snapshot_view(spark, path, f"{view}_plain")
+        plain = (
+            cust.join(
+                spark.table(f"{view}_plain"),
+                cust["c_nationkey"] == F.col("n_nationkey"),
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        register_snapshot_view(
+            spark, path, view, auto_broadcast_bytes=total + 1
+        )
+        hinted = (
+            cust.join(
+                spark.table(view),
+                cust["c_nationkey"] == F.col("n_nationkey"),
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "BroadcastHashJoin" in plain or "BroadcastHashJoin" not in hinted:
+            raise AssertionError(
+                "broadcast hint is not stats-driven: "
+                f"plain={'BHJ' in plain} hinted={'BHJ' in hinted}"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    _STATS_BROADCAST_BUILT.add(path)
+    return view
+
+
+@register(
+    "snapshot_stats_broadcast_join",
+    """
+SELECT n.n_name,
+       COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    "STATS-DRIVEN broadcast join over the snapshot SQL facade "
+    "(snapshots.register_snapshot_view(auto_broadcast_bytes=...) + "
+    "snapshot_table_bytes — Delta/Iceberg's stats-based join planning): "
+    "the manifest's segment entries record exact data bytes at commit "
+    "time, so the facade KNOWS the dimension fits and attaches a "
+    "broadcast hint where Spark's own estimator — blind through a "
+    "manifest-planned multi-parquet read — would fall back to a "
+    "sort-merge join with a full shuffle of the fact side; the builder "
+    "asserts (under autoBroadcastJoinThreshold=-1) that the hinted view "
+    "plans a BroadcastHashJoin and the unhinted one does not, and the "
+    "oracle recomputes the join from the raw tables",
+    tags=("layout", "snapshots", "join", "stats"),
+)
+def q_snapshot_stats_broadcast_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    view = _stats_broadcast_views(spark, sf_dir)
+    cust = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    return (
+        cust.join(
+            spark.table(view),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 _EQ_DELETE_LAYERS_BUILT: set[str] = set()
 
 

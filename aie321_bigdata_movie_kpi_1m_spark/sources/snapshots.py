@@ -214,6 +214,7 @@ def _manifest(spark: SparkSession, path: str, version: int) -> dict:
     counts: dict = {}
     blooms: dict = {}
     sizes: dict = {}
+    colmeta: dict = {}
     for entry in m.get("segments") or []:
         seg = _read_segment(spark, entry["path"])
         files.extend(seg["files"])
@@ -221,11 +222,13 @@ def _manifest(spark: SparkSession, path: str, version: int) -> dict:
         counts.update(seg.get("counts") or {})
         blooms.update(seg.get("blooms") or {})
         sizes.update(seg.get("sizes") or {})
+        colmeta.update(seg.get("colmeta") or {})
     m["files"] = sorted(files)
     m["stats"] = stats
     m["counts"] = counts
     m["blooms"] = blooms
     m["sizes"] = sizes
+    m["colmeta"] = colmeta
     return m
 
 
@@ -263,6 +266,7 @@ def _write_segment_entries(
     counts: dict,
     blooms: dict,
     sizes: dict,
+    colmeta: dict | None = None,
 ) -> list[dict]:
     """Pack per-file metadata into immutable segment files and return
     the version manifest's segment entries.  Chunking at
@@ -279,6 +283,9 @@ def _write_segment_entries(
         seg_counts = {b: counts[b] for b in bases if b in counts}
         seg_blooms = {b: blooms[b] for b in bases if b in blooms}
         seg_sizes = {b: sizes[b] for b in bases if b in sizes}
+        seg_colmeta = {
+            b: colmeta[b] for b in bases if colmeta and b in colmeta
+        }
         seg_path = (
             f"{path}/{_MANIFEST_DIR}/segments/"
             f"v{version}-{uuid.uuid4().hex[:8]}.json"
@@ -293,6 +300,7 @@ def _write_segment_entries(
                     "counts": seg_counts,
                     "blooms": seg_blooms,
                     "sizes": seg_sizes,
+                    "colmeta": seg_colmeta,
                 },
                 default=str,
             ),
@@ -333,6 +341,7 @@ def _entries_from_inline(
         m.get("counts") or {},
         m.get("blooms", {}) or {},
         m.get("sizes", {}) or {},
+        m.get("colmeta", {}) or {},
     )
 
 
@@ -359,22 +368,42 @@ def _type_from_json(dtype_json: str):
 
 def _file_stats(
     spark: SparkSession, data_dir: str, files: list[str], stats_cols: list[str]
-) -> tuple[dict, dict]:
-    """Per-file min/max for ``stats_cols`` PLUS per-file row counts over
-    the files just written under ``data_dir`` — ONE distributed scan of
-    the delta only (grouped by input_file_name), keyed by file basename
+) -> tuple[dict, dict, dict]:
+    """Per-file min/max for ``stats_cols`` PLUS per-file row counts PLUS
+    per-file COLUMN STATISTICS (an HLL NDV sketch and a null count per
+    stats column — the ANALYZE-lite Delta/Iceberg both record) over the
+    files just written under ``data_dir`` — all in ONE distributed scan
+    of the delta (grouped by input_file_name), keyed by file basename
     (part file names carry a write UUID, so basenames are unique for the
     layer's lifetime).  The counts are what make ``snapshot_row_count``
     a metadata-only operation — the Delta/Iceberg numRecords idea.
+
+    The HLL sketches (Datasketches via ``hll_sketch_agg``, values cast
+    to string for one merge-compatible domain; ~1.5 KB each, base64 in
+    the segment file) are MERGEABLE: ``snapshot_col_stats`` unions them
+    across any file subset without rescanning data, so table- and
+    partition-level NDV stays O(metadata) as the layer grows — the
+    inputs a join planner needs for build-side and selectivity
+    estimates.
 
     Written files that yield no group are ZERO-ROW part files (e.g. an
     empty range partition); they get explicit [None, None] stats and a 0
     count so the pruner can always skip them — distinct from a file with
     NO stats entry, which a reader must conservatively keep."""
+    import base64
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"__lo_{c}"))
         aggs.append(F.max(c).alias(f"__hi_{c}"))
+        aggs.append(
+            F.hll_sketch_agg(F.col(c).cast("string")).alias(f"__hll_{c}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"__nulls_{c}"
+            )
+        )
     rows = (
         spark.read.parquet(data_dir)
         .groupBy(F.input_file_name().alias("__f"))
@@ -386,11 +415,28 @@ def _file_stats(
         for f in files
     }
     counts = {f.rsplit("/", 1)[-1]: 0 for f in files}
+    colmeta = {
+        f.rsplit("/", 1)[-1]: {
+            c: {"hll": None, "nulls": 0} for c in stats_cols
+        }
+        for f in files
+    }
     for r in rows:
         base = r["__f"].rsplit("/", 1)[-1]
         stats[base] = {c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in stats_cols}
         counts[base] = int(r["__n"])
-    return stats, counts
+        colmeta[base] = {
+            c: {
+                "hll": (
+                    base64.b64encode(bytes(r[f"__hll_{c}"])).decode("ascii")
+                    if r[f"__hll_{c}"] is not None
+                    else None
+                ),
+                "nulls": int(r[f"__nulls_{c}"] or 0),
+            }
+            for c in stats_cols
+        }
+    return stats, counts, colmeta
 
 
 _BLOOM_BITS = 8192
@@ -567,7 +613,9 @@ def commit_snapshot(
     if effective_checks:
         _enforce_checks(spark, data_dir, effective_checks)
     files = _list_parquet_files(spark, data_dir)
-    stats, counts = _file_stats(spark, data_dir, files, stats_cols or [])
+    stats, counts, colmeta = _file_stats(
+        spark, data_dir, files, stats_cols or []
+    )
     if not stats_cols:
         stats = {}
     blooms = (
@@ -581,7 +629,7 @@ def commit_snapshot(
     # lexicographic order matches their natural order — pass string
     # bounds to prune_range for those columns
     new_entries = _write_segment_entries(
-        spark, path, version, files, stats, counts, blooms, sizes
+        spark, path, version, files, stats, counts, blooms, sizes, colmeta
     )
     delete_files: list = []
     carried_entries: list = []
@@ -1285,6 +1333,102 @@ def snapshot_row_count(
     return total
 
 
+def snapshot_table_bytes(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int | None:
+    """Total data bytes of one version from SEGMENT-ENTRY ARITHMETIC —
+    zero segment reads, zero file RPCs.  None when any entry predates
+    size recording (or the manifest is format 1) — the caller falls
+    back to a listing or skips the size-based decision."""
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions} at {path}")
+    m = _manifest_raw(spark, path, v)
+    if m.get("format", 1) < 2:
+        return None
+    entries = m.get("segments") or []
+    if any(e.get("bytes") is None for e in entries):
+        return None
+    return sum(int(e["bytes"]) for e in entries)
+
+
+def snapshot_col_stats(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    cols: list[str] | None = None,
+) -> dict:
+    """ANALYZE-lite table statistics from the MANIFEST ALONE (metadata
+    reads only, no data scans): {"n_rows", "bytes", "columns": {col:
+    {"ndv", "nulls"}}} for every stats column recorded at commit time
+    (or the requested subset).
+
+    NDV comes from UNIONING the per-file HLL sketches across all live
+    files — ONE tiny Spark job over O(files) kilobyte binaries, exact
+    union semantics (Datasketches), so the estimate is as good as a full
+    rescan at ~2% relative error however the layer was assembled.  Null
+    counts are additive.  A column some live file lacks sketches for
+    reports None (honest partial coverage — e.g. files written before
+    the column joined ``stats_cols``).  n_rows/bytes fall back to None
+    exactly like ``snapshot_row_count``/``snapshot_table_bytes``.
+
+    These are the inputs a join planner needs: build-side size for
+    broadcast decisions (``register_snapshot_view(auto_broadcast=...)``
+    consumes it) and key NDV for selectivity/skew estimates."""
+    import base64
+
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    v = versions[-1] if version is None else version
+    m = _manifest(spark, path, v)  # materialized: needs per-file colmeta
+    colmeta = m.get("colmeta") or {}
+    bases = [f.rsplit("/", 1)[-1] for f in m["files"]]
+    all_cols: set[str] = set()
+    for b in bases:
+        all_cols.update(colmeta.get(b) or {})
+    want = sorted(all_cols if cols is None else set(cols))
+    out_cols: dict = {}
+    union_jobs: list[tuple[str, list[bytes]]] = []
+    for c in want:
+        per_file = [(colmeta.get(b) or {}).get(c) for b in bases]
+        if any(cm is None for cm in per_file):
+            out_cols[c] = {"ndv": None, "nulls": None}
+            continue
+        nulls = sum(int(cm["nulls"]) for cm in per_file)
+        sketches = [
+            base64.b64decode(cm["hll"])
+            for cm in per_file
+            if cm["hll"] is not None
+        ]
+        out_cols[c] = {"ndv": 0, "nulls": nulls}
+        if sketches:
+            union_jobs.append((c, sketches))
+    if union_jobs:
+        # one local-relation job unions every column's sketches at once
+        rows = [
+            (c, sk) for c, sketches in union_jobs for sk in sketches
+        ]
+        est = (
+            spark.createDataFrame(rows, "c string, s binary")
+            .groupBy("c")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("s")).alias("ndv")
+            )
+            .collect()
+        )
+        for r in est:
+            out_cols[r["c"]]["ndv"] = int(r["ndv"])
+    return {
+        "n_rows": snapshot_row_count(spark, path, v),
+        "bytes": snapshot_table_bytes(spark, path, v),
+        "columns": out_cols,
+    }
+
+
 def register_snapshot_view(
     spark: SparkSession,
     path: str,
@@ -1292,16 +1436,36 @@ def register_snapshot_view(
     version: int | None = None,
     *,
     as_of: float | None = None,
+    auto_broadcast_bytes: int | None = None,
 ) -> None:
     """SQL façade: expose one version of the layer as a temp view, so
     ``spark.sql("SELECT ... FROM name")`` composes the whole SQL
     surface (joins, windows, CTEs) over the manifest-planned,
     deletion-vector-aware read.  Re-registering replaces the view (a
     view pins the version resolved AT registration — re-register to
-    follow the head)."""
-    read_snapshot(
-        spark, path, version, as_of=as_of
-    ).createOrReplaceTempView(name)
+    follow the head).
+
+    ``auto_broadcast_bytes=N`` makes the registration STATS-DRIVEN: when
+    the manifest's recorded total data size (segment-entry arithmetic,
+    zero IO) is at or under N, the view carries a broadcast hint, so
+    every join against it hash-broadcasts regardless of Spark's own
+    (often blind) size estimate.  Why this matters at 100 TB: Spark
+    estimates build-side size from FILE bytes it can see at plan time;
+    through a manifest-planned multi-parquet read with deletion vectors
+    the estimate degrades to worst-case and a 5 MB dimension falls back
+    to a sort-merge join with a full shuffle of the fact side.  The
+    manifest KNOWS the size — this is Delta/Iceberg's stats-based join
+    planning.  A layer without recorded sizes (format 1) never hints —
+    stats-driven means never guessing."""
+    if as_of is not None and version is None:
+        version = snapshot_version_as_of(spark, path, as_of)
+        as_of = None
+    df = read_snapshot(spark, path, version, as_of=as_of)
+    if auto_broadcast_bytes is not None:
+        total = snapshot_table_bytes(spark, path, version)
+        if total is not None and total <= auto_broadcast_bytes:
+            df = df.hint("broadcast")
+    df.createOrReplaceTempView(name)
 
 
 def snapshot_version_as_of(
@@ -1842,16 +2006,19 @@ def merge_snapshot(
         counts_map: dict = {}
         blooms_map: dict = {}
         sizes_map: dict = {}
+        colmeta_map: dict = {}
         for _, seg in loaded:
             stats.update(seg.get("stats") or {})
             counts_map.update(seg.get("counts") or {})
             blooms_map.update(seg.get("blooms") or {})
             sizes_map.update(seg.get("sizes") or {})
+            colmeta_map.update(seg.get("colmeta") or {})
     else:
         files, stats = m["files"], m.get("stats", {})
         counts_map = m.get("counts") or {}
         blooms_map = m.get("blooms", {})
         sizes_map = m.get("sizes") or {}
+        colmeta_map = m.get("colmeta") or {}
 
     # exact per-file touch test: join the delta's DISTINCT keys against
     # the (tiny) file-range relation — a file is touched iff some delta
@@ -1930,16 +2097,17 @@ def merge_snapshot(
         # violates the layer's recorded CHECK constraints
         _enforce_checks(spark, data_dir, m["checks"])
     new_files = _list_parquet_files(spark, data_dir)
-    new_stats, new_counts = _file_stats(
+    new_stats, new_counts, new_colmeta = _file_stats(
         spark, data_dir, new_files, stats_cols or []
     )
     if not stats_cols:
         new_stats = {}
     repack_bases = {f.rsplit("/", 1)[-1] for f in repack_files}
-    # repacked files keep their stats / counts / bloom entries verbatim
-    # (their bytes never moved); rewritten files drop their blooms (a
-    # conservative reader keeps bloom-less files, so this only costs
-    # skipping sharpness on the rewritten tail, never correctness)
+    # repacked files keep their stats / counts / bloom / column-stat
+    # entries verbatim (their bytes never moved); rewritten files drop
+    # their blooms (a conservative reader keeps bloom-less files, so
+    # this only costs skipping sharpness on the rewritten tail, never
+    # correctness)
     repack_entries = _write_segment_entries(
         spark,
         path,
@@ -1949,6 +2117,7 @@ def merge_snapshot(
         {b: n for b, n in counts_map.items() if b in repack_bases},
         {b: e for b, e in blooms_map.items() if b in repack_bases},
         {b: n for b, n in sizes_map.items() if b in repack_bases},
+        {b: cm for b, cm in colmeta_map.items() if b in repack_bases},
     )
     new_entries = _write_segment_entries(
         spark,
@@ -1959,6 +2128,7 @@ def merge_snapshot(
         new_counts,
         {},
         _list_parquet_sizes(spark, data_dir),
+        new_colmeta,
     )
     rewritten_bases = {f.rsplit("/", 1)[-1] for f in touched}
     carried_deletes = _trim_delete_entries(
@@ -2041,6 +2211,7 @@ def compact_small_files(
     counts_map: dict = {}
     blooms_map: dict = {}
     sizes_map: dict = {}
+    colmeta_map: dict = {}
     total_files = 0
     if fmt2:
         # per-segment: a segment with NO small file carries into the new
@@ -2069,6 +2240,7 @@ def compact_small_files(
             counts_map.update(seg.get("counts") or {})
             blooms_map.update(seg.get("blooms") or {})
             sizes_map.update(sizes)
+            colmeta_map.update(seg.get("colmeta") or {})
     else:
         mm = _manifest(spark, path, head)
         total_files = len(mm["files"])
@@ -2083,6 +2255,7 @@ def compact_small_files(
         stats_map = mm.get("stats", {})
         counts_map = mm.get("counts") or {}
         blooms_map = mm.get("blooms", {})
+        colmeta_map = mm.get("colmeta") or {}
     if len(small) < 2:
         return {
             "version": head,
@@ -2100,7 +2273,7 @@ def compact_small_files(
     data_dir = f"{path}/data/v{version}-{uuid.uuid4().hex[:8]}"
     raw.coalesce(n_out).write.mode("error").parquet(data_dir)
     new_files = _list_parquet_files(spark, data_dir)
-    new_stats, new_counts = _file_stats(
+    new_stats, new_counts, new_colmeta = _file_stats(
         spark, data_dir, new_files, stats_cols or []
     )
     if not stats_cols:
@@ -2115,6 +2288,7 @@ def compact_small_files(
         {b: n for b, n in counts_map.items() if b in repack_bases},
         {b: e for b, e in blooms_map.items() if b in repack_bases},
         {b: n for b, n in sizes_map.items() if b in repack_bases},
+        {b: cm for b, cm in colmeta_map.items() if b in repack_bases},
     )
     new_entries = _write_segment_entries(
         spark,
@@ -2125,6 +2299,7 @@ def compact_small_files(
         new_counts,
         {},
         _list_parquet_sizes(spark, data_dir),
+        new_colmeta,
     )
     rewritten_bases = {f.rsplit("/", 1)[-1] for f in small}
     carried_deletes = _trim_delete_entries(

@@ -2725,3 +2725,130 @@ class TestEqualityDeletes:
         rep = snap.delete_snapshot_keys(spark, path, "k", [None])
         assert rep["files_in_scope"] == 0
         assert snap.snapshot_versions(spark, path) == [1]
+
+
+class TestColumnStatsAndBroadcast:
+    """ANALYZE-lite: per-file HLL NDV sketches + null counts recorded by
+    the commit-time stats pass, table stats from metadata alone, and the
+    stats-driven broadcast hint on the SQL facade."""
+
+    def test_col_stats_ndv_and_nulls_no_data_scan(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark,
+            spark.range(0, 3000).selectExpr(
+                "id AS k",
+                "CAST(id % 97 AS STRING) AS cat",
+                "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 500 END AS v",
+            ).repartition(6),
+            path,
+            stats_cols=["k", "cat", "v"],
+        )
+        # appends MERGE: sketches union across commits without rescans
+        snap.commit_snapshot(
+            spark,
+            spark.range(3000, 4000).selectExpr(
+                "id AS k",
+                "CAST(id % 97 AS STRING) AS cat",
+                "CAST(NULL AS BIGINT) AS v",
+            ),
+            path,
+            mode="append",
+            stats_cols=["k", "cat", "v"],
+        )
+        st = snap.snapshot_col_stats(spark, path)
+        assert st["n_rows"] == 4000 and st["bytes"] > 0
+        # HLL ~2% relative error; generous bands
+        assert abs(st["columns"]["k"]["ndv"] - 4000) <= 160
+        assert abs(st["columns"]["cat"]["ndv"] - 97) <= 5
+        # true NDV is 450: v = id % 500, and any v divisible by 10 only
+        # arises from ids divisible by 10, which are all NULLed out
+        assert abs(st["columns"]["v"]["ndv"] - 450) <= 25
+        assert st["columns"]["k"]["nulls"] == 0
+        assert st["columns"]["v"]["nulls"] == 300 + 1000
+
+    def test_auto_broadcast_hint_is_stats_driven(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        dim_path = str(tmp_path / "dim")
+        snap.commit_snapshot(
+            spark,
+            spark.range(0, 200).selectExpr(
+                "id AS k", "CAST(id % 5 AS STRING) AS seg"
+            ),
+            dim_path,
+            stats_cols=["k"],
+        )
+        total = snap.snapshot_table_bytes(spark, dim_path)
+        assert total and total > 0
+        fact = spark.range(0, 50_000).selectExpr("id % 200 AS k", "id AS x")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # Spark's own estimator is blinded; only the manifest knows
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            snap.register_snapshot_view(
+                spark,
+                dim_path,
+                "dim_nohint",
+            )
+            plan_no = (
+                fact.join(spark.table("dim_nohint"), "k")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastHashJoin" not in plan_no
+            # under threshold -> hinted -> broadcast despite -1 conf
+            snap.register_snapshot_view(
+                spark,
+                dim_path,
+                "dim_hint",
+                auto_broadcast_bytes=total + 1,
+            )
+            plan_yes = (
+                fact.join(spark.table("dim_hint"), "k")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastHashJoin" in plan_yes
+            # over threshold -> stats say it does NOT fit -> no hint
+            snap.register_snapshot_view(
+                spark,
+                dim_path,
+                "dim_toobig",
+                auto_broadcast_bytes=total - 1,
+            )
+            plan_big = (
+                fact.join(spark.table("dim_toobig"), "k")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastHashJoin" not in plan_big
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_col_stats_honest_on_partial_coverage(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark,
+            spark.range(0, 100).selectExpr("id AS k", "id % 3 AS v"),
+            path,
+            stats_cols=["k"],  # v NOT covered
+        )
+        snap.commit_snapshot(
+            spark,
+            spark.range(100, 200).selectExpr("id AS k", "id % 3 AS v"),
+            path,
+            mode="append",
+            stats_cols=["k", "v"],  # v covered only here
+        )
+        st = snap.snapshot_col_stats(spark, path)
+        assert st["columns"]["k"]["ndv"] is not None
+        # some live file lacks v sketches -> partial coverage is honest
+        assert st["columns"]["v"] == {"ndv": None, "nulls": None}
