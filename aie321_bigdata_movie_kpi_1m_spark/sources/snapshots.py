@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 import time
 import uuid
 
@@ -52,6 +53,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MANIFEST_DIR = "_manifests"
+
+# serializes the exists-check + rename commit point against concurrent
+# writer THREADS in this process (see _write_text)
+_RENAME_LOCK = threading.Lock()
 
 # staging dirs are data/v{N}-{token}; bare data/v{N} (the pre-uuid layout)
 # still parses so old layers stay readable
@@ -90,9 +95,18 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(dst) or not fs.rename(tmp, dst):
-        fs.delete(tmp, False)
-        raise FileExistsError(f"concurrent commit: lost the race on {path}")
+    # the local-FS rename(2) OVERWRITES an existing destination, so the
+    # exists-check-then-rename pair must be atomic against writers in
+    # THIS process (threads sharing the SparkSession — e.g. concurrent
+    # foreachBatch sinks); the process-wide lock closes that window.
+    # Cross-process atomicity still comes from the substrate (HDFS
+    # rename-no-overwrite; S3 needs a conditional PUT — module docs)
+    with _RENAME_LOCK:
+        if fs.exists(dst) or not fs.rename(tmp, dst):
+            fs.delete(tmp, False)
+            raise FileExistsError(
+                f"concurrent commit: lost the race on {path}"
+            )
 
 
 def _read_text(spark: SparkSession, path: str) -> str:

@@ -571,3 +571,129 @@ def test_signed_cdf_fold_refreshes_any_aggregate(spark, case):
         ks = [k for k, s in v2 if s == seg]
         expect[seg] = (len(ks), sum(ks))
     assert refreshed == expect
+
+
+def test_concurrent_writers_serialize_through_occ_retry(spark, tmp_path_factory):
+    """Multi-writer commit fuzz: 4 writer THREADS race 20 ops each
+    (appends + keyed merges) through ``retry_commit`` against one layer.
+    The surviving history must be SERIALIZABLE:
+
+    - version numbers are contiguous 1..N with no holes (no lost or
+      duplicated commit);
+    - every appended row lands exactly once (no lost update, no replay
+      double-ingest);
+    - each writer's merge key holds the value of that writer's LAST
+      merge op (per-writer keys are disjoint, so any serial order of
+      the interleaving agrees);
+    - the head's txn map records each writer's final op index
+      (high-water marks are monotone and never regress).
+
+    Deterministic op schedule (seeded per writer); the thread
+    interleaving itself is the fuzzed dimension, so the assertions are
+    interleaving-independent properties."""
+    import random
+    import threading
+
+    from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+        _manifest_raw,
+        commit_snapshot,
+        merge_snapshot,
+        read_snapshot,
+        retry_commit,
+        snapshot_versions,
+    )
+
+    path = str(tmp_path_factory.mktemp("occ") / "layer")
+    # bootstrap: one row per writer's merge key, known initial value
+    N_WRITERS, N_OPS = 4, 20
+    init = [(w * 1000, "init", -1) for w in range(N_WRITERS)]
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(init, "k long, v string, op long"),
+        path,
+        stats_cols=["k"],
+    )
+    errors: list = []
+    expected_rows: dict[int, set] = {w: set() for w in range(N_WRITERS)}
+    last_merge_op: dict[int, int] = {}
+
+    def writer(w: int) -> None:
+        rng = random.Random(1000 + w)
+        try:
+            for op in range(N_OPS):
+                if rng.random() < 0.5:
+                    # APPEND of a unique tagged row
+                    k = w * 1000 + 100 + op
+                    expected_rows[w].add(k)
+                    retry_commit(
+                        lambda k=k, op=op: commit_snapshot(
+                            spark,
+                            spark.createDataFrame(
+                                [(k, f"w{w}", op)], "k long, v string, op long"
+                            ),
+                            path,
+                            mode="append",
+                            stats_cols=["k"],
+                            txn=(f"w{w}", op),
+                        ),
+                        attempts=60,
+                    )
+                else:
+                    # MERGE on the writer's own key
+                    last_merge_op[w] = op
+                    retry_commit(
+                        lambda op=op: merge_snapshot(
+                            spark,
+                            spark.createDataFrame(
+                                [(w * 1000, f"w{w}", op)],
+                                "k long, v string, op long",
+                            ),
+                            path,
+                            "k",
+                            stats_cols=["k"],
+                            txn=(f"w{w}", op),
+                        ),
+                        attempts=60,
+                    )
+        except Exception as e:  # surface thread failures to the test
+            errors.append((w, e))
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(N_WRITERS)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    versions = snapshot_versions(spark, path)
+    assert versions == list(range(1, len(versions) + 1))  # no holes
+    rows = read_snapshot(spark, path).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append((r["v"], r["op"]))
+    # every appended row exactly once
+    for w in range(N_WRITERS):
+        for k in expected_rows[w]:
+            assert by_key.get(k) == [(f"w{w}", k - w * 1000 - 100)], (
+                w,
+                k,
+                by_key.get(k),
+            )
+    # each merge key holds the writer's LAST merge op
+    for w in range(N_WRITERS):
+        want = (
+            [("init", -1)]
+            if w not in last_merge_op
+            else [(f"w{w}", last_merge_op[w])]
+        )
+        assert by_key.get(w * 1000) == want, (w, by_key.get(w * 1000))
+    # txn high-water marks: each writer's final op index, never behind
+    txn = _manifest_raw(spark, path, versions[-1]).get("txn", {})
+    for w in range(N_WRITERS):
+        assert int(txn[f"w{w}"]) == N_OPS - 1
+    # total rows: bootstrap keys + all appends
+    assert len(rows) == N_WRITERS + sum(
+        len(v) for v in expected_rows.values()
+    )
