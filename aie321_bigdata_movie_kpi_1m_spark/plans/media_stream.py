@@ -1055,6 +1055,46 @@ def q_streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.filter(F.col("user_id") != -1)  # sentinel self-match
 
 
+@register(
+    "streaming_stream_join_full",
+    """
+WITH e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT COALESCE(e.user_id, p.user_id) AS user_id,
+       CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS error_sec,
+       CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_sec
+FROM e
+FULL JOIN p
+  ON p.user_id = e.user_id
+ AND p.ts >= e.ts
+ AND p.ts <= e.ts + INTERVAL 1 HOUR
+""",
+    "FULL OUTER stream-stream event-time join in TRUE APPEND MODE — "
+    "the tier beyond left-outer: watermark-gated NULL emission on BOTH "
+    "sides' join state (unmatched errors AND unanswered purchases each "
+    "emit exactly once, only after the watermark proves the match can "
+    "no longer arrive); the flush-sentinel run advances the watermark "
+    "past every real event so every unmatched row on either side "
+    "flushes; the time-range condition bounds both state stores; "
+    "oracle is the batch FULL JOIN over the same table, so a lost, "
+    "doubled, or never-emitted unmatched row on EITHER side breaks "
+    "the hash",
+    tags=("streaming", "join"),
+)
+def q_streaming_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import error_purchase_full_join_stream
+
+    out = _run_to_memory_sink(
+        spark,
+        error_purchase_full_join_stream(
+            _read_flushed_events_stream(spark, sf_dir)
+        ),
+        name="stream_err_purchase_full",
+        output_mode="append",
+    )
+    return out.filter(F.col("user_id") != -1)  # sentinel self-match
+
+
 _SNAPSHOT_SOURCE_BUILT: set[str] = set()
 
 

@@ -304,3 +304,50 @@ def error_purchase_left_join_stream(
             F.unix_timestamp("purchase_ts").alias("purchase_sec"),
         )
     )
+
+
+def error_purchase_full_join_stream(
+    events_wm: DataFrame,
+    *,
+    horizon: str = "1 hour",
+    flush_type: str = "__flush__",
+) -> DataFrame:
+    """FULL OUTER stream-stream event-time join: matched error/purchase
+    pairs emit as they are produced; an error with NO purchase in the
+    ``horizon`` after it AND a purchase answering NO error both emit a
+    NULL-other-side row — each only once the watermark proves the match
+    can no longer arrive, which requires watermark-gated NULL emission
+    on BOTH sides' join state (the tier beyond left-outer, where only
+    the left side waits).  The time-range condition is what bounds both
+    state stores; without it either side would buffer forever.
+
+    ``events_wm`` must already carry the watermark.  Both side filters
+    KEEP the ``flush_type`` sentinel for the same pushdown reason as the
+    left join (an equality predicate pushes below EventTimeWatermark and
+    starves the watermark); the sentinel self-matches (user -1, equal
+    timestamps are inside the range), so it emits exactly one matched
+    row the caller's batch post-pass drops.  ``user_id`` coalesces the
+    two sides because either one can be NULL in an unmatched row."""
+    errors = events_wm.filter(
+        F.col("event_type").isin("error", flush_type)
+    ).select(F.col("user_id").alias("e_user"), F.col("ts").alias("error_ts"))
+    purchases = events_wm.filter(
+        F.col("event_type").isin("purchase", flush_type)
+    ).select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+    return (
+        errors.join(
+            purchases,
+            (F.col("e_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("error_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("error_ts") + F.expr(f"INTERVAL {horizon}")
+            ),
+            "fullOuter",
+        )
+        .select(
+            F.coalesce(F.col("e_user"), F.col("p_user")).alias("user_id"),
+            F.unix_timestamp("error_ts").alias("error_sec"),
+            F.unix_timestamp("purchase_ts").alias("purchase_sec"),
+        )
+    )
