@@ -312,6 +312,43 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_star",
+    _SHINGLES_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """,
+edges AS (
+  SELECT i AS a, j AS b FROM jac WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT j AS a, i AS b FROM jac WHERE jaccard >= 0.5
+),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+""",
+    "near-dup clustering via LARGE-STAR/SMALL-STAR alternation "
+    "(Kiveris et al., 'Connected Components in MapReduce and Beyond', "
+    "SoCC'14 — operators/graph.py:105): converges in O(log^2 n) rounds "
+    "on ANY graph where plain min-label propagation needs O(diameter) "
+    "rounds — the variant you run at 100 TB when duplicate chains are "
+    "long (crawl mirrors, template families); same fixpoint as "
+    "dedup_clusters (cluster id = min doc id, identical recursive-CTE "
+    "oracle), so the two implementations cross-check each other",
+    tags=("dedup", "graph", "iterative"),
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load_star_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return connected_components_star(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+@register(
     "stratified_sample_cap",
     """
 WITH ranked AS (

@@ -1892,6 +1892,33 @@ def q_snapshot_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_restore_provenance",
+    """
+SELECT 1 AS version, 'overwrite' AS mode, CAST(NULL AS INT) AS restore_of
+UNION ALL SELECT 2, 'overwrite', NULL
+UNION ALL SELECT 3, 'restore', 1
+""",
+    "RESTORE PROVENANCE in DESCRIBE HISTORY (snapshot_history's "
+    "restore_of column): a rollback commit records WHICH version it "
+    "reinstated, so 'what state was current after the restore' — the "
+    "question an incident review always asks — is answerable from "
+    "manifest JSON alone, zero data reads; non-restore versions carry "
+    "NULL; the oracle states the expected audit rows for the "
+    "botched-overwrite -> restore(v1) history",
+    tags=("snapshots", "metadata"),
+)
+def q_snapshot_restore_provenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.snapshots import snapshot_history
+
+    path = _restore_layer(spark, sf_dir)
+    return snapshot_history(spark, path).select(
+        "version", "mode", "restore_of"
+    )
+
+
 _IVM_JOIN_BUILT: set[str] = set()
 
 

@@ -1512,10 +1512,14 @@ def snapshot_version_as_of(
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY for the layer: one row per surviving version —
-    (version, mode, n_files, n_rows, n_delete_entries, committed_at).
-    Metadata-only (manifest JSON; ``n_rows`` via the same per-file
-    counts as ``snapshot_row_count``, NULL where a manifest predates
-    count recording); row count is bounded by the version count, so the
+    (version, mode, n_files, n_rows, n_delete_entries, committed_at,
+    restore_of).  ``restore_of`` completes the audit story for
+    rollbacks: a RESTORE commit names the version whose content it
+    reinstated (NULL for every other mode), so "which state was current
+    after the rollback" is answerable from history alone.  Metadata-only
+    (manifest JSON; ``n_rows`` via the same per-file counts as
+    ``snapshot_row_count``, NULL where a manifest predates count
+    recording); row count is bounded by the version count, so the
     driver-side materialization is audit-log-sized, never data-sized."""
     rows = []
     for v in snapshot_versions(spark, path):
@@ -1538,12 +1542,13 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
                 n_rows,
                 len(m.get("delete_files") or []),
                 float(m["committed_at"]) if m.get("committed_at") else None,
+                int(m["restore_of"]) if m.get("restore_of") else None,
             )
         )
     return spark.createDataFrame(
         rows,
         "version int, mode string, n_files int, n_rows long, "
-        "n_delete_entries int, committed_at double",
+        "n_delete_entries int, committed_at double, restore_of int",
     )
 
 
