@@ -113,6 +113,19 @@ def main() -> None:
         "sf": sf,
         "runs": len(runs),
     }
+    # scaling-stress evidence: stress_sf1.py measures the five heaviest
+    # (quadratic-risk) queries at a 10x slice and records wall ratios;
+    # fold them into the bench line so the per-round artifact carries
+    # the near-linearity proof alongside the absolute timings
+    stress_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "STRESS_SF1.json"
+    )
+    if os.path.exists(stress_path):
+        with open(stress_path) as fh:
+            stress = json.load(fh)
+        payload["sf1_ratio"] = {
+            name: rec["ratio"] for name, rec in stress["queries"].items()
+        }
     # durable full artifact: the driver's captured stdout tail has
     # truncated the head of this line before (BENCH_r02), losing half the
     # per-query map — write the parsed dict alongside so round-over-round

@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""sf1 scaling-stress tier for the quadratic-risk operators.
+
+The O() claims on the five heaviest catalog queries (banded self-joins,
+per-basket pair passes, iterative clustering, bin-decomposed interval
+overlap) are argued in their docstrings but — before this harness — only
+ever MEASURED at sf0.1.  This script builds a 10x slice ("sf1") of the
+tables those queries read and records the wall-time ratio per query into
+``STRESS_SF1.json``; ``bench.py`` folds the ratios into its JSON line as
+``sf1_ratio`` so the per-round bench artifact carries the scaling
+evidence.
+
+The 10x construction is "same distribution, 10x data" — each copy is
+made DISJOINT from the others in exactly the dimension the operator
+pairs on, so the true answer grows linearly and any super-linear wall
+ratio indicts the ALGORITHM, not the data:
+
+- ``documents``: 10 copies, doc_id offset, every token salted with the
+  copy index — shingle/minhash/simhash spaces are disjoint across
+  copies, so near-dup pairs and blocking-bucket sizes scale 10x while
+  WITHIN-copy duplicate structure is preserved verbatim (same-token
+  suffixing keeps per-copy Jaccard identical).
+- ``lineitem``: 10 copies, l_orderkey offset — baskets are disjoint, the
+  A-Priori pair pass sees 10x baskets of the same size distribution.
+- ``events``: 10 copies, user_id offset AND the whole copy shifted in
+  TIME past the previous copy — sessions never overlap across copies,
+  so concurrent-session pair density per bin is unchanged (overlap
+  output is inherently quadratic in per-bin concurrency; scaling users
+  inside one window would measure that data property, not the join).
+
+A ratio <= ~12x is near-linear (10x data plus constant factors); a
+super-linear result is a capacity bug to fix or document.
+
+Usage: python stress_sf1.py            # build (if needed) + measure
+       SPARK_GRAFT_STRESS_RUNS=3 python stress_sf1.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from aie321_bigdata_movie_kpi_1m_spark.plans.catalog import CATALOG  # noqa: E402
+from aie321_bigdata_movie_kpi_1m_spark.session import (  # noqa: E402
+    get_spark,
+    scratch_dir,
+)
+from aie321_bigdata_movie_kpi_1m_spark.sources.readers import (  # noqa: E402
+    load_star_table,
+)
+
+HEAVY = [
+    "simhash_neardup_pairs",
+    "neardup_jaccard",
+    "association_rules_parts",
+    "dedup_clusters",
+    "interval_sessions_overlap",
+]
+COPIES = 10
+BASE_SF = "/root/testdata/sf0.1"
+
+
+def _build(spark: SparkSession, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    # Spark's default parquet timestamp physical type is INT96 (legacy
+    # compat), which pyarrow reports as ns and the self-describing
+    # events reader would then misread; write MICROS like the testdata
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    # untouched tables: byte-copy so load_star_table sees every input
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "embeddings",
+    ):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+
+    docs = load_star_table(spark, BASE_SF, "documents")
+    doc_span = docs.agg(F.max("doc_id")).first()[0] + 1
+    doc_copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * doc_span)).alias("doc_id"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+            F.array_join(
+                F.transform(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                    lambda t: F.concat(t, F.lit(f"_c{i}")),
+                ),
+                " ",
+            ).alias("text"),
+        ).select(*docs.columns)  # original column order
+        for i in range(COPIES)
+    ]
+    out = doc_copies[0]
+    for d in doc_copies[1:]:
+        out = out.unionByName(d)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    li = load_star_table(spark, BASE_SF, "lineitem")
+    ok_span = li.agg(F.max("l_orderkey")).first()[0] + 1
+    li_copies = [
+        li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * ok_span)
+        ).select(*li.columns)
+        for i in range(COPIES)
+    ]
+    out = li_copies[0]
+    for d in li_copies[1:]:
+        out = out.unionByName(d)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+
+    ev = load_star_table(spark, BASE_SF, "events")
+    row = ev.agg(
+        F.min(F.col("ts").cast("long")).alias("lo"),
+        F.max(F.col("ts").cast("long")).alias("hi"),
+        F.max("user_id").alias("u"),
+    ).first()
+    span_sec = int(row["hi"] - row["lo"]) + 86_400  # +1 day of daylight
+    u_span = int(row["u"]) + 1
+    ev_copies = [
+        ev.withColumn("user_id", F.col("user_id") + F.lit(i * u_span))
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.col("ts").cast("long") + F.lit(i * span_sec)
+            ),
+        )
+        .select(*ev.columns)
+        for i in range(COPIES)
+    ]
+    out = ev_copies[0]
+    for d in ev_copies[1:]:
+        out = out.unionByName(d)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+
+def main() -> None:
+    out_dir = os.path.join(scratch_dir(), "stress_sf1")
+    # 10x the bench tier needs a bigger driver heap than the 1g default
+    # (local mode: executors share the driver JVM); a real cluster sizes
+    # executor memory to partition volume the same way
+    spark = get_spark(
+        app_name="aie321-stress-sf1",
+        extra_conf={"spark.driver.memory": "12g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(os.path.join(out_dir, "events.parquet")):
+        t0 = time.perf_counter()
+        _build(spark, out_dir)
+        print(
+            f"built {out_dir} in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_STRESS_RUNS", "2"))
+    results: dict[str, dict] = {}
+    for name in HEAVY:
+        fn = CATALOG[name].fn
+        fn(spark, BASE_SF).count()  # warm (codegen + per-process caches)
+        t_small = min(
+            _timed(fn, spark, BASE_SF) for _ in range(max(1, n_runs))
+        )
+        t_big = min(
+            _timed(fn, spark, out_dir) for _ in range(max(1, n_runs))
+        )
+        results[name] = {
+            "sf0.1_sec": round(t_small, 3),
+            "sf1_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+        }
+        print(f"{name}: {results[name]}", file=sys.stderr)
+
+    payload = {
+        "copies": COPIES,
+        "base": BASE_SF,
+        "runs": n_runs,
+        "queries": results,
+    }
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "STRESS_SF1.json"
+        ),
+        "w",
+    ) as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(json.dumps(payload))
+
+
+def _timed(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).count()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()
