@@ -1055,6 +1055,122 @@ def q_streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.filter(F.col("user_id") != -1)  # sentinel self-match
 
 
+_SNAPSHOT_CDC_BUILT: set[str] = set()
+
+
+def _snapshot_cdc_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Events as a Debezium-style CDC feed in THREE time-ordered
+    micro-batches: each row carries op = 'delete' when its event_type is
+    'error' (the account-close analog), else 'upsert'.  The CDC sink
+    reduces each batch to one op per user (greatest (ts, event_id)),
+    MERGEs the upserts copy-on-write, and applies the deletes as
+    KEY-EQUALITY deletes — O(keys) metadata, zero data reads per batch.
+    Time-ordered batches make the final state exactly "the user's
+    globally newest event decides": error -> absent, else latest row
+    (no cross-batch tombstones needed).  Batch files are written
+    sequentially with mtime spacing so the file source consumes them in
+    time order.  Built once per process."""
+    import shutil
+    import time as _time
+
+    from ..sources.snapshots import drop_snapshot_layer, snapshot_versions
+    from ..streaming.snapshot_sink import cdc_stream_into_snapshot
+
+    base = f"{_SCRATCH}/snapshot_cdc/{_tag(sf_dir)}"
+    path = f"{base}/layer"
+    if path in _SNAPSHOT_CDC_BUILT:
+        return path
+    events = (
+        load_star_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(
+                F.lit("upsert")
+            ),
+        )
+    )
+    src = f"{base}/src"
+    drop_snapshot_layer(spark, path)
+    shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    ep = F.col("ts").cast("long")
+    lo, hi = events.agg(F.min(ep), F.max(ep)).first()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    for cond in (ep < c1, (ep >= c1) & (ep < c2), ep >= c2):
+        events.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.2)  # file-source order = mtime order
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    cdc_stream_into_snapshot(
+        stream,
+        path,
+        "user_id",
+        checkpoint_dir=f"{base}/ckpt",
+        query_name="snapshot_cdc_build",
+        app_id="events_cdc",
+        resolve=["ts", "event_id"],
+    )
+    versions = snapshot_versions(spark, path)
+    if len(versions) < 4:
+        raise AssertionError(
+            "expected >= 3 merge + >= 1 delete commits, got "
+            f"versions={versions}"
+        )
+    _SNAPSHOT_CDC_BUILT.add(path)
+    return path
+
+
+@register(
+    "streaming_snapshot_cdc_apply",
+    """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT user_id,
+       event_type AS last_type,
+       CAST(FLOOR(value * 100) AS BIGINT) AS last_value_cents,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS last_sec
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""",
+    "FULL streaming CDC APPLY (streaming/snapshot_sink.py::"
+    "snapshot_cdc_writer — the Debezium consumer shape): each "
+    "micro-batch carries per-row ops, reduced to last-op-wins per key; "
+    "upserts MERGE copy-on-write (file-pruned) and deletes apply as "
+    "KEY-EQUALITY deletes — O(keys) metadata, ZERO data reads per "
+    "batch, the delete shape a position-delete sink cannot afford at "
+    "stream rate; exactly-once via paired txn markers (merge = "
+    "2*batch_id, delete = 2*batch_id+1), so a checkpoint-replayed "
+    "batch no-ops BOTH halves including the crash-between-halves case; "
+    "three time-ordered batches make the final state 'the user's "
+    "globally newest event decides' (error => row absent); the oracle "
+    "recomputes that state from the raw table, so a resurrected "
+    "deleted user, a stale upsert, or a double-applied batch breaks "
+    "the hash",
+    tags=("streaming", "snapshots", "cdc", "delete", "exactly-once"),
+)
+def q_streaming_snapshot_cdc_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.money import cents as _money_cents
+    from ..sources.snapshots import read_snapshot
+
+    path = _snapshot_cdc_layer(spark, sf_dir)
+    return read_snapshot(spark, path).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        _money_cents(F.col("value")).cast("long").alias("last_value_cents"),
+        F.col("ts").cast("long").alias("last_sec"),
+    )
+
+
 @register(
     "streaming_stream_join_full",
     """

@@ -271,6 +271,27 @@ def _aggregate_seg_stats(bases: list[str], seg_stats: dict) -> dict:
     return out
 
 
+def _bits_to_hex(bits) -> str:
+    """Sorted bit-position list -> hex bitmap, sized to the highest set
+    bit (a probe position beyond the bitmap reads 0 = definitely absent,
+    so the encoding needs no knowledge of the bloom's m)."""
+    if not bits:
+        return ""
+    arr = bytearray(max(bits) // 8 + 1)
+    for b in bits:
+        arr[b // 8] |= 1 << (b % 8)
+    return bytes(arr).hex()
+
+
+def _hex_has_bits(hx: str, positions: list[int]) -> bool:
+    """True iff every probe position is set in the hex bitmap."""
+    arr = bytes.fromhex(hx) if hx else b""
+    for p in positions:
+        if p // 8 >= len(arr) or not (arr[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
+
+
 def _write_segment_entries(
     spark: SparkSession,
     path: str,
@@ -319,10 +340,20 @@ def _write_segment_entries(
                 default=str,
             ),
         )
+        # segment-level Bloom UNION (hex bitmap, ~m/4 bytes max): lets a
+        # point probe skip the WHOLE segment without loading it.  Only
+        # recorded when EVERY member file has a bloom entry — a missing
+        # file bloom makes the union unable to say "definitely absent"
+        bloom_union = (
+            _bits_to_hex(sorted({b for bs in seg_blooms.values() for b in bs}))
+            if seg_blooms and all(b in seg_blooms for b in bases)
+            else None
+        )
         entries.append(
             {
                 "path": seg_path,
                 "n_files": len(chunk),
+                "bloom_union": bloom_union,
                 "n_rows": (
                     sum(int(seg_counts[b]) for b in bases)
                     if all(b in seg_counts for b in bases)
@@ -791,6 +822,23 @@ def snapshot_files(
                 for e in entries
                 if _entry_range_keeps(e.get("stats") or {}, col, lo, hi)
             ]
+        if prune_point is not None and m.get("bloom_col") == prune_point[0]:
+            # segment-level bloom skip: a segment whose recorded bloom
+            # UNION is missing any probe bit definitely lacks the value
+            # — skipped without even loading its segment file (entries
+            # without a union are conservatively loaded)
+            pos = _bloom_positions(
+                spark,
+                prune_point[1],
+                m=int(m.get("bloom_m") or _BLOOM_BITS),
+                k=int(m.get("bloom_k") or _BLOOM_HASHES),
+            )
+            entries = [
+                e
+                for e in entries
+                if e.get("bloom_union") is None
+                or _hex_has_bits(e["bloom_union"], pos)
+            ]
         files = []
         stats = {}
         blooms = {}
@@ -1158,6 +1206,8 @@ def delete_snapshot_keys(
     path: str,
     key_col: str,
     keys: list,
+    *,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """KEY-EQUALITY merge-on-read DELETE (the Iceberg v2 second delete
     flavor): commit a new version in which every head row whose
@@ -1192,6 +1242,20 @@ def delete_snapshot_keys(
         raise FileNotFoundError(f"no committed snapshot under {path}")
     head = versions[-1]
     m = _manifest_raw(spark, path, head)
+    txn_map: dict = m.get("txn", {})
+    if txn is not None:
+        # same idempotence contract as commit/merge: a replayed
+        # streaming micro-batch's delete no-ops against the high water
+        app, tv = txn
+        prev_tv = txn_map.get(app)
+        if prev_tv is not None and int(prev_tv) >= int(tv):
+            return {
+                "version": head,
+                "n_keys": 0,
+                "files_in_scope": 0,
+                "noop": True,
+            }
+        txn_map = {**txn_map, app: int(tv)}
     schema_rec = m.get("schema") or {}
     if key_col not in schema_rec:
         raise ValueError(
@@ -1280,7 +1344,7 @@ def delete_snapshot_keys(
                 ],
                 "schema": m.get("schema"),
                 "checks": m.get("checks") or {},
-                "txn": m.get("txn", {}),
+                "txn": txn_map,
             },
             default=str,
         ),

@@ -200,3 +200,138 @@ def upsert_stream_into_snapshot(
     )
     q.awaitTermination()
     return q
+
+
+def snapshot_cdc_writer(
+    path: str,
+    key_col: str,
+    *,
+    op_col: str = "op",
+    delete_op: str = "delete",
+    app_id: str = "cdc",
+    resolve: list[str] | None = None,
+    bootstrap_files: int = 4,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function for a FULL CDC APPLY (Debezium-style):
+    each micro-batch carries an ``op_col`` naming the operation per row —
+    ``delete_op`` rows delete their key, everything else upserts.  Per
+    key, the row with the greatest ``resolve`` tuple within the batch
+    decides (a delete arriving after an upsert of the same key in one
+    batch wins, and vice versa — the last-op-wins CDC contract).
+
+    Upserts MERGE copy-on-write (file-pruned, O(touched files));
+    deletes go through ``delete_snapshot_keys`` — **O(keys) metadata,
+    zero data reads** — which is the whole point at stream rate: a
+    position-delete CDC sink would pay a scan per batch.  Exactly-once:
+    the merge commits txn ``(app, 2*batch_id)`` and the delete commits
+    ``(app, 2*batch_id + 1)``, so a checkpoint-replayed batch no-ops
+    both halves, including the crash-between-halves replay (the merge
+    half no-ops on its marker, the delete half then applies once).
+
+    Deletes are not tombstoned across batches: a later batch's upsert
+    of a deleted key re-inserts it — correct for time-ordered CDC
+    feeds, where the key's newest op always arrives last.  The delete
+    key set is collected to the driver (it is O(batch delete keys),
+    the same rows a broadcast would ship).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshots import (
+        delete_snapshot_keys,
+        merge_snapshot,
+        retry_commit,
+        snapshot_versions,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        if resolve:
+            w = Window.partitionBy(key_col).orderBy(
+                *[F.col(c).desc() for c in resolve]
+            )
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        out = out.localCheckpoint(eager=True)  # one materialization
+        ups = out.filter(F.col(op_col) != delete_op).drop(op_col)
+        dels = [
+            r[0]
+            for r in out.filter(F.col(op_col) == delete_op)
+            .select(key_col)
+            .collect()
+        ]
+        spark = out.sparkSession
+
+        def apply_upserts():
+            if not snapshot_versions(spark, path):
+                commit_snapshot(
+                    spark,
+                    ups.repartitionByRange(bootstrap_files, key_col),
+                    path,
+                    stats_cols=[key_col],
+                    txn=(app_id, 2 * int(batch_id)),
+                    expect_version=1,
+                )
+            else:
+                merge_snapshot(
+                    spark,
+                    ups,
+                    path,
+                    key_col,
+                    stats_cols=[key_col],
+                    resolve=resolve,
+                    txn=(app_id, 2 * int(batch_id)),
+                )
+
+        retry_commit(apply_upserts)
+        if dels and snapshot_versions(spark, path):
+            retry_commit(
+                lambda: delete_snapshot_keys(
+                    spark,
+                    path,
+                    key_col,
+                    dels,
+                    txn=(app_id, 2 * int(batch_id) + 1),
+                )
+            )
+
+    return write_batch
+
+
+def cdc_stream_into_snapshot(
+    stream: DataFrame,
+    path: str,
+    key_col: str,
+    *,
+    checkpoint_dir: str,
+    query_name: str = "snapshot_cdc",
+    op_col: str = "op",
+    app_id: str = "cdc",
+    resolve: list[str] | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """Run ``stream`` to completion (availableNow) as a full CDC apply
+    (upserts + key deletes) into the snapshot layer at ``path``; see
+    ``snapshot_cdc_writer``."""
+    q = (
+        stream.writeStream.foreachBatch(
+            snapshot_cdc_writer(
+                path,
+                key_col,
+                op_col=op_col,
+                app_id=app_id,
+                resolve=resolve,
+                transform=transform,
+            )
+        )
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -2852,3 +2852,99 @@ class TestColumnStatsAndBroadcast:
         assert st["columns"]["k"]["ndv"] is not None
         # some live file lacks v sketches -> partial coverage is honest
         assert st["columns"]["v"] == {"ndv": None, "nulls": None}
+
+
+class TestBloomUnionAndCdcApply:
+    def test_point_probe_skips_whole_segments(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Segment-entry bloom UNION: a point probe drops whole segments
+        before loading any segment file (planning O(candidate
+        segments)), and never drops a true match."""
+        from pyspark.sql import functions as F
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        monkeypatch.setattr(snap, "_SEGMENT_MAX_FILES", 4)
+        snap.commit_snapshot(
+            spark,
+            spark.range(0, 1600)
+            .selectExpr("id AS k")
+            .repartitionByRange(16, "k"),
+            path,
+            bloom_col="k",
+        )
+        raw = snap._manifest_raw(spark, path, 1)
+        assert len(raw["segments"]) == 4
+        assert all(e.get("bloom_union") for e in raw["segments"])
+        for probe in (3, 800, 1599):
+            snap._SEGMENT_READS["n"] = 0
+            kept = snap.snapshot_files(spark, path, prune_point=("k", probe))
+            # range-clustered keys: only the one covering segment (plus
+            # rare false positives) is ever loaded
+            assert snap._SEGMENT_READS["n"] <= 2
+            got = [
+                r["k"]
+                for r in spark.read.parquet(*kept)
+                .where(F.col("k") == probe)
+                .collect()
+            ]
+            assert got == [probe]
+        # files rewritten WITHOUT bloom entries leave the union off ->
+        # segment conservatively loaded, never wrongly skipped
+        snap.merge_snapshot(
+            spark,
+            spark.range(0, 1).selectExpr("id AS k"),
+            path,
+            "k",
+        )
+        raw2 = snap._manifest_raw(spark, path, 2)
+        assert any(e.get("bloom_union") is None for e in raw2["segments"])
+        kept = snap.snapshot_files(spark, path, prune_point=("k", 0))
+        vals = [
+            r["k"]
+            for r in spark.read.parquet(*kept).where("k = 0").collect()
+        ]
+        assert vals == [0]
+
+    def test_cdc_writer_replay_noops_both_halves(self, spark, tmp_path):
+        """The CDC apply's paired txn markers: a checkpoint-replayed
+        batch no-ops BOTH the merge half and the equality-delete half —
+        including the crash-between-halves replay."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.streaming.snapshot_sink import (
+            snapshot_cdc_writer,
+        )
+
+        path = str(tmp_path / "layer")
+        wb = snapshot_cdc_writer(path, "k", resolve=["seq"])
+        b0 = spark.createDataFrame(
+            [(1, "a", 1, "upsert"), (2, "b", 1, "upsert"), (3, "c", 1, "upsert")],
+            "k long, v string, seq long, op string",
+        )
+        wb(b0, 0)
+        b1 = spark.createDataFrame(
+            [(2, "b2", 2, "upsert"), (3, None, 2, "delete")],
+            "k long, v string, seq long, op string",
+        )
+        wb(b1, 1)
+        want = {(1, "a"), (2, "b2")}
+        got = lambda: {
+            (r["k"], r["v"])
+            for r in snap.read_snapshot(spark, path).select("k", "v").collect()
+        }
+        assert got() == want
+        head = snap.snapshot_versions(spark, path)[-1]
+        # full replay of batch 1: both halves no-op, nothing recommitted
+        wb(b1, 1)
+        assert got() == want
+        assert snap.snapshot_versions(spark, path)[-1] == head
+        # crash-between-halves: simulate by replaying with the merge
+        # marker already recorded — merge no-ops, delete applies once
+        # (already recorded too, so again a no-op)
+        rep = snap.delete_snapshot_keys(
+            spark, path, "k", [2], txn=("cdc", 3)
+        )
+        assert rep.get("noop") is True  # 2*1+1 = 3 already high-watered
+        assert got() == want
