@@ -784,7 +784,12 @@ def snapshot_files(
     contain the value and is skipped — the point-lookup index for
     hash-scrambled high-cardinality keys where every file's [min, max]
     spans the whole domain.  False positives only cost a scanned file,
-    never correctness; files without a bloom entry are kept."""
+    never correctness; files without a bloom entry are kept.
+
+    ``value`` may also be a list/tuple/set — the ``col IN (...)``
+    planning shape: a file survives if ANY probe value might be present
+    (per-value positions OR-ed at the keep decision, the same plan an
+    IN-list gets from Parquet bloom filters)."""
     versions = snapshot_versions(spark, path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {path}")
@@ -826,18 +831,22 @@ def snapshot_files(
             # segment-level bloom skip: a segment whose recorded bloom
             # UNION is missing any probe bit definitely lacks the value
             # — skipped without even loading its segment file (entries
-            # without a union are conservatively loaded)
-            pos = _bloom_positions(
-                spark,
-                prune_point[1],
-                m=int(m.get("bloom_m") or _BLOOM_BITS),
-                k=int(m.get("bloom_k") or _BLOOM_HASHES),
-            )
+            # without a union are conservatively loaded).  IN-lists keep
+            # a segment if ANY value's bits are all present.
+            pos_list = [
+                _bloom_positions(
+                    spark,
+                    v,
+                    m=int(m.get("bloom_m") or _BLOOM_BITS),
+                    k=int(m.get("bloom_k") or _BLOOM_HASHES),
+                )
+                for v in _point_values(prune_point[1])
+            ]
             entries = [
                 e
                 for e in entries
                 if e.get("bloom_union") is None
-                or _hex_has_bits(e["bloom_union"], pos)
+                or any(_hex_has_bits(e["bloom_union"], pos) for pos in pos_list)
             ]
         files = []
         stats = {}
@@ -872,21 +881,37 @@ def snapshot_files(
             # probe with the LAYER'S recorded bloom parameters (manifests
             # from before parameter recording used the then-current
             # constants, which the defaults preserve)
-            pos = _bloom_positions(
-                spark,
-                value,
-                m=int(m.get("bloom_m") or _BLOOM_BITS),
-                k=int(m.get("bloom_k") or _BLOOM_HASHES),
-            )
+            pos_list = [
+                _bloom_positions(
+                    spark,
+                    v,
+                    m=int(m.get("bloom_m") or _BLOOM_BITS),
+                    k=int(m.get("bloom_k") or _BLOOM_HASHES),
+                )
+                for v in _point_values(value)
+            ]
             kept = []
             for f in files:
                 bits = blooms.get(f.rsplit("/", 1)[-1])
                 if bits is None:
                     kept.append(f)  # no bloom recorded -> keep
-                elif all(p in set(bits) for p in pos):
-                    kept.append(f)  # maybe present (bloom can't say no)
+                else:
+                    bitset = set(bits)
+                    # IN-list: maybe-present for ANY probe value keeps
+                    # the file (bloom can't say no)
+                    if any(all(p in bitset for p in pos) for pos in pos_list):
+                        kept.append(f)
             files = kept
     return files
+
+
+def _point_values(value: object) -> list:
+    """Normalize a ``prune_point`` probe to a value list: scalars become
+    a one-element list; lists/tuples/sets pass through (the IN-list
+    shape).  Strings/bytes are scalars, not sequences."""
+    if isinstance(value, (list, tuple, set, frozenset)):
+        return list(value)
+    return [value]
 
 
 def _split_delete_entries(

@@ -1363,6 +1363,46 @@ class TestSnapshotBloom:
         )
         assert set(both) <= set(snapshot_files(spark, path, prune_point=("k", 7)))
 
+    def test_bloom_in_list_probe_unions_per_value_keeps(self, spark, tmp_path):
+        """IN-list point probe: ``prune_point=(col, [v1, v2])`` plans the
+        ``col IN (...)`` shape — the kept set is exactly the union of the
+        per-value keeps (never drops a true positive for ANY listed key),
+        and an all-absent list still prunes to (near) zero files."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            read_snapshot,
+            snapshot_files,
+        )
+
+        path = str(tmp_path / "layer")
+        df = spark.range(0, 400).selectExpr("id AS k", "id * 3 AS v")
+        commit_snapshot(
+            spark, df.repartition(8), path, stats_cols=["k"], bloom_col="k"
+        )
+        probes = [7, 123, 399]
+        union_of_singles = set()
+        for p in probes:
+            union_of_singles |= set(
+                snapshot_files(spark, path, prune_point=("k", p))
+            )
+        in_list = set(snapshot_files(spark, path, prune_point=("k", probes)))
+        assert in_list == union_of_singles
+        got = (
+            read_snapshot(spark, path, prune_point=("k", probes))
+            .filter(F.col("k").isin(probes))
+            .collect()
+        )
+        assert sorted((r["k"], r["v"]) for r in got) == [
+            (p, p * 3) for p in sorted(probes)
+        ]
+        # all-absent IN-list: bloom still says definitely-not almost everywhere
+        absent = snapshot_files(
+            spark, path, prune_point=("k", [10**9, 10**9 + 1])
+        )
+        assert len(absent) <= 3
+
     def test_bloom_entries_carry_through_append_and_merge(self, spark, tmp_path):
         from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
             _manifest,
@@ -2891,6 +2931,18 @@ class TestBloomUnionAndCdcApply:
                 .collect()
             ]
             assert got == [probe]
+        # IN-list across distant segments: both covering segments load,
+        # the untouched middle ones stay skipped
+        snap._SEGMENT_READS["n"] = 0
+        kept = snap.snapshot_files(spark, path, prune_point=("k", [3, 1599]))
+        assert snap._SEGMENT_READS["n"] <= 3
+        got = sorted(
+            r["k"]
+            for r in spark.read.parquet(*kept)
+            .where(F.col("k").isin([3, 1599]))
+            .collect()
+        )
+        assert got == [3, 1599]
         # files rewritten WITHOUT bloom entries leave the union off ->
         # segment conservatively loaded, never wrongly skipped
         snap.merge_snapshot(
