@@ -2009,3 +2009,94 @@ def q_ivm_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+_PUSHDOWN_LAYERS_BUILT: set[str] = set()
+
+
+def _orders_pushdown_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Orders committed range-clustered on o_orderkey with BOTH per-file
+    min/max stats AND the Bloom point index — the layout the pushdown
+    DataSource prunes against on every predicate shape (range bands via
+    stats, point/IN probes via blooms).  Built once per process."""
+    from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/orders_pushdown_layer"
+    if path in _PUSHDOWN_LAYERS_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    orders = load_star_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    commit_snapshot(
+        spark,
+        orders.repartitionByRange(8, "o_orderkey"),
+        path,
+        stats_cols=["o_orderkey"],
+        bloom_col="o_orderkey",
+    )
+    _PUSHDOWN_LAYERS_BUILT.add(path)
+    return path
+
+
+@register(
+    "snapshot_pushdown_scan",
+    """
+SELECT 'range' AS scan_kind,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders
+WHERE o_orderkey BETWEEN 3000 AND 4000
+UNION ALL
+SELECT 'point',
+       COUNT(*),
+       CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM orders
+WHERE o_orderkey IN (7, 4242)
+""",
+    "PREDICATE-DRIVEN manifest pruning with zero caller cooperation "
+    "(sources/snapshot_batch.py — the filter-pushdown batch DataSource "
+    "over the snapshot layer): a plain WHERE on the loaded relation is "
+    "pushed through Spark's Python-DataSource pushFilters hook and "
+    "mapped onto the manifest's two-level stats (segment envelopes, "
+    "then per-file ranges) and Bloom indexes (segment unions, then "
+    "per-file bit sets) — the range band opens 1 of 8 files and the "
+    "IN probe bloom-skips everything else, with NO prune_range/"
+    "prune_point argument anywhere (Delta/Iceberg's skipping-from-the-"
+    "query's-own-predicates contract); every filter is also re-applied "
+    "row-level by Spark, so pruning is an optimization, never the "
+    "correctness boundary; the file/segment counts are counter-pinned "
+    "by pytest, and the oracle recomputes both scans through the raw "
+    "table",
+    tags=("snapshots", "pruning", "sources"),
+)
+def q_snapshot_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshot_batch import read_snapshot_pushdown
+
+    path = _orders_pushdown_layer(spark, sf_dir)
+    # one fresh relation PER QUERY: the safe usage unit for a
+    # filter-pushdown Python DataSource (module docstring sharp edge)
+    band = (
+        read_snapshot_pushdown(spark, path)
+        .filter(F.col("o_orderkey").between(3000, 4000))
+        .agg(
+            F.lit("range").alias("scan_kind"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("price_cents"),
+        )
+    )
+    point = (
+        read_snapshot_pushdown(spark, path)
+        .filter(F.col("o_orderkey").isin([7, 4242]))
+        .agg(
+            F.lit("point").alias("scan_kind"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("price_cents"),
+        )
+    )
+    return band.unionByName(point)

@@ -23,6 +23,12 @@ Row parsing runs in Python: this connector is for bounded interchange
 layers (the Sheets-quota analog), not the hot scan path — the native
 CSV/parquet readers (sources/readers.py) stay the bulk path.
 
+Sharp edge shared by every filter-pushdown Python DataSource (verified
+in Spark 4.1 — see sources/snapshot_batch.py for the full analysis):
+use ONE ``load()`` per query.  The JVM caches the planned read in
+mutable per-relation state, and a query WITHOUT any filter reuses the
+LAST planning's (possibly pruned) partitions.
+
 Supported column types: long/int, double, string, boolean.  NULL is the
 ``\\N`` sentinel (same convention as the csv_roundtrip layer); a string
 VALUE equal to ``\\N`` is therefore not representable here.

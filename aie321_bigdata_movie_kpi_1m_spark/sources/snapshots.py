@@ -534,19 +534,33 @@ def _file_blooms(
     return blooms
 
 
-def _bloom_positions(spark: SparkSession, value, *, m: int, k: int) -> list[int]:
-    """The k bit positions a probe value hashes to — computed THROUGH
-    Spark's own xxhash64 (one scalar row) so commit and probe can never
-    drift on hash semantics."""
+def _bloom_positions_multi(
+    spark: SparkSession, values: list, *, m: int, k: int
+) -> list[list[int]]:
+    """Per-value bit-position lists for a probe value list — computed
+    THROUGH Spark's own xxhash64 so commit and probe can never drift on
+    hash semantics, and in ONE scalar-row job for the whole list (a
+    100-value IN probe costs one driver round-trip, not 100)."""
+    if not values:
+        return []
     row = spark.range(1).select(
         *[
-            F.pmod(F.xxhash64(F.lit(value).cast("string"), F.lit(i)), F.lit(m)).alias(
-                f"b{i}"
-            )
+            F.pmod(
+                F.xxhash64(F.lit(v).cast("string"), F.lit(i)), F.lit(m)
+            ).alias(f"b_{j}_{i}")
+            for j, v in enumerate(values)
             for i in range(k)
         ]
     ).first()
-    return [int(row[f"b{i}"]) for i in range(k)]
+    return [
+        [int(row[f"b_{j}_{i}"]) for i in range(k)]
+        for j in range(len(values))
+    ]
+
+
+def _bloom_positions(spark: SparkSession, value, *, m: int, k: int) -> list[int]:
+    """The k bit positions one probe value hashes to."""
+    return _bloom_positions_multi(spark, [value], m=m, k=k)[0]
 
 
 def commit_snapshot(
@@ -744,7 +758,7 @@ def _enforce_checks(
         )
 
 
-def retry_commit(fn, *, attempts: int = 3):
+def retry_commit(fn, *, attempts: int = 3, backoff_seconds: float = 0.05):
     """Run a layer mutation under OPTIMISTIC-CONCURRENCY retry: call
     ``fn`` (a zero-arg closure over ``commit_snapshot`` /
     ``merge_snapshot`` / ``delete_snapshot``), and when it loses the
@@ -755,14 +769,27 @@ def retry_commit(fn, *, attempts: int = 3):
     orphaned staging dir is retention-GC'd by ``vacuum_snapshots``.
     Idempotent ``txn`` markers compose: a retry whose transaction
     already won just no-ops.  Raises the last conflict after
-    ``attempts`` tries (contention beyond that needs backoff or a
-    single-writer queue, not more retries)."""
+    ``attempts`` tries.
+
+    Retries wait a RANDOMIZED EXPONENTIAL backoff (jittered full range,
+    doubling base, capped at ~2 s) before re-running: immediate retries
+    under real multi-writer contention synchronize the losers so they
+    all collide again — jitter is what de-correlates them (the standard
+    OCC/AIMD argument).  ``backoff_seconds=0`` restores immediate
+    retry for single-process tests."""
+    import random
+
     last: FileExistsError | None = None
-    for _ in range(max(1, attempts)):
+    n = max(1, attempts)
+    for i in range(n):
         try:
             return fn()
         except FileExistsError as e:
             last = e
+            if backoff_seconds > 0 and i < n - 1:
+                time.sleep(
+                    random.uniform(0, min(2.0, backoff_seconds * (2**i)))
+                )
     raise last
 
 
@@ -814,6 +841,16 @@ def snapshot_files(
         if isinstance(prune_range, tuple)
         else list(prune_range)
     )
+    # probe positions are computed ONCE per plan (one Spark job for the
+    # whole IN list) and shared by the segment-union and per-file probes
+    pos_list: list[list[int]] | None = None
+    if prune_point is not None and m.get("bloom_col") == prune_point[0]:
+        pos_list = _bloom_positions_multi(
+            spark,
+            _point_values(prune_point[1]),
+            m=int(m.get("bloom_m") or _BLOOM_BITS),
+            k=int(m.get("bloom_k") or _BLOOM_HASHES),
+        )
     if m.get("format", 1) >= 2:
         # segment-level skip FIRST: entries whose per-column [min, max]
         # cannot intersect the range are dropped before their segment
@@ -827,21 +864,12 @@ def snapshot_files(
                 for e in entries
                 if _entry_range_keeps(e.get("stats") or {}, col, lo, hi)
             ]
-        if prune_point is not None and m.get("bloom_col") == prune_point[0]:
+        if pos_list is not None:
             # segment-level bloom skip: a segment whose recorded bloom
             # UNION is missing any probe bit definitely lacks the value
             # — skipped without even loading its segment file (entries
             # without a union are conservatively loaded).  IN-lists keep
             # a segment if ANY value's bits are all present.
-            pos_list = [
-                _bloom_positions(
-                    spark,
-                    v,
-                    m=int(m.get("bloom_m") or _BLOOM_BITS),
-                    k=int(m.get("bloom_k") or _BLOOM_HASHES),
-                )
-                for v in _point_values(prune_point[1])
-            ]
             entries = [
                 e
                 for e in entries
@@ -875,21 +903,12 @@ def snapshot_files(
             elif (lo is None or s[1] >= lo) and (hi is None or s[0] <= hi):
                 kept.append(f)
         files = kept
-    if prune_point is not None:
-        col, value = prune_point
-        if m.get("bloom_col") == col and blooms:
+    if pos_list is not None:
+        if blooms:
             # probe with the LAYER'S recorded bloom parameters (manifests
             # from before parameter recording used the then-current
-            # constants, which the defaults preserve)
-            pos_list = [
-                _bloom_positions(
-                    spark,
-                    v,
-                    m=int(m.get("bloom_m") or _BLOOM_BITS),
-                    k=int(m.get("bloom_k") or _BLOOM_HASHES),
-                )
-                for v in _point_values(value)
-            ]
+            # constants, which the defaults preserve), reusing the
+            # positions computed once above
             kept = []
             for f in files:
                 bits = blooms.get(f.rsplit("/", 1)[-1])
@@ -1738,16 +1757,26 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
         )
     head = versions[-1]
     old_raw = _manifest_raw(spark, path, version)
-    old = _manifest(spark, path, version)
     cur = _manifest_raw(spark, path, head)
     jvm, fs = _fs(spark, path)
+    # SEGMENT paths are checked from the RAW manifest, BEFORE
+    # materializing: _manifest reads every segment file, so a vacuumed
+    # segment (e.g. the source of a clone GC'd under it) would die
+    # inside _read_text with an opaque py4j FileNotFound before the
+    # friendly error below could ever fire
     missing = [
-        f
-        for f in old["files"]
-        + [e["path"] for e in old.get("delete_files") or []]
-        + [e["path"] for e in old_raw.get("segments") or []]
-        if not fs.exists(_hpath(jvm, f))
+        e["path"]
+        for e in old_raw.get("segments") or []
+        if not fs.exists(_hpath(jvm, e["path"]))
     ]
+    if not missing:
+        old = _manifest(spark, path, version)
+        missing = [
+            f
+            for f in old["files"]
+            + [e["path"] for e in old.get("delete_files") or []]
+            if not fs.exists(_hpath(jvm, f))
+        ]
     if missing:
         raise FileNotFoundError(
             f"cannot restore v{version}: {len(missing)} referenced "

@@ -95,6 +95,7 @@ def snapshot_upsert_writer(
     app_id: str = "stream_upsert",
     resolve: list[str] | None = None,
     bootstrap_files: int = 4,
+    commit_attempts: int = 20,
     transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function for STREAMING CDC UPSERT: each
@@ -110,7 +111,12 @@ def snapshot_upsert_writer(
     state, which ALSO makes the sink insensitive to batch arrival order
     for out-of-order sources.  The first batch bootstraps the layer
     key-clustered (``repartitionByRange`` on the key) so every later
-    merge's file pruning is sharp."""
+    merge's file pruning is sharp.
+
+    ``commit_attempts`` sizes the OCC retry loop (with randomized
+    backoff — see ``retry_commit``): a streaming sink racing other
+    writers must out-wait transient contention instead of failing the
+    whole query on the default batch-job attempt count."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -165,7 +171,7 @@ def snapshot_upsert_writer(
                     txn=(app_id, int(batch_id)),
                 )
 
-        retry_commit(attempt)
+        retry_commit(attempt, attempts=commit_attempts)
 
     return write_batch
 
@@ -211,11 +217,15 @@ def snapshot_cdc_writer(
     app_id: str = "cdc",
     resolve: list[str] | None = None,
     bootstrap_files: int = 4,
+    commit_attempts: int = 20,
     transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function for a FULL CDC APPLY (Debezium-style):
     each micro-batch carries an ``op_col`` naming the operation per row —
-    ``delete_op`` rows delete their key, everything else upserts.  Per
+    ``delete_op`` rows delete their key, everything else upserts.  A
+    NULL ``op_col`` is a malformed CDC record and FAILS THE BATCH loudly
+    (``ValueError``): under three-valued logic it would match neither
+    the upsert nor the delete filter and silently vanish.  Per
     key, the row with the greatest ``resolve`` tuple within the batch
     decides (a delete arriving after an upsert of the same key in one
     batch wins, and vice versa — the last-op-wins CDC contract).
@@ -257,6 +267,15 @@ def snapshot_cdc_writer(
                 .drop("__rn")
             )
         out = out.localCheckpoint(eager=True)  # one materialization
+        # malformed records fail loudly: a NULL op is neither an upsert
+        # nor a delete under SQL three-valued logic, so without this
+        # check the row would land in NEITHER branch and vanish
+        n_null = out.filter(F.col(op_col).isNull()).limit(1).count()
+        if n_null:
+            raise ValueError(
+                f"CDC batch {batch_id}: row(s) with NULL {op_col!r} — "
+                "malformed change records are rejected, not dropped"
+            )
         ups = out.filter(F.col(op_col) != delete_op).drop(op_col)
         dels = [
             r[0]
@@ -287,7 +306,7 @@ def snapshot_cdc_writer(
                     txn=(app_id, 2 * int(batch_id)),
                 )
 
-        retry_commit(apply_upserts)
+        retry_commit(apply_upserts, attempts=commit_attempts)
         if dels and snapshot_versions(spark, path):
             retry_commit(
                 lambda: delete_snapshot_keys(
@@ -296,7 +315,8 @@ def snapshot_cdc_writer(
                     key_col,
                     dels,
                     txn=(app_id, 2 * int(batch_id) + 1),
-                )
+                ),
+                attempts=commit_attempts,
             )
 
     return write_batch

@@ -36,11 +36,17 @@ import sys
 #   snapshot table layer and the flush-sentinel streaming monitors) —
 #   their members share failure modes, so a green representative guards
 #   the family between rotations
+# - snapshot_delete_equality / streaming_snapshot_cdc_apply: the newest,
+#   most state-machine-heavy members of those same two families (VERDICT
+#   r6 next-round #4) — a regression there would otherwise hide until
+#   the driver's rotation lands on them
 ALWAYS = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "snapshot_merge_cow",
     "streaming_drift_kl",
+    "snapshot_delete_equality",
+    "streaming_snapshot_cdc_apply",
 ]
 SLICE = 10
 

@@ -63,6 +63,12 @@ HEAVY = [
     "association_rules_parts",
     "dedup_clusters",
     "interval_sessions_overlap",
+    # round-7 additions (VERDICT r6 next-round #5): the suite's most
+    # expensive query (round-count-driven O(log^2 n) star contraction)
+    # and the banded MinHash join — both pair on doc_id-derived keys,
+    # which the disjoint-copy construction already isolates per copy
+    "dedup_clusters_star",
+    "minhash_lsh_neardup",
 ]
 COPIES = 10
 BASE_SF = "/root/testdata/sf0.1"

@@ -3000,3 +3000,269 @@ class TestBloomUnionAndCdcApply:
         )
         assert rep.get("noop") is True  # 2*1+1 = 3 already high-watered
         assert got() == want
+
+
+class TestAdviceRound6Fixes:
+    """Regression pins for the round-6 ADVICE items (VERDICT r6 /
+    ADVICE.md): friendly restore error on vacuumed segments, one-job
+    IN-list bloom probes, loud NULL-op CDC rejection, and backoff in
+    the OCC retry loop."""
+
+    def test_restore_vacuumed_segment_raises_friendly(
+        self, spark, tmp_path
+    ):
+        """A format-2 manifest whose segment file was removed must fail
+        restore with the friendly 'cannot restore … vacuumed' error —
+        not an opaque py4j FileNotFound from materializing the manifest
+        before the check (ADVICE r6 #1)."""
+        import os
+
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark, spark.range(10).selectExpr("id AS k"), path
+        )
+        snap.commit_snapshot(
+            spark, spark.range(5).selectExpr("id AS k"), path
+        )
+        seg = snap._manifest_raw(spark, path, 1)["segments"][0]["path"]
+        os.remove(seg.removeprefix("file:"))
+        with pytest.raises(FileNotFoundError, match="cannot restore"):
+            snap.restore_snapshot(spark, path, 1)
+
+    def test_in_list_probe_one_position_job(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A multi-value prune_point computes ALL probe positions in one
+        Spark job, shared by the segment-union and per-file probes
+        (ADVICE r6 #2: was one job per value, computed twice)."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        monkeypatch.setattr(snap, "_SEGMENT_MAX_FILES", 4)
+        snap.commit_snapshot(
+            spark,
+            spark.range(0, 800)
+            .selectExpr("id AS k")
+            .repartitionByRange(8, "k"),
+            path,
+            bloom_col="k",
+        )
+        calls = []
+        real = snap._bloom_positions_multi
+
+        def spy(sp, values, *, m, k):
+            calls.append(list(values))
+            return real(sp, values, m=m, k=k)
+
+        monkeypatch.setattr(snap, "_bloom_positions_multi", spy)
+        probes = [3, 99, 400, 401, 799]
+        kept = snap.snapshot_files(spark, path, prune_point=("k", probes))
+        assert calls == [probes]  # one batched call for the whole plan
+        got = sorted(
+            r["k"]
+            for r in spark.read.parquet(*kept)
+            .where(spark_col_in("k", probes))
+            .collect()
+        )
+        assert got == sorted(probes)
+
+    def test_cdc_writer_rejects_null_op(self, spark, tmp_path):
+        """A CDC row with NULL op fails the batch loudly instead of
+        vanishing from both branches (ADVICE r6 #3)."""
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.streaming.snapshot_sink import (
+            snapshot_cdc_writer,
+        )
+
+        path = str(tmp_path / "layer")
+        wb = snapshot_cdc_writer(path, "k", resolve=["seq"])
+        bad = spark.createDataFrame(
+            [(1, "a", 1, "upsert"), (2, "b", 1, None)],
+            "k long, v string, seq long, op string",
+        )
+        with pytest.raises(ValueError, match="NULL 'op'"):
+            wb(bad, 0)
+
+    def test_retry_commit_backs_off_between_attempts(self, monkeypatch):
+        """Retries sleep a jittered backoff between attempts (ADVICE r6
+        #4) — and still return the first success."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        sleeps = []
+        monkeypatch.setattr(snap.time, "sleep", sleeps.append)
+        state = {"n": 0}
+
+        def flaky():
+            state["n"] += 1
+            if state["n"] < 3:
+                raise FileExistsError("lost the race")
+            return "ok"
+
+        assert snap.retry_commit(flaky, attempts=5) == "ok"
+        assert len(sleeps) == 2  # one wait per lost attempt
+        assert all(0 <= s <= 2.0 for s in sleeps)
+        # backoff_seconds=0 restores immediate retry (test substrate)
+        state["n"] = 0
+        sleeps.clear()
+        assert (
+            snap.retry_commit(flaky, attempts=5, backoff_seconds=0) == "ok"
+        )
+        assert sleeps == []
+
+
+def spark_col_in(col: str, values: list):
+    from pyspark.sql import functions as F
+
+    return F.col(col).isin(values)
+
+
+class TestSnapshotPushdownScan:
+    """The filter-pushdown batch DataSource over the snapshot layer
+    (sources/snapshot_batch.py): pure-Python bloom-hash parity, counter-
+    pinned two-level pruning from the query's own predicates, delete
+    application, and time travel."""
+
+    def _layer(self, spark, tmp_path, monkeypatch):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        monkeypatch.setattr(snap, "_SEGMENT_MAX_FILES", 4)
+        snap.commit_snapshot(
+            spark,
+            spark.range(0, 1600)
+            .selectExpr("id AS k", "CAST(id % 7 AS STRING) AS v")
+            .repartitionByRange(16, "k"),
+            path,
+            stats_cols=["k"],
+            bloom_col="k",
+        )
+        return path
+
+    def test_xxh64_parity_with_spark_is_pinned(self, spark):
+        """The planner's pure-Python XXH64 must match Spark's xxhash64
+        BIT FOR BIT (commit-time bloom vs probe-time positions) — every
+        tail length class, unicode, and int-rendered values.  HARD
+        assert: drift would make bloom pruning silently wrong."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshot_batch import (
+            bloom_probe_positions,
+        )
+
+        values = [0, 1, -5, 123456789, 2**40]
+        values += ["", "a"] + ["x" * n for n in (3, 4, 7, 8, 9, 15, 16)]
+        values += ["y" * n for n in (17, 31, 32, 33, 40, 64, 100)]
+        values += ["héllo wörld ünïcode", "tab\tand\nnewline"]
+        spark_pos = snap._bloom_positions_multi(spark, values, m=8192, k=4)
+        for v, sp in zip(values, spark_pos):
+            assert bloom_probe_positions(v, m=8192, k=4) == sp, repr(v)
+        # non-reproducible CAST renderings conservatively skip probing
+        assert bloom_probe_positions(1.5, m=8192, k=4) is None
+        assert bloom_probe_positions(True, m=8192, k=4) is None
+
+    def test_where_prunes_segments_and_files(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A plain WHERE — no prune_range/prune_point anywhere — opens
+        only the matching segment/file set (counter-pinned via the
+        plan_log observability hook), and results stay exact."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshot_batch import (
+            read_snapshot_pushdown,
+        )
+
+        path = self._layer(spark, tmp_path, monkeypatch)
+        log = str(tmp_path / "plan.json")
+        # range band: 1 of 4 segments, 1 of 16 files
+        got = (
+            read_snapshot_pushdown(spark, path, plan_log=log)
+            .where(F.col("k").between(100, 199))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+            .first()
+        )
+        assert (got["n"], got["s"]) == (100, sum(range(100, 200)))
+        plan = json.load(open(log))
+        assert plan["n_files_total"] == 16
+        assert plan["n_segments_read"] == 1
+        assert plan["n_files_planned"] <= 2
+        # bloom point probe on the key column
+        got = (
+            read_snapshot_pushdown(spark, path, plan_log=log)
+            .where("k = 777")
+            .collect()
+        )
+        assert [(r["k"], r["v"]) for r in got] == [(777, str(777 % 7))]
+        plan = json.load(open(log))
+        assert plan["n_files_planned"] <= 2
+        # IN list spanning distant segments: both load, middle skipped
+        got = (
+            read_snapshot_pushdown(spark, path, plan_log=log)
+            .where(F.col("k").isin([3, 1599]))
+            .agg(F.sum("k").alias("s"))
+            .first()
+        )
+        assert got["s"] == 3 + 1599
+        plan = json.load(open(log))
+        assert plan["n_segments_read"] <= 3
+        # fresh filterless load plans the FULL file set and counts all
+        got = read_snapshot_pushdown(spark, path, plan_log=log).count()
+        assert got == 1600
+        plan = json.load(open(log))
+        assert plan["n_files_planned"] == 16
+
+    def test_deletes_applied_and_time_travel(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Position AND equality delete entries are applied per file in
+        the Arrow read path; version= reads the pre-delete state."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshot_batch import (
+            read_snapshot_pushdown,
+        )
+
+        path = self._layer(spark, tmp_path, monkeypatch)
+        snap.delete_snapshot(spark, path, "k = 10")
+        snap.delete_snapshot_keys(spark, path, "k", [20, 21])
+        df = read_snapshot_pushdown(spark, path)
+        assert df.count() == snap.read_snapshot(spark, path).count() == 1597
+        assert (
+            read_snapshot_pushdown(spark, path)
+            .where("k IN (10, 20, 21)")
+            .count()
+            == 0
+        )
+        # time travel: v1 predates both deletes
+        assert read_snapshot_pushdown(spark, path, version=1).count() == 1600
+
+    def test_no_resurrect_scope_on_equality_deletes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A key re-appended AFTER its equality delete is outside the
+        entry's touch scope and must survive the pushdown read — same
+        no-resurrect contract as read_snapshot."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshot_batch import (
+            read_snapshot_pushdown,
+        )
+
+        path = self._layer(spark, tmp_path, monkeypatch)
+        snap.delete_snapshot_keys(spark, path, "k", [42])
+        snap.commit_snapshot(
+            spark,
+            spark.range(42, 43).selectExpr(
+                "id AS k", "'resurrected' AS v"
+            ),
+            path,
+            mode="append",
+        )
+        rows = (
+            read_snapshot_pushdown(spark, path).where("k = 42").collect()
+        )
+        assert [(r["k"], r["v"]) for r in rows] == [(42, "resurrected")]
