@@ -2100,3 +2100,122 @@ def q_snapshot_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return band.unionByName(point)
+
+
+_MERGE_CDF_BUILT: set[str] = set()
+
+
+def _orders_merge_cdf_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Orders committed CHANGE-FEED-enabled and key-clustered, then
+    MERGEd with a deterministic CDC batch: every 7th order re-priced
+    (+1000) and re-inserted under an offset key at price 42 — so v2 is
+    recomputable in SQL and the recorded change file carries exactly
+    the update's delete+insert pairs plus the inserts.  Once per
+    process."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        drop_snapshot_layer,
+        merge_snapshot,
+    )
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/orders_merge_cdf"
+    if path in _MERGE_CDF_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    orders = load_star_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    commit_snapshot(
+        spark,
+        orders.repartitionByRange(8, "o_orderkey"),
+        path,
+        stats_cols=["o_orderkey"],
+        change_feed=True,
+    )
+    hot = orders.filter(F.col("o_orderkey") % 7 == 0)
+    delta = hot.withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    ).unionByName(
+        hot.select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit(42.0).alias("o_totalprice"),
+        )
+    )
+    merge_snapshot(spark, delta, path, "o_orderkey", stats_cols=["o_orderkey"])
+    _MERGE_CDF_BUILT.add(path)
+    return path
+
+
+@register(
+    "ivm_merge_refresh",
+    """
+WITH v2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 42.0
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM v2 JOIN customer c ON v2.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+""",
+    "O(delta) incremental view maintenance ACROSS A MERGE version via "
+    "the recorded change-data feed (snapshots.py change_feed property — "
+    "per-commit change files, Delta CDF style): a join-view (orders x "
+    "customer dim, broadcast) materialized at v1 is refreshed to the "
+    "post-MERGE v2 state by folding ONLY the commit's recorded change "
+    "rows (+1 per insert, -1 per delete; an update folds as the "
+    "delete+insert pair the change file carries) — the generic feed "
+    "would pay two full-table exceptAll shuffles per refresh, which is "
+    "exactly what made IVM over CDC-maintained layers O(table) before "
+    "(VERDICT r6 #2); zero-fallback is counter-pinned by pytest, and "
+    "the oracle recomputes the v2 join-aggregate from the raw tables",
+    tags=("snapshots", "ivm", "cdc", "join"),
+)
+def q_ivm_merge_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot, snapshot_changes
+
+    path = _orders_merge_cdf_layer(spark, sf_dir)
+    dim = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    base = (
+        read_snapshot(spark, path, 1)
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        )
+    )
+    feed = snapshot_changes(spark, path, 1, 2)
+    sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    fold = (
+        feed.withColumn("__sign", sign)
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("__sign").alias("n_orders"),
+            F.sum(F.col("__sign") * _cents(F.col("o_totalprice"))).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+    return (
+        base.unionByName(fold)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )

@@ -574,6 +574,7 @@ def commit_snapshot(
     bloom_col: str | None = None,
     checks: dict[str, str] | None = None,
     expect_version: int | None = None,
+    change_feed: bool | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the layer at ``path``.
 
@@ -619,6 +620,17 @@ def commit_snapshot(
     ``merge_schema=True``), but a column re-typed between commits raises
     ``ValueError`` at the WRITE, instead of leaving a layer whose
     merge-schema reads explode in Spark's footer merge.
+
+    ``change_feed=True`` enables the layer's CHANGE DATA FEED table
+    property (Delta's ``enableChangeDataFeed``): subsequent MERGE and
+    predicate-DELETE commits record their exact row-level changes as
+    per-commit change files, making ``snapshot_changes`` over such a
+    version range O(changed rows) instead of two full-table
+    ``exceptAll`` shuffles.  The property carries forward through every
+    later commit until explicitly set False.  Appends need no change
+    files (their inserts fall out of the manifest segment diff for
+    free); an overwrite records none (its diff would be O(table) — the
+    generic feed is the honest tool there).
     Returns the committed version number.
     """
     if mode not in ("overwrite", "append"):
@@ -667,6 +679,13 @@ def commit_snapshot(
     bloom_m, bloom_k = _BLOOM_BITS, _BLOOM_HASHES
     if mode == "append" and head and prev.get("bloom_m"):
         bloom_m, bloom_k = int(prev["bloom_m"]), int(prev["bloom_k"])
+    # the change-feed flag is a TABLE PROPERTY: explicit argument wins,
+    # otherwise it survives every commit (Delta's table-property model)
+    effective_cdf = (
+        bool(change_feed)
+        if change_feed is not None
+        else bool(prev.get("cdf")) if head else False
+    )
     data_dir = f"{path}/data/v{version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(data_dir)
     if effective_checks:
@@ -722,6 +741,7 @@ def commit_snapshot(
                 "delete_files": delete_files,
                 "schema": schema_fields,
                 "checks": effective_checks,
+                "cdf": effective_cdf,
                 "txn": txn_map,
             },
             default=str,
@@ -1193,7 +1213,12 @@ def delete_snapshot(
             entries, {f.rsplit("/", 1)[-1] for f in candidates}
         )
         df = _apply_deletes_meta(spark, df, pos_dirs, eq)
-    matches = df.filter(F.expr(predicate)).select(
+    matched = df.filter(F.expr(predicate))
+    if m.get("cdf"):
+        # the matched rows feed BOTH the position-delete file and the
+        # change file: one lazy local checkpoint computes the scan once
+        matched = matched.localCheckpoint(eager=False)
+    matches = matched.select(
         F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
     )
     version = head + 1
@@ -1208,6 +1233,20 @@ def delete_snapshot(
     if n_deleted == 0:
         fs.delete(_hpath(jvm, dv_dir), True)
         return {"version": head, "rows_deleted": 0, "files_touched": 0}
+    # CHANGE DATA FEED: the matched rows ARE this commit's exact change
+    # set — record them (full rows, 'delete'-typed) so the incremental
+    # feed never rescans; the lazy checkpoint above means the predicate
+    # scan already ran once for the position-delete file
+    cdf_entry = None
+    if m.get("cdf"):
+        ch_dir = f"{path}/_changes/v{version}-{uuid.uuid4().hex[:8]}"
+        (
+            matched.drop("__dv_file", "__dv_pos")
+            .withColumn("change_type", F.lit("delete"))
+            .write.mode("error")
+            .parquet(ch_dir)
+        )
+        cdf_entry = {"path": ch_dir}
     # a DELETE changes no data file: the new manifest carries the head's
     # segment entries BY REFERENCE and only appends the delete entry —
     # O(1) manifest bytes however large the table
@@ -1233,6 +1272,8 @@ def delete_snapshot(
                 "delete_files": entries + [{"path": dv_dir, "touches": touches}],
                 "schema": m.get("schema"),
                 "checks": m.get("checks") or {},
+                "cdf": bool(m.get("cdf")),
+                "changes": cdf_entry,
                 "txn": m.get("txn", {}),
             },
             default=str,
@@ -1388,6 +1429,7 @@ def delete_snapshot_keys(
                 ],
                 "schema": m.get("schema"),
                 "checks": m.get("checks") or {},
+                "cdf": bool(m.get("cdf")),
                 "txn": txn_map,
             },
             default=str,
@@ -1804,6 +1846,7 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
                 "delete_files": old.get("delete_files") or [],
                 "schema": old.get("schema"),
                 "checks": old.get("checks") or {},
+                "cdf": bool(old.get("cdf")),
                 "txn": cur.get("txn", {}),  # never roll back idempotence
             },
             default=str,
@@ -1867,6 +1910,7 @@ def clone_snapshot(
                 "delete_files": m.get("delete_files") or [],
                 "schema": m.get("schema"),
                 "checks": m.get("checks") or {},
+                "cdf": bool(m.get("cdf")),
                 "txn": {},
             },
             default=str,
@@ -1927,18 +1971,128 @@ def snapshot_minmax(
     return (lo, hi)
 
 
+# observability hook: tests pin that CDF-covered ranges never pay the
+# generic two-exceptAll fallback (the O(table) path)
+_CDF_FALLBACKS = {"n": 0}
+
+
+def _changes_from_commits(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    versions: list[int],
+) -> DataFrame | None:
+    """O(changed rows) change feed from per-commit change sources:
+    appends contribute their new files (manifest SEGMENT diff — only
+    the delta's segment files are even opened), merge/predicate-delete
+    commits contribute their recorded change files, compactions
+    contribute nothing (row-content-neutral).  Returns None when ANY
+    step lacks a source (overwrite, restore, equality-key delete,
+    pre-CDF merges, a vacuumed intermediate version, or a format-1
+    boundary) — the caller then falls back to the generic diff."""
+    steps = [v for v in versions if v_from < v <= v_to]
+    if steps != list(range(v_from + 1, v_to + 1)):
+        return None  # an intermediate version was vacuumed
+    prev_m = _manifest_raw(spark, path, v_from)
+    out: DataFrame | None = None
+    for v in steps:
+        m = _manifest_raw(spark, path, v)
+        mode = m.get("mode")
+        step: DataFrame | None
+        if mode == "append":
+            if prev_m.get("format", 1) < 2 or m.get("format", 1) < 2:
+                return None  # format boundary: segment diff unavailable
+            if [e["path"] for e in prev_m.get("delete_files") or []] != [
+                e["path"] for e in m.get("delete_files") or []
+            ]:
+                return None  # defensive: appends never change DVs
+            prev_paths = {e["path"] for e in prev_m.get("segments") or []}
+            new_files = sorted(
+                f
+                for e in m.get("segments") or []
+                if e["path"] not in prev_paths
+                for f in _read_segment(spark, e["path"])["files"]
+            )
+            step = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*new_files)
+                .withColumn("change_type", F.lit("insert"))
+                if new_files
+                else None
+            )
+        elif mode == "compact":
+            step = None  # same rows, fewer files
+        elif mode in ("merge", "delete") and m.get("changes"):
+            step = spark.read.parquet(m["changes"]["path"])
+        else:
+            return None
+        if step is not None:
+            out = (
+                step
+                if out is None
+                else out.unionByName(step, allowMissingColumns=True)
+            )
+        prev_m = m
+    if out is not None:
+        return out
+    # every step contributed nothing: typed empty feed from the
+    # endpoint's recorded schema
+    rec = _manifest_raw(spark, path, v_to).get("schema") or {}
+    schema = T.StructType(
+        [
+            T.StructField(name, _type_from_json(dtype))
+            for name, dtype in rec.items()
+        ]
+        + [T.StructField("change_type", T.StringType())]
+    )
+    return spark.createDataFrame([], schema)
+
+
 def snapshot_changes(
-    spark: SparkSession, path: str, v_from: int, v_to: int
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    *,
+    force_generic: bool = False,
 ) -> DataFrame:
     """Exact change feed between two committed versions: full rows with a
-    ``change_type`` column ('insert' = in v_to not v_from, 'delete' = in
-    v_from not v_to), multiset semantics (``exceptAll``), so updates
-    surface as one delete plus one insert.
+    ``change_type`` column ('insert' / 'delete'), multiset semantics, so
+    updates surface as one delete plus one insert.
 
-    Cost is two anti-style set differences shuffling on the full row —
-    the generic no-primary-key contract; with a declared key, a
-    key-equi-join diff is the cheaper specialization.
+    **Routing (Delta CDF semantics).**  When every step in
+    ``(v_from, v_to]`` has an O(delta) change source — an append
+    (manifest segment diff), a compaction (row-neutral), or a
+    merge/predicate-DELETE commit that recorded a change file (enable
+    with ``commit_snapshot(change_feed=True)``) — the feed is the
+    CONCATENATION of the per-step exact deltas: O(changed rows) end to
+    end, ZERO table scans.  Each per-step delta is an exact net (an
+    upsert of an identical row cancels out), but across steps a row
+    inserted then deleted appears as a cancelling insert+delete pair —
+    consumers fold signed (+1 insert / −1 delete), exactly what every
+    IVM refresh does, and the fold equals the endpoint diff.
+
+    Any step WITHOUT a change source (overwrite, restore, equality-key
+    delete, pre-CDF merges, a vacuumed intermediate version) falls back
+    to the generic endpoint diff: two full-row ``exceptAll`` set
+    differences — the no-cooperation contract, whose output is the
+    strict endpoint net with no cancelling pairs.  ``force_generic``
+    pins that path (tests, or when strict endpoint-net output matters).
     """
+    versions = snapshot_versions(spark, path)
+    for v in (v_from, v_to):
+        if v not in versions:
+            raise FileNotFoundError(
+                f"version {v} not in {versions} at {path}"
+            )
+    if v_to < v_from:
+        raise ValueError(f"v_to {v_to} < v_from {v_from}")
+    if not force_generic:
+        feed = _changes_from_commits(spark, path, v_from, v_to, versions)
+        if feed is not None:
+            return feed
+    _CDF_FALLBACKS["n"] += 1
     before = read_snapshot(spark, path, v_from)
     after = read_snapshot(spark, path, v_to)
     return (
@@ -2233,6 +2387,33 @@ def merge_snapshot(
         # existing rows pass by induction; this rejects a delta that
         # violates the layer's recorded CHECK constraints
         _enforce_checks(spark, data_dir, m["checks"])
+    # CHANGE DATA FEED: when the table property is on, record this
+    # commit's exact row-level delta as a change file — the rewritten
+    # region's post-image (read back from the just-written files, no
+    # recompute) diffed against its DV-applied pre-image, so an
+    # unchanged row upserted by the delta (or kept by last-writer-wins)
+    # cancels out.  Cost is O(touched region), the same order as the
+    # merge itself — which is what makes downstream IVM O(delta) where
+    # the generic feed pays two O(table) exceptAll shuffles.
+    cdf_entry = None
+    if m.get("cdf"):
+        post = spark.read.parquet(data_dir).select(*cols)
+        if touched:
+            pre = raw.select(*cols)
+            ch = (
+                post.exceptAll(pre)
+                .withColumn("change_type", F.lit("insert"))
+                .unionByName(
+                    pre.exceptAll(post).withColumn(
+                        "change_type", F.lit("delete")
+                    )
+                )
+            )
+        else:
+            ch = post.withColumn("change_type", F.lit("insert"))
+        ch_dir = f"{path}/_changes/v{version}-{uuid.uuid4().hex[:8]}"
+        ch.write.mode("error").parquet(ch_dir)
+        cdf_entry = {"path": ch_dir}
     new_files = _list_parquet_files(spark, data_dir)
     new_stats, new_counts, new_colmeta = _file_stats(
         spark, data_dir, new_files, stats_cols or []
@@ -2288,6 +2469,8 @@ def merge_snapshot(
                 "schema": head_schema
                 or {f.name: f.dataType.json() for f in delta.schema.fields},
                 "checks": m.get("checks") or {},
+                "cdf": bool(m.get("cdf")),
+                "changes": cdf_entry,
                 "txn": txn_map,  # carry writer high-water marks
             },
             default=str,
@@ -2458,6 +2641,7 @@ def compact_small_files(
                 "delete_files": carried_deletes,
                 "schema": m.get("schema"),
                 "checks": m.get("checks") or {},
+                "cdf": bool(m.get("cdf")),
                 "txn": m.get("txn", {}),
             },
             default=str,
@@ -2631,6 +2815,7 @@ def vacuum_snapshots(
     live: set[str] = set()
     live_dv: set[str] = set()
     live_seg: set[str] = set()
+    live_ch: set[str] = set()
     for v in keep:
         mf = _manifest(spark, path, v)
         live.update(mf["files"])
@@ -2645,6 +2830,12 @@ def vacuum_snapshots(
             fs.makeQualified(_hpath(jvm, e["path"])).toString()
             for e in mf.get("segments") or []
         )
+        if mf.get("changes"):
+            live_ch.add(
+                fs.makeQualified(
+                    _hpath(jvm, mf["changes"]["path"])
+                ).toString()
+            )
     deleted = 0
     deleted_segments = 0
     skipped: list[str] = []
@@ -2677,6 +2868,26 @@ def vacuum_snapshots(
             deleted_segments += 1
             if not dry_run:
                 fs.delete(status.getPath(), False)
+    # change-feed dirs: same lifecycle as position-delete dirs — keep
+    # those a surviving manifest's "changes" entry references,
+    # grace-skip possible in-flight future versions, GC the rest
+    chdir = _hpath(jvm, f"{path}/_changes")
+    if fs.exists(chdir):
+        for status in fs.listStatus(chdir):
+            cpath = status.getPath().toString()
+            if cpath in live_ch:
+                continue
+            mm = _STAGE_RE.match(status.getPath().getName())
+            stage_v = int(mm.group(1)) if mm else 0
+            if (
+                stage_v > head
+                and now_ms - status.getModificationTime() <= grace_ms
+            ):
+                skipped.append(cpath)
+                continue
+            deleted += len(_list_parquet_files(spark, cpath))
+            if not dry_run:
+                fs.delete(status.getPath(), True)
     # position-delete dirs: same lifecycle as data staging dirs — keep
     # those a surviving manifest references, grace-skip possible
     # in-flight future versions, GC the rest recursively

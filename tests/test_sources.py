@@ -3266,3 +3266,171 @@ class TestSnapshotPushdownScan:
             read_snapshot_pushdown(spark, path).where("k = 42").collect()
         )
         assert [(r["k"], r["v"]) for r in rows] == [(42, "resurrected")]
+
+
+class TestChangeDataFeed:
+    """Per-commit change files (the change_feed table property, Delta
+    CDF style): MERGE and predicate-DELETE record exact row-level
+    deltas; snapshot_changes routes through them — O(changed rows),
+    zero table scans (counter-pinned) — and falls back to the generic
+    exceptAll diff exactly when a step lacks a change source."""
+
+    def _layer(self, spark, path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        snap.commit_snapshot(
+            spark,
+            spark.range(100)
+            .selectExpr("id AS k", "CAST(id % 3 AS STRING) AS seg")
+            .repartitionByRange(4, "k"),
+            path,
+            stats_cols=["k"],
+            change_feed=True,
+        )
+        return path
+
+    def test_merge_records_exact_delta_no_fallback(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = self._layer(spark, str(tmp_path / "layer"))
+        # update k=10, IDENTICAL upsert k=11 (must cancel), insert k=500
+        delta = spark.createDataFrame(
+            [(10, "X"), (11, str(11 % 3)), (500, "NEW")],
+            "k long, seg string",
+        )
+        snap.merge_snapshot(spark, delta, path, "k", stats_cols=["k"])
+        assert snap._manifest_raw(spark, path, 2).get("changes")
+        base = snap._CDF_FALLBACKS["n"]
+        rows = sorted(
+            (r["change_type"], r["k"], r["seg"])
+            for r in snap.snapshot_changes(spark, path, 1, 2).collect()
+        )
+        assert rows == [
+            ("delete", 10, "1"),
+            ("insert", 10, "X"),
+            ("insert", 500, "NEW"),
+        ]
+        assert snap._CDF_FALLBACKS["n"] == base  # zero table-scan diffs
+
+    def test_composed_range_equals_generic_fold(self, spark, tmp_path):
+        """merge + append + predicate-delete chained: the incremental
+        feed (still zero fallbacks) folds to exactly the generic
+        endpoint diff."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = self._layer(spark, str(tmp_path / "layer"))
+        snap.merge_snapshot(
+            spark,
+            spark.createDataFrame([(10, "X")], "k long, seg string"),
+            path,
+            "k",
+            stats_cols=["k"],
+        )
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(600, "A")], "k long, seg string"),
+            path,
+            mode="append",
+        )
+        snap.delete_snapshot(spark, path, "k = 5")
+        base = snap._CDF_FALLBACKS["n"]
+        inc = sorted(
+            (r["change_type"], r["k"], r["seg"])
+            for r in snap.snapshot_changes(spark, path, 1, 4).collect()
+        )
+        assert snap._CDF_FALLBACKS["n"] == base
+        gen = sorted(
+            (r["change_type"], r["k"], r["seg"])
+            for r in snap.snapshot_changes(
+                spark, path, 1, 4, force_generic=True
+            ).collect()
+        )
+        assert inc == gen  # no cancelling pairs in this chain
+        assert ("delete", 5, "2") in inc and ("insert", 600, "A") in inc
+
+    def test_fallback_on_uncovered_steps(self, spark, tmp_path):
+        """An overwrite (no change source) in the range falls back to
+        the generic diff — counted; equality-key deletes too."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = self._layer(spark, str(tmp_path / "layer"))
+        snap.commit_snapshot(
+            spark,
+            spark.range(50).selectExpr(
+                "id AS k", "CAST(id % 3 AS STRING) AS seg"
+            ),
+            path,
+            mode="overwrite",
+        )
+        base = snap._CDF_FALLBACKS["n"]
+        assert snap.snapshot_changes(spark, path, 1, 2).count() == 50
+        assert snap._CDF_FALLBACKS["n"] == base + 1
+        snap.delete_snapshot_keys(spark, path, "k", [7])
+        base = snap._CDF_FALLBACKS["n"]
+        rows = snap.snapshot_changes(spark, path, 2, 3).collect()
+        assert {(r["change_type"], r["k"]) for r in rows} == {
+            ("delete", 7)
+        }
+        assert snap._CDF_FALLBACKS["n"] == base + 1
+
+    def test_cdf_property_carries_and_turns_off(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = self._layer(spark, str(tmp_path / "layer"))
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(700, "B")], "k long, seg string"),
+            path,
+            mode="append",
+        )
+        assert snap._manifest_raw(spark, path, 2)["cdf"] is True
+        snap.commit_snapshot(
+            spark,
+            spark.range(5).selectExpr(
+                "id AS k", "CAST(id % 3 AS STRING) AS seg"
+            ),
+            path,
+            change_feed=False,
+        )
+        assert snap._manifest_raw(spark, path, 3)["cdf"] is False
+        # a merge on the cdf-off head records nothing
+        snap.merge_snapshot(
+            spark,
+            spark.createDataFrame([(1, "Z")], "k long, seg string"),
+            path,
+            "k",
+        )
+        assert snap._manifest_raw(spark, path, 4).get("changes") is None
+
+    def test_vacuum_gc_and_keeps_referenced_change_dirs(
+        self, spark, tmp_path
+    ):
+        import os
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = self._layer(spark, str(tmp_path / "layer"))
+        for i in range(3):
+            snap.merge_snapshot(
+                spark,
+                spark.createDataFrame(
+                    [(10 + i, f"V{i}")], "k long, seg string"
+                ),
+                path,
+                "k",
+                stats_cols=["k"],
+            )
+        ch_root = os.path.join(str(tmp_path / "layer"), "_changes")
+        assert len(os.listdir(ch_root)) == 3
+        # keep the last 2 manifests (v3, v4): v2's change dir must go,
+        # v3's and v4's must stay readable
+        snap.vacuum_snapshots(
+            spark, path, keep_last=2, orphan_grace_seconds=0
+        )
+        assert len(os.listdir(ch_root)) == 2
+        rows = snap.snapshot_changes(spark, path, 3, 4).collect()
+        # k=12 pre-exists (seg '0'), so the merge is an update pair
+        assert {(r["change_type"], r["k"], r["seg"]) for r in rows} == {
+            ("delete", 12, "0"),
+            ("insert", 12, "V2"),
+        }
