@@ -1374,3 +1374,140 @@ def q_streaming_medallion_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars_sum"),
         )
     )
+
+
+_CDF_TAIL_BUILT: set[str] = set()
+
+
+def _cdf_tail_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Change-feed-enabled customer layer exercising the full
+    CDC-maintained lifecycle a CDF tail must survive: v1 bootstrap
+    (even custkeys, key-clustered), v2 MERGE (every 10th re-segmented
+    to SEG_X + offset-key inserts for every 100th), v3 append (odd
+    custkeys), v4 predicate-DELETE of SEG_X.  Deterministic, once per
+    process."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        delete_snapshot,
+        drop_snapshot_layer,
+        merge_snapshot,
+    )
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/cdf_tail_layer"
+    if path in _CDF_TAIL_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    base = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    commit_snapshot(
+        spark,
+        base.filter(F.col("c_custkey") % 2 == 0).repartitionByRange(
+            4, "c_custkey"
+        ),
+        path,
+        stats_cols=["c_custkey"],
+        change_feed=True,
+    )
+    upd = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("SEG_X").alias("c_mktsegment")
+    )
+    ins = base.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 20000000).alias("c_custkey"),
+        F.lit("SEG_X").alias("c_mktsegment"),
+    )
+    merge_snapshot(
+        spark,
+        upd.unionByName(ins),
+        path,
+        "c_custkey",
+        stats_cols=["c_custkey"],
+    )
+    commit_snapshot(
+        spark,
+        base.filter(F.col("c_custkey") % 2 == 1).coalesce(2),
+        path,
+        mode="append",
+        stats_cols=["c_custkey"],
+    )
+    delete_snapshot(spark, path, "c_mktsegment = 'SEG_X'")
+    _CDF_TAIL_BUILT.add(path)
+    return path
+
+
+@register(
+    "streaming_snapshot_cdf_tail",
+    """
+WITH ev AS (SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey % 2 = 0),
+od AS (SELECT c_custkey, c_mktsegment FROM customer
+       WHERE c_custkey % 2 = 1),
+upd AS (SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % 10 = 0),
+ins2 AS (SELECT c_custkey + 20000000 AS c_custkey FROM customer
+         WHERE c_custkey % 100 = 0),
+feed AS (
+  SELECT 'insert' AS change_type, c_custkey, c_mktsegment FROM ev
+  UNION ALL SELECT 'delete', c_custkey, c_mktsegment FROM upd
+  UNION ALL SELECT 'insert', c_custkey, 'SEG_X' FROM upd
+  UNION ALL SELECT 'insert', c_custkey, 'SEG_X' FROM ins2
+  UNION ALL SELECT 'insert', c_custkey, c_mktsegment FROM od
+  UNION ALL SELECT 'delete', c_custkey, 'SEG_X' FROM upd
+  UNION ALL SELECT 'delete', c_custkey, 'SEG_X' FROM ins2
+)
+SELECT change_type, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM feed GROUP BY change_type, c_mktsegment
+""",
+    "the CHANGE DATA FEED as a STREAM (snapshot_stream mode=cdf — "
+    "Delta's readChangeFeed streaming shape): a checkpointed tail "
+    "consumes manifest versions as offsets across the FULL "
+    "CDC-maintained lifecycle — bootstrap inserts, a MERGE's recorded "
+    "update pairs + inserts (per-commit change files from the "
+    "change_feed table property), an append's segment-diff inserts, "
+    "and a predicate-DELETE's recorded delete rows — where the plain "
+    "append-tail source must refuse; rows carry change_type, the "
+    "runner does only manifest/JSON algebra and every row reads on "
+    "executors; the oracle recomputes the exact expected feed from "
+    "the raw table, so a lost, doubled, or mistyped change row breaks "
+    "the hash",
+    tags=("streaming", "snapshots", "cdc", "sources"),
+)
+def q_streaming_snapshot_cdf_tail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..sources.pyds import (
+        register_snapshot_stream,
+        snapshot_cdf_stream_schema,
+    )
+
+    register_snapshot_stream(spark)
+    path = _cdf_tail_layer(spark, sf_dir)
+    ckpt = f"{path}_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.format("snapshot_stream")
+        .schema(snapshot_cdf_stream_schema(path, "c_custkey,c_mktsegment"))
+        .option("path", path)
+        .option("cols", "c_custkey,c_mktsegment")
+        .option("mode", "cdf")
+        .load()
+    )
+    out = _run_to_memory_sink(
+        spark,
+        stream.groupBy("change_type", "c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+        ),
+        name="snapshot_cdf_tail",
+        output_mode="complete",
+    )
+    return out.select(
+        "change_type",
+        "c_mktsegment",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("key_sum").cast("long").alias("key_sum"),
+    )

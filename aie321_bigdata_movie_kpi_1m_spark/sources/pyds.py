@@ -579,6 +579,11 @@ def register_replay_parquet(spark) -> None:
 class _SnapshotFilePartition(InputPartition):
     file: str | None
     cols: tuple
+    # cdf mode: True = a data file whose rows are synthesized as
+    # 'insert' changes; False = a recorded change file carrying its own
+    # change_type column.  Ignored outside cdf mode.
+    synth_insert: bool = True
+    cdf: bool = False
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -606,6 +611,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._path = options["path"]
         self._cols = tuple(options["cols"].split(","))
+        # mode=cdf: stream the CHANGE DATA FEED instead of appended
+        # rows — merge/predicate-delete versions are consumed through
+        # their recorded change files (change_feed table property) and
+        # appends/compactions through the segment diff, so the stream
+        # survives the full CDC-maintained lifecycle where plain file
+        # tailing must raise; rows carry a change_type column
+        self._mode = options.get("mode", "append")
 
     def _versions(self) -> list[int]:
         import os
@@ -652,16 +664,91 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         vs = self._versions()
         return {"version": vs[-1] if vs else 0}
 
+    def _change_files(self, m: dict) -> list[str]:
+        import os
+
+        d = m["changes"]["path"].removeprefix("file:")
+        return sorted(
+            os.path.join(d, n)
+            for n in os.listdir(d)
+            if n.endswith(".parquet")
+        )
+
+    def _partitions_cdf(self, s: int, e: int, vs: list[int]):
+        """CDF-mode planning: (file, synth_insert) pairs per consumed
+        version — appends contribute new segment files as synthesized
+        inserts, merge/delete versions their recorded change files,
+        compactions nothing; anything else (overwrite, restore, a
+        change-feed-less merge) raises: the feed cannot be
+        reconstructed without a table diff, which a stream must not
+        pay."""
+        have_prev = s in vs
+        prev_m = self._manifest(s) if have_prev else None
+        out: list[tuple[str, bool]] = []
+        for v in [x for x in vs if s < x <= e]:
+            m = self._manifest(v)
+            mode = m.get("mode")
+            if not have_prev:
+                # initial snapshot: the start version's full content as
+                # inserts; live DVs would need runner-side application
+                if m.get("delete_files"):
+                    raise ValueError(
+                        f"cdf stream initial version v{v} carries "
+                        "deletion vectors — compact first"
+                    )
+                out.extend((f, True) for f in sorted(self._file_set(m)))
+            elif mode == "append":
+                prev_seg = {
+                    e2["path"] for e2 in prev_m.get("segments") or []
+                }
+                if [e2["path"] for e2 in prev_m.get("delete_files") or []] != [
+                    e2["path"] for e2 in m.get("delete_files") or []
+                ]:
+                    raise ValueError(
+                        f"version {v}: append changed deletion vectors "
+                        "— not a pure append"
+                    )
+                for entry in m.get("segments") or []:
+                    if entry["path"] not in prev_seg:
+                        out.extend(
+                            (f, True)
+                            for f in sorted(
+                                self._segment_files(entry["path"])
+                            )
+                        )
+            elif mode == "compact":
+                pass  # row-content-neutral
+            elif mode in ("merge", "delete") and m.get("changes"):
+                out.extend((f, False) for f in self._change_files(m))
+            else:
+                raise ValueError(
+                    f"version {v} (mode {mode!r}) has no change source "
+                    "— enable change_feed on the layer for CDC-tailing "
+                    "merges/deletes"
+                )
+            prev_m = m
+            have_prev = True
+        if not out:
+            return [
+                _SnapshotFilePartition(None, self._cols, cdf=True)
+            ]
+        return [
+            _SnapshotFilePartition(f, self._cols, synth, cdf=True)
+            for f, synth in out
+        ]
+
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
         if e <= s:
-            return [_SnapshotFilePartition(None, self._cols)]
+            return [_SnapshotFilePartition(None, self._cols, cdf=self._mode == "cdf")]
         vs = self._versions()
         if s != 0 and s not in vs:
             raise ValueError(
                 f"stream offset v{s} was vacuumed from {self._path}; "
                 "restart the stream from a fresh checkpoint"
             )
+        if self._mode == "cdf":
+            return self._partitions_cdf(s, e, vs)
         have_prev = s in vs
         prev_seg: set[str] | None = None
         prev_files: set[str] = set()
@@ -716,12 +803,29 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
         if partition.file is None:
             return
-        table = pq.read_table(
-            partition.file.removeprefix("file:"),
-            columns=list(partition.cols),
-        )
-        cols = [table.column(c).to_pylist() for c in partition.cols]
-        yield from zip(*cols)
+        if not partition.cdf:
+            table = pq.read_table(
+                partition.file.removeprefix("file:"),
+                columns=list(partition.cols),
+            )
+            cols = [table.column(c).to_pylist() for c in partition.cols]
+            yield from zip(*cols)
+            return
+        if partition.synth_insert:
+            table = pq.read_table(
+                partition.file.removeprefix("file:"),
+                columns=list(partition.cols),
+            )
+            cols = [table.column(c).to_pylist() for c in partition.cols]
+            for row in zip(*cols):
+                yield (*row, "insert")
+        else:
+            want = list(partition.cols) + ["change_type"]
+            table = pq.read_table(
+                partition.file.removeprefix("file:"), columns=want
+            )
+            cols = [table.column(c).to_pylist() for c in want]
+            yield from zip(*cols)
 
     def commit(self, end: dict) -> None:
         pass
@@ -752,17 +856,36 @@ def snapshot_stream_schema(path: str, cols: str):
     )
 
 
+def snapshot_cdf_stream_schema(path: str, cols: str):
+    """Schema for a ``mode=cdf`` snapshot stream: the requested columns
+    plus the ``change_type`` feed column."""
+    from pyspark.sql import types as T
+
+    base = snapshot_stream_schema(path, cols)
+    return T.StructType(
+        list(base.fields) + [T.StructField("change_type", T.StringType())]
+    )
+
+
 class SnapshotStreamDataSource(DataSource):
     """``spark.readStream.format("snapshot_stream")`` — stream the
     snapshot-versioned table layer (options: ``path`` = layer root,
-    ``cols`` = comma-list).  Each manifest version is an offset; see
-    ``_SnapshotStreamReader`` for semantics and guards."""
+    ``cols`` = comma-list, ``mode`` = "append" (default, new rows only;
+    non-append versions raise) or "cdf" (the CHANGE DATA FEED: rows +
+    change_type across appends, compactions, and change-feed-recording
+    merge/delete commits — Delta's readChangeFeed streaming shape)).
+    Each manifest version is an offset; see ``_SnapshotStreamReader``
+    for semantics and guards."""
 
     @classmethod
     def name(cls) -> str:
         return "snapshot_stream"
 
     def schema(self):
+        if self.options.get("mode") == "cdf":
+            return snapshot_cdf_stream_schema(
+                self.options["path"], self.options["cols"]
+            )
         return snapshot_stream_schema(
             self.options["path"], self.options["cols"]
         )

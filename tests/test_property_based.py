@@ -573,10 +573,18 @@ def test_signed_cdf_fold_refreshes_any_aggregate(spark, case):
     assert refreshed == expect
 
 
-def test_concurrent_writers_serialize_through_occ_retry(spark, tmp_path_factory):
+import pytest
+
+
+@pytest.mark.parametrize("lock_provider", ["in_process", "file_lock"])
+def test_concurrent_writers_serialize_through_occ_retry(
+    spark, tmp_path_factory, lock_provider
+):
     """Multi-writer commit fuzz: 4 writer THREADS race 20 ops each
-    (appends + keyed merges) through ``retry_commit`` against one layer.
-    The surviving history must be SERIALIZABLE:
+    (appends + keyed merges) through ``retry_commit`` against one layer,
+    PARAMETRIZED over both commit-lock providers (the in-process
+    threading.Lock default and the cross-process FileCommitLock marker
+    file — VERDICT r6 #7).  The surviving history must be SERIALIZABLE:
 
     - version numbers are contiguous 1..N with no holes (no lost or
       duplicated commit);
@@ -602,6 +610,12 @@ def test_concurrent_writers_serialize_through_occ_retry(spark, tmp_path_factory)
         retry_commit,
         snapshot_versions,
     )
+
+    import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+    prev = None
+    if lock_provider == "file_lock":
+        prev = snap.set_commit_lock_provider(snap.FileCommitLock())
 
     path = str(tmp_path_factory.mktemp("occ") / "layer")
     # bootstrap: one row per writer's merge key, known initial value
@@ -658,13 +672,18 @@ def test_concurrent_writers_serialize_through_occ_retry(spark, tmp_path_factory)
         except Exception as e:  # surface thread failures to the test
             errors.append((w, e))
 
-    threads = [
-        threading.Thread(target=writer, args=(w,)) for w in range(N_WRITERS)
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    try:
+        threads = [
+            threading.Thread(target=writer, args=(w,))
+            for w in range(N_WRITERS)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        if prev is not None:
+            snap.set_commit_lock_provider(prev)
     assert not errors, errors
 
     versions = snapshot_versions(spark, path)

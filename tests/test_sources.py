@@ -1176,7 +1176,10 @@ class TestSnapshotLayer:
         assert report["files_carried"] == 4
         assert read_snapshot(spark, path).count() == 101
 
-    def test_merge_rejects_schema_mismatch(self, spark, tmp_path):
+    def test_merge_rejects_dropped_column(self, spark, tmp_path):
+        """A delta MISSING a layer column still raises (narrowing would
+        corrupt carried rows); extra columns are additive evolution and
+        succeed — see TestMergeSchemaEvolution."""
         import pytest
 
         from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
@@ -1186,10 +1189,10 @@ class TestSnapshotLayer:
 
         path = str(tmp_path / "layer")
         commit_snapshot(spark, self._base(spark), path)
-        with pytest.raises(ValueError, match="MERGE does not evolve"):
+        with pytest.raises(ValueError, match="additively only"):
             merge_snapshot(
                 spark,
-                spark.createDataFrame([(1, "a", 2)], "k long, seg string, extra long"),
+                spark.createDataFrame([(1,)], "k long"),
                 path,
                 "k",
             )
@@ -2821,7 +2824,9 @@ class TestColumnStatsAndBroadcast:
             dim_path,
             stats_cols=["k"],
         )
-        total = snap.snapshot_table_bytes(spark, dim_path)
+        # the hint decision runs on UNCOMPRESSED bytes (footer raw
+        # sizes) — the honest in-memory estimate
+        total = snap.snapshot_table_raw_bytes(spark, dim_path)
         assert total and total > 0
         fact = spark.range(0, 50_000).selectExpr("id % 200 AS k", "id AS x")
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -3434,3 +3439,418 @@ class TestChangeDataFeed:
             ("delete", 12, "0"),
             ("insert", 12, "V2"),
         }
+
+
+class TestMergeSchemaEvolution:
+    """Additive schema evolution on MERGE (VERDICT r6 #3): a delta that
+    is a SUPERSET of the head schema upserts AND adds the new columns —
+    carried files read NULL for them under merge_schema, re-typing is
+    still rejected, and the evolution composes with a prior
+    append-evolution."""
+
+    def _base(self, spark):
+        return (
+            spark.range(100)
+            .selectExpr("id AS k", "CAST(id % 3 AS STRING) AS seg")
+            .repartitionByRange(4, "k")
+        )
+
+    def test_superset_delta_evolves_and_backfills(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(spark, self._base(spark), path, stats_cols=["k"])
+        delta = spark.createDataFrame(
+            [(10, "X", 1.5), (500, "NEW", 2.5)],
+            "k long, seg string, score double",
+        )
+        rep = snap.merge_snapshot(spark, delta, path, "k", stats_cols=["k"])
+        assert rep["files_rewritten"] == 1  # only k=10's file
+        # manifest schema gained the column, typed
+        rec = snap._manifest_raw(spark, path, 2)["schema"]
+        assert "score" in rec
+        got = {
+            r["k"]: (r["seg"], r["score"])
+            for r in snap.read_snapshot(spark, path, merge_schema=True)
+            .where("k IN (10, 11, 500)")
+            .collect()
+        }
+        assert got[10] == ("X", 1.5)
+        assert got[500] == ("NEW", 2.5)
+        assert got[11] == (str(11 % 3), None)  # carried file: NULL fill
+        assert snap.read_snapshot(spark, path, merge_schema=True).count() == 101
+
+    def test_retype_and_drop_still_rejected(self, spark, tmp_path):
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(spark, self._base(spark), path)
+        with pytest.raises(ValueError, match="re-types"):
+            snap.merge_snapshot(
+                spark,
+                spark.createDataFrame(
+                    [(1, 7, "x")], "k long, seg long, extra string"
+                ),
+                path,
+                "k",
+            )
+        with pytest.raises(ValueError, match="additively only"):
+            snap.merge_snapshot(
+                spark,
+                spark.createDataFrame([(1, "x")], "k long, extra string"),
+                path,
+                "k",
+            )
+
+    def test_composes_with_append_evolution(self, spark, tmp_path):
+        """A merge touching files from BEFORE an append-evolution
+        reads them merge-schema'd, backfills the appended column, and
+        the final layer holds all three schema generations."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(spark, self._base(spark), path, stats_cols=["k"])
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(200, "A", 9)], "k long, seg string, rank long"
+            ),
+            path,
+            mode="append",
+            stats_cols=["k"],
+        )
+        delta = spark.createDataFrame(
+            [(10, "X", 1, 0.5), (200, "B", 2, 0.7)],
+            "k long, seg string, rank long, score double",
+        )
+        snap.merge_snapshot(spark, delta, path, "k", stats_cols=["k"])
+        got = {
+            r["k"]: (r["seg"], r["rank"], r["score"])
+            for r in snap.read_snapshot(spark, path, merge_schema=True)
+            .where("k IN (10, 11, 200)")
+            .collect()
+        }
+        assert got[10] == ("X", 1, 0.5)
+        assert got[200] == ("B", 2, 0.7)
+        assert got[11] == (str(11 % 3), None, None)
+
+    def test_streaming_upsert_evolving_batches(self, spark, tmp_path):
+        """The CDC upsert sink survives a stream whose later batches
+        carry a new column — the round-6 'CDC feeds evolve' seam."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.streaming.snapshot_sink import (
+            snapshot_upsert_writer,
+        )
+
+        path = str(tmp_path / "layer")
+        wb = snapshot_upsert_writer(path, "k")
+        wb(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            0,
+        )
+        wb(
+            spark.createDataFrame(
+                [(2, "b2", 99), (3, "c", 42)], "k long, v string, n long"
+            ),
+            1,
+        )
+        got = {
+            r["k"]: (r["v"], r["n"])
+            for r in snap.read_snapshot(spark, path, merge_schema=True)
+            .collect()
+        }
+        assert got == {1: ("a", None), 2: ("b2", 99), 3: ("c", 42)}
+
+
+class TestBroadcastRawBytes:
+    """Broadcast-hint safety on compressible data (VERDICT r6 #6): the
+    hint compares UNCOMPRESSED footer bytes, so a high-compression
+    layer does NOT hint at a threshold its on-disk bytes would pass."""
+
+    def test_high_compression_layer_does_not_overhint(
+        self, spark, tmp_path
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "dim")
+        # 20k rows of one repeated 200-char string: parquet dictionary+
+        # RLE crushes this on disk; in memory it is ~4 MB of strings
+        snap.commit_snapshot(
+            spark,
+            spark.range(20_000).selectExpr(
+                "id AS k", f"repeat('the same long value ', 10) AS v"
+            ),
+            path,
+        )
+        comp = snap.snapshot_table_bytes(spark, path)
+        raw = snap.snapshot_table_raw_bytes(spark, path)
+        assert comp and raw and raw > comp * 3  # genuinely compressible
+        threshold = (comp + raw) // 2  # passes compressed, fails raw
+        fact = spark.range(0, 50_000).selectExpr("id % 20000 AS k", "id AS x")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            snap.register_snapshot_view(
+                spark, path, "dim_compressed", auto_broadcast_bytes=threshold
+            )
+            plan = (
+                fact.join(spark.table("dim_compressed"), "k")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastHashJoin" not in plan  # raw bytes say no
+            # a threshold the RAW size passes still hints
+            snap.register_snapshot_view(
+                spark, path, "dim_fits", auto_broadcast_bytes=raw + 1
+            )
+            plan = (
+                fact.join(spark.table("dim_fits"), "k")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastHashJoin" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_raw_bytes_survive_merge_and_compact(self, spark, tmp_path):
+        """Repacked/carried files keep their recorded raw sizes, so the
+        table-level figure stays available across the maintenance
+        lifecycle."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark,
+            spark.range(1000)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .repartitionByRange(4, "k"),
+            path,
+            stats_cols=["k"],
+        )
+        assert snap.snapshot_table_raw_bytes(spark, path) is not None
+        snap.merge_snapshot(
+            spark,
+            spark.createDataFrame([(5, "X")], "k long, v string"),
+            path,
+            "k",
+            stats_cols=["k"],
+        )
+        assert snap.snapshot_table_raw_bytes(spark, path, 2) is not None
+        snap.compact_small_files(spark, path, small_file_bytes=1 << 30)
+        assert snap.snapshot_table_raw_bytes(spark, path) is not None
+
+
+class TestCommitLockProviders:
+    """The pluggable commit-lock seam (VERDICT r6 #7): exclusive
+    acquisition, stale-holder break, and timeout on the marker-file
+    provider; the serializable-history fuzz runs parametrized over
+    both providers in test_property_based.py."""
+
+    def test_file_lock_excludes_and_breaks_stale(self, spark, tmp_path):
+        import os
+
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        target = str(tmp_path / "layer" / "_manifests" / "v1.json")
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        lk = snap.FileCommitLock(
+            timeout_seconds=0.3, stale_seconds=60.0, poll_seconds=0.01
+        )
+        with lk.acquire(spark, target):
+            assert os.path.exists(target + ".lock")
+            # a second acquirer times out while the lock is held fresh
+            with pytest.raises(TimeoutError):
+                with lk.acquire(spark, target):
+                    pass
+        assert not os.path.exists(target + ".lock")  # released
+        # a STALE holder (crashed process) is broken by age
+        with open(target + ".lock", "w"):
+            pass
+        os.utime(target + ".lock", (0, 0))  # epoch mtime: long dead
+        acquired = False
+        with lk.acquire(spark, target):
+            acquired = True
+        assert acquired
+
+    def test_commits_work_under_file_lock_provider(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        prev = snap.set_commit_lock_provider(snap.FileCommitLock())
+        try:
+            path = str(tmp_path / "layer")
+            snap.commit_snapshot(
+                spark, spark.range(10).selectExpr("id AS k"), path
+            )
+            snap.commit_snapshot(
+                spark,
+                spark.range(10, 20).selectExpr("id AS k"),
+                path,
+                mode="append",
+            )
+            assert snap.read_snapshot(spark, path).count() == 20
+        finally:
+            snap.set_commit_lock_provider(prev)
+
+
+class TestNdvDomains:
+    """Numeric columns sketch NDV in their native long domain (composes
+    with range planning); mixed-domain file sets report None honestly."""
+
+    def test_native_long_domain_and_mixed_guard(self, spark, tmp_path):
+        import os
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark,
+            spark.range(1000).selectExpr(
+                "id % 100 AS k", "CAST(id % 10 AS STRING) AS v"
+            ),
+            path,
+            stats_cols=["k", "v"],
+        )
+        m = snap._manifest(spark, path, 1)
+        cm = next(iter(m["colmeta"].values()))
+        assert cm["k"]["dom"] == "long" and cm["v"]["dom"] == "string"
+        st = snap.snapshot_col_stats(spark, path)
+        assert abs(st["columns"]["k"]["ndv"] - 100) <= 3
+        assert abs(st["columns"]["v"]["ndv"] - 10) <= 1
+        # simulate a pre-domain-tagging file: strip one file's dom tag
+        # and flip it to the string domain — union must refuse
+        import json as _json
+
+        seg_path = snap._manifest_raw(spark, path, 1)["segments"][0][
+            "path"
+        ].removeprefix("file:")
+        seg = _json.load(open(seg_path))
+        b0 = next(iter(seg["colmeta"]))
+        seg["colmeta"][b0]["k"]["dom"] = "string"
+        with open(seg_path, "w") as fh:
+            fh.write(_json.dumps(seg))
+        # drop the Hadoop local-FS checksum sidecar the rewrite broke
+        d, n = os.path.split(seg_path)
+        crc = os.path.join(d, f".{n}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        st2 = snap.snapshot_col_stats(spark, path)
+        if len(seg["colmeta"]) > 1:  # a genuine mix across files
+            assert st2["columns"]["k"]["ndv"] is None
+        assert st2["columns"]["v"]["ndv"] is not None
+
+
+class TestSnapshotCdfStream:
+    """mode=cdf on the snapshot stream source: the change feed as a
+    checkpointed stream across the CDC-maintained lifecycle."""
+
+    def _run(self, spark, path, ckpt, name):
+        # foreachBatch sink: the memory sink cannot recover from a
+        # checkpoint, and the restart semantics are the point here
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            snapshot_cdf_stream_schema,
+        )
+
+        got: list = []
+        stream = (
+            spark.readStream.format("snapshot_stream")
+            .schema(snapshot_cdf_stream_schema(path, "k,seg"))
+            .option("path", path)
+            .option("cols", "k,seg")
+            .option("mode", "cdf")
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: got.extend(
+                    (r["change_type"], r["k"], r["seg"])
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(got)
+
+    def test_tail_covers_merge_append_delete_and_restarts(
+        self, spark, tmp_path
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            register_snapshot_stream,
+        )
+
+        register_snapshot_stream(spark)
+        path, ckpt = str(tmp_path / "layer"), str(tmp_path / "ckpt")
+        snap.commit_snapshot(
+            spark,
+            spark.range(10)
+            .selectExpr("id AS k", "CAST(id % 3 AS STRING) AS seg")
+            .repartitionByRange(2, "k"),
+            path,
+            stats_cols=["k"],
+            change_feed=True,
+        )
+        snap.merge_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(5, "X"), (100, "NEW")], "k long, seg string"
+            ),
+            path,
+            "k",
+            stats_cols=["k"],
+        )
+        rows = self._run(spark, path, ckpt, "cdf_t1")
+        assert ("delete", 5, "2") in rows and ("insert", 5, "X") in rows
+        assert ("insert", 100, "NEW") in rows
+        assert len(rows) == 10 + 3  # initial snapshot + merge changes
+        # append + predicate delete, then RESTART from the checkpoint:
+        # only the two new versions' changes arrive
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(200, "A")], "k long, seg string"),
+            path,
+            mode="append",
+        )
+        snap.delete_snapshot(spark, path, "seg = 'X'")
+        rows2 = self._run(spark, path, ckpt, "cdf_t1")
+        # restart from the checkpoint: ONLY the two new versions' rows
+        assert rows2 == [("delete", 5, "X"), ("insert", 200, "A")]
+
+    def test_refuses_merge_without_change_feed(self, spark, tmp_path):
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            register_snapshot_stream,
+        )
+
+        register_snapshot_stream(spark)
+        path, ckpt = str(tmp_path / "layer"), str(tmp_path / "ckpt")
+        snap.commit_snapshot(
+            spark,
+            spark.range(10).selectExpr(
+                "id AS k", "CAST(id % 3 AS STRING) AS seg"
+            ),
+            path,
+        )  # change_feed OFF
+        snap.merge_snapshot(
+            spark,
+            spark.createDataFrame([(1, "Z")], "k long, seg string"),
+            path,
+            "k",
+        )
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with pytest.raises(Exception, match="no change source"):
+            try:
+                self._run(spark, path, ckpt, "cdf_t2")
+            except StreamingQueryException as e:
+                raise RuntimeError(str(e)) from e
