@@ -698,6 +698,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     )
                 out.extend((f, True) for f in sorted(self._file_set(m)))
             elif mode == "append":
+                if prev_m.get("format", 1) < 2 or m.get("format", 1) < 2:
+                    raise ValueError(
+                        f"version {v}: format-1 manifest in a cdf range "
+                        "— the segment diff needs format 2 (any "
+                        "mutating commit migrates the layer)"
+                    )
                 prev_seg = {
                     e2["path"] for e2 in prev_m.get("segments") or []
                 }

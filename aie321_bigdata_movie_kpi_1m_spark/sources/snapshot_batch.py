@@ -512,7 +512,16 @@ class _SnapshotBatchReader(DataSourceReader):
         if partition.file is None:
             return
         base = partition.file.rsplit("/", 1)[-1]
-        table = pq.read_table(_local(partition.file))
+        # COLUMN-PRUNED read: the projection plus any equality-delete
+        # key column the filter step needs (dropped again by the final
+        # select) — at 100 TB reading 2 of 40 columns is the difference
+        # between a projection and a table scan
+        file_cols = set(pq.read_schema(_local(partition.file)).names)
+        need = [c for c in partition.cols if c in file_cols]
+        for _, key_col in partition.eq_entries:
+            if key_col not in need and key_col in file_cols:
+                need.append(key_col)
+        table = pq.read_table(_local(partition.file), columns=need)
         if partition.pos_dirs:
             dead: set[int] = set()
             for d in partition.pos_dirs:
@@ -526,6 +535,10 @@ class _SnapshotBatchReader(DataSourceReader):
                 ]
                 table = table.take(keep_idx)
         for kpath, key_col in partition.eq_entries:
+            if key_col not in table.column_names:
+                # an evolved carried file lacking the key column reads
+                # NULL for it — NULL never equals a key, nothing to drop
+                continue
             keys = pq.read_table(_local(kpath), columns=[key_col]).column(
                 key_col
             )
@@ -536,7 +549,15 @@ class _SnapshotBatchReader(DataSourceReader):
         target = _arrow_schema(
             json.loads(partition.schema_rec_json), list(partition.cols)
         )
-        table = table.select(list(partition.cols)).cast(target)
+        # evolved layers: a carried file may lack newer columns — read
+        # NULL for them, same contract as read_snapshot(merge_schema)
+        arrays = []
+        for i, c in enumerate(partition.cols):
+            if c in table.column_names:
+                arrays.append(table.column(c))
+            else:
+                arrays.append(pa.nulls(table.num_rows, target.field(i).type))
+        table = pa.table(arrays, names=list(partition.cols)).cast(target)
         yield from table.to_batches(max_chunksize=1 << 16)
 
 
@@ -578,6 +599,18 @@ class SnapshotBatchDataSource(DataSource):
             else versions[-1]
         )
         rec = _manifest_raw(path, v).get("schema") or {}
+        if self.options.get("cols"):
+            # caller-side PROJECTION: only these columns plan, transfer
+            # and read (the Python DataSource API has no pruning hook,
+            # so the projection rides the schema)
+            want = self.options["cols"].split(",")
+            missing = [c for c in want if c not in rec]
+            if missing:
+                raise ValueError(
+                    f"snapshot_batch cols {missing} not in layer schema "
+                    f"{sorted(rec)}"
+                )
+            rec = {c: rec[c] for c in want}
         return T.StructType(
             [
                 T.StructField(c, T._parse_datatype_json_string(j))
@@ -612,6 +645,7 @@ def read_snapshot_pushdown(
     *,
     version: int | None = None,
     as_of: float | None = None,
+    cols: list[str] | None = None,
     plan_log: str | None = None,
 ):
     """A FRESH pushdown-planned DataFrame over the layer — one relation
@@ -626,6 +660,8 @@ def read_snapshot_pushdown(
         r = r.option("version", str(version))
     if as_of is not None:
         r = r.option("as_of", str(as_of))
+    if cols is not None:
+        r = r.option("cols", ",".join(cols))
     if plan_log is not None:
         r = r.option("plan_log", plan_log)
     return r.load()

@@ -99,21 +99,48 @@ class FileCommitLock:
         self.stale_seconds = stale_seconds
         self.poll_seconds = poll_seconds
 
+    @staticmethod
+    def _try_create(fs, lock, local: str | None) -> bool:
+        """One exclusive-create attempt.  LOCAL paths go through
+        ``os.open(O_CREAT|O_EXCL)`` — the POSIX-atomic primitive —
+        because Hadoop's base ``FileSystem.createNewFile`` is
+        exists-check-then-create and its local ``create(overwrite=
+        False)`` re-checks non-atomically (two PROCESSES could both
+        win).  On HDFS ``create(overwrite=false)`` is a single atomic
+        namenode op, so ``createNewFile`` is safe there: the loser's
+        create throws and reads as not-acquired."""
+        if local is not None:
+            import os
+
+            try:
+                os.close(
+                    os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                )
+                return True
+            except FileExistsError:
+                return False
+            except OSError:
+                return False
+        try:
+            return bool(fs.createNewFile(lock))
+        except Exception:
+            return False
+
     def acquire(self, spark: SparkSession, path: str):
         import contextlib
 
         jvm, fs = _fs(spark, path)
-        lock = _hpath(jvm, f"{path}.lock")
+        lock_path = f"{path}.lock"
+        lock = _hpath(jvm, lock_path)
+        stripped = lock_path.removeprefix("file:")
+        local = stripped if stripped.startswith("/") else None
 
         @contextlib.contextmanager
         def _ctx():
             deadline = time.time() + self.timeout_seconds
             while True:
-                try:
-                    if fs.createNewFile(lock):
-                        break
-                except Exception:
-                    pass  # parent dir races / transient FS errors: retry
+                if self._try_create(fs, lock, local):
+                    break
                 try:
                     st = fs.getFileStatus(lock)
                     age_ms = time.time() * 1000.0 - st.getModificationTime()

@@ -3854,3 +3854,77 @@ class TestSnapshotCdfStream:
                 self._run(spark, path, ckpt, "cdf_t2")
             except StreamingQueryException as e:
                 raise RuntimeError(str(e)) from e
+
+
+class TestSnapshotPushdownProjection:
+    """The cols= projection on snapshot_batch: only requested columns
+    plan and transfer, and equality deletes still apply when their key
+    column is NOT in the projection (read internally, dropped)."""
+
+    def test_cols_projection_and_eq_delete_key_outside(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshot_batch import (
+            read_snapshot_pushdown,
+        )
+
+        path = str(tmp_path / "layer")
+        monkeypatch.setattr(snap, "_SEGMENT_MAX_FILES", 4)
+        snap.commit_snapshot(
+            spark,
+            spark.range(0, 100)
+            .selectExpr("id AS k", "CAST(id % 7 AS STRING) AS v")
+            .repartitionByRange(4, "k"),
+            path,
+            stats_cols=["k"],
+        )
+        snap.delete_snapshot_keys(spark, path, "k", [3, 4])
+        df = read_snapshot_pushdown(spark, path, cols=["v"])
+        assert df.columns == ["v"]
+        # the two deleted rows are gone even though k never surfaces
+        assert df.count() == 98
+        # projection including the key: values intact
+        df2 = read_snapshot_pushdown(spark, path, cols=["k", "v"])
+        got = {r["k"] for r in df2.collect()}
+        assert 3 not in got and 4 not in got and len(got) == 98
+        with pytest.raises(Exception, match="not in layer schema"):
+            read_snapshot_pushdown(spark, path, cols=["nope"]).count()
+
+    def test_projection_on_evolved_layer_null_fills(
+        self, spark, tmp_path
+    ):
+        """A merge-evolved layer read through the DataSource: carried
+        files lack the new column on disk and read NULL."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshot_batch import (
+            read_snapshot_pushdown,
+        )
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark,
+            spark.range(0, 50)
+            .selectExpr("id AS k", "CAST(id % 3 AS STRING) AS v")
+            .repartitionByRange(4, "k"),
+            path,
+            stats_cols=["k"],
+        )
+        snap.merge_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(5, "X", 1.5)], "k long, v string, score double"
+            ),
+            path,
+            "k",
+            stats_cols=["k"],
+        )
+        got = {
+            r["k"]: r["score"]
+            for r in read_snapshot_pushdown(spark, path)
+            .where("k IN (5, 6)")
+            .collect()
+        }
+        assert got == {5: 1.5, 6: None}
