@@ -530,10 +530,13 @@ class _SnapshotBatchReader(DataSourceReader):
                 ).filter(pc.equal(pc.field("file"), base))
                 dead.update(dv.column("pos").to_pylist())
             if dead:
-                keep_idx = [
-                    i for i in range(table.num_rows) if i not in dead
-                ]
-                table = table.take(keep_idx)
+                # vectorized mask — a per-row Python loop here would put
+                # O(rows) interpreter work on the executor hot path
+                import numpy as np
+
+                mask = np.ones(table.num_rows, dtype=bool)
+                mask[np.fromiter(dead, dtype=np.int64)] = False
+                table = table.filter(pa.array(mask))
         for kpath, key_col in partition.eq_entries:
             if key_col not in table.column_names:
                 # an evolved carried file lacking the key column reads
@@ -653,8 +656,19 @@ def read_snapshot_pushdown(
     DataSource (see the module docstring's sharp edge: reusing one
     loaded relation across queries with and without filters can serve
     the filterless query from a stale pruned plan).  Registers the
-    connector idempotently."""
+    connector idempotently.
+
+    The head version is resolved HERE and pinned as an explicit option:
+    schema inference and scan planning run in separate Python workers
+    at different times, so an unpinned head could resolve differently
+    between them if a writer commits in between — the torn read
+    ``read_snapshot`` pins against, pinned the same way."""
     register_snapshot_batch(spark)
+    if version is None and as_of is None:
+        versions = _versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshot under {path}")
+        version = versions[-1]
     r = spark.read.format("snapshot_batch").option("path", path)
     if version is not None:
         r = r.option("version", str(version))

@@ -145,7 +145,20 @@ class FileCommitLock:
                     st = fs.getFileStatus(lock)
                     age_ms = time.time() * 1000.0 - st.getModificationTime()
                     if age_ms > self.stale_seconds * 1000.0:
-                        fs.delete(lock, False)  # break a crashed holder
+                        # break a crashed holder by ATOMIC RENAME, not
+                        # delete: with a blind delete two waiters could
+                        # both judge the same lock stale and the slower
+                        # one would remove the faster one's FRESH
+                        # replacement, letting two processes into the
+                        # critical section.  rename-to-unique succeeds
+                        # for exactly one stealer (the source vanishes
+                        # for everyone else), who removes the corpse
+                        # and retries create like any other waiter.
+                        corpse = _hpath(
+                            jvm, f"{path}.lock.stale-{uuid.uuid4().hex[:8]}"
+                        )
+                        if fs.rename(lock, corpse):
+                            fs.delete(corpse, False)
                         continue
                 except Exception:
                     pass  # lock vanished between create and stat: retry
@@ -594,8 +607,12 @@ def _type_from_json(dtype_json: str):
 
 
 def _file_stats(
-    spark: SparkSession, data_dir: str, files: list[str], stats_cols: list[str]
-) -> tuple[dict, dict, dict, dict]:
+    spark: SparkSession,
+    data_dir: str,
+    files: list[str],
+    stats_cols: list[str],
+    dom_override: dict | None = None,
+) -> tuple[dict, dict, dict, dict, dict]:
     """Per-file min/max for ``stats_cols`` PLUS per-file row counts PLUS
     per-file COLUMN STATISTICS (an HLL NDV sketch and a null count per
     stats column — the ANALYZE-lite Delta/Iceberg both record) over the
@@ -645,6 +662,14 @@ def _file_stats(
         )
         for c in stats_cols
     }
+    # a layer's EXISTING sketches pin the domain per column (the same
+    # inheritance contract as bloom m/k): an append/merge writing
+    # long-domain sketches into a string-domain layer would make every
+    # future union mixed-domain and permanently null the NDV
+    if dom_override:
+        for c in stats_cols:
+            if c in dom_override:
+                doms[c] = dom_override[c]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"__lo_{c}"))
         aggs.append(F.max(c).alias(f"__hi_{c}"))
@@ -694,7 +719,7 @@ def _file_stats(
             }
             for c in stats_cols
         }
-    return stats, counts, colmeta, raw_sizes
+    return stats, counts, colmeta, raw_sizes, doms
 
 
 _BLOOM_BITS = 8192
@@ -904,9 +929,20 @@ def commit_snapshot(
     if effective_checks:
         _enforce_checks(spark, data_dir, effective_checks)
     files = _list_parquet_files(spark, data_dir)
-    stats, counts, colmeta, raw_sizes = _file_stats(
-        spark, data_dir, files, stats_cols or []
+    # appends inherit the layer's recorded sketch domains; layers from
+    # before domain recording default to the string-cast domain their
+    # sketches were built in
+    if mode == "append" and head:
+        inherited_doms = prev.get("stat_doms")
+        if inherited_doms is None:
+            inherited_doms = {c: "string" for c in stats_cols or []}
+    else:
+        inherited_doms = None
+    stats, counts, colmeta, raw_sizes, stat_doms = _file_stats(
+        spark, data_dir, files, stats_cols or [], inherited_doms
     )
+    if mode == "append" and head:
+        stat_doms = {**(prev.get("stat_doms") or {}), **stat_doms}
     if not stats_cols:
         stats = {}
     blooms = (
@@ -963,6 +999,7 @@ def commit_snapshot(
                 "delete_files": delete_files,
                 "schema": schema_fields,
                 "checks": effective_checks,
+                "stat_doms": stat_doms,
                 "cdf": effective_cdf,
                 "txn": txn_map,
             },
@@ -1384,6 +1421,7 @@ def delete_snapshot(
     predicate: str,
     *,
     prune_range: tuple[str, object, object] | list[tuple] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Merge-on-read DELETE: commit a new version in which every head
     row matching ``predicate`` (a SQL boolean expression over the
@@ -1410,6 +1448,9 @@ def delete_snapshot(
     already-deleted row is impossible and per-file delete counts stay
     exact — which is what keeps ``snapshot_row_count`` metadata-only.
     A predicate matching nothing is a NO-OP returning the current head.
+    ``txn=(app_id, version)`` makes the DELETE idempotent per writer,
+    exactly like ``commit_snapshot(txn=...)`` — the shape a streaming
+    CDC sink replaying a micro-batch needs.
     Returns {"version", "rows_deleted", "files_touched"}.
     """
     versions = snapshot_versions(spark, path)
@@ -1417,11 +1458,26 @@ def delete_snapshot(
         raise FileNotFoundError(f"no committed snapshot under {path}")
     head = versions[-1]
     m = _manifest_raw(spark, path, head)
+    txn_map: dict = m.get("txn", {})
+    if txn is not None:
+        app, tv = txn
+        prev_tv = txn_map.get(app)
+        if prev_tv is not None and int(prev_tv) >= int(tv):
+            return {
+                "version": head,
+                "rows_deleted": 0,
+                "files_touched": 0,
+                "noop": True,
+            }
+        txn_map = {**txn_map, app: int(tv)}
     candidates = snapshot_files(spark, path, head, prune_range=prune_range)
     if not candidates:
         return {"version": head, "rows_deleted": 0, "files_touched": 0}
     base_expr = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-    df = spark.read.parquet(*candidates).select(
+    # mergeSchema: candidates may span schema evolutions — the predicate
+    # can name an evolved column, and the CDF change file must carry the
+    # full evolved row, not the oldest footer's subset
+    df = spark.read.option("mergeSchema", "true").parquet(*candidates).select(
         "*",
         base_expr.alias("__dv_file"),
         F.col("_metadata.row_index").alias("__dv_pos"),
@@ -1494,9 +1550,10 @@ def delete_snapshot(
                 "delete_files": entries + [{"path": dv_dir, "touches": touches}],
                 "schema": m.get("schema"),
                 "checks": m.get("checks") or {},
+                "stat_doms": m.get("stat_doms"),
                 "cdf": bool(m.get("cdf")),
                 "changes": cdf_entry,
-                "txn": m.get("txn", {}),
+                "txn": txn_map,
             },
             default=str,
         ),
@@ -1651,6 +1708,7 @@ def delete_snapshot_keys(
                 ],
                 "schema": m.get("schema"),
                 "checks": m.get("checks") or {},
+                "stat_doms": m.get("stat_doms"),
                 "cdf": bool(m.get("cdf")),
                 "txn": txn_map,
             },
@@ -2116,6 +2174,7 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
                 "delete_files": old.get("delete_files") or [],
                 "schema": old.get("schema"),
                 "checks": old.get("checks") or {},
+                "stat_doms": old_raw.get("stat_doms"),
                 "cdf": bool(old.get("cdf")),
                 "txn": cur.get("txn", {}),  # never roll back idempotence
             },
@@ -2180,6 +2239,7 @@ def clone_snapshot(
                 "delete_files": m.get("delete_files") or [],
                 "schema": m.get("schema"),
                 "checks": m.get("checks") or {},
+                "stat_doms": m.get("stat_doms"),
                 "cdf": bool(m.get("cdf")),
                 "txn": {},
             },
@@ -2703,7 +2763,10 @@ def merge_snapshot(
     if m.get("cdf"):
         post = spark.read.parquet(data_dir).select(*cols)
         if touched:
-            pre = raw.select(*cols)
+            # lazy checkpoint: the pre-image feeds BOTH exceptAll
+            # branches — without it each branch re-scans the touched
+            # region and re-runs the DV joins
+            pre = raw.select(*cols).localCheckpoint(eager=False)
             ch = (
                 post.exceptAll(pre)
                 .withColumn("change_type", F.lit("insert"))
@@ -2719,9 +2782,13 @@ def merge_snapshot(
         ch.write.mode("error").parquet(ch_dir)
         cdf_entry = {"path": ch_dir}
     new_files = _list_parquet_files(spark, data_dir)
-    new_stats, new_counts, new_colmeta, new_raw = _file_stats(
-        spark, data_dir, new_files, stats_cols or []
+    merge_dom_inherit = m.get("stat_doms")
+    if merge_dom_inherit is None:
+        merge_dom_inherit = {c: "string" for c in stats_cols or []}
+    new_stats, new_counts, new_colmeta, new_raw, new_doms = _file_stats(
+        spark, data_dir, new_files, stats_cols or [], merge_dom_inherit
     )
+    merge_stat_doms = {**(m.get("stat_doms") or {}), **new_doms}
     if not stats_cols:
         new_stats = {}
     repack_bases = {f.rsplit("/", 1)[-1] for f in repack_files}
@@ -2778,6 +2845,7 @@ def merge_snapshot(
                     else delta_types
                 ),
                 "checks": m.get("checks") or {},
+                "stat_doms": merge_stat_doms,
                 "cdf": bool(m.get("cdf")),
                 "changes": cdf_entry,
                 "txn": txn_map,  # carry writer high-water marks
@@ -2905,9 +2973,13 @@ def compact_small_files(
     data_dir = f"{path}/data/v{version}-{uuid.uuid4().hex[:8]}"
     raw.coalesce(n_out).write.mode("error").parquet(data_dir)
     new_files = _list_parquet_files(spark, data_dir)
-    new_stats, new_counts, new_colmeta, new_raw = _file_stats(
-        spark, data_dir, new_files, stats_cols or []
+    compact_dom_inherit = m.get("stat_doms")
+    if compact_dom_inherit is None:
+        compact_dom_inherit = {c: "string" for c in stats_cols or []}
+    new_stats, new_counts, new_colmeta, new_raw, new_doms = _file_stats(
+        spark, data_dir, new_files, stats_cols or [], compact_dom_inherit
     )
+    compact_stat_doms = {**(m.get("stat_doms") or {}), **new_doms}
     if not stats_cols:
         new_stats = {}
     repack_bases = {f.rsplit("/", 1)[-1] for f in repack_files}
@@ -2955,6 +3027,7 @@ def compact_small_files(
                 "delete_files": carried_deletes,
                 "schema": m.get("schema"),
                 "checks": m.get("checks") or {},
+                "stat_doms": compact_stat_doms,
                 "cdf": bool(m.get("cdf")),
                 "txn": m.get("txn", {}),
             },
@@ -3028,7 +3101,10 @@ def rewrite_snapshot(
         n_files = max(1, math.ceil(total / target_file_bytes))
     if cluster_by is not None and zorder_by is not None:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
-    df = read_snapshot(spark, path, head)
+    # merge_schema: a layer evolved by appends or MERGE has files with
+    # differing physical schemas — an overwrite rewritten from the
+    # newest-footer schema would silently DROP the evolved columns
+    df = read_snapshot(spark, path, head, merge_schema=True)
     if cluster_by is not None:
         df = df.repartitionByRange(n_files, cluster_by)
         stats_cols = sorted(set(stats_cols or []) | {cluster_by})

@@ -218,6 +218,7 @@ def snapshot_cdc_writer(
     resolve: list[str] | None = None,
     bootstrap_files: int = 4,
     commit_attempts: int = 20,
+    delete_mode: str = "equality",
     transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function for a FULL CDC APPLY (Debezium-style):
@@ -244,16 +245,34 @@ def snapshot_cdc_writer(
     feeds, where the key's newest op always arrives last.  The delete
     key set is collected to the driver (it is O(batch delete keys),
     the same rows a broadcast would ship).
+
+    ``delete_mode`` picks the delete flavor and its trade:
+
+    - ``"equality"`` (default): ``delete_snapshot_keys`` — O(keys)
+      metadata, ZERO data reads per batch; but equality-delete commits
+      record no change file, so a layer maintained this way is not
+      consumable by the ``mode=cdf`` stream / the O(delta)
+      ``snapshot_changes`` route (they fall back or refuse).
+    - ``"position"``: ``delete_snapshot`` with a key-IN predicate,
+      stats-pruned to the key range — pays a scan of the candidate
+      files per batch, and (with the layer's ``change_feed`` property
+      on) records the deleted rows' full pre-images as a change file,
+      so the WHOLE CDC-maintained lifecycle stays CDF-tailable.
+      Pick this when downstream consumers tail the change feed.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..sources.snapshots import (
+        delete_snapshot,
         delete_snapshot_keys,
         merge_snapshot,
         retry_commit,
         snapshot_versions,
     )
+
+    if delete_mode not in ("equality", "position"):
+        raise ValueError("delete_mode must be 'equality' or 'position'")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
@@ -308,16 +327,38 @@ def snapshot_cdc_writer(
 
         retry_commit(apply_upserts, attempts=commit_attempts)
         if dels and snapshot_versions(spark, path):
-            retry_commit(
-                lambda: delete_snapshot_keys(
-                    spark,
-                    path,
-                    key_col,
-                    dels,
-                    txn=(app_id, 2 * int(batch_id) + 1),
-                ),
-                attempts=commit_attempts,
-            )
+            if delete_mode == "position":
+
+                def _lit(k):
+                    # SQL literal: quote + escape everything non-numeric
+                    if isinstance(k, bool) or not isinstance(
+                        k, (int, float)
+                    ):
+                        return "'" + str(k).replace("'", "''") + "'"
+                    return repr(k)
+
+                in_list = ", ".join(_lit(k) for k in sorted(dels))
+                retry_commit(
+                    lambda: delete_snapshot(
+                        spark,
+                        path,
+                        f"{key_col} IN ({in_list})",
+                        prune_range=(key_col, min(dels), max(dels)),
+                        txn=(app_id, 2 * int(batch_id) + 1),
+                    ),
+                    attempts=commit_attempts,
+                )
+            else:
+                retry_commit(
+                    lambda: delete_snapshot_keys(
+                        spark,
+                        path,
+                        key_col,
+                        dels,
+                        txn=(app_id, 2 * int(batch_id) + 1),
+                    ),
+                    attempts=commit_attempts,
+                )
 
     return write_batch
 
@@ -332,6 +373,7 @@ def cdc_stream_into_snapshot(
     op_col: str = "op",
     app_id: str = "cdc",
     resolve: list[str] | None = None,
+    delete_mode: str = "equality",
     transform: Callable[[DataFrame], DataFrame] | None = None,
 ):
     """Run ``stream`` to completion (availableNow) as a full CDC apply
@@ -345,6 +387,7 @@ def cdc_stream_into_snapshot(
                 op_col=op_col,
                 app_id=app_id,
                 resolve=resolve,
+                delete_mode=delete_mode,
                 transform=transform,
             )
         )

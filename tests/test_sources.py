@@ -3928,3 +3928,187 @@ class TestSnapshotPushdownProjection:
             .collect()
         }
         assert got == {5: 1.5, 6: None}
+
+
+class TestReviewRound7Fixes:
+    """Regression pins for the round-7 self-review findings: evolved
+    columns surviving rewrite/delete, sketch-domain inheritance, and
+    the CDF-tailable position-delete CDC mode."""
+
+    def _evolved(self, spark, path, cdf=False):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        snap.commit_snapshot(
+            spark,
+            spark.range(100)
+            .selectExpr("id AS k", "CAST(id % 3 AS STRING) AS seg")
+            .repartitionByRange(4, "k"),
+            path,
+            stats_cols=["k"],
+            change_feed=cdf,
+        )
+        snap.merge_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(5, "X", 9.5)], "k long, seg string, quality double"
+            ),
+            path,
+            "k",
+            stats_cols=["k"],
+        )
+        return path
+
+    def test_rewrite_preserves_merge_evolved_column(self, spark, tmp_path):
+        """rewrite_snapshot (compaction/recluster) must not DROP a
+        column added by merge evolution — the overwrite reads
+        merge-schema'd (review finding #1: data loss)."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = self._evolved(spark, str(tmp_path / "layer"))
+        snap.rewrite_snapshot(spark, path, n_files=2)
+        df = snap.read_snapshot(spark, path)
+        assert "quality" in df.columns
+        got = {r["k"]: r["quality"] for r in df.where("k IN (5, 6)").collect()}
+        assert got == {5: 9.5, 6: None}
+
+    def test_delete_scan_and_cdf_see_evolved_column(self, spark, tmp_path):
+        """delete_snapshot's candidate scan reads merge-schema'd: a
+        predicate naming the evolved column works, and the recorded
+        change file carries its values (review finding #2)."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = self._evolved(spark, str(tmp_path / "layer"), cdf=True)
+        res = snap.delete_snapshot(spark, path, "quality > 9")
+        assert res["rows_deleted"] == 1
+        head = snap.snapshot_versions(spark, path)[-1]
+        feed = snap.snapshot_changes(spark, path, head - 1, head).collect()
+        assert [(r["change_type"], r["k"], r["quality"]) for r in feed] == [
+            ("delete", 5, 9.5)
+        ]
+
+    def test_sketch_domain_inherited_from_legacy_layer(
+        self, spark, tmp_path
+    ):
+        """An append to a layer whose sketches predate domain recording
+        writes STRING-domain sketches (the legacy domain), so NDV keeps
+        working instead of degrading to mixed-domain None (review
+        finding #5)."""
+        import json as _json
+        import os
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark,
+            spark.range(100).selectExpr("id % 10 AS k"),
+            path,
+            stats_cols=["k"],
+        )
+
+        # forge a LEGACY layer: strip stat_doms from the manifest and
+        # re-tag + re-sketch the segment colmeta in the string domain
+        def _rewrite(fp, fn):
+            doc = _json.load(open(fp))
+            fn(doc)
+            with open(fp, "w") as fh:
+                fh.write(_json.dumps(doc))
+            d, n = os.path.split(fp)
+            crc = os.path.join(d, f".{n}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+
+        import base64
+
+        legacy = (
+            spark.range(100)
+            .selectExpr("CAST(id % 10 AS STRING) AS s")
+            .agg(F_hll("s"))
+            .first()[0]
+        )
+        m1 = snap._manifest_raw(spark, path, 1)
+        _rewrite(
+            os.path.join(path, "_manifests", "v1.json"),
+            lambda d: d.pop("stat_doms", None),
+        )
+
+        def fix_seg(d):
+            for b in d["colmeta"]:
+                d["colmeta"][b]["k"].pop("dom", None)
+                d["colmeta"][b]["k"]["hll"] = base64.b64encode(
+                    bytes(legacy)
+                ).decode("ascii")
+
+        for e in m1["segments"]:
+            _rewrite(e["path"].removeprefix("file:"), fix_seg)
+        # append: inherited domain must be STRING (matching the legacy
+        # sketches), so the union stays single-domain and NDV works
+        snap.commit_snapshot(
+            spark,
+            spark.range(100, 120).selectExpr("id % 10 AS k"),
+            path,
+            mode="append",
+            stats_cols=["k"],
+        )
+        m2 = snap._manifest_raw(spark, path, 2)
+        assert m2["stat_doms"]["k"] == "string"
+        st = snap.snapshot_col_stats(spark, path)
+        assert st["columns"]["k"]["ndv"] is not None
+        assert abs(st["columns"]["k"]["ndv"] - 10) <= 1
+
+    def test_cdc_position_mode_stays_cdf_tailable(self, spark, tmp_path):
+        """delete_mode='position' on the CDC writer records delete
+        pre-images, so the whole CDC-maintained lifecycle feeds the
+        O(delta) change route with zero fallbacks — and replays still
+        no-op (review finding #6)."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.streaming.snapshot_sink import (
+            snapshot_cdc_writer,
+        )
+
+        path = str(tmp_path / "layer")
+        wb = snapshot_cdc_writer(
+            path, "k", resolve=["seq"], delete_mode="position"
+        )
+        b0 = spark.createDataFrame(
+            [(1, "a", 1, "upsert"), (2, "b", 1, "upsert")],
+            "k long, v string, seq long, op string",
+        )
+        # bootstrap commit must carry the cdf property for later merges
+        snap.commit_snapshot(
+            spark,
+            b0.limit(0).drop("op"),
+            path,
+            stats_cols=["k"],
+            change_feed=True,
+        )
+        wb(b0, 0)
+        b1 = spark.createDataFrame(
+            [(2, "b2", 2, "upsert"), (1, None, 2, "delete")],
+            "k long, v string, seq long, op string",
+        )
+        wb(b1, 1)
+        head = snap.snapshot_versions(spark, path)[-1]
+        base = snap._CDF_FALLBACKS["n"]
+        feed = snap.snapshot_changes(spark, path, 1, head)
+        rows = sorted(
+            (r["change_type"], r["k"], r["v"]) for r in feed.collect()
+        )
+        assert snap._CDF_FALLBACKS["n"] == base  # fully CDF-covered
+        assert ("delete", 1, "a") in rows  # full pre-image recorded
+        got = {
+            (r["k"], r["v"])
+            for r in snap.read_snapshot(spark, path)
+            .select("k", "v")
+            .collect()
+        }
+        assert got == {(2, "b2")}
+        # replay both halves: no-ops
+        wb(b1, 1)
+        assert snap.snapshot_versions(spark, path)[-1] == head
+
+
+def F_hll(col):
+    from pyspark.sql import functions as F
+
+    return F.hll_sketch_agg(F.col(col))
