@@ -1384,11 +1384,15 @@ def _cdf_tail_layer(spark: SparkSession, sf_dir: str) -> str:
     CDC-maintained lifecycle a CDF tail must survive: v1 bootstrap
     (even custkeys, key-clustered), v2 MERGE (every 10th re-segmented
     to SEG_X + offset-key inserts for every 100th), v3 append (odd
-    custkeys), v4 predicate-DELETE of SEG_X.  Deterministic, once per
-    process."""
+    custkeys), v4 predicate-DELETE of SEG_X, v5 EQUALITY-KEY delete of
+    the odd multiples of 7 — the key set passed as a DATAFRAME (never
+    through the driver) and consumed by the tail through the key-only
+    change source (pre-images reconstructed lazily from the touched
+    files).  Deterministic, once per process."""
     from ..sources.snapshots import (
         commit_snapshot,
         delete_snapshot,
+        delete_snapshot_keys,
         drop_snapshot_layer,
         merge_snapshot,
     )
@@ -1431,6 +1435,14 @@ def _cdf_tail_layer(spark: SparkSession, sf_dir: str) -> str:
         stats_cols=["c_custkey"],
     )
     delete_snapshot(spark, path, "c_mktsegment = 'SEG_X'")
+    delete_snapshot_keys(
+        spark,
+        path,
+        "c_custkey",
+        base.filter(
+            (F.col("c_custkey") % 2 == 1) & (F.col("c_custkey") % 7 == 0)
+        ).select("c_custkey"),
+    )
     _CDF_TAIL_BUILT.add(path)
     return path
 
@@ -1454,6 +1466,8 @@ feed AS (
   UNION ALL SELECT 'insert', c_custkey, c_mktsegment FROM od
   UNION ALL SELECT 'delete', c_custkey, 'SEG_X' FROM upd
   UNION ALL SELECT 'delete', c_custkey, 'SEG_X' FROM ins2
+  UNION ALL SELECT 'delete', c_custkey, c_mktsegment FROM od
+            WHERE c_custkey % 7 = 0
 )
 SELECT change_type, c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1466,7 +1480,10 @@ FROM feed GROUP BY change_type, c_mktsegment
     "CDC-maintained lifecycle — bootstrap inserts, a MERGE's recorded "
     "update pairs + inserts (per-commit change files from the "
     "change_feed table property), an append's segment-diff inserts, "
-    "and a predicate-DELETE's recorded delete rows — where the plain "
+    "a predicate-DELETE's recorded delete rows, AND an EQUALITY-KEY "
+    "delete's key-only change source (the commit read zero data "
+    "files; the tail reconstructs the pre-images executor-side from "
+    "only the stats-scoped touched files) — where the plain "
     "append-tail source must refuse; rows carry change_type, the "
     "runner does only manifest/JSON algebra and every row reads on "
     "executors; the oracle recomputes the exact expected feed from "

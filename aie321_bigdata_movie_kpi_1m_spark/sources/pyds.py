@@ -584,6 +584,13 @@ class _SnapshotFilePartition(InputPartition):
     # change_type column.  Ignored outside cdf mode.
     synth_insert: bool = True
     cdf: bool = False
+    # equality-key DELETE step (cdf mode, cache not yet materialized):
+    # (keys_path, key_col, prev_pos_dirs, prev_eq_entries) — ``file`` is
+    # a TOUCHED data file; the executor reconstructs its v-1 rows (prev
+    # deletes applied), keeps those whose key is in the key set, and
+    # emits them as 'delete' changes — O(touched files), parallel, no
+    # driver-side data hop
+    eq_del: tuple | None = None
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -678,13 +685,18 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         """CDF-mode planning: (file, synth_insert) pairs per consumed
         version — appends contribute new segment files as synthesized
         inserts, merge/delete versions their recorded change files,
-        compactions nothing; anything else (overwrite, restore, a
-        change-feed-less merge) raises: the feed cannot be
-        reconstructed without a table diff, which a stream must not
-        pay."""
+        equality-key deletes their touched files (pre-images
+        reconstructed executor-side, or the materialized cache when a
+        batch CDF read already built it), compactions nothing; anything
+        else (overwrite, restore, a change-feed-less merge) raises: the
+        feed cannot be reconstructed without a table diff, which a
+        stream must not pay."""
+        import os
+
         have_prev = s in vs
         prev_m = self._manifest(s) if have_prev else None
         out: list[tuple[str, bool]] = []
+        eq_parts: list[_SnapshotFilePartition] = []
         for v in [x for x in vs if s < x <= e]:
             m = self._manifest(v)
             mode = m.get("mode")
@@ -725,7 +737,49 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             elif mode == "compact":
                 pass  # row-content-neutral
             elif mode in ("merge", "delete") and m.get("changes"):
-                out.extend((f, False) for f in self._change_files(m))
+                ch = m["changes"]
+                if ch.get("kind") == "equality_keys" and not os.path.isdir(
+                    ch["path"].removeprefix("file:")
+                ):
+                    # key-only change source, cache not yet built: one
+                    # partition per TOUCHED file; the executor
+                    # reconstructs that file's v-1 rows and keeps the
+                    # key hits as 'delete' changes
+                    touched = set(ch["touches"])
+                    prev_entries = prev_m.get("delete_files") or []
+                    for f in sorted(self._file_set(m)):
+                        base = f.rsplit("/", 1)[-1]
+                        if base not in touched:
+                            continue
+                        pos_dirs = tuple(
+                            pe["path"]
+                            for pe in prev_entries
+                            if pe.get("kind") != "equality"
+                            and base in pe["touches"]
+                        )
+                        eq_entries = tuple(
+                            (pe["path"], pe["key_col"])
+                            for pe in prev_entries
+                            if pe.get("kind") == "equality"
+                            and base in pe["touches"]
+                        )
+                        eq_parts.append(
+                            _SnapshotFilePartition(
+                                f,
+                                self._cols,
+                                False,
+                                cdf=True,
+                                eq_del=(
+                                    ch["keys_path"],
+                                    ch["key_col"],
+                                    pos_dirs,
+                                    eq_entries,
+                                ),
+                            )
+                        )
+                else:
+                    # recorded (or already-materialized) change files
+                    out.extend((f, False) for f in self._change_files(m))
             else:
                 raise ValueError(
                     f"version {v} (mode {mode!r}) has no change source "
@@ -734,14 +788,15 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 )
             prev_m = m
             have_prev = True
-        if not out:
+        parts = [
+            _SnapshotFilePartition(f, self._cols, synth, cdf=True)
+            for f, synth in out
+        ] + eq_parts
+        if not parts:
             return [
                 _SnapshotFilePartition(None, self._cols, cdf=True)
             ]
-        return [
-            _SnapshotFilePartition(f, self._cols, synth, cdf=True)
-            for f, synth in out
-        ]
+        return parts
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
@@ -808,6 +863,70 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         if partition.file is None:
+            return
+        if partition.eq_del is not None:
+            # equality-key DELETE pre-images, reconstructed per touched
+            # file: v-1 rows of THIS file (previous deletes applied),
+            # kept where the key is in the delete set — the same
+            # pyarrow delete-application the snapshot_batch connector
+            # runs, emitted as 'delete' changes
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            keys_path, key_col, pos_dirs, eq_entries = partition.eq_del
+            local = partition.file.removeprefix("file:")
+            base = partition.file.rsplit("/", 1)[-1]
+            file_cols = set(pq.read_schema(local).names)
+            need = [c for c in partition.cols if c in file_cols]
+            for _, kc in eq_entries:
+                if kc not in need and kc in file_cols:
+                    need.append(kc)
+            if key_col not in need and key_col in file_cols:
+                need.append(key_col)
+            table = pq.read_table(local, columns=need)
+            if pos_dirs:
+                dead: set[int] = set()
+                for d in pos_dirs:
+                    dv = pq.read_table(
+                        d.removeprefix("file:"), columns=["file", "pos"]
+                    ).filter(pc.equal(pc.field("file"), base))
+                    dead.update(dv.column("pos").to_pylist())
+                if dead:
+                    import numpy as np
+
+                    mask = np.ones(table.num_rows, dtype=bool)
+                    mask[np.fromiter(dead, dtype=np.int64)] = False
+                    table = table.filter(pa.array(mask))
+            for kpath, kc in eq_entries:
+                if kc not in table.column_names:
+                    continue  # evolved file lacking the key: NULL never matches
+                prior = pq.read_table(
+                    kpath.removeprefix("file:"), columns=[kc]
+                ).column(kc)
+                hit = pc.fill_null(
+                    pc.is_in(table.column(kc), value_set=prior), False
+                )
+                table = table.filter(pc.invert(hit))
+            if key_col in table.column_names:
+                dels = pq.read_table(
+                    keys_path.removeprefix("file:"), columns=[key_col]
+                ).column(key_col)
+                keep = pc.fill_null(
+                    pc.is_in(table.column(key_col), value_set=dels), False
+                )
+                table = table.filter(keep)
+            else:
+                return  # file lacks the key column: nothing deleted here
+            cols = [
+                (
+                    table.column(c).to_pylist()
+                    if c in table.column_names
+                    else [None] * table.num_rows
+                )
+                for c in partition.cols
+            ]
+            for row in zip(*cols):
+                yield (*row, "delete")
             return
         if not partition.cdf:
             table = pq.read_table(

@@ -1569,7 +1569,7 @@ def delete_snapshot_keys(
     spark: SparkSession,
     path: str,
     key_col: str,
-    keys: list,
+    keys: list | DataFrame,
     *,
     txn: tuple[str, int] | None = None,
 ) -> dict:
@@ -1593,13 +1593,34 @@ def delete_snapshot_keys(
     key survives (no-resurrect — Iceberg's sequence-number semantics,
     expressed as an explicit file scope).
 
+    ``keys`` may be a Python list (the small-probe shape) or a
+    **DataFrame with a ``key_col`` column** — the DataFrame path never
+    moves the key set through the driver: the sidecar parquet is
+    written straight from the executors and the touch scope resolves
+    from one 3-scalar ``agg(min, max, count)`` envelope joined against
+    the (driver-resident, O(files)) manifest stats.  That is the shape
+    a CDC sink applying a million-key purge batch needs; the list path
+    stays for interactive probes (its driver-side key volume is
+    counted in ``_EQ_DELETE_DRIVER_KEYS`` so tests can pin that the
+    streaming path ships zero keys through the driver).
+
     Equality deletes make ``snapshot_row_count`` return None (their
     match count is unknown without a scan — that is the point); MERGE,
     ``compact_small_files`` and ``rewrite_snapshot`` FOLD them into
     rewritten files exactly like position deletes, restoring
     metadata-only counts.  A key set whose range touches no live file
     commits nothing (no-op returning the head).  NULL keys never match
-    (SQL equality).  Returns {"version", "n_keys", "files_in_scope"}.
+    (SQL equality).
+
+    On a ``change_feed=True`` layer the commit records a KEY-ONLY
+    change source (``changes.kind = "equality_keys"``): the deleted
+    rows' pre-images are NOT scanned at delete time (zero data reads
+    hold) — the first CDF read over the range materializes them lazily
+    from the (stats-scoped) touched files into a cached parquet, so
+    ``snapshot_changes`` / the ``mode=cdf`` stream / IVM refreshes stay
+    O(delta) across an equality-delete version instead of falling back
+    to the O(table) endpoint diff.
+    Returns {"version", "n_keys", "files_in_scope"}.
     """
     versions = snapshot_versions(spark, path)
     if not versions:
@@ -1627,14 +1648,38 @@ def delete_snapshot_keys(
             f"{sorted(schema_rec)}"
         )
     ktype = _type_from_json(schema_rec[key_col])
-    kvals = [k for k in keys if k is not None]
-    if not kvals:
-        return {"version": head, "n_keys": 0, "files_in_scope": 0}
-    kdf = spark.createDataFrame(
-        [(k,) for k in kvals],
-        T.StructType([T.StructField(key_col, ktype)]),
-    ).distinct()
-    klo, khi = min(kvals), max(kvals)
+    if isinstance(keys, DataFrame):
+        if key_col not in keys.columns:
+            raise ValueError(
+                f"keys DataFrame lacks key column {key_col!r} "
+                f"(has {keys.columns})"
+            )
+        kdf = (
+            keys.select(F.col(key_col).cast(ktype).alias(key_col))
+            .filter(F.col(key_col).isNotNull())
+            .distinct()
+        )
+        # ONE tiny job resolves the envelope + cardinality: 3 scalars
+        # cross the driver, never the keys themselves
+        env = kdf.agg(
+            F.min(key_col).alias("__lo"),
+            F.max(key_col).alias("__hi"),
+            F.count(F.lit(1)).alias("__n"),
+        ).first()
+        klo, khi, n_keys = env["__lo"], env["__hi"], int(env["__n"])
+        if n_keys == 0:
+            return {"version": head, "n_keys": 0, "files_in_scope": 0}
+    else:
+        kvals = [k for k in keys if k is not None]
+        _EQ_DELETE_DRIVER_KEYS["n"] += len(kvals)
+        if not kvals:
+            return {"version": head, "n_keys": 0, "files_in_scope": 0}
+        kdf = spark.createDataFrame(
+            [(k,) for k in kvals],
+            T.StructType([T.StructField(key_col, ktype)]),
+        ).distinct()
+        klo, khi = min(kvals), max(kvals)
+        n_keys = len(set(kvals))
     # two-level metadata-only touch-scope resolution (zero data reads):
     # segment entries by key envelope, then per-file [min, max] ranges
     if m.get("format", 1) >= 2:
@@ -1677,7 +1722,24 @@ def delete_snapshot_keys(
         return {"version": head, "n_keys": 0, "files_in_scope": 0}
     version = head + 1
     key_dir = f"{path}/deletes/v{version}-{uuid.uuid4().hex[:8]}"
-    kdf.coalesce(1).write.mode("error").parquet(key_dir)
+    # sidecar written FROM THE EXECUTORS; file count scales with the key
+    # volume (coalesce is a narrow dependency — no shuffle)
+    kdf.coalesce(max(1, min(32, n_keys // 2_000_000 + 1))).write.mode(
+        "error"
+    ).parquet(key_dir)
+    # CHANGE DATA FEED: record a KEY-ONLY change source — the commit
+    # still reads zero data files; the deleted rows' pre-images
+    # materialize lazily (O(touched files), once) on the first CDF read
+    # over this version, into the deterministic cache dir named here
+    cdf_entry = None
+    if m.get("cdf"):
+        cdf_entry = {
+            "kind": "equality_keys",
+            "keys_path": key_dir,
+            "key_col": key_col,
+            "touches": sorted(touched),
+            "path": f"{path}/_changes/v{version}-eqpre",
+        }
     if m.get("format", 1) >= 2:
         seg_entries = m.get("segments") or []
     else:
@@ -1710,6 +1772,7 @@ def delete_snapshot_keys(
                 "checks": m.get("checks") or {},
                 "stat_doms": m.get("stat_doms"),
                 "cdf": bool(m.get("cdf")),
+                "changes": cdf_entry,
                 "txn": txn_map,
             },
             default=str,
@@ -1717,7 +1780,7 @@ def delete_snapshot_keys(
     )
     return {
         "version": version,
-        "n_keys": kdf.count(),
+        "n_keys": n_keys,
         "files_in_scope": len(touched),
     }
 
@@ -2304,6 +2367,76 @@ def snapshot_minmax(
 # observability hook: tests pin that CDF-covered ranges never pay the
 # generic two-exceptAll fallback (the O(table) path)
 _CDF_FALLBACKS = {"n": 0}
+# keys that crossed the driver via the delete_snapshot_keys LIST path —
+# the DataFrame path adds nothing here; tests pin that the streaming CDC
+# sink ships zero delete keys through the driver
+_EQ_DELETE_DRIVER_KEYS = {"n": 0}
+# lazy equality-delete pre-image materializations actually COMPUTED
+# (cache misses) — tests pin that repeat CDF reads hit the cache
+_EQ_PREIMAGE_BUILDS = {"n": 0}
+
+
+def _materialize_eq_preimage(
+    spark: SparkSession, path: str, v: int, ch: dict, prev_m: dict
+) -> DataFrame:
+    """Pre-images of the rows an equality-key DELETE (version ``v``)
+    removed, materialized LAZILY on first CDF read: the delete commit
+    itself read zero data files and recorded only the key sidecar plus
+    its stats-resolved touch scope (``ch`` — the manifest's
+    ``changes.kind == "equality_keys"`` entry); here the TOUCHED files
+    (never the table) are read as of ``v-1`` (the previous manifest's
+    delete entries applied, restricted to those files), semi-joined
+    against the broadcast key set, and written once to the
+    deterministic cache dir the manifest named at commit time — so the
+    first read over the range pays O(touched files) and every later
+    ``snapshot_changes`` / CDF-stream / IVM refresh reads the O(delta)
+    parquet like any other per-commit change file.  The cache write is
+    a stage-and-rename (a racing reader's loser deletes its temp and
+    serves the winner's cache); ``vacuum_snapshots`` keeps the cache
+    while the manifest survives, and a vacuumed cache just re-pays the
+    one O(touched) materialization."""
+    jvm, fs = _fs(spark, path)
+    final = ch["path"]
+    if fs.exists(_hpath(jvm, final)):
+        return spark.read.parquet(final)
+    _EQ_PREIMAGE_BUILDS["n"] += 1
+    touched = set(ch["touches"])
+    files = [
+        f
+        for f in snapshot_files(spark, path, v)
+        if f.rsplit("/", 1)[-1] in touched
+    ]
+    base_expr = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    # mergeSchema: touched files may span schema evolutions, and the
+    # change feed must carry the full evolved pre-image rows
+    df = spark.read.option("mergeSchema", "true").parquet(*files).select(
+        "*",
+        base_expr.alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    prev_entries = prev_m.get("delete_files") or []
+    if prev_entries:
+        # v-1 state of the touched files: rows already deleted before
+        # this commit were not deleted BY it
+        pos_dirs, eq, _ = _split_delete_entries(prev_entries, touched)
+        df = _apply_deletes_meta(spark, df, pos_dirs, eq)
+    keys = (
+        spark.read.parquet(ch["keys_path"]).select(ch["key_col"]).distinct()
+    )
+    pre = (
+        df.join(F.broadcast(keys), ch["key_col"], "left_semi")
+        .drop("__dv_file", "__dv_pos")
+        .withColumn("change_type", F.lit("delete"))
+    )
+    # dot-prefixed temp: invisible to Spark's file index, GC'd by vacuum
+    tmp = f"{path}/_changes/.tmp-v{v}-{uuid.uuid4().hex[:8]}"
+    pre.write.mode("error").parquet(tmp)
+    if fs.exists(_hpath(jvm, final)) or not fs.rename(
+        _hpath(jvm, tmp), _hpath(jvm, final)
+    ):
+        # lost the materialization race: the winner's cache serves
+        fs.delete(_hpath(jvm, tmp), True)
+    return spark.read.parquet(final)
 
 
 def _changes_from_commits(
@@ -2316,11 +2449,13 @@ def _changes_from_commits(
     """O(changed rows) change feed from per-commit change sources:
     appends contribute their new files (manifest SEGMENT diff — only
     the delta's segment files are even opened), merge/predicate-delete
-    commits contribute their recorded change files, compactions
-    contribute nothing (row-content-neutral).  Returns None when ANY
-    step lacks a source (overwrite, restore, equality-key delete,
-    pre-CDF merges, a vacuumed intermediate version, or a format-1
-    boundary) — the caller then falls back to the generic diff."""
+    commits contribute their recorded change files, equality-key
+    deletes their lazily-materialized (then cached) pre-images,
+    compactions contribute nothing (row-content-neutral).  Returns None
+    when ANY step lacks a source (overwrite, restore, pre-CDF merges
+    and equality deletes, a vacuumed intermediate version, or a
+    format-1 boundary) — the caller then falls back to the generic
+    diff."""
     steps = [v for v in versions if v_from < v <= v_to]
     if steps != list(range(v_from + 1, v_to + 1)):
         return None  # an intermediate version was vacuumed
@@ -2354,7 +2489,13 @@ def _changes_from_commits(
         elif mode == "compact":
             step = None  # same rows, fewer files
         elif mode in ("merge", "delete") and m.get("changes"):
-            step = spark.read.parquet(m["changes"]["path"])
+            ch = m["changes"]
+            if ch.get("kind") == "equality_keys":
+                # key-only change source: pre-images materialize lazily
+                # from the touched files (cached after the first read)
+                step = _materialize_eq_preimage(spark, path, v, ch, prev_m)
+            else:
+                step = spark.read.parquet(ch["path"])
         else:
             return None
         if step is not None:
@@ -2393,19 +2534,21 @@ def snapshot_changes(
 
     **Routing (Delta CDF semantics).**  When every step in
     ``(v_from, v_to]`` has an O(delta) change source — an append
-    (manifest segment diff), a compaction (row-neutral), or a
+    (manifest segment diff), a compaction (row-neutral), a
     merge/predicate-DELETE commit that recorded a change file (enable
-    with ``commit_snapshot(change_feed=True)``) — the feed is the
-    CONCATENATION of the per-step exact deltas: O(changed rows) end to
-    end, ZERO table scans.  Each per-step delta is an exact net (an
+    with ``commit_snapshot(change_feed=True)``), or an equality-key
+    DELETE on a change-feed layer (key-only change source; pre-images
+    materialize lazily from the touched files and cache) — the feed is
+    the CONCATENATION of the per-step exact deltas: O(changed rows) end
+    to end, ZERO table scans.  Each per-step delta is an exact net (an
     upsert of an identical row cancels out), but across steps a row
     inserted then deleted appears as a cancelling insert+delete pair —
     consumers fold signed (+1 insert / −1 delete), exactly what every
     IVM refresh does, and the fold equals the endpoint diff.
 
-    Any step WITHOUT a change source (overwrite, restore, equality-key
-    delete, pre-CDF merges, a vacuumed intermediate version) falls back
-    to the generic endpoint diff: two full-row ``exceptAll`` set
+    Any step WITHOUT a change source (overwrite, restore, pre-CDF
+    merges and equality deletes, a vacuumed intermediate version) falls
+    back to the generic endpoint diff: two full-row ``exceptAll`` set
     differences — the no-cooperation contract, whose output is the
     strict endpoint net with no cancelling pairs.  ``force_generic``
     pins that path (tests, or when strict endpoint-net output matters).

@@ -242,23 +242,29 @@ def snapshot_cdc_writer(
 
     Deletes are not tombstoned across batches: a later batch's upsert
     of a deleted key re-inserts it — correct for time-ordered CDC
-    feeds, where the key's newest op always arrives last.  The delete
-    key set is collected to the driver (it is O(batch delete keys),
-    the same rows a broadcast would ship).
+    feeds, where the key's newest op always arrives last.
 
     ``delete_mode`` picks the delete flavor and its trade:
 
     - ``"equality"`` (default): ``delete_snapshot_keys`` — O(keys)
-      metadata, ZERO data reads per batch; but equality-delete commits
-      record no change file, so a layer maintained this way is not
-      consumable by the ``mode=cdf`` stream / the O(delta)
-      ``snapshot_changes`` route (they fall back or refuse).
+      metadata, ZERO data reads per batch.  The delete keys are passed
+      as a DATAFRAME, so they never funnel through the driver (a
+      purge/backfill batch with millions of deletes writes its key
+      sidecar straight from the executors — pinned by the
+      ``_EQ_DELETE_DRIVER_KEYS`` counter test).  On a ``change_feed``
+      layer the commit records a key-only change source whose
+      pre-images materialize lazily on first CDF read, so the layer
+      stays consumable by the ``mode=cdf`` stream / the O(delta)
+      ``snapshot_changes`` route.
     - ``"position"``: ``delete_snapshot`` with a key-IN predicate,
       stats-pruned to the key range — pays a scan of the candidate
       files per batch, and (with the layer's ``change_feed`` property
-      on) records the deleted rows' full pre-images as a change file,
-      so the WHOLE CDC-maintained lifecycle stays CDF-tailable.
-      Pick this when downstream consumers tail the change feed.
+      on) records the deleted rows' full pre-images EAGERLY at commit
+      time.  Pick this when CDF reads must never pay the lazy
+      materialization (e.g. a latency-critical tail) and a per-batch
+      scan is acceptable.  This path collects the batch's delete keys
+      to the driver to build the IN literal (bounded by batch delete
+      volume).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -296,12 +302,9 @@ def snapshot_cdc_writer(
                 "malformed change records are rejected, not dropped"
             )
         ups = out.filter(F.col(op_col) != delete_op).drop(op_col)
-        dels = [
-            r[0]
-            for r in out.filter(F.col(op_col) == delete_op)
-            .select(key_col)
-            .collect()
-        ]
+        dels_df = out.filter(F.col(op_col) == delete_op).select(key_col)
+        # emptiness probe, not a key collect (out is checkpointed)
+        has_dels = dels_df.limit(1).count() > 0
         spark = out.sparkSession
 
         def apply_upserts():
@@ -326,8 +329,11 @@ def snapshot_cdc_writer(
                 )
 
         retry_commit(apply_upserts, attempts=commit_attempts)
-        if dels and snapshot_versions(spark, path):
+        if has_dels and snapshot_versions(spark, path):
             if delete_mode == "position":
+                # the IN literal needs driver-side values — documented
+                # trade of this mode (bounded by batch delete volume)
+                dels = [r[0] for r in dels_df.collect()]
 
                 def _lit(k):
                     # SQL literal: quote + escape everything non-numeric
@@ -349,12 +355,13 @@ def snapshot_cdc_writer(
                     attempts=commit_attempts,
                 )
             else:
+                # DataFrame path: the key set never touches the driver
                 retry_commit(
                     lambda: delete_snapshot_keys(
                         spark,
                         path,
                         key_col,
-                        dels,
+                        dels_df,
                         txn=(app_id, 2 * int(batch_id) + 1),
                     ),
                     attempts=commit_attempts,

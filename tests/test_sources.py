@@ -2769,6 +2769,295 @@ class TestEqualityDeletes:
         assert rep["files_in_scope"] == 0
         assert snap.snapshot_versions(spark, path) == [1]
 
+    def test_keys_dataframe_never_crosses_driver(self, spark, tmp_path):
+        """The DataFrame overload: identical delete semantics to the
+        list path, but the key set is written to the sidecar FROM THE
+        EXECUTORS — the driver sees a 3-scalar envelope, never the
+        keys (counter-pinned)."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._layer(spark, path, snap)
+        keys_df = spark.range(0, 800).selectExpr("id AS k").filter(
+            "k % 7 = 0 AND k BETWEEN 3 AND 60"
+        )
+        base = snap._EQ_DELETE_DRIVER_KEYS["n"]
+        rep = snap.delete_snapshot_keys(spark, path, "k", keys_df)
+        assert snap._EQ_DELETE_DRIVER_KEYS["n"] == base  # zero keys hopped
+        assert rep["version"] == 2 and rep["n_keys"] == 8  # 7, 14, ..., 56
+        # scope resolved from stats: the [7, 56] envelope hits 1 of 8
+        # range-clustered files
+        assert rep["files_in_scope"] == 1
+        got = sorted(
+            r["k"]
+            for r in snap.read_snapshot(spark, path).where("k < 60").collect()
+        )
+        assert got == [k for k in range(60) if not (k % 7 == 0 and k >= 3)]
+        # the list path DOES count its driver-side keys (the probe shape)
+        snap.delete_snapshot_keys(spark, path, "k", [100, 101])
+        assert snap._EQ_DELETE_DRIVER_KEYS["n"] == base + 2
+
+    def test_keys_dataframe_nulls_dups_and_casts(self, spark, tmp_path):
+        """NULL keys never match, duplicate keys fold, and a key column
+        of a compatible-but-different type casts to the layer's."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._layer(spark, path, snap)
+        keys_df = spark.createDataFrame(
+            [(5,), (5,), (None,), (6,)], "k int"  # layer's k is long
+        )
+        rep = snap.delete_snapshot_keys(spark, path, "k", keys_df)
+        assert rep["n_keys"] == 2
+        assert snap.read_snapshot(spark, path).count() == 798
+        # all-NULL / empty key frames: no commit at all
+        rep = snap.delete_snapshot_keys(
+            spark, path, "k", spark.createDataFrame([(None,)], "k int")
+        )
+        assert rep["files_in_scope"] == 0
+        import pytest
+
+        with pytest.raises(ValueError, match="lacks key column"):
+            snap.delete_snapshot_keys(
+                spark, path, "k", spark.range(3).selectExpr("id AS wrong")
+            )
+
+
+class TestEqualityDeleteCDF:
+    """CDF change files for equality-delete commits (VERDICT r7 #3):
+    the delete commit records a KEY-ONLY change source (zero data
+    reads preserved); pre-images materialize lazily on first CDF read
+    over the stats-scoped touched files — O(touched) once, cached —
+    and the feed / IVM / streaming tail stay O(delta) across the
+    version."""
+
+    def _cdf_layer(self, spark, path, snap):
+        snap.commit_snapshot(
+            spark,
+            spark.range(0, 800)
+            .selectExpr("id AS k", "CAST(id % 5 AS STRING) AS v")
+            .repartitionByRange(8, "k"),
+            path,
+            stats_cols=["k"],
+            change_feed=True,
+        )
+
+    def test_lazy_preimage_exact_and_cached(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._cdf_layer(spark, path, snap)
+        snap.delete_snapshot_keys(
+            spark,
+            path,
+            "k",
+            spark.createDataFrame([(3,), (5,), (750,)], "k long"),
+        )
+        fall = snap._CDF_FALLBACKS["n"]
+        builds = snap._EQ_PREIMAGE_BUILDS["n"]
+        rows = sorted(
+            (r["change_type"], r["k"], r["v"])
+            for r in snap.snapshot_changes(spark, path, 1, 2).collect()
+        )
+        assert rows == [
+            ("delete", 3, "3"),
+            ("delete", 5, "0"),
+            ("delete", 750, "0"),
+        ]
+        assert snap._CDF_FALLBACKS["n"] == fall  # zero table diffs
+        assert snap._EQ_PREIMAGE_BUILDS["n"] == builds + 1
+        # second read serves the cache: no re-materialization
+        assert snap.snapshot_changes(spark, path, 1, 2).count() == 3
+        assert snap._EQ_PREIMAGE_BUILDS["n"] == builds + 1
+
+    def test_preimage_respects_prior_deletes(self, spark, tmp_path):
+        """A row already deleted (position OR equality) before the
+        equality commit was not deleted BY it — its pre-image must not
+        appear in the step's feed."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._cdf_layer(spark, path, snap)
+        snap.delete_snapshot(spark, path, "k = 5")  # v2: position
+        snap.delete_snapshot_keys(spark, path, "k", [6])  # v3: equality
+        # v4: equality delete of {5, 6, 7} — 5 and 6 are ALREADY gone
+        snap.delete_snapshot_keys(spark, path, "k", [5, 6, 7])
+        fall = snap._CDF_FALLBACKS["n"]
+        rows = {
+            (r["change_type"], r["k"])
+            for r in snap.snapshot_changes(spark, path, 3, 4).collect()
+        }
+        assert rows == {("delete", 7)}
+        assert snap._CDF_FALLBACKS["n"] == fall
+        # the whole chain folds to the endpoint diff
+        inc = {
+            (r["change_type"], r["k"])
+            for r in snap.snapshot_changes(spark, path, 1, 4).collect()
+        }
+        assert inc == {("delete", 5), ("delete", 6), ("delete", 7)}
+
+    def test_chain_with_merge_append_equality(self, spark, tmp_path):
+        """merge + append + equality-delete chained: zero fallbacks and
+        the signed fold equals the generic endpoint diff."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._cdf_layer(spark, path, snap)
+        snap.merge_snapshot(
+            spark,
+            spark.createDataFrame([(10, "X")], "k long, v string"),
+            path,
+            "k",
+            stats_cols=["k"],
+        )
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(900, "A")], "k long, v string"),
+            path,
+            mode="append",
+            stats_cols=["k"],
+        )
+        snap.delete_snapshot_keys(spark, path, "k", [10, 900])
+        fall = snap._CDF_FALLBACKS["n"]
+        inc = sorted(
+            (r["change_type"], r["k"], r["v"])
+            for r in snap.snapshot_changes(spark, path, 1, 4).collect()
+        )
+        assert snap._CDF_FALLBACKS["n"] == fall
+        gen = sorted(
+            (r["change_type"], r["k"], r["v"])
+            for r in snap.snapshot_changes(
+                spark, path, 1, 4, force_generic=True
+            ).collect()
+        )
+        # fold signed: insert(10,X)+delete(10,X) cancel; delete(900,A)
+        # cancels its own append-insert
+        from collections import Counter
+
+        fold = Counter()
+        for ct, k, v in inc:
+            fold[(k, v)] += 1 if ct == "insert" else -1
+        gfold = Counter()
+        for ct, k, v in gen:
+            gfold[(k, v)] += 1 if ct == "insert" else -1
+        assert {kv: n for kv, n in fold.items() if n} == {
+            kv: n for kv, n in gfold.items() if n
+        }
+        assert ("delete", 10, "0") in inc  # the merge's own update pair
+        assert ("delete", 900, "A") in inc  # lazy pre-image of the append
+
+    def test_cdf_stream_tails_equality_delete(self, spark, tmp_path):
+        """The mode=cdf STREAM consumes an equality-delete version:
+        touched files reconstruct executor-side (no cache present), and
+        a restart AFTER a batch materialized the cache reads the cache
+        — both yield the exact feed."""
+        import shutil
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            register_snapshot_stream,
+            snapshot_cdf_stream_schema,
+        )
+
+        path = str(tmp_path / "layer")
+        self._cdf_layer(spark, path, snap)
+        snap.delete_snapshot_keys(spark, path, "k", [3, 5, 750])
+        register_snapshot_stream(spark)
+
+        def _tail(ck):
+            stream = (
+                spark.readStream.format("snapshot_stream")
+                .schema(snapshot_cdf_stream_schema(path, "k,v"))
+                .option("path", path)
+                .option("cols", "k,v")
+                .option("mode", "cdf")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(f"eqtail_{ck}")
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / ck))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {
+                (r["change_type"], r["k"], r["v"])
+                for r in spark.sql(f"SELECT * FROM eqtail_{ck}").collect()
+            }
+
+        expect = {("insert", k, str(k % 5)) for k in range(800)} | {
+            ("delete", 3, "3"),
+            ("delete", 5, "0"),
+            ("delete", 750, "0"),
+        }
+        got = _tail("ck1")  # no cache yet: executor-side reconstruction
+        assert got == expect
+        # a batch CDF read materializes the cache; a fresh tail must
+        # serve the SAME feed from it
+        snap.snapshot_changes(spark, path, 1, 2).count()
+        shutil.rmtree(str(tmp_path / "ck1"), ignore_errors=True)
+        got = _tail("ck2")
+        assert got == expect
+
+    def test_cdc_equality_mode_zero_driver_keys_and_tailable(
+        self, spark, tmp_path
+    ):
+        """The streaming CDC sink in (default) equality mode: delete
+        keys ship as a DataFrame (zero driver-side keys, counter
+        pinned), and on a change-feed layer the WHOLE CDC-maintained
+        lifecycle stays consumable by the O(delta) feed."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.streaming.snapshot_sink import (
+            snapshot_cdc_writer,
+        )
+
+        path = str(tmp_path / "layer")
+        self._cdf_layer(spark, path, snap)
+        wb = snapshot_cdc_writer(path, "k")
+        base = snap._EQ_DELETE_DRIVER_KEYS["n"]
+        wb(
+            spark.createDataFrame(
+                [(3, "X", "upsert"), (5, None, "delete")],
+                "k long, v string, op string",
+            ),
+            0,
+        )
+        wb(
+            spark.createDataFrame(
+                [(900, "NEW", "upsert"), (7, None, "delete")],
+                "k long, v string, op string",
+            ),
+            1,
+        )
+        assert snap._EQ_DELETE_DRIVER_KEYS["n"] == base  # zero key hops
+        head = snap.snapshot_versions(spark, path)[-1]
+        alive = {
+            (r["k"], r["v"])
+            for r in snap.read_snapshot(spark, path)
+            .where("k IN (3, 5, 7, 900)")
+            .select("k", "v")
+            .collect()
+        }
+        assert alive == {(3, "X"), (900, "NEW")}
+        fall = snap._CDF_FALLBACKS["n"]
+        feed = {
+            (r["change_type"], r["k"])
+            for r in snap.snapshot_changes(spark, path, 1, head).collect()
+        }
+        assert snap._CDF_FALLBACKS["n"] == fall  # fully CDF-covered
+        assert ("delete", 5) in feed and ("delete", 7) in feed
+        # replay: both halves no-op
+        wb(
+            spark.createDataFrame(
+                [(900, "NEW", "upsert"), (7, None, "delete")],
+                "k long, v string, op string",
+            ),
+            1,
+        )
+        assert snap.snapshot_versions(spark, path)[-1] == head
+
 
 class TestColumnStatsAndBroadcast:
     """ANALYZE-lite: per-file HLL NDV sketches + null counts recorded by
@@ -3355,7 +3644,9 @@ class TestChangeDataFeed:
 
     def test_fallback_on_uncovered_steps(self, spark, tmp_path):
         """An overwrite (no change source) in the range falls back to
-        the generic diff — counted; equality-key deletes too."""
+        the generic diff — counted; an equality-key delete on a CDF
+        layer is now COVERED (key-only change source, lazy pre-images)
+        so it must NOT fall back."""
         import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
 
         path = self._layer(spark, str(tmp_path / "layer"))
@@ -3373,9 +3664,30 @@ class TestChangeDataFeed:
         snap.delete_snapshot_keys(spark, path, "k", [7])
         base = snap._CDF_FALLBACKS["n"]
         rows = snap.snapshot_changes(spark, path, 2, 3).collect()
-        assert {(r["change_type"], r["k"]) for r in rows} == {
-            ("delete", 7)
+        assert {(r["change_type"], r["k"], r["seg"]) for r in rows} == {
+            ("delete", 7, "1")
         }
+        assert snap._CDF_FALLBACKS["n"] == base  # zero table-scan diffs
+
+    def test_equality_delete_without_cdf_falls_back(self, spark, tmp_path):
+        """On a layer WITHOUT the change-feed property, an equality
+        delete records no change source — the generic diff is the
+        honest route and the fallback counter says so."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "nocdf")
+        snap.commit_snapshot(
+            spark,
+            spark.range(100).selectExpr(
+                "id AS k", "CAST(id % 3 AS STRING) AS seg"
+            ),
+            path,
+            stats_cols=["k"],
+        )
+        snap.delete_snapshot_keys(spark, path, "k", [7])
+        base = snap._CDF_FALLBACKS["n"]
+        rows = snap.snapshot_changes(spark, path, 1, 2).collect()
+        assert {(r["change_type"], r["k"]) for r in rows} == {("delete", 7)}
         assert snap._CDF_FALLBACKS["n"] == base + 1
 
     def test_cdf_property_carries_and_turns_off(self, spark, tmp_path):
