@@ -239,36 +239,56 @@ FROM movie_facts a JOIN movie_facts b
  AND a.movie_fact_id < b.movie_fact_id
 WHERE levenshtein(a.title, b.title) <= 3
 """,
-    "fuzzy title near-dup pairs: release-year-blocked self-join + "
-    "levenshtein <= 3 — the edit-distance tier of the dedup family "
-    "(catches typo-level variants that token shingles miss); blocking "
-    "keeps the candidate set O(sum of per-year squares), never the "
-    "all-pairs corpus square, same discipline as neardup_jaccard",
+    "fuzzy title near-dup pairs: COMPOUND-blocked self-join "
+    "(release_year x title-length band, width 4) + levenshtein <= 3 — "
+    "the edit-distance tier of the dedup family (catches typo-level "
+    "variants that token shingles miss).  The length band is "
+    "RECALL-SAFE: levenshtein >= |len(a) - len(b)|, so a <= 3 edit "
+    "distance bounds the length gap to 3 and band indices differ by "
+    "at most 1 — one side explodes to its 3 neighbor bands and each "
+    "qualifying pair equi-joins exactly once.  Year-only blocking is "
+    "per-block quadratic on a fat year (VERDICT r7 #2); the compound "
+    "key splits every year block by ~the distinct-length spread, and "
+    "a cheap |length delta| <= 3 prefilter runs before the O(len^2) "
+    "levenshtein so band-edge pairs never pay it",
     tags=("dedup", "text"),
 )
 def q_title_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = facts_from_star(spark, sf_dir).select(
-        "movie_fact_id", "title", "release_year"
+        "movie_fact_id", "title", "release_year", F.length("title").alias("__len")
     )
+    band = F.floor(F.col("__len") / 4)
     a = facts.select(
         F.col("movie_fact_id").alias("i"),
         F.col("title").alias("__ta"),
+        F.col("__len").alias("__la"),
         "release_year",
+        band.alias("__band"),
     )
     b = facts.select(
         F.col("movie_fact_id").alias("j"),
         F.col("title").alias("__tb"),
+        F.col("__len").alias("__lb"),
         "release_year",
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("__band"),
     )
+    # thresholded levenshtein (banded DP, O(len x 3) per pair instead of
+    # O(len^2); returns -1 above the threshold) — computed ONCE per
+    # surviving pair and reused for the output column
+    lev = F.levenshtein("__ta", "__tb", 3)
     return (
-        a.join(b, "release_year")
+        a.join(b, ["release_year", "__band"])
         .filter(F.col("i") < F.col("j"))
-        .filter(F.levenshtein("__ta", "__tb") <= 3)
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= 3)
+        .select("i", "j", "release_year", lev.alias("__lev"))
+        .filter(F.col("__lev") >= 0)
         .select(
             "i",
             "j",
             "release_year",
-            F.levenshtein("__ta", "__tb").cast("long").alias("edit_distance"),
+            F.col("__lev").cast("long").alias("edit_distance"),
         )
     )
 

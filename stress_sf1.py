@@ -27,6 +27,14 @@ ratio indicts the ALGORITHM, not the data:
   so concurrent-session pair density per bin is unchanged (overlap
   output is inherently quadratic in per-bin concurrency; scaling users
   inside one window would measure that data property, not the join).
+- ``part``: 10 copies, p_partkey offset, p_name suffixed with a
+  copy-distinct tag whose LENGTH grows 4 chars per copy — cross-copy
+  same-name pairs differ by >= 4 chars of length, so the fuzzy-title
+  query's |length delta| <= 3 gate (and levenshtein <= 3 itself)
+  rejects them: near-dup pair structure is preserved within each copy
+  and never bridges copies, while every release_year block (year =
+  partkey-derived, range-bound) grows 10x — exactly the fat-block
+  regime the compound (year, length-band) blocking must survive.
 
 A ratio <= ~12x is near-linear (10x data plus constant factors); a
 super-linear result is a capacity bug to fix or document.
@@ -69,6 +77,10 @@ HEAVY = [
     # which the disjoint-copy construction already isolates per copy
     "dedup_clusters_star",
     "minhash_lsh_neardup",
+    # round-8 addition (VERDICT r7 next-round #2): the edit-distance
+    # blocked self-join, now compound-blocked (year x length band) —
+    # the 10x part construction grows every year block 10x
+    "title_fuzzy_pairs",
 ]
 COPIES = 10
 BASE_SF = "/root/testdata/sf0.1"
@@ -88,13 +100,33 @@ def _build(spark: SparkSession, out_dir: str) -> None:
         "nation",
         "customer",
         "supplier",
-        "part",
         "orders",
         "embeddings",
     ):
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copy(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+
+    part = load_star_table(spark, BASE_SF, "part")
+    pk_span = part.agg(F.max("p_partkey")).first()[0] + 1
+    # suffix length grows 4 per copy: cross-copy same-name pairs are
+    # >= 4 apart in length, so levenshtein <= 3 never bridges copies
+    part_copies = [
+        part.select(
+            (F.col("p_partkey") + F.lit(i * pk_span)).alias("p_partkey"),
+            *[c for c in part.columns if c not in ("p_partkey", "p_name")],
+            F.concat(
+                F.col("p_name"), F.lit(f"_{i}" + "x" * (4 * i))
+            ).alias("p_name"),
+        ).select(*part.columns)
+        for i in range(COPIES)
+    ]
+    out = part_copies[0]
+    for d in part_copies[1:]:
+        out = out.unionByName(d)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "part.parquet")
+    )
 
     docs = load_star_table(spark, BASE_SF, "documents")
     doc_span = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -171,9 +203,13 @@ def main() -> None:
         extra_conf={"spark.driver.memory": "12g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(os.path.join(out_dir, "events.parquet")):
+    # marker names the construction version: bumping it invalidates a
+    # cached build from an earlier round (r8 added the 10x part table)
+    marker = os.path.join(out_dir, "_construction_v2")
+    if not os.path.exists(marker):
         t0 = time.perf_counter()
         _build(spark, out_dir)
+        open(marker, "w").close()
         print(
             f"built {out_dir} in {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
