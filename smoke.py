@@ -40,6 +40,11 @@ import sys
 #   most state-machine-heavy members of those same two families (VERDICT
 #   r6 next-round #4) — a regression there would otherwise hide until
 #   the driver's rotation lands on them
+# - snapshot_pushdown_scan / streaming_snapshot_cdf_tail: the round-7/8
+#   state machines (filter-pushdown batch DataSource; CDF tail across
+#   merge + append + predicate-delete + equality-key delete) — the two
+#   newest members of the never-driver-sampled families (VERDICT r7
+#   next-round #5)
 ALWAYS = [
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -47,6 +52,8 @@ ALWAYS = [
     "streaming_drift_kl",
     "snapshot_delete_equality",
     "streaming_snapshot_cdc_apply",
+    "snapshot_pushdown_scan",
+    "streaming_snapshot_cdf_tail",
 ]
 SLICE = 10
 
