@@ -2105,6 +2105,94 @@ def q_snapshot_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band.unionByName(point)
 
 
+_HIDDEN_PART_BUILT: set[str] = set()
+
+
+def _hidden_partition_layer(spark: SparkSession, sf_dir: str) -> str:
+    """Customer committed under HIDDEN PARTITIONING: a
+    ``bucket(8, c_custkey)`` partition spec with ``cluster=True``, so
+    each data file holds one hash bucket — after which the key's
+    NATURAL per-file [min, max] spans the whole domain (range stats are
+    provably useless; the builder asserts a point probe still prunes to
+    a strict subset via the transform stats).  Built once per process."""
+    import json as _json
+
+    from ..sources.snapshot_batch import read_snapshot_pushdown
+    from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/hidden_partition_layer"
+    if path in _HIDDEN_PART_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    cust = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    commit_snapshot(
+        spark,
+        cust,
+        path,
+        stats_cols=["c_custkey"],  # recorded AND useless: hash layout
+        partition_spec=[
+            {"transform": "bucket", "n": 8, "source": "c_custkey"}
+        ],
+        cluster=True,
+    )
+    log_path = f"{path}_probe_log"
+    probe = read_snapshot_pushdown(spark, path, plan_log=log_path).filter(
+        F.col("c_custkey") == 57
+    )
+    n = probe.count()
+    log = _json.load(open(log_path.removeprefix("file:")))
+    if n != 1 or not (0 < log["n_files_planned"] < log["n_files_total"]):
+        raise AssertionError(
+            f"hidden-partition probe did not prune: rows={n}, plan={log}"
+        )
+    _HIDDEN_PART_BUILT.add(path)
+    return path
+
+
+@register(
+    "snapshot_hidden_partition_prune",
+    """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer
+WHERE c_custkey IN (11, 57, 123)
+GROUP BY c_mktsegment
+""",
+    "HIDDEN PARTITIONING (Iceberg partition-spec transforms, VERDICT r7 "
+    "#7): the layer records bucket(8, c_custkey) as a table property; "
+    "commit computes each file's transform-value [min, max] in the same "
+    "single stats scan, cluster=True lays files out one-bucket-per-file, "
+    "and the pushdown DataSource maps the query's own IN predicate "
+    "through the transform (pure-Python xxhash64, bit-parity-pinned with "
+    "Spark's) onto the derived stats BEFORE the scan plans — so a point "
+    "lookup on a hash-scrambled key opens only its buckets' files with "
+    "zero caller cooperation, where the key's natural min/max (also "
+    "recorded, spanning the domain per file) can prune nothing; the "
+    "builder asserts strict-subset planning, pytest counter-pins "
+    "bucket/truncate/day mapping, and the oracle recomputes the probe "
+    "from the raw table",
+    tags=("snapshots", "pruning", "layout", "sources"),
+)
+def q_snapshot_hidden_partition_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.snapshot_batch import read_snapshot_pushdown
+
+    path = _hidden_partition_layer(spark, sf_dir)
+    return (
+        read_snapshot_pushdown(spark, path)
+        .filter(F.col("c_custkey").isin([11, 57, 123]))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
 _MERGE_CDF_BUILT: set[str] = set()
 
 

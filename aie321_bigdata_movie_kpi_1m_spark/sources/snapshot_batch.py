@@ -279,6 +279,118 @@ def _range_keeps(stats_entry, pred: _Pred) -> bool:
     return True
 
 
+def bucket_transform_value(value, n: int) -> int | None:
+    """The bucket a value hashes to under the layer's hidden-partition
+    ``bucket(n, col)`` transform — pure Python, byte-parity with the
+    commit side's ``pmod(xxhash64(CAST(x AS STRING)), n)`` through the
+    same XXH64 the bloom probe pins (seed 42, signed 64-bit, pmod).
+    None for value types whose string cast is not reproduced here
+    (probe conservatively skipped)."""
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return None
+    data = (str(value) if isinstance(value, int) else value).encode("utf-8")
+    h = _xxh64_bytes(data, 42)
+    if h >= 1 << 63:  # Spark's hash is SIGNED; Python % then matches pmod
+        h -= 1 << 64
+    return h % n
+
+
+def _derive_partition_preds(m: dict, preds: list[_Pred]) -> list[_Pred]:
+    """Map the query's predicates on SOURCE columns through the layer's
+    recorded partition transforms onto the derived stat names — the
+    hidden-partitioning planning step.  Only derivations that are
+    provably safe fire; anything else contributes nothing (pruning is
+    an optimization, never the correctness boundary):
+
+    - ``bucket``: eq/IN only (a hash is not monotone), int/str values.
+    - ``truncate``: monotone, so eq/IN map exactly and gt/gte -> gte /
+      lt/lte -> lte on the truncated bound; int values floor to a
+      multiple of w (Python % floors like Spark pmod), strings prefix.
+    - ``day``: DATE values only — a timestamp day-string depends on the
+      render timezone, and a wrong derived bound would wrongly SKIP
+      (lossy), so timestamp probes conservatively skip.
+    """
+    import datetime
+
+    out: list[_Pred] = []
+    for spec in m.get("partition_spec") or []:
+        t, src = spec["transform"], spec["source"]
+        if t == "bucket":
+            name = f"_pt_bucket_{int(spec['n'])}_{src}"
+        elif t == "truncate":
+            name = f"_pt_trunc_{int(spec['w'])}_{src}"
+        else:
+            name = f"_pt_day_{src}"
+        for p in preds:
+            if p.col != src:
+                continue
+            if t == "bucket":
+                if p.op == "eq":
+                    b = bucket_transform_value(p.value, int(spec["n"]))
+                    if b is not None:
+                        out.append(_Pred("eq", name, b))
+                elif p.op == "in":
+                    bs = [
+                        bucket_transform_value(v, int(spec["n"]))
+                        for v in p.value
+                    ]
+                    if all(b is not None for b in bs):
+                        out.append(_Pred("in", name, sorted(set(bs))))
+            elif t == "truncate":
+                w = int(spec["w"])
+
+                def trunc(v):
+                    if isinstance(v, bool):
+                        return None
+                    if isinstance(v, int):
+                        return v - (v % w)
+                    if isinstance(v, str):
+                        return v[:w]
+                    return None
+
+                if p.op in ("eq", "gt", "gte", "lt", "lte"):
+                    tv = trunc(p.value)
+                    if tv is None:
+                        continue
+                    op = {
+                        "eq": "eq",
+                        "gt": "gte",
+                        "gte": "gte",
+                        "lt": "lte",
+                        "lte": "lte",
+                    }[p.op]
+                    out.append(_Pred(op, name, tv))
+                elif p.op == "in":
+                    tvs = [trunc(v) for v in p.value]
+                    if all(v is not None for v in tvs):
+                        out.append(_Pred("in", name, sorted(set(tvs))))
+            else:  # day
+                def day(v):
+                    if isinstance(v, datetime.date) and not isinstance(
+                        v, datetime.datetime
+                    ):
+                        return v.strftime("%Y-%m-%d")
+                    return None
+
+                if p.op in ("eq", "gt", "gte", "lt", "lte"):
+                    dv = day(p.value)
+                    if dv is None:
+                        continue
+                    op = {
+                        "eq": "eq",
+                        "gt": "gte",
+                        "gte": "gte",
+                        "lt": "lte",
+                        "lte": "lte",
+                    }[p.op]
+                    out.append(_Pred(op, name, dv))
+                elif p.op == "in":
+                    dvs = [day(v) for v in p.value]
+                    if all(v is not None for v in dvs):
+                        out.append(_Pred("in", name, sorted(set(dvs))))
+    return out
+
+
 def _hex_has_bits(hx: str, positions: list[int]) -> bool:
     arr = bytes.fromhex(hx) if hx else b""
     for p in positions:
@@ -332,6 +444,9 @@ def plan_snapshot_scan(
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions} at {path}")
     m = _manifest_raw(path, v)
+    # hidden partitioning: predicates on source columns additionally
+    # probe the derived transform stats (bucket/truncate/day)
+    preds = list(preds) + _derive_partition_preds(m, preds)
     pos_list = _bloom_pos_lists(m, preds)
     n_files_total = 0
     n_segments_read = 0

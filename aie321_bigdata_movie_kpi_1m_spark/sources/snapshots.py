@@ -606,12 +606,92 @@ def _type_from_json(dtype_json: str):
     return T._parse_datatype_json_string(dtype_json)
 
 
+# --- hidden partitioning (Iceberg partition-spec transforms) ------------
+#
+# A PARTITION SPEC is a list of transform records over source columns:
+#   {"transform": "bucket",   "n": 16, "source": "k"}
+#   {"transform": "truncate", "w": 8,  "source": "s"}   (int: floor to a
+#        multiple of w; string: w-char prefix — Iceberg semantics)
+#   {"transform": "day",      "source": "ts"}           (date/timestamp ->
+#        'yyyy-MM-dd'; lexicographic order == chronological)
+#
+# At commit time each transform's VALUE min/max is recorded per file
+# under a derived stat name (below) in the SAME single stats scan as
+# stats_cols — the reader's manifest pruning then treats them like any
+# other stat, and the pushdown batch DataSource maps query predicates on
+# the SOURCE column through the transform (pure-Python, parity-pinned
+# for bucket's hash) before probing.  This is Iceberg's hidden
+# partitioning: the query names the natural column; the layout work is
+# invisible to it.  bucket hashes with Spark's single-arg xxhash64 over
+# CAST(x AS STRING) (seed 42) so the no-JVM planner reproduces it with
+# the same XXH64 the bloom probe already pins bit-for-bit.
+
+
+def partition_stat_name(spec: dict) -> str:
+    """Derived manifest-stat name for one transform record."""
+    t = spec["transform"]
+    if t == "bucket":
+        return f"_pt_bucket_{int(spec['n'])}_{spec['source']}"
+    if t == "truncate":
+        return f"_pt_trunc_{int(spec['w'])}_{spec['source']}"
+    if t == "day":
+        return f"_pt_day_{spec['source']}"
+    raise ValueError(f"unknown partition transform {t!r}")
+
+
+def _transform_exprs(schema: T.StructType, partition_spec: list[dict]) -> dict:
+    """{derived stat name -> Column} for a commit's partition spec,
+    validated against the delta's schema."""
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    out: dict = {}
+    for spec in partition_spec:
+        src = spec.get("source")
+        if src not in dtypes:
+            raise ValueError(
+                f"partition transform source {src!r} not in schema "
+                f"{sorted(dtypes)}"
+            )
+        t = spec["transform"]
+        c = F.col(src)
+        if t == "bucket":
+            expr = F.when(
+                c.isNotNull(),
+                F.pmod(F.xxhash64(c.cast("string")), F.lit(int(spec["n"]))),
+            )
+        elif t == "truncate":
+            w = int(spec["w"])
+            if isinstance(dtypes[src], T.StringType):
+                expr = F.substring(c, 1, w)
+            elif isinstance(
+                dtypes[src],
+                (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+            ):
+                expr = c - F.pmod(c, F.lit(w))
+            else:
+                raise ValueError(
+                    f"truncate transform needs an int or string source, "
+                    f"got {dtypes[src].simpleString()} for {src!r}"
+                )
+        elif t == "day":
+            if not isinstance(dtypes[src], (T.DateType, T.TimestampType)):
+                raise ValueError(
+                    f"day transform needs a date/timestamp source, got "
+                    f"{dtypes[src].simpleString()} for {src!r}"
+                )
+            expr = F.when(c.isNotNull(), F.date_format(c, "yyyy-MM-dd"))
+        else:
+            raise ValueError(f"unknown partition transform {t!r}")
+        out[partition_stat_name(spec)] = expr
+    return out
+
+
 def _file_stats(
     spark: SparkSession,
     data_dir: str,
     files: list[str],
     stats_cols: list[str],
     dom_override: dict | None = None,
+    derived: dict | None = None,
 ) -> tuple[dict, dict, dict, dict, dict]:
     """Per-file min/max for ``stats_cols`` PLUS per-file row counts PLUS
     per-file COLUMN STATISTICS (an HLL NDV sketch and a null count per
@@ -650,6 +730,14 @@ def _file_stats(
         # computed in this same single scan of the just-written delta
         F.sum(_logical_size_expr(src_df.schema)).alias("__raw"),
     ]
+    # hidden-partitioning transform values (``derived``: stat name ->
+    # Column over the source schema) ride THE SAME single scan — min/max
+    # only, no sketches (a transform's NDV is bounded by its definition)
+    derived = derived or {}
+    for j, (dname, dexpr) in enumerate(derived.items()):
+        src_df = src_df.withColumn(f"__pt_{j}", dexpr)
+        aggs.append(F.min(f"__pt_{j}").alias(f"__ptlo_{j}"))
+        aggs.append(F.max(f"__pt_{j}").alias(f"__pthi_{j}"))
     dtypes = {f.name: f.dataType for f in src_df.schema.fields}
     doms = {
         c: (
@@ -689,8 +777,11 @@ def _file_stats(
         .agg(*aggs)
         .collect()
     )
+    dnames = list(derived)
     stats = {
-        f.rsplit("/", 1)[-1]: {c: [None, None] for c in stats_cols}
+        f.rsplit("/", 1)[-1]: {
+            c: [None, None] for c in (*stats_cols, *dnames)
+        }
         for f in files
     }
     counts = {f.rsplit("/", 1)[-1]: 0 for f in files}
@@ -705,6 +796,8 @@ def _file_stats(
     for r in rows:
         base = r["__f"].rsplit("/", 1)[-1]
         stats[base] = {c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in stats_cols}
+        for j, dname in enumerate(dnames):
+            stats[base][dname] = [r[f"__ptlo_{j}"], r[f"__pthi_{j}"]]
         counts[base] = int(r["__n"])
         raw_sizes[base] = int(r["__raw"] or 0)
         colmeta[base] = {
@@ -813,6 +906,8 @@ def commit_snapshot(
     checks: dict[str, str] | None = None,
     expect_version: int | None = None,
     change_feed: bool | None = None,
+    partition_spec: list[dict] | None = None,
+    cluster: bool | int = False,
 ) -> int:
     """Commit ``df`` as the next version of the layer at ``path``.
 
@@ -869,6 +964,23 @@ def commit_snapshot(
     files (their inserts fall out of the manifest segment diff for
     free); an overwrite records none (its diff would be O(table) — the
     generic feed is the honest tool there).
+
+    ``partition_spec`` declares HIDDEN PARTITIONING (Iceberg partition
+    transforms): a list of ``{"transform": "bucket", "n": 16,
+    "source": col}`` / ``{"transform": "truncate", "w": 8, "source":
+    col}`` / ``{"transform": "day", "source": ts_col}`` records.  Each
+    transform's per-file [min, max] VALUE is computed in the same
+    single stats scan as ``stats_cols`` and recorded under a derived
+    stat name, and the spec itself becomes a table property (inherited
+    by appends, carried by every later commit).  The pushdown batch
+    DataSource (``snapshot_batch``) then maps a query's predicates on
+    the SOURCE column through the transforms before probing — a point
+    lookup on a hash-scrambled key prunes to the files holding its
+    bucket with zero caller cooperation, which raw min/max can never do
+    (every file's natural range spans the domain).  ``cluster=True``
+    repartitions the delta by the transform values before writing, so
+    each file holds few distinct transform values and pruning is sharp
+    — the layout work Iceberg's write distribution does.
     Returns the committed version number.
     """
     if mode not in ("overwrite", "append"):
@@ -924,6 +1036,38 @@ def commit_snapshot(
         if change_feed is not None
         else bool(prev.get("cdf")) if head else False
     )
+    # partition spec is a table property too: explicit wins, appends
+    # inherit the layer's recorded spec (hidden partitioning must hold
+    # across the whole file set, or pruning loses its sharpness —
+    # though never its safety: files without transform stats are kept)
+    effective_spec = (
+        partition_spec
+        if partition_spec is not None
+        else (prev.get("partition_spec") if mode == "append" and head else None)
+    ) or None
+    derived_exprs = (
+        _transform_exprs(df.schema, effective_spec) if effective_spec else {}
+    )
+    if cluster and derived_exprs:
+        # EXPLICIT partition count: an unnumbered repartition is AQE
+        # fair game for coalescing small shuffles down to one file,
+        # which would erase the layout this clustering exists to build.
+        # cluster=True derives the count from the spec (product of
+        # bucket widths when every transform is a bucket — one file per
+        # bucket tuple); cluster=<int> pins it outright.
+        if cluster is True:
+            nparts = 1
+            for spec in effective_spec:
+                if spec["transform"] != "bucket":
+                    nparts = 0
+                    break
+                nparts *= int(spec["n"])
+            nparts = nparts or int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        else:
+            nparts = int(cluster)
+        df = df.repartition(nparts, *derived_exprs.values())
     data_dir = f"{path}/data/v{version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(data_dir)
     if effective_checks:
@@ -939,11 +1083,12 @@ def commit_snapshot(
     else:
         inherited_doms = None
     stats, counts, colmeta, raw_sizes, stat_doms = _file_stats(
-        spark, data_dir, files, stats_cols or [], inherited_doms
+        spark, data_dir, files, stats_cols or [], inherited_doms,
+        derived_exprs,
     )
     if mode == "append" and head:
         stat_doms = {**(prev.get("stat_doms") or {}), **stat_doms}
-    if not stats_cols:
+    if not stats_cols and not derived_exprs:
         stats = {}
     blooms = (
         _file_blooms(spark, data_dir, files, bloom_col, m=bloom_m, k=bloom_k)
@@ -1001,6 +1146,7 @@ def commit_snapshot(
                 "checks": effective_checks,
                 "stat_doms": stat_doms,
                 "cdf": effective_cdf,
+                "partition_spec": effective_spec,
                 "txn": txn_map,
             },
             default=str,
@@ -1552,6 +1698,7 @@ def delete_snapshot(
                 "checks": m.get("checks") or {},
                 "stat_doms": m.get("stat_doms"),
                 "cdf": bool(m.get("cdf")),
+                "partition_spec": m.get("partition_spec"),
                 "changes": cdf_entry,
                 "txn": txn_map,
             },
@@ -1772,6 +1919,7 @@ def delete_snapshot_keys(
                 "checks": m.get("checks") or {},
                 "stat_doms": m.get("stat_doms"),
                 "cdf": bool(m.get("cdf")),
+                "partition_spec": m.get("partition_spec"),
                 "changes": cdf_entry,
                 "txn": txn_map,
             },
@@ -2239,6 +2387,7 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
                 "checks": old.get("checks") or {},
                 "stat_doms": old_raw.get("stat_doms"),
                 "cdf": bool(old.get("cdf")),
+                "partition_spec": old_raw.get("partition_spec"),
                 "txn": cur.get("txn", {}),  # never roll back idempotence
             },
             default=str,
@@ -2304,6 +2453,7 @@ def clone_snapshot(
                 "checks": m.get("checks") or {},
                 "stat_doms": m.get("stat_doms"),
                 "cdf": bool(m.get("cdf")),
+                "partition_spec": m.get("partition_spec"),
                 "txn": {},
             },
             default=str,
@@ -2990,6 +3140,7 @@ def merge_snapshot(
                 "checks": m.get("checks") or {},
                 "stat_doms": merge_stat_doms,
                 "cdf": bool(m.get("cdf")),
+                "partition_spec": m.get("partition_spec"),
                 "changes": cdf_entry,
                 "txn": txn_map,  # carry writer high-water marks
             },
@@ -3172,6 +3323,7 @@ def compact_small_files(
                 "checks": m.get("checks") or {},
                 "stat_doms": compact_stat_doms,
                 "cdf": bool(m.get("cdf")),
+                "partition_spec": m.get("partition_spec"),
                 "txn": m.get("txn", {}),
             },
             default=str,
@@ -3277,6 +3429,11 @@ def rewrite_snapshot(
         stats_cols=stats_cols,
         bloom_col=head_m.get("bloom_col"),
         checks=head_m.get("checks") or None,
+        # a re-layout keeps the layer's hidden-partitioning property and
+        # RECOMPUTES the transform stats over the rewritten files (the
+        # one mutator that re-derives them; merge/compact leave their new
+        # files conservatively unpruned until the next rewrite)
+        partition_spec=head_m.get("partition_spec"),
     )
     return {
         "version": new_v,

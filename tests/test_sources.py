@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aie321_bigdata_movie_kpi_1m_spark.sources.readers import read_csv, read_parquet
@@ -3057,6 +3058,237 @@ class TestEqualityDeleteCDF:
             1,
         )
         assert snap.snapshot_versions(spark, path)[-1] == head
+
+
+class TestHiddenPartitioning:
+    """Iceberg-style hidden partitioning (VERDICT r7 #7): a partition
+    spec of transforms recorded as a table property, per-file transform
+    [min, max] from the same single commit-time stats scan, and the
+    pushdown DataSource mapping the query's own predicates through the
+    transforms before probing — counter-pinned."""
+
+    def _plan(self, spark, path, fltr, tmp_path, tag):
+        import json as _json
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshot_batch import (
+            read_snapshot_pushdown,
+        )
+
+        log = str(tmp_path / f"plan_{tag}.json")
+        df = read_snapshot_pushdown(spark, path, plan_log=log)
+        if fltr is not None:
+            df = df.filter(fltr)
+        rows = df.collect()
+        return rows, _json.load(open(log))
+
+    def test_bucket_hash_parity_python_vs_spark(self, spark):
+        """HARD parity pin: the no-JVM planner's bucket value must equal
+        Spark's pmod(xxhash64(CAST(x AS STRING)), n) bit-for-bit — if
+        this drifts, hidden-partition pruning would silently skip files
+        that contain the value."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshot_batch import (
+            bucket_transform_value,
+        )
+
+        probes = [0, 1, 7, 42, -3, 10**12, "x", "BUILDING", "café", ""]
+        for n in (4, 8, 16, 101):
+            row = spark.range(1).select(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(v).cast("string")), F.lit(n)
+                    ).alias(f"b{i}")
+                    for i, v in enumerate(probes)
+                ]
+            ).first()
+            for i, v in enumerate(probes):
+                assert bucket_transform_value(v, n) == int(row[f"b{i}"]), (
+                    v,
+                    n,
+                )
+        # unmappable types conservatively return None (never mis-prune)
+        assert bucket_transform_value(1.5, 8) is None
+        assert bucket_transform_value(True, 8) is None
+
+    def test_bucket_spec_prunes_point_and_in(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark,
+            spark.range(2000).selectExpr(
+                "id AS k", "CAST(id % 5 AS STRING) AS seg"
+            ),
+            path,
+            stats_cols=["k"],
+            partition_spec=[{"transform": "bucket", "n": 8, "source": "k"}],
+            cluster=True,
+        )
+        # the hash layout makes NATURAL key stats useless: every
+        # non-empty file's [min, max] spans ~the whole domain
+        m = snap._manifest_raw(spark, path, 1)
+        assert m["partition_spec"] == [
+            {"transform": "bucket", "n": 8, "source": "k"}
+        ]
+        # natural range stats are useless under the hash layout: an
+        # 11-key band keeps EVERY file that holds any data (each file's
+        # [min, max] spans ~the whole domain), while the transform maps
+        # a point probe to strictly fewer files
+        band_files = snap.snapshot_files(
+            spark, path, prune_range=("k", 100, 110)
+        )
+        nonempty = [
+            f
+            for f in snap.snapshot_files(spark, path)
+            if snap._manifest(spark, path, 1)["counts"][f.rsplit("/", 1)[-1]]
+        ]
+        assert sorted(band_files) == sorted(nonempty)
+        # a point probe through the pushdown source prunes via the
+        # transform stats with zero caller cooperation
+        rows, log = self._plan(
+            spark, path, F.col("k") == 57, tmp_path, "eq"
+        )
+        assert [(r["k"], r["seg"]) for r in rows] == [(57, "2")]
+        assert 0 < log["n_files_planned"] < log["n_files_total"]
+        assert log["n_files_planned"] < len(band_files)
+        # IN probes union their buckets; still a strict subset
+        rows, log_in = self._plan(
+            spark, path, F.col("k").isin([57, 1999, 3]), tmp_path, "in"
+        )
+        assert sorted(r["k"] for r in rows) == [3, 57, 1999]
+        assert (
+            log["n_files_planned"]
+            <= log_in["n_files_planned"]
+            < log_in["n_files_total"]
+        )
+        # no filter: every file plans (the spec never drops data)
+        rows, log_all = self._plan(spark, path, None, tmp_path, "all")
+        assert len(rows) == 2000
+        assert log_all["n_files_planned"] == log_all["n_files_total"]
+
+    def test_truncate_and_day_mapping(self, spark, tmp_path):
+        """truncate is monotone (eq + range bounds map); day maps DATE
+        probes; unmappable values contribute nothing."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        df = spark.range(1000).selectExpr(
+            "id AS k",
+            "CONCAT('seg_', LPAD(CAST(id AS STRING), 4, '0')) AS name",
+            "DATE_ADD(DATE '2024-01-01', CAST(id / 10 AS INT)) AS d",
+        ).repartitionByRange(8, "k")
+        snap.commit_snapshot(
+            spark,
+            df,
+            path,
+            partition_spec=[
+                {"transform": "truncate", "w": 100, "source": "k"},
+                {"transform": "truncate", "w": 7, "source": "name"},
+                {"transform": "day", "source": "d"},
+            ],
+        )
+        # int truncate: eq probe floors to its 100-block
+        rows, log = self._plan(spark, path, F.col("k") == 250, tmp_path, "t1")
+        assert [r["k"] for r in rows] == [250]
+        assert 0 < log["n_files_planned"] < log["n_files_total"]
+        # string truncate: prefix probe (eq on the full string maps to
+        # eq on its 7-char prefix)
+        rows, log = self._plan(
+            spark, path, F.col("name") == "seg_0420", tmp_path, "t2"
+        )
+        assert [r["k"] for r in rows] == [420]
+        assert 0 < log["n_files_planned"] < log["n_files_total"]
+        # range bound maps through monotone truncate
+        rows, log = self._plan(spark, path, F.col("k") >= 900, tmp_path, "t3")
+        assert len(rows) == 100
+        assert 0 < log["n_files_planned"] < log["n_files_total"]
+        # day transform: a DATE equality probe prunes
+        import datetime
+
+        rows, log = self._plan(
+            spark,
+            path,
+            F.col("d") == F.lit(datetime.date(2024, 3, 1)),
+            tmp_path,
+            "t4",
+        )
+        assert len(rows) == 10  # 10 ids per day
+        assert 0 < log["n_files_planned"] < log["n_files_total"]
+
+    def test_append_inherits_spec_and_stays_prunable(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        spec = [{"transform": "bucket", "n": 8, "source": "k"}]
+        snap.commit_snapshot(
+            spark,
+            spark.range(500).selectExpr("id AS k"),
+            path,
+            partition_spec=spec,
+            cluster=True,
+        )
+        # append WITHOUT passing the spec: inherited, transform stats
+        # recorded for the delta's files too
+        snap.commit_snapshot(
+            spark,
+            spark.range(500, 1000).selectExpr("id AS k"),
+            path,
+            mode="append",
+            cluster=True,
+        )
+        m = snap._manifest_raw(spark, path, 2)
+        assert m["partition_spec"] == spec
+        rows, log = self._plan(
+            spark, path, F.col("k").isin([3, 777]), tmp_path, "ap"
+        )
+        assert sorted(r["k"] for r in rows) == [3, 777]
+        assert 0 < log["n_files_planned"] < log["n_files_total"]
+        # rewrite keeps the property and re-derives the layout stats
+        snap.rewrite_snapshot(spark, path, n_files=4)
+        assert snap._manifest_raw(spark, path, 3)["partition_spec"] == spec
+        rows, _ = self._plan(spark, path, F.col("k") == 777, tmp_path, "rw")
+        assert [r["k"] for r in rows] == [777]
+
+    def test_spec_validation(self, spark, tmp_path):
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        df = spark.range(10).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+        with pytest.raises(ValueError, match="not in schema"):
+            snap.commit_snapshot(
+                spark,
+                df,
+                str(tmp_path / "a"),
+                partition_spec=[
+                    {"transform": "bucket", "n": 4, "source": "missing"}
+                ],
+            )
+        with pytest.raises(ValueError, match="unknown partition transform"):
+            snap.commit_snapshot(
+                spark,
+                df,
+                str(tmp_path / "b"),
+                partition_spec=[{"transform": "year", "source": "k"}],
+            )
+        with pytest.raises(ValueError, match="int or string"):
+            # truncate on a double column is rejected
+            snap.commit_snapshot(
+                spark,
+                spark.range(10).selectExpr("CAST(id AS DOUBLE) AS v"),
+                str(tmp_path / "c"),
+                partition_spec=[
+                    {"transform": "truncate", "w": 4, "source": "v"}
+                ],
+            )
+        with pytest.raises(ValueError, match="date/timestamp"):
+            snap.commit_snapshot(
+                spark,
+                df,
+                str(tmp_path / "d"),
+                partition_spec=[{"transform": "day", "source": "k"}],
+            )
 
 
 class TestColumnStatsAndBroadcast:
