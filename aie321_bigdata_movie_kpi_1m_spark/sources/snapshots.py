@@ -685,6 +685,24 @@ def _transform_exprs(schema: T.StructType, partition_spec: list[dict]) -> dict:
     return out
 
 
+def _spec_derived_exprs(schema: T.StructType, spec: list | None) -> dict:
+    """Transform expressions for the subset of a carried partition spec
+    that still applies to ``schema`` — the BEST-EFFORT derivation
+    mutators (merge/compact) use for their rewritten files: a spec
+    whose source column is absent or re-typed contributes nothing
+    (those files are conservatively kept at prune time), so carrying
+    the property can never be wrong, only less sharp."""
+    names = {f.name for f in schema.fields}
+    out: dict = {}
+    for s in spec or []:
+        if s.get("source") in names:
+            try:
+                out.update(_transform_exprs(schema, [s]))
+            except ValueError:
+                pass
+    return out
+
+
 def _file_stats(
     spark: SparkSession,
     data_dir: str,
@@ -3078,11 +3096,18 @@ def merge_snapshot(
     merge_dom_inherit = m.get("stat_doms")
     if merge_dom_inherit is None:
         merge_dom_inherit = {c: "string" for c in stats_cols or []}
+    # hidden partitioning: the rewritten files re-derive their transform
+    # stats (best-effort), so a CDC-maintained spec'd layer keeps
+    # pruning sharp instead of degrading to conservative keeps
+    merge_derived = _spec_derived_exprs(
+        spark.read.parquet(data_dir).schema, m.get("partition_spec")
+    )
     new_stats, new_counts, new_colmeta, new_raw, new_doms = _file_stats(
-        spark, data_dir, new_files, stats_cols or [], merge_dom_inherit
+        spark, data_dir, new_files, stats_cols or [], merge_dom_inherit,
+        merge_derived,
     )
     merge_stat_doms = {**(m.get("stat_doms") or {}), **new_doms}
-    if not stats_cols:
+    if not stats_cols and not merge_derived:
         new_stats = {}
     repack_bases = {f.rsplit("/", 1)[-1] for f in repack_files}
     # repacked files keep their stats / counts / bloom / column-stat
@@ -3270,11 +3295,17 @@ def compact_small_files(
     compact_dom_inherit = m.get("stat_doms")
     if compact_dom_inherit is None:
         compact_dom_inherit = {c: "string" for c in stats_cols or []}
+    # re-derive hidden-partitioning transform stats for the packed
+    # files (best-effort — see _spec_derived_exprs)
+    compact_derived = _spec_derived_exprs(
+        spark.read.parquet(data_dir).schema, m.get("partition_spec")
+    )
     new_stats, new_counts, new_colmeta, new_raw, new_doms = _file_stats(
-        spark, data_dir, new_files, stats_cols or [], compact_dom_inherit
+        spark, data_dir, new_files, stats_cols or [], compact_dom_inherit,
+        compact_derived,
     )
     compact_stat_doms = {**(m.get("stat_doms") or {}), **new_doms}
-    if not stats_cols:
+    if not stats_cols and not compact_derived:
         new_stats = {}
     repack_bases = {f.rsplit("/", 1)[-1] for f in repack_files}
     repack_entries = _write_segment_entries(

@@ -3002,6 +3002,43 @@ class TestEqualityDeleteCDF:
         got = _tail("ck2")
         assert got == expect
 
+    def test_vacuum_keeps_live_preimage_cache(self, spark, tmp_path):
+        """The materialized pre-image cache is referenced by its
+        version's manifest ``changes`` entry: vacuum keeps it while the
+        version survives retention, and the feed over the surviving
+        range still reads O(delta) afterwards."""
+        import os
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        self._cdf_layer(spark, path, snap)
+        snap.delete_snapshot_keys(spark, path, "k", [3, 5])  # v2
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(900, "A")], "k long, v string"),
+            path,
+            mode="append",
+        )  # v3
+        assert snap.snapshot_changes(spark, path, 1, 2).count() == 2
+        cache = os.path.join(path, "_changes", "v2-eqpre")
+        assert os.path.isdir(cache)
+        rep = snap.vacuum_snapshots(
+            spark, path, keep_last=3, orphan_grace_seconds=0
+        )
+        assert rep["dropped_versions"] == []
+        assert os.path.isdir(cache)  # manifest-referenced: kept
+        fall = snap._CDF_FALLBACKS["n"]
+        builds = snap._EQ_PREIMAGE_BUILDS["n"]
+        assert snap.snapshot_changes(spark, path, 1, 3).count() == 3
+        assert snap._CDF_FALLBACKS["n"] == fall
+        assert snap._EQ_PREIMAGE_BUILDS["n"] == builds  # cache served
+        # retention dropping v1+v2 GCs the cache with its version
+        snap.vacuum_snapshots(
+            spark, path, keep_last=1, orphan_grace_seconds=0
+        )
+        assert not os.path.isdir(cache)
+
     def test_cdc_equality_mode_zero_driver_keys_and_tailable(
         self, spark, tmp_path
     ):
@@ -3249,6 +3286,95 @@ class TestHiddenPartitioning:
         assert snap._manifest_raw(spark, path, 3)["partition_spec"] == spec
         rows, _ = self._plan(spark, path, F.col("k") == 777, tmp_path, "rw")
         assert [r["k"] for r in rows] == [777]
+
+    def test_merge_rederives_transform_stats(self, spark, tmp_path):
+        """A COW MERGE on a spec'd layer re-derives transform stats for
+        its rewritten files (best-effort), so a CDC-maintained layer
+        keeps hidden-partition pruning instead of degrading every
+        touched file to a conservative keep."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        spec = [{"transform": "bucket", "n": 8, "source": "k"}]
+        snap.commit_snapshot(
+            spark,
+            spark.range(2000).selectExpr(
+                "id AS k", "CAST(id % 5 AS STRING) AS seg"
+            ),
+            path,
+            stats_cols=["k"],
+            partition_spec=spec,
+            cluster=True,
+        )
+        snap.merge_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(57, "MERGED"), (1999, "MERGED")], "k long, seg string"
+            ),
+            path,
+            "k",
+            stats_cols=["k"],
+        )
+        assert snap._manifest_raw(spark, path, 2)["partition_spec"] == spec
+        # the rewritten file carries fresh derived stats: every file of
+        # the head (carried AND rewritten) has the bucket stat recorded,
+        # so the probe still plans a strict subset
+        m2 = snap._manifest(spark, path, 2)
+        bucket_stat = "_pt_bucket_8_k"
+        n_with = sum(
+            1
+            for b, s in m2["stats"].items()
+            if bucket_stat in s
+        )
+        assert n_with == len(m2["files"])
+        rows, log = self._plan(spark, path, F.col("k") == 57, tmp_path, "mg")
+        assert [(r["k"], r["seg"]) for r in rows] == [(57, "MERGED")]
+        assert 0 < log["n_files_planned"] < log["n_files_total"]
+
+    def test_spec_evolution_is_prune_safe(self, spark, tmp_path):
+        """An overwrite may change the spec (Iceberg spec evolution):
+        the new manifest's spec governs, files from the old layout are
+        gone with the overwrite, and probes against the NEW spec prune
+        while never consulting stale derived stats."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark,
+            spark.range(800).selectExpr("id AS k"),
+            path,
+            partition_spec=[{"transform": "bucket", "n": 4, "source": "k"}],
+            cluster=True,
+        )
+        # evolve: overwrite under a WIDER bucket spec
+        snap.commit_snapshot(
+            spark,
+            spark.range(800).selectExpr("id AS k"),
+            path,
+            partition_spec=[{"transform": "bucket", "n": 16, "source": "k"}],
+            cluster=True,
+        )
+        m = snap._manifest_raw(spark, path, 2)
+        assert m["partition_spec"][0]["n"] == 16
+        rows, log = self._plan(spark, path, F.col("k") == 700, tmp_path, "ev")
+        assert [r["k"] for r in rows] == [700]
+        assert 0 < log["n_files_planned"] < log["n_files_total"]
+        # time travel to v1 still probes under the OLD spec
+        import json as _json
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshot_batch import (
+            read_snapshot_pushdown,
+        )
+
+        log1 = str(tmp_path / "plan_v1.json")
+        rows = (
+            read_snapshot_pushdown(spark, path, version=1, plan_log=log1)
+            .filter(F.col("k") == 700)
+            .collect()
+        )
+        lg = _json.load(open(log1))
+        assert [r["k"] for r in rows] == [700]
+        assert 0 < lg["n_files_planned"] < lg["n_files_total"]
 
     def test_spec_validation(self, spark, tmp_path):
         import pytest
