@@ -214,14 +214,21 @@ def quantize_embeddings(
     The scale is materialized as a column BEFORE the per-element lambda:
     feeding the max-abs expression into the HOF re-evaluates it per
     element (see operators/dedup.py::_shingled_hashed).
+
+    An ALL-ZERO vector has max|x| = 0; its scale pins to 1.0 (codes all
+    zero) instead of dividing by zero — under ANSI mode x/0.0 is
+    Infinity and the long cast of floor(Inf) would FAIL THE JOB on the
+    one degenerate row (padding vectors and dead embeddings are routine
+    in real corpora).
     """
     v = F.col("__v")
+    raw_scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
     scaled = embeddings.select(
         F.col(id_col),
         _as_double(vec_col).alias("__v"),
     ).withColumn(
         "scale",
-        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.when(raw_scale > 0, raw_scale).otherwise(F.lit(1.0)),
     )
     q = F.transform(v, lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long"))
     return scaled.withColumn("q", q).select(

@@ -625,6 +625,25 @@ def test_quantize_embeddings_reconstruction_error(spark):
         assert max(abs(a - b) for a, b in zip(recon, v)) <= scale / 2 + 1e-12
 
 
+def test_quantize_embeddings_zero_vector_survives(spark):
+    """An all-zero vector has max|x| = 0: the scale pins to 1.0 and the
+    codes are all zero — without the guard, ANSI mode fails the whole
+    job on floor(0/0.0)'s NaN→long cast (padding vectors and dead
+    embeddings are routine in real corpora)."""
+    from aie321_bigdata_movie_kpi_1m_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0, -2.0] + [0.0] * 6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    assert out[0]["q"] == [0] * 8 and out[0]["q_sum"] == 0
+    assert out[0]["scale_r6"] == 1.0
+    assert out[1]["q_min"] == -127  # normal vectors unaffected
+
+
 def test_connected_components_raises_instead_of_wrong_labels(spark):
     import pytest
 
