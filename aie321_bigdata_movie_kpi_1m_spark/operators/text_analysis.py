@@ -335,3 +335,82 @@ def duplicate_spans(
         .filter(F.col("n_docs") >= min_docs)
         .drop("__k")
     )
+
+
+#: hashed-feature space size for the linear quality model (2^10 buckets:
+#: the classic fastText/DCLM hashing-trick tradeoff scaled to the test
+#: corpus; a production filter uses 2^20+ with the same plan shape)
+N_HASH_BUCKETS = 1024
+
+
+def hashed_feature_weights(spark, n_buckets: int = N_HASH_BUCKETS) -> DataFrame:
+    """Stand-in TRAINED WEIGHTS table for the hashed linear quality
+    model: weight_milli(bucket) = (bucket * 2654435761) % 2001 - 1000,
+    an integer in [-1000, 1000] (Knuth multiplicative scramble —
+    deterministic, exactly replayable in SQL, stands in for the
+    classifier weights a DCLM/FineWeb-style filter trains offline).
+    Real deployments load this table from the model artifact; it is a
+    few MB even at 2^20 buckets, hence always broadcast-able."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (F.pmod(F.col("id") * F.lit(2654435761), F.lit(2001)) - F.lit(1000))
+        .cast("long")
+        .alias("weight_milli"),
+    )
+
+
+def linear_model_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_HASH_BUCKETS,
+) -> DataFrame:
+    """MODEL-BASED quality filtering (the DCLM / FineWeb-Edu pipeline
+    stage): score every document with a linear classifier over hashed
+    bag-of-words features and gate on the sign — entirely as JVM
+    expressions plus ONE broadcast join, no Python in the hot path.
+
+    Feature hashing: bucket(token) = md5-derived 32-bit int mod
+    ``n_buckets`` (md5 is bit-identical across engines, so the whole
+    model — hash, weights, score — replays in a SQL oracle; a real
+    deployment swaps xxhash64 for speed, same plan).  The score and the
+    gate are EXACT INTEGER arithmetic end to end: ``score_milli_sum``
+    is the sum of per-token milli-weights and admission compares it to
+    zero — no double division anywhere, so results are engine-portable
+    with no tolerance (a rounded mean is presentation the caller can
+    derive; round-half behavior differs across engines).  Token-less
+    documents sum 0 and are rejected (no evidence).
+
+    At 100 TB this is one scan-speed projection (tokenize + hash), a
+    broadcast hash join against the MB-scale weights table, and a
+    map-side-combinable groupBy — the same cost envelope as
+    ``token_stats``; the trained-model artifact rides the broadcast,
+    which is how model-based filters actually deploy on clusters.
+    Output: (id_col, n_tokens, score_milli_sum, keep)."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    per_doc = (
+        tok.select(F.col(id_col), bucket.alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("weight_milli").alias("__wsum"),
+            F.count(F.lit(1)).alias("__ntok"),
+        )
+    )
+    out = docs.select(F.col(id_col)).join(per_doc, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("__ntok"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("__wsum"), F.lit(0))
+        .cast("long")
+        .alias("score_milli_sum"),
+        F.coalesce(F.col("__wsum") > 0, F.lit(False)).alias("keep"),
+    )

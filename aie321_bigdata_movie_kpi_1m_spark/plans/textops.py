@@ -180,6 +180,49 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_model_quality_filter",
+    _TOKENS_CTE
+    + """,
+ex AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+w AS (SELECT i AS bucket,
+             CAST((i * 2654435761) % 2001 - 1000 AS BIGINT) AS weight_milli
+      FROM generate_series(0, 1023) AS g(i)),
+feats AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1024 AS bucket
+  FROM ex),
+agg AS (
+  SELECT f.doc_id,
+         CAST(SUM(w.weight_milli) AS BIGINT) AS w_sum,
+         COUNT(*) AS n_tok
+  FROM feats f JOIN w USING (bucket) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.w_sum, 0) AS BIGINT) AS score_milli_sum,
+       COALESCE(a.w_sum > 0, FALSE) AS keep
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+    "MODEL-BASED quality filtering (the DCLM / FineWeb-Edu pipeline "
+    "stage the heuristic doc_quality_score feeds into): a linear "
+    "classifier over hashed bag-of-words features scores every document "
+    "and the sign gates admission — tokenize + md5-derived feature hash "
+    "as JVM expressions, ONE broadcast join against the (MB-scale, "
+    "always-broadcastable) trained-weights table, map-side-combinable "
+    "groupBy; score AND gate are exact integer arithmetic end to end "
+    "(milli-weight sums, admission = sum > 0) so results are "
+    "engine-portable with no double tolerance, and the whole model "
+    "(hash, weights, score) replays in the DuckDB oracle; token-less "
+    "docs sum 0 and are rejected",
+    tags=("text", "corpus", "model"),
+)
+def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weights = text_analysis.hashed_feature_weights(spark)
+    return text_analysis.linear_model_scores(
+        load_star_table(spark, sf_dir, "documents"), weights
+    )
+
+
+@register(
     "doc_fingerprints",
     """
 SELECT doc_id,

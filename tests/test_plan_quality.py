@@ -611,3 +611,18 @@ def test_association_rules_broadcasts_count_dims(spark):
     plan = plan_of(spark, "association_rules_parts")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_model_quality_filter_broadcasts_weights(spark):
+    """The hashed linear model's weight lookup rides a BROADCAST join
+    (the trained-weights artifact is MB-scale even at 2^20 buckets);
+    the exploded-token side must never shuffle on the bucket key, and
+    scoring stays JVM-side — no Python in the hot path."""
+    plan = plan_of(spark, "doc_model_quality_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only merge join is the final LeftOuter emitting token-less
+    # docs — the weight lookup must never degrade to an Inner merge
+    # join (that would shuffle the exploded token relation on bucket)
+    assert "SortMergeJoin LeftOuter" in plan
+    assert "SortMergeJoin Inner" not in plan
