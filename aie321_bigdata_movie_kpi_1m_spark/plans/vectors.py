@@ -470,3 +470,102 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_candidates=_PQ_CAND,
         codebooks=_PQ_INDEX_CACHE[key],
     )
+
+
+_EXACT_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_inner_product(qv, v)
+           / sqrt(list_inner_product(qv, qv) * list_inner_product(v, v)) AS sim
+  FROM q, e
+  WHERE e.vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rn <= {_TOP_K}
+"""
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+WITH exact AS (SELECT * FROM ({_EXACT_TOPK_SQL}) t),
+approx AS (
+  SELECT query_id, neighbor_id, 1 AS hit
+  FROM ({_ivf_oracle_sql()}) t
+),
+per_q AS (
+  SELECT e.query_id, COUNT(a.hit) AS n_hit
+  FROM exact e
+  LEFT JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST({_TOP_K} AS BIGINT) AS k,
+       CAST(SUM(n_hit) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) * {_TOP_K} AS BIGINT) AS n_expected,
+       CAST(MIN(n_hit) AS BIGINT) AS min_hits,
+       CAST(MAX(n_hit) AS BIGINT) AS max_hits
+FROM per_q
+""",
+    "ANN INDEX QUALITY EVALUATION — recall@k of the IVF tier against "
+    "the exact brute-force baseline, per query and summarized (hit "
+    "counts as exact integers; recall = n_hits / n_expected is the "
+    "caller's one division): the monitoring loop every production "
+    "vector index needs — rebuilds and probe-budget changes are gated "
+    "on measured recall over a sampled query set, exactly this shape "
+    "(here the deterministic 8-query sample; at 100 TB the sample "
+    "rides the same broadcast and the corpus pays one exact pass ONLY "
+    "for the sampled queries); both tiers and the comparison replay "
+    "fully in the DuckDB oracle, so the recall figure itself is "
+    "value-checked",
+    tags=("similarity", "eval"),
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=_TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    key = (sf_dir, 16, 1)
+    if key not in _IVF_INDEX_CACHE:
+        _IVF_INDEX_CACHE[key] = similarity.ivf_fit_centroids(
+            emb, n_centroids=16, iters=1
+        )
+    approx = (
+        similarity.ivf_topk(
+            emb,
+            queries,
+            k=_TOP_K,
+            n_centroids=16,
+            n_probe=6,
+            iters=1,
+            centroids=_IVF_INDEX_CACHE[key],
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    per_q = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(_TOP_K).cast("long").alias("k"),
+        F.sum("n_hit").cast("long").alias("n_hits"),
+        (F.count(F.lit(1)) * _TOP_K).cast("long").alias("n_expected"),
+        F.min("n_hit").cast("long").alias("min_hits"),
+        F.max("n_hit").cast("long").alias("max_hits"),
+    )
