@@ -2193,6 +2193,137 @@ def q_snapshot_hidden_partition_prune(
     )
 
 
+_CATALOG_TXN_BUILT: set[str] = set()
+
+
+def _catalog_txn_store(spark: SparkSession, sf_dir: str) -> str:
+    """Two-table catalog exercising multi-table ATOMIC commits: txn 1
+    publishes facts (orders with o_orderkey % 3 = 0) + dims (customer
+    segments as-is); txn 2 publishes, IN ONE SWAP, appended facts
+    (% 3 = 1) and a re-labeled dim (segments prefixed 'X_') — so any
+    reader mixing catalog versions would join new facts against old
+    labels or vice versa, which the oracle would catch.  Once per
+    process."""
+    from ..sources.snapshots import drop_snapshot_layer
+    from ..sources.table_catalog import multi_table_commit
+
+    cat = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/catalog_txn"
+    if cat in _CATALOG_TXN_BUILT:
+        return cat
+    pa = f"{cat}_facts"
+    pb = f"{cat}_dims"
+    for p in (cat, pa, pb):
+        drop_snapshot_layer(spark, p)
+    orders = load_star_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    multi_table_commit(
+        spark,
+        cat,
+        [
+            (
+                "facts",
+                orders.filter(F.col("o_orderkey") % 3 == 0),
+                pa,
+                {"stats_cols": ["o_orderkey"]},
+            ),
+            ("dims", cust, pb, {}),
+        ],
+    )
+    multi_table_commit(
+        spark,
+        cat,
+        [
+            (
+                "facts",
+                orders.filter(F.col("o_orderkey") % 3 == 1),
+                pa,
+                {"mode": "append", "stats_cols": ["o_orderkey"]},
+            ),
+            (
+                "dims",
+                cust.select(
+                    "c_custkey",
+                    F.concat(F.lit("X_"), F.col("c_mktsegment")).alias(
+                        "c_mktsegment"
+                    ),
+                ),
+                pb,
+                {},
+            ),
+        ],
+    )
+    _CATALOG_TXN_BUILT.add(cat)
+    return cat
+
+
+@register(
+    "snapshot_catalog_txn",
+    """
+SELECT CAST(1 AS BIGINT) AS catalog_version,
+       c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 3 = 0
+GROUP BY 2
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       'X_' || c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 3 IN (0, 1)
+GROUP BY 2
+""",
+    "multi-table ATOMIC transactions via a versioned TABLE CATALOG "
+    "(sources/table_catalog.py — the Iceberg REST-catalog transaction "
+    "shape): each transaction stages normal per-layer commits, then ONE "
+    "no-overwrite catalog swap pins every table's new layer version, so "
+    "catalog readers see all of a transaction or none of it and "
+    "`catalog_version=N` time-travels the WHOLE star consistently; the "
+    "query joins facts to dims at BOTH catalog versions — txn 2 changed "
+    "facts and dim labels together, so a reader mixing versions (new "
+    "facts with old labels or vice versa) breaks the oracle hash; swap "
+    "losers rebase-and-retry under the same OCC as layer commits "
+    "(pytest: injected race, crash-before-swap invisibility)",
+    tags=("snapshots", "catalog", "transactions"),
+)
+def q_snapshot_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.table_catalog import read_catalog_table
+
+    cat = _catalog_txn_store(spark, sf_dir)
+
+    def level(cv: int) -> DataFrame:
+        facts = read_catalog_table(spark, cat, "facts", catalog_version=cv)
+        dims = read_catalog_table(spark, cat, "dims", catalog_version=cv)
+        return (
+            facts.join(
+                F.broadcast(dims),
+                facts["o_custkey"] == dims["c_custkey"],
+            )
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(_cents(F.col("o_totalprice")))
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+            .select(
+                F.lit(cv).cast("long").alias("catalog_version"),
+                "segment",
+                "n_orders",
+                "revenue_cents",
+            )
+        )
+
+    return level(1).unionByName(level(2))
+
+
 _MERGE_CDF_BUILT: set[str] = set()
 
 

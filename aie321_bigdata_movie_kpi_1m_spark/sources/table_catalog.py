@@ -1,0 +1,217 @@
+"""Versioned TABLE CATALOG over snapshot layers: multi-table ATOMIC
+commits and cross-table consistent reads.
+
+A single snapshot layer already gives atomic per-table commits; real
+warehouses need the next level up — "load the fact AND its dimensions,
+then publish both at once, so no reader ever joins new facts against old
+dims."  Iceberg solves it with REST-catalog transactions; Delta punts
+(per-table only).  This module is that catalog:
+
+- the catalog is itself a tiny versioned manifest dir
+  (``_catalog/v{N}.json``) whose entries PIN a (layer path, layer
+  version) per table name — the same stage-then-rename, no-overwrite
+  commit point as the layers (``_write_text``), so catalog swaps are
+  atomic and optimistically concurrent;
+- ``multi_table_commit`` stages each table's data as a NORMAL layer
+  commit first (durable, but invisible THROUGH THE CATALOG), then swaps
+  one catalog version pinning all the new layer versions — readers that
+  resolve through the catalog see all of the transaction or none of it;
+- losers of the catalog-swap race RETRY BY RE-BASING: re-read the new
+  head, re-apply only their own table entries, swap again — two writers
+  touching disjoint tables both land, exactly like layer-level OCC;
+- ``read_catalog_table(catalog_version=...)`` time-travels the WHOLE
+  star consistently: version N of the catalog names the exact layer
+  version of every table at that instant, which is what "reproduce the
+  corpus that trained this checkpoint" needs across tables.
+
+Scale note: the catalog JSON is O(tables) bytes; resolving a read costs
+one small file read on top of the layer's own manifest resolution.
+Readers that bypass the catalog and open a layer directly see that
+layer's own newest commit (documented, same as reading Iceberg table
+metadata behind the catalog's back).
+
+No counterpart in the reference (one postgres table, publish.py:102-167);
+this composes SURVEY §2.9's snapshot layer into the multi-table story.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .snapshots import (
+    _hpath,
+    _fs,
+    _read_text,
+    _write_text,
+    commit_snapshot,
+    read_snapshot,
+    retry_commit,
+)
+
+_CATALOG_DIR = "_catalog"
+
+
+def catalog_versions(spark: SparkSession, cat_path: str) -> list[int]:
+    """Committed catalog versions, ascending (directory listing of the
+    tiny ``_catalog`` dir — O(versions), metadata only)."""
+    jvm, fs = _fs(spark, cat_path)
+    d = _hpath(jvm, f"{cat_path}/{_CATALOG_DIR}")
+    if not fs.exists(d):
+        return []
+    out = []
+    for status in fs.listStatus(d):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _catalog_manifest(spark: SparkSession, cat_path: str, v: int) -> dict:
+    return json.loads(
+        _read_text(spark, f"{cat_path}/{_CATALOG_DIR}/v{v}.json")
+    )
+
+
+def catalog_tables(
+    spark: SparkSession, cat_path: str, version: int | None = None
+) -> dict:
+    """{table -> {"path", "version"}} pinned by one catalog version
+    (default: the head)."""
+    versions = catalog_versions(spark, cat_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed catalog under {cat_path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"catalog version {v} not in {versions}")
+    return _catalog_manifest(spark, cat_path, v)["tables"]
+
+
+def commit_catalog(
+    spark: SparkSession,
+    cat_path: str,
+    tables: dict,
+    *,
+    expect_version: int | None = None,
+) -> int:
+    """Commit a FULL table map as the next catalog version.  The write
+    is the same no-overwrite rename as a layer manifest, so two racing
+    swaps conflict cleanly (``FileExistsError`` — retry with
+    ``retry_commit``); ``expect_version`` turns the swap into a
+    compare-and-swap for check-then-act callers."""
+    versions = catalog_versions(spark, cat_path)
+    version = (versions[-1] if versions else 0) + 1
+    if expect_version is not None and expect_version != version:
+        raise FileExistsError(
+            f"concurrent catalog commit: expected v{expect_version} "
+            f"at {cat_path} but the head is v{version - 1}"
+        )
+    _write_text(
+        spark,
+        f"{cat_path}/{_CATALOG_DIR}/v{version}.json",
+        json.dumps(
+            {
+                "version": version,
+                "committed_at": time.time(),
+                "tables": {
+                    name: {"path": str(t["path"]), "version": int(t["version"])}
+                    for name, t in tables.items()
+                },
+            },
+            default=str,
+        ),
+    )
+    return version
+
+
+def multi_table_commit(
+    spark: SparkSession,
+    cat_path: str,
+    writes: list[tuple[str, DataFrame, str, dict]],
+    *,
+    attempts: int = 5,
+) -> int:
+    """ATOMIC multi-table transaction: stage every table's data as a
+    normal layer commit (``writes`` = [(table, df, layer_path,
+    commit_snapshot kwargs)]), then swap ONE catalog version pinning all
+    the new layer versions.
+
+    Catalog readers see all of the transaction or none of it: a crash
+    after some layer commits but before the swap leaves the catalog
+    pointing at the old versions everywhere (the staged layer versions
+    are durable-but-unreferenced — exactly an aborted transaction's
+    garbage, reclaimable by each layer's own vacuum retention).
+
+    The swap retries by REBASING: a loser re-reads the winner's head
+    map and re-applies only its own table entries, so concurrent
+    transactions over disjoint tables all land; transactions racing on
+    the SAME table serialize by catalog version with last-swap-wins on
+    the pointer (both layer versions exist; the catalog history records
+    which one each catalog version pinned).  Returns the catalog
+    version."""
+    staged: dict = {}
+    for table, df, layer_path, kwargs in writes:
+        v = commit_snapshot(spark, df, layer_path, **(kwargs or {}))
+        staged[table] = {"path": layer_path, "version": v}
+
+    def swap() -> int:
+        versions = catalog_versions(spark, cat_path)
+        head = versions[-1] if versions else 0
+        base = (
+            _catalog_manifest(spark, cat_path, head)["tables"]
+            if head
+            else {}
+        )
+        # CAS on the version: the rebased map is only valid against the
+        # head it was read from — a concurrent swap landing in between
+        # must conflict (retry re-bases), or its table entries would be
+        # silently overwritten with our stale base (lost update).  The
+        # residual window between commit_catalog's own head read and the
+        # rename is closed by the no-overwrite manifest write itself.
+        return commit_catalog(
+            spark, cat_path, {**base, **staged}, expect_version=head + 1
+        )
+
+    return retry_commit(swap, attempts=attempts)
+
+
+def read_catalog_table(
+    spark: SparkSession,
+    cat_path: str,
+    table: str,
+    *,
+    catalog_version: int | None = None,
+    **read_kwargs,
+) -> DataFrame:
+    """Read one table THROUGH the catalog: the catalog version (default
+    head) pins the exact layer version, so reads of several tables at
+    the same ``catalog_version`` are cross-table consistent — version N
+    of the catalog is a snapshot of the whole schema."""
+    tables = catalog_tables(spark, cat_path, catalog_version)
+    if table not in tables:
+        raise KeyError(
+            f"table {table!r} not in catalog {sorted(tables)} at {cat_path}"
+        )
+    t = tables[table]
+    return read_snapshot(
+        spark, t["path"], int(t["version"]), **read_kwargs
+    )
+
+
+def catalog_history(spark: SparkSession, cat_path: str) -> DataFrame:
+    """One audit row per catalog version: (catalog_version, table,
+    layer_version) — which exact layer version every table pinned at
+    every instant, the cross-table reproducibility record."""
+    rows = []
+    for v in catalog_versions(spark, cat_path):
+        m = _catalog_manifest(spark, cat_path, v)
+        for name, t in sorted(m["tables"].items()):
+            rows.append((v, name, int(t["version"])))
+    return spark.createDataFrame(
+        rows, "catalog_version long, table string, layer_version long"
+    )

@@ -4782,3 +4782,169 @@ def F_hll(col):
     from pyspark.sql import functions as F
 
     return F.hll_sketch_agg(F.col(col))
+
+
+class TestTableCatalog:
+    """Versioned table catalog: multi-table atomic commits and
+    cross-table consistent reads (sources/table_catalog.py)."""
+
+    def _base(self, spark, cat, pa, pb, tc):
+        tc.multi_table_commit(
+            spark,
+            cat,
+            [
+                (
+                    "orders",
+                    spark.range(10).selectExpr("id AS k", "id * 10 AS amt"),
+                    pa,
+                    {"stats_cols": ["k"]},
+                ),
+                (
+                    "dim",
+                    spark.createDataFrame(
+                        [(0, "bronze"), (1, "silver")], "grp long, tier string"
+                    ),
+                    pb,
+                    {},
+                ),
+            ],
+        )
+
+    def test_atomic_swap_and_consistent_time_travel(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat = str(tmp_path / "cat")
+        pa, pb = str(tmp_path / "orders"), str(tmp_path / "dim")
+        self._base(spark, cat, pa, pb, tc)
+        assert tc.catalog_versions(spark, cat) == [1]
+        # transaction 2: new facts AND a re-tiered dim, one swap
+        v = tc.multi_table_commit(
+            spark,
+            cat,
+            [
+                (
+                    "orders",
+                    spark.range(10, 15).selectExpr("id AS k", "id * 10 AS amt"),
+                    pa,
+                    {"mode": "append", "stats_cols": ["k"]},
+                ),
+                (
+                    "dim",
+                    spark.createDataFrame(
+                        [(0, "gold"), (1, "gold")], "grp long, tier string"
+                    ),
+                    pb,
+                    {},
+                ),
+            ],
+        )
+        assert v == 2
+        # head: new facts join the NEW dim
+        head_orders = tc.read_catalog_table(spark, cat, "orders")
+        head_dim = tc.read_catalog_table(spark, cat, "dim")
+        assert head_orders.count() == 15
+        assert {r["tier"] for r in head_dim.collect()} == {"gold"}
+        # catalog v1: old facts AND old dim together — never a mix
+        old_orders = tc.read_catalog_table(spark, cat, "orders", catalog_version=1)
+        old_dim = tc.read_catalog_table(spark, cat, "dim", catalog_version=1)
+        assert old_orders.count() == 10
+        assert {r["tier"] for r in old_dim.collect()} == {"bronze", "silver"}
+        hist = {
+            (r["catalog_version"], r["table"]): r["layer_version"]
+            for r in tc.catalog_history(spark, cat).collect()
+        }
+        assert hist[(1, "orders")] == 1 and hist[(2, "orders")] == 2
+        assert hist[(1, "dim")] == 1 and hist[(2, "dim")] == 2
+
+    def test_crash_before_swap_is_invisible_through_catalog(
+        self, spark, tmp_path
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat = str(tmp_path / "cat")
+        pa, pb = str(tmp_path / "orders"), str(tmp_path / "dim")
+        self._base(spark, cat, pa, pb, tc)
+        # a transaction that "crashed" after its layer commit but before
+        # the catalog swap: durable in the layer, invisible via catalog
+        snap.commit_snapshot(
+            spark,
+            spark.range(100, 200).selectExpr("id AS k", "id AS amt"),
+            pa,
+            mode="append",
+        )
+        assert snap.read_snapshot(spark, pa).count() == 110  # layer-direct
+        assert tc.read_catalog_table(spark, cat, "orders").count() == 10
+        # the next SUCCESSFUL transaction pins whatever layer version it
+        # itself committed (the orphaned layer version stays historical)
+        tc.multi_table_commit(
+            spark,
+            cat,
+            [
+                (
+                    "orders",
+                    spark.range(200, 203).selectExpr("id AS k", "id AS amt"),
+                    pa,
+                    {"mode": "append"},
+                )
+            ],
+        )
+        assert tc.read_catalog_table(spark, cat, "orders").count() == 113
+        # and the untouched table carried through the rebase
+        assert tc.read_catalog_table(spark, cat, "dim").count() == 2
+
+    def test_concurrent_disjoint_transactions_rebase(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A swap losing the catalog race re-bases onto the winner's map:
+        two transactions over DISJOINT tables both land, neither erases
+        the other's pin (the injected intruder commits between the
+        loser's base read and its swap)."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat = str(tmp_path / "cat")
+        pa, pb = str(tmp_path / "orders"), str(tmp_path / "dim")
+        self._base(spark, cat, pa, pb, tc)
+        orig = tc.commit_catalog
+        hits = {"n": 0}
+
+        def racy(spark_, cat_path, tables, **kw):
+            if hits["n"] == 0:
+                hits["n"] += 1
+                # intruder transaction wins first: re-pins dim -> v2
+                base = tc.catalog_tables(spark_, cat_path)
+                orig(
+                    spark_,
+                    cat_path,
+                    {**base, "dim": {"path": pb, "version": 2}},
+                )
+            return orig(spark_, cat_path, tables, **kw)
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(9, "x")], "grp long, tier string"),
+            pb,
+            mode="append",
+        )  # dim layer v2 for the intruder to pin
+        monkeypatch.setattr(tc, "commit_catalog", racy)
+        tc.multi_table_commit(
+            spark,
+            cat,
+            [
+                (
+                    "orders",
+                    spark.range(10, 12).selectExpr("id AS k", "id AS amt"),
+                    pa,
+                    {"mode": "append"},
+                )
+            ],
+        )
+        monkeypatch.undo()
+        tables = tc.catalog_tables(spark, cat)
+        # loser re-based: its orders pin landed AND the intruder's dim
+        # pin survived
+        assert tables["orders"]["version"] == 2
+        assert tables["dim"]["version"] == 2
+        assert tc.read_catalog_table(spark, cat, "dim").count() == 3
