@@ -215,3 +215,37 @@ def catalog_history(spark: SparkSession, cat_path: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "catalog_version long, table string, layer_version long"
     )
+
+
+def vacuum_catalog(
+    spark: SparkSession, cat_path: str, *, keep_last: int = 2
+) -> dict:
+    """Catalog retention: drop all but the newest ``keep_last`` catalog
+    versions (tiny JSON files).  Returns the dropped versions plus the
+    MINIMUM still-pinned layer version per table — the figure each
+    member layer's own ``vacuum_snapshots`` retention must respect:
+    a layer vacuum that drops a version an older SURVIVING catalog
+    version still pins would break that catalog version's reads, so
+    size the layer's ``keep_last`` from ``min_pinned`` (or run layer
+    vacuums only after catalog retention has retired the old pins —
+    the coherence rule Iceberg's catalog-driven GC enforces)."""
+    versions = catalog_versions(spark, cat_path)
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    dropped = [v for v in versions if v not in keep]
+    jvm, fs = _fs(spark, cat_path)
+    for v in dropped:
+        fs.delete(_hpath(jvm, f"{cat_path}/{_CATALOG_DIR}/v{v}.json"), False)
+    min_pinned: dict = {}
+    for v in keep:
+        for name, t in _catalog_manifest(spark, cat_path, v)["tables"].items():
+            lv = int(t["version"])
+            key = (name, str(t["path"]))
+            if key not in min_pinned or lv < min_pinned[key]:
+                min_pinned[key] = lv
+    return {
+        "dropped_versions": dropped,
+        "min_pinned": {
+            name: {"path": path, "version": v}
+            for (name, path), v in sorted(min_pinned.items())
+        },
+    }

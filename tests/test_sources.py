@@ -4948,3 +4948,43 @@ class TestTableCatalog:
         assert tables["orders"]["version"] == 2
         assert tables["dim"]["version"] == 2
         assert tc.read_catalog_table(spark, cat, "dim").count() == 3
+
+    def test_vacuum_catalog_reports_min_pins(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat = str(tmp_path / "cat")
+        pa, pb = str(tmp_path / "orders"), str(tmp_path / "dim")
+        self._base(spark, cat, pa, pb, tc)
+        for i in range(3):
+            tc.multi_table_commit(
+                spark,
+                cat,
+                [
+                    (
+                        "orders",
+                        spark.range(100 + i, 101 + i).selectExpr(
+                            "id AS k", "id AS amt"
+                        ),
+                        pa,
+                        {"mode": "append"},
+                    )
+                ],
+            )
+        assert tc.catalog_versions(spark, cat) == [1, 2, 3, 4]
+        rep = tc.vacuum_catalog(spark, cat, keep_last=2)
+        assert rep["dropped_versions"] == [1, 2]
+        assert tc.catalog_versions(spark, cat) == [3, 4]
+        # the surviving pins name the layer retention floor: orders'
+        # oldest surviving pin is layer v3 (catalog v3), dim stayed at 1
+        assert rep["min_pinned"]["orders"]["version"] == 3
+        assert rep["min_pinned"]["dim"]["version"] == 1
+        # reads through surviving versions still resolve
+        assert (
+            tc.read_catalog_table(spark, cat, "orders", catalog_version=3)
+            .count()
+            == 12
+        )
+        import pytest
+
+        with pytest.raises(FileNotFoundError):
+            tc.catalog_tables(spark, cat, 1)
