@@ -1376,6 +1376,131 @@ def q_streaming_medallion_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CATALOG_PUBLISH_BUILT: set[str] = set()
+
+
+def _catalog_publish_store(spark: SparkSession, sf_dir: str) -> str:
+    """Documents streamed in 4 scale-stable micro-batches; every batch
+    publishes TWO tables atomically through the versioned table catalog
+    — the raw docs (append) and the batch's per-source stats rollup
+    (append) — via ``catalog_publish_writer``, so each catalog version
+    pins a docs/stats pair produced by the same transaction.  Once per
+    process."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from ..sources.pyds import register_replay_parquet, replay_schema_ddl
+    from ..sources.snapshots import drop_snapshot_layer
+    from ..streaming.snapshot_sink import catalog_publish_writer
+
+    cat = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/catalog_publish"
+    if cat in _CATALOG_PUBLISH_BUILT:
+        return cat
+    docs_layer, stats_layer = f"{cat}_docs", f"{cat}_stats"
+    for p in (cat, docs_layer, stats_layer):
+        drop_snapshot_layer(spark, p)
+    ckpt = f"{cat}_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    register_replay_parquet(spark)
+    src = f"{sf_dir}/documents.parquet"
+    stream = (
+        spark.readStream.format("replay_parquet")
+        .schema(replay_schema_ddl(src, "doc_id,source,n_chars"))
+        .option("path", src)
+        .option("cols", "doc_id,source,n_chars")
+        .option("n_batches", "4")
+        .option("reader_mode", "simple")
+        .load()
+    )
+
+    def plan(batch_df):
+        stats = batch_df.groupBy("source").agg(
+            F2.count(F2.lit(1)).alias("n_docs"),
+            F2.sum("n_chars").alias("chars"),
+        )
+        return [
+            ("docs", batch_df, docs_layer, {"mode": "append"}),
+            ("doc_stats", stats, stats_layer, {"mode": "append"}),
+        ]
+
+    q = (
+        stream.writeStream.foreachBatch(
+            catalog_publish_writer(cat, plan, app_id="docs_publish")
+        )
+        .queryName("catalog_publish_build")
+        .option("checkpointLocation", ckpt)
+        .start()  # simple Python sources serve one batch per trigger:
+    )  # drain with processAllAvailable, not availableNow
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    _CATALOG_PUBLISH_BUILT.add(cat)
+    return cat
+
+
+@register(
+    "streaming_catalog_publish",
+    """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+b AS (SELECT CAST((total + 3) // 4 AS BIGINT) AS bsz, total FROM t),
+c AS (SELECT n_chars,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM documents),
+v AS (SELECT CAST(i AS BIGINT) AS catalog_version,
+             LEAST(CAST(i AS BIGINT) * bsz, total) AS cum
+      FROM generate_series(1, 4) g(i), b)
+SELECT catalog_version,
+       CAST(cum AS BIGINT) AS n_docs,
+       CAST(cum AS BIGINT) AS n_docs_from_stats,
+       CAST((SELECT SUM(n_chars) FROM c WHERE rn <= cum) AS BIGINT)
+         AS chars,
+       CAST((SELECT SUM(n_chars) FROM c WHERE rn <= cum) AS BIGINT)
+         AS chars_from_stats
+FROM v
+""",
+    "ATOMIC MULTI-TABLE streaming publish (streaming/snapshot_sink.py::"
+    "catalog_publish_writer over sources/table_catalog.py): every "
+    "micro-batch lands its raw docs AND their per-source stats rollup "
+    "in ONE catalog swap, so no catalog version ever pins docs without "
+    "the stats produced by the same transaction — the medallion "
+    "invariant a per-table sink cannot give; the query recomputes the "
+    "doc/char totals INDEPENDENTLY from both tables at every catalog "
+    "version (a half-published batch would diverge the pair), and the "
+    "oracle replays the deterministic 4-batch prefix structure from the "
+    "raw table; exactly-once composes across both levels: layer commits "
+    "no-op on their (app, batch) txn markers and the catalog swap skips "
+    "when the pins did not move",
+    tags=("streaming", "snapshots", "catalog", "exactly-once"),
+)
+def q_streaming_catalog_publish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.table_catalog import catalog_versions, read_catalog_table
+
+    cat = _catalog_publish_store(spark, sf_dir)
+    rows = []
+    for cv in catalog_versions(spark, cat):
+        docs = read_catalog_table(spark, cat, "docs", catalog_version=cv)
+        stats = read_catalog_table(
+            spark, cat, "doc_stats", catalog_version=cv
+        )
+        d = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c")
+        ).first()
+        s = stats.agg(
+            F.sum("n_docs").alias("n"), F.sum("chars").alias("c")
+        ).first()
+        rows.append(
+            (cv, int(d["n"]), int(s["n"]), int(d["c"]), int(s["c"]))
+        )
+    return spark.createDataFrame(
+        rows,
+        "catalog_version long, n_docs long, n_docs_from_stats long, "
+        "chars long, chars_from_stats long",
+    )
+
+
 _CDF_TAIL_BUILT: set[str] = set()
 
 

@@ -167,6 +167,14 @@ def multi_table_commit(
             if head
             else {}
         )
+        if head and all(
+            base.get(t) == {"path": staged[t]["path"], "version": int(staged[t]["version"])}
+            for t in staged
+        ):
+            # pins unchanged: a REPLAYED transaction (the layer commits
+            # no-op'd on their txn markers and returned the already-
+            # pinned versions) — swap nothing, no catalog version churn
+            return head
         # CAS on the version: the rebased map is only valid against the
         # head it was read from — a concurrent swap landing in between
         # must conflict (retry re-bases), or its table entries would be

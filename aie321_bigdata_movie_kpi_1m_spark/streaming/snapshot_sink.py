@@ -405,3 +405,64 @@ def cdc_stream_into_snapshot(
     )
     q.awaitTermination()
     return q
+
+
+def catalog_publish_writer(
+    cat_path: str,
+    plan_fn: Callable[[DataFrame], list],
+    *,
+    app_id: str = "catalog_publish",
+    attempts: int = 20,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function for ATOMIC MULTI-TABLE streaming
+    publish: ``plan_fn(batch_df)`` returns the transaction's writes —
+    ``[(table, df, layer_path, commit_snapshot kwargs)]`` — and every
+    micro-batch lands as normal layer commits plus ONE catalog swap
+    (``table_catalog.multi_table_commit``), so downstream catalog
+    readers NEVER see a batch's tables half-published (e.g. raw docs
+    without their stats row, the medallion invariant a per-table sink
+    cannot give).
+
+    Exactly-once composes across both levels: each layer commit carries
+    ``txn=(app_id, batch_id)`` (injected unless the plan overrides it),
+    so a checkpoint-replayed batch's layer commits no-op and return the
+    already-pinned versions — and the catalog swap detects unchanged
+    pins and SKIPS (no catalog version churn), making the whole
+    transaction idempotent."""
+    from ..sources.table_catalog import multi_table_commit
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        writes = []
+        for table, df, layer_path, kwargs in plan_fn(batch_df):
+            kw = dict(kwargs or {})
+            kw.setdefault("txn", (app_id, int(batch_id)))
+            writes.append((table, df, layer_path, kw))
+        multi_table_commit(
+            batch_df.sparkSession, cat_path, writes, attempts=attempts
+        )
+
+    return write_batch
+
+
+def publish_stream_to_catalog(
+    stream: DataFrame,
+    cat_path: str,
+    plan_fn: Callable[[DataFrame], list],
+    *,
+    checkpoint_dir: str,
+    query_name: str = "catalog_publish",
+    app_id: str = "catalog_publish",
+):
+    """Run ``stream`` to completion (availableNow) as atomic
+    multi-table catalog transactions; see ``catalog_publish_writer``."""
+    q = (
+        stream.writeStream.foreachBatch(
+            catalog_publish_writer(cat_path, plan_fn, app_id=app_id)
+        )
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

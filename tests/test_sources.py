@@ -4988,3 +4988,51 @@ class TestTableCatalog:
 
         with pytest.raises(FileNotFoundError):
             tc.catalog_tables(spark, cat, 1)
+
+    def test_catalog_publish_writer_replay_idempotent(self, spark, tmp_path):
+        """The streaming multi-table publisher: a checkpoint-replayed
+        batch no-ops BOTH levels — layer commits return their pinned
+        versions (txn markers) and the catalog swap skips on unchanged
+        pins, so no catalog version churn."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+        from aie321_bigdata_movie_kpi_1m_spark.streaming.snapshot_sink import (
+            catalog_publish_writer,
+        )
+
+        cat = str(tmp_path / "cat")
+        pa, pb = str(tmp_path / "docs"), str(tmp_path / "stats")
+
+        def plan(batch_df):
+            stats = batch_df.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs")
+            )
+            return [
+                ("docs", batch_df, pa, {"mode": "append"}),
+                ("doc_stats", stats, pb, {"mode": "append"}),
+            ]
+
+        wb = catalog_publish_writer(cat, plan, app_id="pub")
+        b0 = spark.createDataFrame(
+            [(1, "web"), (2, "web"), (3, "book")], "doc_id long, source string"
+        )
+        b1 = spark.createDataFrame([(4, "web")], "doc_id long, source string")
+        wb(b0, 0)
+        wb(b1, 1)
+        assert tc.catalog_versions(spark, cat) == [1, 2]
+        head = tc.catalog_tables(spark, cat)
+        wb(b1, 1)  # replayed batch: both levels no-op
+        assert tc.catalog_versions(spark, cat) == [1, 2]
+        assert tc.catalog_tables(spark, cat) == head
+        # consistency at every version: stats sum == docs count
+        for cv in (1, 2):
+            nd = tc.read_catalog_table(
+                spark, cat, "docs", catalog_version=cv
+            ).count()
+            ns = (
+                tc.read_catalog_table(
+                    spark, cat, "doc_stats", catalog_version=cv
+                )
+                .agg(F.sum("n_docs"))
+                .first()[0]
+            )
+            assert nd == int(ns) == (3 if cv == 1 else 4)
