@@ -257,3 +257,36 @@ def vacuum_catalog(
             for (name, path), v in sorted(min_pinned.items())
         },
     }
+
+
+def register_catalog_views(
+    spark: SparkSession,
+    cat_path: str,
+    *,
+    catalog_version: int | None = None,
+    prefix: str = "",
+    auto_broadcast_bytes: int | None = None,
+) -> list[str]:
+    """SQL façade over the WHOLE catalog: register every table of one
+    catalog version as a temp view (``{prefix}{table}``), all pinned to
+    the layer versions that catalog version names — so a multi-table
+    ``spark.sql`` join/CTE reads a CROSS-TABLE CONSISTENT snapshot
+    ("the star as of catalog version N"), which per-table view
+    registration cannot guarantee while writers are live.
+    ``auto_broadcast_bytes`` passes through to each view's stats-driven
+    broadcast hint.  Returns the registered view names."""
+    from .snapshots import register_snapshot_view
+
+    tables = catalog_tables(spark, cat_path, catalog_version)
+    names = []
+    for table, t in sorted(tables.items()):
+        name = f"{prefix}{table}"
+        register_snapshot_view(
+            spark,
+            t["path"],
+            name,
+            int(t["version"]),
+            auto_broadcast_bytes=auto_broadcast_bytes,
+        )
+        names.append(name)
+    return names

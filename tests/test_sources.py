@@ -5036,3 +5036,52 @@ class TestTableCatalog:
                 .first()[0]
             )
             assert nd == int(ns) == (3 if cv == 1 else 4)
+
+    def test_register_catalog_views_consistent_sql(self, spark, tmp_path):
+        """The catalog-level SQL façade: all views pin ONE catalog
+        version, so a SQL join reads a cross-table consistent snapshot
+        even after later transactions move the head."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat = str(tmp_path / "cat")
+        pa, pb = str(tmp_path / "orders"), str(tmp_path / "dim")
+        self._base(spark, cat, pa, pb, tc)
+        tc.multi_table_commit(
+            spark,
+            cat,
+            [
+                (
+                    "orders",
+                    spark.range(100, 105).selectExpr(
+                        "id AS k", "id * 10 AS amt"
+                    ),
+                    pa,
+                    {"mode": "append"},
+                ),
+                (
+                    "dim",
+                    spark.createDataFrame(
+                        [(0, "gold"), (1, "gold")], "grp long, tier string"
+                    ),
+                    pb,
+                    {},
+                ),
+            ],
+        )
+        names = tc.register_catalog_views(
+            spark, cat, catalog_version=1, prefix="v1_"
+        )
+        assert names == ["v1_dim", "v1_orders"]
+        row = spark.sql(
+            """SELECT COUNT(*) AS n,
+                      (SELECT COUNT(DISTINCT tier) FROM v1_dim) AS tiers
+               FROM v1_orders"""
+        ).first()
+        assert row["n"] == 10 and row["tiers"] == 2  # v1 star throughout
+        tc.register_catalog_views(spark, cat, prefix="head_")
+        row = spark.sql(
+            """SELECT COUNT(*) AS n,
+                      (SELECT COUNT(DISTINCT tier) FROM head_dim) AS tiers
+               FROM head_orders"""
+        ).first()
+        assert row["n"] == 15 and row["tiers"] == 1
