@@ -613,10 +613,33 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     The runner process has no JVM, so manifests are read with plain
     file IO — file:// layers (the test substrate); an object-store
     deployment would read manifests through its native client here.
+    The constructor ENFORCES that boundary: a non-file scheme raises
+    immediately instead of the silent failure modes plain file IO
+    would produce on a remote substrate (an empty version listing
+    reading as "no data", or the equality-delete cache probe below
+    always missing and the reader never using an existing cache).
     """
 
     def __init__(self, options: dict):
         self._path = options["path"]
+        scheme = (
+            self._path.split("://", 1)[0]
+            if "://" in self._path
+            else self._path.split(":", 1)[0]
+            if self._path.startswith("file:")
+            else ""
+        )
+        if scheme not in ("", "file"):
+            raise ValueError(
+                "SnapshotStreamDataSource reads manifests with plain "
+                f"file IO and supports only file:// layers; got scheme "
+                f"{scheme!r} in {self._path!r} — an object-store "
+                "deployment must plug its native client into the "
+                "manifest reads here"
+            )
+        self._path = self._path.removeprefix("file://").removeprefix(
+            "file:"
+        )
         self._cols = tuple(options["cols"].split(","))
         # mode=cdf: stream the CHANGE DATA FEED instead of appended
         # rows — merge/predicate-delete versions are consumed through
@@ -738,6 +761,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 pass  # row-content-neutral
             elif mode in ("merge", "delete") and m.get("changes"):
                 ch = m["changes"]
+                # os.path.isdir is valid here BY CONSTRUCTION: the
+                # constructor rejects non-file schemes, so a missing
+                # dir really means the lazy pre-image cache is unbuilt
                 if ch.get("kind") == "equality_keys" and not os.path.isdir(
                     ch["path"].removeprefix("file:")
                 ):

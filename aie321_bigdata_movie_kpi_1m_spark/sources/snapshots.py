@@ -654,6 +654,28 @@ def _transform_exprs(schema: T.StructType, partition_spec: list[dict]) -> dict:
         t = spec["transform"]
         c = F.col(src)
         if t == "bucket":
+            # bucket sources are restricted to the int/string types the
+            # READER's bucket_transform_value covers: a bucket on a
+            # double/decimal/timestamp column would record stats no
+            # probe can hit (silently useless), and because the commit
+            # hashes CAST(x AS STRING), a numeric type change across
+            # commits ('5' vs '5.0') would alter the hash under the
+            # same derived stat name — a WRONG file skip after type
+            # evolution, not just a dull one
+            if not isinstance(
+                dtypes[src],
+                (
+                    T.StringType,
+                    T.LongType,
+                    T.IntegerType,
+                    T.ShortType,
+                    T.ByteType,
+                ),
+            ):
+                raise ValueError(
+                    f"bucket transform needs an int or string source, "
+                    f"got {dtypes[src].simpleString()} for {src!r}"
+                )
             expr = F.when(
                 c.isNotNull(),
                 F.pmod(F.xxhash64(c.cast("string")), F.lit(int(spec["n"]))),
@@ -3597,6 +3619,20 @@ def vacuum_snapshots(
         for status in fs.listStatus(chdir):
             cpath = status.getPath().toString()
             if cpath in live_ch:
+                continue
+            # lazily-materialized pre-image caches stage under a
+            # dot-prefixed .tmp- name FOR A VERSION AT OR BELOW HEAD
+            # (the delete committed long before the first CDF read),
+            # so the stage_v > head grace below can never protect them
+            # — give in-flight temps the same age-based grace as
+            # manifest/segment staging, or a concurrent vacuum deletes
+            # the dir mid-write and fails the first CDF read
+            if status.getPath().getName().startswith(".tmp-"):
+                if now_ms - status.getModificationTime() > grace_ms:
+                    if not dry_run:
+                        fs.delete(status.getPath(), True)
+                else:
+                    skipped.append(cpath)
                 continue
             mm = _STAGE_RE.match(status.getPath().getName())
             stage_v = int(mm.group(1)) if mm else 0

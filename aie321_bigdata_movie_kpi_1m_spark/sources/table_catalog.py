@@ -152,11 +152,24 @@ def multi_table_commit(
     transactions over disjoint tables all land; transactions racing on
     the SAME table serialize by catalog version with last-swap-wins on
     the pointer (both layer versions exist; the catalog history records
-    which one each catalog version pinned).  Returns the catalog
-    version."""
+    which one each catalog version pinned).
+
+    The STAGING commits retry too: two transactions racing on the same
+    MEMBER LAYER can lose the layer-level OCC race (``FileExistsError``
+    from ``commit_snapshot``'s manifest rename), and a loser simply
+    re-commits against the new layer head — appends/overwrites are
+    order-independent at the layer level (the catalog swap decides
+    which version readers see), and writers that pass ``txn`` markers
+    make the retry idempotent even if the first attempt actually
+    landed.  Returns the catalog version."""
     staged: dict = {}
     for table, df, layer_path, kwargs in writes:
-        v = commit_snapshot(spark, df, layer_path, **(kwargs or {}))
+        v = retry_commit(
+            lambda df=df, layer_path=layer_path, kwargs=kwargs: (
+                commit_snapshot(spark, df, layer_path, **(kwargs or {}))
+            ),
+            attempts=attempts,
+        )
         staged[table] = {"path": layer_path, "version": v}
 
     def swap() -> int:
@@ -230,13 +243,20 @@ def vacuum_catalog(
 ) -> dict:
     """Catalog retention: drop all but the newest ``keep_last`` catalog
     versions (tiny JSON files).  Returns the dropped versions plus the
-    MINIMUM still-pinned layer version per table — the figure each
+    MINIMUM still-pinned layer version per LAYER PATH — the figure each
     member layer's own ``vacuum_snapshots`` retention must respect:
     a layer vacuum that drops a version an older SURVIVING catalog
     version still pins would break that catalog version's reads, so
     size the layer's ``keep_last`` from ``min_pinned`` (or run layer
     vacuums only after catalog retention has retired the old pins —
-    the coherence rule Iceberg's catalog-driven GC enforces)."""
+    the coherence rule Iceberg's catalog-driven GC enforces).
+
+    ``min_pinned`` is keyed by layer PATH, not table name: a repointed
+    table (same name pinned at two different layer paths across the
+    surviving catalog versions) pins BOTH paths, and a name-keyed map
+    would let one path's entry silently overwrite the other — exactly
+    the version a layer vacuum would then wrongly reclaim.  Each entry
+    carries the table names that pin the path."""
     versions = catalog_versions(spark, cat_path)
     keep = versions[-keep_last:] if keep_last > 0 else []
     dropped = [v for v in versions if v not in keep]
@@ -244,17 +264,19 @@ def vacuum_catalog(
     for v in dropped:
         fs.delete(_hpath(jvm, f"{cat_path}/{_CATALOG_DIR}/v{v}.json"), False)
     min_pinned: dict = {}
+    tables_for: dict = {}
     for v in keep:
         for name, t in _catalog_manifest(spark, cat_path, v)["tables"].items():
             lv = int(t["version"])
-            key = (name, str(t["path"]))
+            key = str(t["path"])
             if key not in min_pinned or lv < min_pinned[key]:
                 min_pinned[key] = lv
+            tables_for.setdefault(key, set()).add(name)
     return {
         "dropped_versions": dropped,
         "min_pinned": {
-            name: {"path": path, "version": v}
-            for (name, path), v in sorted(min_pinned.items())
+            path: {"tables": sorted(tables_for[path]), "version": v}
+            for path, v in sorted(min_pinned.items())
         },
     }
 

@@ -3148,6 +3148,44 @@ class TestHiddenPartitioning:
         assert bucket_transform_value(1.5, 8) is None
         assert bucket_transform_value(True, 8) is None
 
+    def test_bucket_spec_rejects_non_int_string_source(
+        self, spark, tmp_path
+    ):
+        """Commit-time validation (ADVICE r8): a bucket spec on a type
+        the reader's bucket_transform_value can never probe (double,
+        timestamp) is rejected at the WRITE — otherwise the stats are
+        silently useless, and a numeric type change across commits
+        ('5' vs '5.0' under CAST AS STRING) could alter the hash under
+        the same derived stat name and cause a WRONG file skip."""
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        for expr, label in [
+            ("CAST(id AS DOUBLE) AS k", "double"),
+            ("CAST(id AS DECIMAL(10,2)) AS k", "decimal"),
+            ("CAST(id AS TIMESTAMP) AS k", "timestamp"),
+        ]:
+            with pytest.raises(ValueError, match="bucket transform"):
+                snap.commit_snapshot(
+                    spark,
+                    spark.range(10).selectExpr(expr),
+                    str(tmp_path / f"layer_{label}"),
+                    partition_spec=[
+                        {"transform": "bucket", "n": 8, "source": "k"}
+                    ],
+                )
+        # int and string sources stay accepted
+        for expr, label in [("id AS k", "long"), ("CAST(id AS STRING) AS k", "str")]:
+            snap.commit_snapshot(
+                spark,
+                spark.range(10).selectExpr(expr),
+                str(tmp_path / f"ok_{label}"),
+                partition_spec=[
+                    {"transform": "bucket", "n": 8, "source": "k"}
+                ],
+            )
+
     def test_bucket_spec_prunes_point_and_in(self, spark, tmp_path):
         import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
 
@@ -4974,10 +5012,14 @@ class TestTableCatalog:
         rep = tc.vacuum_catalog(spark, cat, keep_last=2)
         assert rep["dropped_versions"] == [1, 2]
         assert tc.catalog_versions(spark, cat) == [3, 4]
-        # the surviving pins name the layer retention floor: orders'
-        # oldest surviving pin is layer v3 (catalog v3), dim stayed at 1
-        assert rep["min_pinned"]["orders"]["version"] == 3
-        assert rep["min_pinned"]["dim"]["version"] == 1
+        # the surviving pins name the layer retention floor, keyed by
+        # layer PATH (a repointed table name must not collapse two
+        # paths): orders' oldest surviving pin is layer v3 (catalog
+        # v3), dim stayed at 1
+        assert rep["min_pinned"][pa]["version"] == 3
+        assert rep["min_pinned"][pa]["tables"] == ["orders"]
+        assert rep["min_pinned"][pb]["version"] == 1
+        assert rep["min_pinned"][pb]["tables"] == ["dim"]
         # reads through surviving versions still resolve
         assert (
             tc.read_catalog_table(spark, cat, "orders", catalog_version=3)
@@ -4988,6 +5030,66 @@ class TestTableCatalog:
 
         with pytest.raises(FileNotFoundError):
             tc.catalog_tables(spark, cat, 1)
+
+    def test_vacuum_catalog_repointed_table_pins_both_paths(
+        self, spark, tmp_path
+    ):
+        """A table REPOINTED to a new layer path mid-history: surviving
+        catalog versions pin the SAME name at TWO paths, and min_pinned
+        must retain a retention floor for BOTH — a name-keyed map would
+        drop one and let a layer vacuum reclaim a still-pinned
+        version."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat = str(tmp_path / "cat")
+        old_p, new_p = str(tmp_path / "orders_old"), str(tmp_path / "orders_new")
+        df = spark.range(5).selectExpr("id AS k")
+        tc.multi_table_commit(spark, cat, [("orders", df, old_p, {})])
+        # repoint: same table name, brand-new layer path
+        tc.multi_table_commit(spark, cat, [("orders", df, new_p, {})])
+        rep = tc.vacuum_catalog(spark, cat, keep_last=2)
+        assert rep["dropped_versions"] == []
+        # BOTH paths survive with their own floors
+        assert rep["min_pinned"][old_p] == {"tables": ["orders"], "version": 1}
+        assert rep["min_pinned"][new_p] == {"tables": ["orders"], "version": 1}
+
+    def test_multi_table_commit_retries_member_layer_occ_loss(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A transaction losing the LAYER-level OCC race on a member
+        table retries the staged commit instead of failing the whole
+        transaction (the staging loop runs under retry_commit)."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat = str(tmp_path / "cat")
+        pa = str(tmp_path / "orders")
+        self._base(spark, cat, pa, str(tmp_path / "dim"), tc)
+        real = tc.commit_snapshot
+        fails = {"n": 0}
+
+        def flaky(spark_, df, path, **kw):
+            if fails["n"] == 0:
+                fails["n"] += 1
+                raise FileExistsError("simulated member-layer OCC loss")
+            return real(spark_, df, path, **kw)
+
+        monkeypatch.setattr(tc, "commit_snapshot", flaky)
+        v = tc.multi_table_commit(
+            spark,
+            cat,
+            [
+                (
+                    "orders",
+                    spark.range(100, 103).selectExpr("id AS k", "id AS amt"),
+                    pa,
+                    {"mode": "append"},
+                )
+            ],
+        )
+        monkeypatch.undo()
+        assert fails["n"] == 1  # first attempt lost, retry landed
+        assert v == 2
+        assert tc.read_catalog_table(spark, cat, "orders").count() == 13
 
     def test_catalog_publish_writer_replay_idempotent(self, spark, tmp_path):
         """The streaming multi-table publisher: a checkpoint-replayed
@@ -5085,3 +5187,34 @@ class TestTableCatalog:
                FROM head_orders"""
         ).first()
         assert row["n"] == 15 and row["tiers"] == 1
+
+
+class TestStreamReaderSubstrateGuard:
+    """The Python stream source reads manifests with plain file IO and
+    is file://-only by design; a remote scheme must raise at
+    construction instead of failing silently (ADVICE r8: an empty
+    version listing reading as 'no data', or the equality-delete
+    pre-image cache probe never hitting an existing cache)."""
+
+    def test_remote_scheme_rejected(self):
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            _SnapshotStreamReader,
+        )
+
+        for bad in ("s3a://bucket/layer", "hdfs://nn:8020/layer",
+                    "abfss://c@a.dfs.core.windows.net/layer"):
+            with pytest.raises(ValueError, match="file://"):
+                _SnapshotStreamReader({"path": bad, "cols": "k"})
+
+    def test_file_scheme_and_schemeless_accepted(self, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            _SnapshotStreamReader,
+        )
+
+        p = str(tmp_path / "layer")
+        for ok in (p, f"file:{p}", f"file://{p}"):
+            r = _SnapshotStreamReader({"path": ok, "cols": "k"})
+            assert r._path == p
+            assert r._versions() == []  # no manifests yet, not a crash
