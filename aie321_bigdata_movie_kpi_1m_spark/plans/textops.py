@@ -226,49 +226,25 @@ def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKEN_INDEX_BUILT: set[str] = set()
 
 
-def _token_index_layer(spark: SparkSession, sf_dir: str) -> str:
-    """SECONDARY INVERTED INDEX as a snapshot layer: posting rows
-    (token, doc_id, tf) range-clustered on token with per-file token
-    stats AND a token Bloom index — so a term lookup prunes to the
-    file(s) holding that token's postings before the scan plans.
-    Built INCREMENTALLY in two appends (the docs split by parity) to
-    exercise the O(delta) index-maintenance path a streaming corpus
-    needs; the index layer then serves every table-format affordance
-    (time travel, compaction, its own change feed).  Once per
-    process."""
-    from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
-    from ..functions.text import tokens as _tokens_fn
-    from pyspark.sql import functions as F2
+def _token_index_group(spark: SparkSession, sf_dir: str) -> str:
+    """SECONDARY INVERTED INDEX GROUP (``plans/token_index.py``):
+    postings + doclen + corpus-stats ledger, each a snapshot layer,
+    bootstrapped in two incremental appends (docs split by parity) to
+    exercise the same O(delta) path ``refresh_token_index`` drives from
+    a change feed.  Once per process."""
+    from ..sources.snapshots import drop_snapshot_layer
+    from . import token_index
     from .warehouse import _SCRATCH, _tag
 
-    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/token_index"
-    if path in _TOKEN_INDEX_BUILT:
-        return path
-    drop_snapshot_layer(spark, path)
-    docs = load_star_table(spark, sf_dir, "documents")
-
-    def postings(half):
-        return (
-            docs.filter(F2.col("doc_id") % 2 == half)
-            .select("doc_id", F2.explode(_tokens_fn("text")).alias("token"))
-            .groupBy("token", "doc_id")
-            .agg(F2.count(F2.lit(1)).alias("tf"))
-            .repartitionByRange(8, "token")
-        )
-
-    commit_snapshot(
-        spark, postings(0), path, stats_cols=["token"], bloom_col="token"
+    group = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/token_index"
+    if group in _TOKEN_INDEX_BUILT:
+        return group
+    drop_snapshot_layer(spark, group)
+    token_index.build_token_index(
+        spark, load_star_table(spark, sf_dir, "documents"), group, splits=2
     )
-    commit_snapshot(
-        spark,
-        postings(1),
-        path,
-        mode="append",
-        stats_cols=["token"],
-        bloom_col="token",
-    )
-    _TOKEN_INDEX_BUILT.add(path)
-    return path
+    _TOKEN_INDEX_BUILT.add(group)
+    return group
 
 
 @register(
@@ -304,44 +280,28 @@ ORDER BY score DESC, doc_id LIMIT 20
     tags=("text", "snapshots", "index", "pruning"),
 )
 def q_indexed_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.snapshots import read_snapshot, snapshot_files
+    from ..sources.snapshots import read_snapshot
+    from . import token_index
 
-    path = _token_index_layer(spark, sf_dir)
-    # resolve the probe terms from the index (tiny agg; the two strings
-    # are model-state-scale driver values, like ANN centroids)
+    group = _token_index_group(spark, sf_dir)
+    # TEST SCAFFOLDING, not an index operation: a real search arrives
+    # WITH its terms; this query has to derive deterministic probe
+    # terms from the data, and resolving the corpus's two most frequent
+    # tokens costs one full pass over the posting table (per-file
+    # min/max token stats cannot rank frequencies).  The two strings
+    # are model-state-scale driver values, like ANN centroids.
     top2 = [
         r["token"]
-        for r in read_snapshot(spark, path)
+        for r in read_snapshot(spark, f"{group}/{token_index.POSTINGS}")
         .groupBy("token")
         .agg(F.sum("tf").alias("c"))
         .orderBy(F.col("c").desc(), "token")
         .limit(2)
         .collect()
     ]
-    # the search reads only the files whose range stats + bloom admit
-    # the terms — builder-asserts the pruning is a strict subset
-    n_all = len(snapshot_files(spark, path))
-    n_probe = len(
-        snapshot_files(spark, path, prune_point=("token", top2))
-    )
-    if not (0 < n_probe < n_all):
-        raise AssertionError(
-            f"token index did not prune: {n_probe} of {n_all} files"
-        )
-    postings = read_snapshot(
-        spark, path, prune_point=("token", top2)
-    ).filter(F.col("token").isin(top2))
-    return (
-        postings.groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("score"),
-            F.count_distinct("token").alias("n_terms"),
-        )
-        .filter(F.col("n_terms") == 2)
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(20)
-        .select("doc_id", F.col("score").cast("long").alias("score"))
-    )
+    # the search itself reads only the files whose range stats + bloom
+    # admit the terms (strict-subset asserted inside)
+    return token_index.indexed_keyword_search(spark, group, top2)
 
 
 @register(
@@ -1354,8 +1314,11 @@ _BM25_TERMS = ("spark", "join", "window")
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
-@register(
-    "bm25_keyword_topk",
+#: shared BM25 oracle (k1=1.2, b=0.75): recomputes tf/df/dl/avgdl from
+#: the RAW TEXT — both the raw-text query and the index-backed query
+#: must reproduce it, which is exactly what makes the index's answers
+#: trustworthy (an index that drifts from the corpus fails this oracle)
+_BM25_ORACLE = (
     _TOKENS_CTE
     + f"""
 , ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
@@ -1388,7 +1351,13 @@ SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms, ROUND(SUM(sc), 4) AS bm25_r
 FROM scored GROUP BY doc_id
 ORDER BY bm25_r4 DESC, doc_id
 LIMIT 20
-""",
+"""
+)
+
+
+@register(
+    "bm25_keyword_topk",
+    _BM25_ORACLE,
     "BM25 keyword retrieval (k1=1.2, b=0.75) over the document corpus "
     "for a fixed term set: explode -> per-doc tf + doc length, global "
     "df/avgdl (1-row broadcast), Robertson idf, top-20 by rounded score "
@@ -1440,6 +1409,30 @@ def q_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bm25_r4").desc(), "doc_id")
         .limit(20)
+    )
+
+
+@register(
+    "indexed_bm25_topk",
+    _BM25_ORACLE,
+    "BM25 top-k THROUGH the secondary inverted index (round-8 verdict "
+    "item 1 — the retrieval tier stops re-tokenizing the corpus): tf "
+    "from the posting layer reading ONLY the files whose range stats + "
+    "token Bloom admit the probe terms (builder-asserted strict "
+    "subset), df counted from those same rows, n_docs/avgdl from the "
+    "O(maintenance-commits) signed-delta corpus-stats ledger, dl from "
+    "the doclen layer — at 100 TB a few pruned posting files + one "
+    "equi-join against doclen instead of a corpus-wide explode; the "
+    "oracle recomputes every operand from the RAW TEXT, so this row "
+    "also proves the index faithfully mirrors the corpus",
+    tags=("text", "retrieval", "snapshots", "index", "pruning"),
+)
+def q_indexed_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    return token_index.indexed_bm25_topk(
+        spark, group, list(_BM25_TERMS)
     )
 
 

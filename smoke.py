@@ -45,6 +45,9 @@ import sys
 #   merge + append + predicate-delete + equality-key delete) — the two
 #   newest members of the never-driver-sampled families (VERDICT r7
 #   next-round #5)
+# - indexed_bm25_topk: the round-9 index-group state machine (pruned
+#   postings + doclen + signed-delta stats ledger) — newest
+#   never-driver-sampled member of the snapshot-index family
 ALWAYS = [
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -54,6 +57,7 @@ ALWAYS = [
     "streaming_snapshot_cdc_apply",
     "snapshot_pushdown_scan",
     "streaming_snapshot_cdf_tail",
+    "indexed_bm25_topk",
 ]
 SLICE = 10
 

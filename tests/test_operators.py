@@ -1197,3 +1197,120 @@ class TestTriangles:
         rows = triangles(tri).collect()
         assert len(rows) == 1
         assert {rows[0]["a"], rows[0]["b"], rows[0]["c"]} == {1, 2, 3}
+
+
+class TestTokenIndexMaintenance:
+    """The inverted-index GROUP (plans/token_index.py) under base-table
+    deletes (round-8 verdict item 2): a deleted doc disappears from
+    every index read at the next version with NO rebuild — the refresh
+    folds the docs layer's keyed change feed in as equality-deletes
+    (zero driver key hops, counter-pinned) plus O(changed-docs)
+    appends."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "spark join window spark"),
+            (2, "spark window"),
+            (3, "join join join window"),
+            (4, "quiet unrelated words here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_delete_maintenance_is_o_delta_and_driver_free(
+        self, spark, tmp_path
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs_layer = str(tmp_path / "docs")
+        group = str(tmp_path / "token_index")
+        v1 = snap.commit_snapshot(
+            spark, self._docs(spark), docs_layer, change_feed=True
+        )
+        ti.build_token_index(
+            spark, snap.read_snapshot(spark, docs_layer), group, splits=2
+        )
+        terms = ["spark", "window"]
+        before = {
+            r["doc_id"]: r["score"]
+            for r in ti.indexed_keyword_search(spark, group, terms).collect()
+        }
+        assert before == {1: 3, 2: 2}  # docs 1 and 2 match both terms
+
+        # snapshot the O(delta) pins: posting file set + driver-key
+        # counter before the maintenance cycle
+        post_path = f"{group}/{ti.POSTINGS}"
+        files_before = set(snap.snapshot_files(spark, post_path))
+        driver_keys_before = snap._EQ_DELETE_DRIVER_KEYS["n"]
+
+        # base-table DELETE by key (the CDC shape), then refresh the
+        # index from the keyed change feed
+        keys = spark.createDataFrame([(1,)], "doc_id long")
+        v2 = snap.delete_snapshot_keys(spark, docs_layer, "doc_id", keys)[
+            "version"
+        ]
+        changes = snap.snapshot_changes_keyed(
+            spark, docs_layer, v1, v2, ["doc_id"], include_values=True
+        )
+        rep = ti.refresh_token_index(spark, group, changes)
+        assert rep["removed_docs"] is True
+
+        # the deleted doc is GONE from the index reads, no rebuild
+        after = {
+            r["doc_id"]: r["score"]
+            for r in ti.indexed_keyword_search(spark, group, terms).collect()
+        }
+        assert after == {2: 2}
+        bm25 = ti.indexed_bm25_topk(spark, group, terms).collect()
+        assert 1 not in {r["doc_id"] for r in bm25}
+
+        # O(delta) pin 1: every pre-existing posting file survives
+        # untouched (merge-on-read equality delete — no rewrite)
+        files_after = set(snap.snapshot_files(spark, post_path))
+        assert files_before <= files_after
+        # O(delta) pin 2: zero delete keys moved through the driver
+        # (DataFrame-native equality-delete path)
+        assert snap._EQ_DELETE_DRIVER_KEYS["n"] == driver_keys_before
+        # corpus stats ledger went signed-delta: n_docs down by 1,
+        # total tokens down by doc 1's 4 tokens
+        stats = ti.corpus_stats(spark, group).first()
+        assert stats["n_docs"] == 3
+        assert stats["total_tokens"] == 2 + 4 + 4
+
+    def test_update_and_insert_maintenance(self, spark, tmp_path):
+        """Updates re-point a doc's postings to its new text (old rows
+        equality-deleted, new rows appended AFTER the delete, so
+        no-resurrect semantics keep them live); inserts just append."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs_layer = str(tmp_path / "docs")
+        group = str(tmp_path / "token_index")
+        v1 = snap.commit_snapshot(
+            spark, self._docs(spark), docs_layer, change_feed=True
+        )
+        ti.build_token_index(
+            spark, snap.read_snapshot(spark, docs_layer), group, splits=1
+        )
+        # doc 2 rewritten to drop 'window'; doc 9 inserted matching both
+        merged = spark.createDataFrame(
+            [(2, "spark spark spark"), (9, "window spark")],
+            "doc_id long, text string",
+        )
+        snap.merge_snapshot(spark, merged, docs_layer, "doc_id")
+        v2 = snap.snapshot_versions(spark, docs_layer)[-1]
+        changes = snap.snapshot_changes_keyed(
+            spark, docs_layer, v1, v2, ["doc_id"], include_values=True
+        )
+        ti.refresh_token_index(spark, group, changes)
+        got = {
+            r["doc_id"]: r["score"]
+            for r in ti.indexed_keyword_search(
+                spark, group, ["spark", "window"]
+            ).collect()
+        }
+        # doc 2 no longer matches 'window'; doc 9 now matches both
+        assert got == {1: 3, 9: 2}
+        stats = ti.corpus_stats(spark, group).first()
+        assert stats["n_docs"] == 5  # 4 originals + 1 insert
+        assert stats["total_tokens"] == 4 + 3 + 4 + 4 + 2
