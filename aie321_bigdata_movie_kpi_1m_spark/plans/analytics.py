@@ -675,37 +675,55 @@ SELECT antecedent, consequent,
 FROM rules, n
 """,
     "association-rule mining over order baskets (the A-Priori pair "
-    "pass, distributed): per-basket distinct items self-join on the "
-    "basket key (pairs per basket C(k,2) — baskets over 100 items are "
-    "CAPPED OUT before the quadratic step, the guard that keeps one "
-    "hot basket from emitting millions of pairs at 100 TB), pair "
-    "counts filtered to min-support, then support/confidence/lift via "
-    "a broadcast join against the item-count dim; lift is computed as "
-    "one exact integer product per side divided once, so Spark and "
-    "DuckDB doubles agree bit-for-bit; both rule directions emitted",
+    "pass, distributed): ONE groupBy collects each basket's distinct "
+    "items into a sorted array (baskets over 100 items are CAPPED OUT "
+    "before the quadratic step, the guard that keeps one hot basket "
+    "from emitting millions of pairs at 100 TB), per-basket i<j pairs "
+    "are generated JVM-side from the array (nested transform+flatten — "
+    "no self-join, so the basket data is shuffled ONCE instead of "
+    "twice), pair counts filtered to min-support, then "
+    "support/confidence/lift via a broadcast join against the "
+    "item-count dim; lift is computed as one exact integer product per "
+    "side divided once, so Spark and DuckDB doubles agree bit-for-bit; "
+    "both rule directions emitted",
     tags=("analytics", "mining"),
 )
 def q_association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_star_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = (
+    # baskets as sorted arrays: one shuffle on the basket key; the cap
+    # and every downstream consumer (total, item counts, pair pass)
+    # derive from this ONE table — a lazy localCheckpoint computes it
+    # once instead of re-running distinct+groupBy per consumer
+    baskets = (
         items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__k"))
-        .filter(F.col("__k") <= 100)
-        .select("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("__ps"))
+        .filter(F.size("__ps") <= 100)
+        .localCheckpoint(eager=False)
     )
-    # `it` feeds four consumers (total, item counts, both join sides):
-    # a lazy localCheckpoint computes the distinct+cap pipeline once
-    it = items.join(sized, "l_orderkey").localCheckpoint(eager=False)
-    total = it.agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
+    total = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    cnt = baskets.select(
+        F.explode("__ps").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    # per-basket i<j pairs, generated inside codegen from the sorted
+    # array (ps is distinct per basket, so < on positions == < on
+    # values): C(k,2) structs per basket, k <= 100 by the cap
+    n = F.size("__ps")
+    pair_arrays = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice("__ps", i + 1, n - i),
+                lambda x: F.struct(
+                    F.element_at("__ps", i).alias("pa"), x.alias("pb")
+                ),
+            ),
+        )
     )
-    cnt = it.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = it.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = it.select("l_orderkey", F.col("l_partkey").alias("pb"))
     p = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
+        baskets.filter(n >= 2)
+        .select(F.explode(pair_arrays).alias("__pr"))
+        .select("__pr.pa", "__pr.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("pn"))
         .filter(F.col("pn") >= 2)

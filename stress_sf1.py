@@ -20,8 +20,11 @@ ratio indicts the ALGORITHM, not the data:
   copies, so near-dup pairs and blocking-bucket sizes scale 10x while
   WITHIN-copy duplicate structure is preserved verbatim (same-token
   suffixing keeps per-copy Jaccard identical).
-- ``lineitem``: 10 copies, l_orderkey offset — baskets are disjoint, the
-  A-Priori pair pass sees 10x baskets of the same size distribution.
+- ``lineitem``: 10 copies, l_orderkey AND l_partkey offset — baskets
+  and item spaces are both disjoint, so the A-Priori pair pass sees 10x
+  baskets of the same size distribution AND every pair keeps its
+  per-copy support (a shared item space would scale supports 10x and
+  let sub-min-support pairs through, growing the output 335x).
 - ``events``: 10 copies, user_id offset AND the whole copy shifted in
   TIME past the previous copy — sessions never overlap across copies,
   so concurrent-session pair density per bin is unchanged (overlap
@@ -153,10 +156,25 @@ def _build(spark: SparkSession, out_dir: str) -> None:
 
     li = load_star_table(spark, BASE_SF, "lineitem")
     ok_span = li.agg(F.max("l_orderkey")).first()[0] + 1
+    # l_partkey must offset per copy too: baskets were already disjoint
+    # (l_orderkey offset), but with a SHARED item space every
+    # within-copy pair's support pn scales 10x, so pairs below the
+    # pn >= 2 min-support at sf0.1 suddenly pass at sf1 — output grew
+    # 335x (7,146 -> 2,392,000 rules) instead of the construction's
+    # promised 10x, which is what the r7->r8 "sf1 ratio drift" on
+    # association_rules_parts actually measured (run noise on a 2.4M-row
+    # result).  Disjoint item spaces keep per-pair supports identical
+    # per copy: the true answer grows exactly 10x, as the harness
+    # contract states.
+    pk_span = li.agg(F.max("l_partkey")).first()[0] + 1
     li_copies = [
         li.withColumn(
             "l_orderkey", F.col("l_orderkey") + F.lit(i * ok_span)
-        ).select(*li.columns)
+        )
+        .withColumn(
+            "l_partkey", F.col("l_partkey") + F.lit(i * pk_span)
+        )
+        .select(*li.columns)
         for i in range(COPIES)
     ]
     out = li_copies[0]
@@ -204,8 +222,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     # marker names the construction version: bumping it invalidates a
-    # cached build from an earlier round (r8 added the 10x part table)
-    marker = os.path.join(out_dir, "_construction_v2")
+    # cached build from an earlier round (r8 added the 10x part table;
+    # r9 made lineitem item spaces disjoint per copy)
+    marker = os.path.join(out_dir, "_construction_v3")
     if not os.path.exists(marker):
         t0 = time.perf_counter()
         _build(spark, out_dir)
@@ -238,6 +257,20 @@ def main() -> None:
         "base": BASE_SF,
         "runs": n_runs,
         "queries": results,
+        "notes": {
+            "association_rules_parts": (
+                "r9: construction_v3 made lineitem item spaces disjoint "
+                "per copy — under v2's shared item space every pair's "
+                "support scaled 10x and sub-min-support pairs passed "
+                "pn>=2, growing the output 335x (7,146 -> 2,392,000 "
+                "rules); the r7->r8 ratio drift (1.88 -> 2.45) was run "
+                "noise on that degenerate workload.  Under the honest "
+                "construction the pair shuffle carries exactly 10x "
+                "distinct keys; the remaining ratio >2 is the sf0.1 "
+                "fixed-overhead floor (~1.7s for a 4-job pipeline on "
+                "tiny data) under a compute-bound sf1 numerator."
+            )
+        },
     }
     with open(
         os.path.join(
