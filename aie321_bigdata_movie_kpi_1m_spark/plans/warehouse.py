@@ -2527,3 +2527,111 @@ def q_snapshot_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q_tenths"),
     )
+
+
+_MAINT_LAYERS_BUILT: set[str] = set()
+
+#: maintenance-plan knobs, shared by the engine call and the SQL oracle
+_MAINT_BUCKETS = 12
+_MAINT_TARGET_ROWS = 10_000
+
+
+def _maintenance_layer(spark: SparkSession, sf_dir: str) -> str:
+    """A layer in exactly the shape steady-state micro-batch ingest
+    leaves behind: 12 tiny single-file appends (documents split by
+    doc_id parity class), doc_id stats on every file — so every file is
+    under the row target AND every file's [min, max] doc_id range spans
+    the whole domain (interleaved residues: the layout data skipping
+    hates).  Built once per process."""
+    from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/maint_layer"
+    if path in _MAINT_LAYERS_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    docs = load_star_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    for i in range(_MAINT_BUCKETS):
+        commit_snapshot(
+            spark,
+            docs.filter(F.col("doc_id") % _MAINT_BUCKETS == i).repartition(1),
+            path,
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["doc_id"],
+        )
+    _MAINT_LAYERS_BUILT.add(path)
+    return path
+
+
+@register(
+    "snapshot_maintenance_plan",
+    f"""
+WITH f AS (
+  SELECT doc_id % {_MAINT_BUCKETS} AS b, COUNT(*) AS n,
+         MIN(doc_id) AS lo, MAX(doc_id) AS hi
+  FROM documents GROUP BY 1
+),
+small AS (
+  SELECT COUNT(*) AS ns, SUM(n) AS sr FROM f
+  WHERE n < {_MAINT_TARGET_ROWS // 2}
+),
+compact AS (
+  SELECT 'compact_small_files' AS action, CAST(NULL AS VARCHAR) AS col,
+         CAST(ns AS BIGINT) AS n_files, CAST(sr AS BIGINT) AS n_rows,
+         GREATEST(CAST(CEIL(sr / {_MAINT_TARGET_ROWS}.0) AS BIGINT), 1)
+           AS predicted_files,
+         CAST(NULL AS BIGINT) AS overlap_files
+  FROM small
+  WHERE ns >= 2
+    AND GREATEST(CAST(CEIL(sr / {_MAINT_TARGET_ROWS}.0) AS BIGINT), 1) < ns
+),
+chain AS (
+  SELECT lo, hi,
+         MAX(hi) OVER (ORDER BY lo, hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS run_hi
+  FROM f
+),
+ov AS (
+  SELECT COUNT(*) FILTER (run_hi IS NOT NULL AND lo <= run_hi) AS overlap,
+         COUNT(*) AS nr
+  FROM chain
+),
+clus AS (
+  SELECT 'cluster' AS action, 'doc_id' AS col,
+         CAST(nr AS BIGINT) AS n_files,
+         CAST((SELECT SUM(n) FROM f) AS BIGINT) AS n_rows,
+         CAST(nr AS BIGINT) AS predicted_files,
+         CAST(overlap AS BIGINT) AS overlap_files
+  FROM ov
+  WHERE nr >= 2 AND overlap > 0.5 * nr
+)
+SELECT * FROM compact UNION ALL SELECT * FROM clus
+ORDER BY action
+""",
+    "TABLE-MAINTENANCE ADVISOR (metadata-only, "
+    "sources/snapshots.py snapshot_maintenance_plan): one pass over "
+    "the manifest JSON — never a data file — emits the actions a "
+    "steady-state layer needs with the figures an operator schedules "
+    "by: compact_small_files (live files under the row target, with "
+    "the predicted post-compaction file count), cluster (per stats "
+    "column whose per-file [min,max] ranges overlap past 50% — the "
+    "signal data skipping has gone dull), fold_deletes (live DVs "
+    "forcing merge-on-read), vacuum (files only old versions "
+    "reference); exercised here on 12 tiny interleaved appends of the "
+    "documents table, so the plan must recommend BOTH compaction and "
+    "clustering with exact file/row arithmetic the oracle recomputes "
+    "from the base table (row-based thresholds keep the figures "
+    "deterministic across writers/codecs); the act-then-replan loop "
+    "(compact -> recommendations clear -> vacuum row appears) is "
+    "pytest-pinned in test_sources.py",
+    tags=("layout", "maintenance", "snapshots"),
+)
+def q_snapshot_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import snapshot_maintenance_plan
+
+    path = _maintenance_layer(spark, sf_dir)
+    return snapshot_maintenance_plan(
+        spark, path, target_rows_per_file=_MAINT_TARGET_ROWS
+    )

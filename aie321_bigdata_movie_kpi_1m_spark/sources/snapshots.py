@@ -3702,3 +3702,155 @@ def vacuum_snapshots(
         "skipped_in_flight": skipped,
         "dry_run": dry_run,
     }
+
+
+def snapshot_maintenance_plan(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_rows_per_file: int,
+    small_file_rows: int | None = None,
+    overlap_threshold: float = 0.5,
+    version: int | None = None,
+) -> DataFrame:
+    """TABLE-MAINTENANCE ADVISOR, metadata-only: one pass over the
+    layer's manifest JSON (never a data file) emits the maintenance
+    actions a steady-state table needs, each with the figures an
+    operator would schedule by — the Delta/Iceberg "describe detail +
+    human judgment" loop as a queryable plan.
+
+    Emitted actions (one row each, only when warranted):
+
+    - ``compact_small_files`` — >= 2 live files under
+      ``small_file_rows`` (default ``target_rows_per_file // 2``) whose
+      repack would actually shrink the file count;
+      ``predicted_files`` = ceil(small rows / target).
+    - ``cluster`` — one row per stats column whose live per-file
+      [min, max] ranges OVERLAP beyond ``overlap_threshold`` (files
+      sorted by range start; a file overlaps when it starts before the
+      running max end).  Overlapping ranges are what make data skipping
+      dull — the signal that a ``rewrite_snapshot(cluster=...)`` /
+      Z-order pays for itself.  ``overlap_files`` carries the count.
+    - ``fold_deletes`` — live deletion-vector / equality-delete entries
+      force merge-on-read on their touched files and suppress
+      metadata-only row counts; a compaction/rewrite folds them.
+    - ``vacuum`` — data files referenced ONLY by non-head versions
+      (reclaimable once retention retires those versions);
+      ``predicted_files`` = 0 (they disappear).
+
+    Thresholds are ROW-based, not byte-based, so the plan (and its
+    test oracles) is deterministic across writers/codecs; a byte-based
+    wrapper can divide by the layer's observed bytes-per-row.  Rows
+    sort by action name.  Uses the materialized manifest view
+    (``_manifest``) — the documented maintenance-job path, O(files)
+    metadata."""
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    v = versions[-1] if version is None else version
+    m = _manifest(spark, path, v)
+    counts: dict = m.get("counts") or {}
+    stats: dict = m.get("stats") or {}
+    live_bases = [f.rsplit("/", 1)[-1] for f in m.get("files") or []]
+    small_cut = (
+        int(small_file_rows)
+        if small_file_rows is not None
+        else int(target_rows_per_file) // 2
+    )
+    rows: list[tuple] = []
+
+    # compact_small_files: known-count live files under the threshold
+    small = [
+        b for b in live_bases if b in counts and int(counts[b]) < small_cut
+    ]
+    small_rows = sum(int(counts[b]) for b in small)
+    predicted = max(1, -(-small_rows // int(target_rows_per_file)))
+    if len(small) >= 2 and predicted < len(small):
+        rows.append(
+            ("compact_small_files", None, len(small), small_rows, predicted, None)
+        )
+
+    # cluster: per stats column, how many live files START before the
+    # running max end of the files already seen (sorted by [lo, hi])
+    cols = sorted({c for b in live_bases for c in (stats.get(b) or {})})
+    for col in cols:
+        ranges = [
+            tuple(stats[b][col])
+            for b in live_bases
+            if col in (stats.get(b) or {})
+            and stats[b][col][0] is not None
+            and stats[b][col][1] is not None
+        ]
+        if len(ranges) < 2:
+            continue
+        ranges.sort(key=lambda r: (r[0], r[1]))
+        overlap = 0
+        run_hi = ranges[0][1]
+        for lo, hi in ranges[1:]:
+            if lo <= run_hi:
+                overlap += 1
+            run_hi = max(run_hi, hi)
+        if overlap / len(ranges) > overlap_threshold:
+            rows.append(
+                (
+                    "cluster",
+                    str(col),
+                    len(ranges),
+                    sum(int(counts.get(b, 0)) for b in live_bases),
+                    len(ranges),
+                    overlap,
+                )
+            )
+
+    # fold_deletes: live delete entries at the head force merge-on-read
+    dels = m.get("delete_files") or []
+    if dels:
+        touched: set = set()
+        for e in dels:
+            t = e.get("touches") or {}
+            touched.update(t if isinstance(t, (list, tuple)) else t.keys())
+        touched &= set(live_bases)
+        if touched:
+            rows.append(
+                (
+                    "fold_deletes",
+                    None,
+                    len(touched),
+                    sum(int(counts.get(b, 0)) for b in sorted(touched)),
+                    len(touched),
+                    None,
+                )
+            )
+
+    # vacuum: files only older versions reference (union of every
+    # non-head version's file set minus the head's) — O(versions)
+    # manifest reads, still metadata
+    if len(versions) > 1:
+        old_counts: dict = {}
+        head_set = set(live_bases)
+        for ov in versions:
+            if ov == v:
+                continue
+            om = _manifest(spark, path, ov)
+            for f in om.get("files") or []:
+                b = f.rsplit("/", 1)[-1]
+                if b not in head_set:
+                    old_counts[b] = int((om.get("counts") or {}).get(b, 0))
+        if old_counts:
+            rows.append(
+                (
+                    "vacuum",
+                    None,
+                    len(old_counts),
+                    sum(old_counts.values()),
+                    0,
+                    None,
+                )
+            )
+
+    rows.sort(key=lambda r: (r[0], r[1] or ""))
+    return spark.createDataFrame(
+        rows,
+        "action string, col string, n_files long, n_rows long, "
+        "predicted_files long, overlap_files long",
+    )

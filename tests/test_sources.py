@@ -5218,3 +5218,70 @@ class TestStreamReaderSubstrateGuard:
             r = _SnapshotStreamReader({"path": ok, "cols": "k"})
             assert r._path == p
             assert r._versions() == []  # no manifests yet, not a crash
+
+
+class TestMaintenancePlan:
+    """snapshot_maintenance_plan: the metadata-only advisor (round-8
+    verdict item 5) and its act-then-replan loop — recommend, run the
+    maintenance, recommendations clear."""
+
+    def _plan(self, spark, path, **kw):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            snapshot_maintenance_plan,
+        )
+
+        rows = snapshot_maintenance_plan(
+            spark, path, target_rows_per_file=24, **kw
+        ).collect()
+        return {r["action"]: r for r in rows}
+
+    def test_act_then_replan_loop(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        docs = spark.range(120).selectExpr("id AS doc_id")
+        for i in range(12):
+            snap.commit_snapshot(
+                spark,
+                docs.filter(F.col("doc_id") % 12 == i).repartition(1),
+                path,
+                mode="overwrite" if i == 0 else "append",
+                stats_cols=["doc_id"],
+            )
+        plan = self._plan(spark, path)
+        # 12 x 10-row files, target 24, small cut 12: compact to 5
+        c = plan["compact_small_files"]
+        assert (c["n_files"], c["n_rows"], c["predicted_files"]) == (12, 120, 5)
+        # interleaved residues: every file's doc_id range spans the
+        # domain, 11 of 12 overlap the running chain
+        cl = plan["cluster"]
+        assert (cl["col"], cl["n_files"], cl["overlap_files"]) == ("doc_id", 12, 11)
+        assert set(plan) == {"compact_small_files", "cluster"}
+
+        # a live equality delete surfaces as fold_deletes
+        snap.delete_snapshot_keys(spark, path, "doc_id", [7, 19])
+        plan = self._plan(spark, path)
+        assert "fold_deletes" in plan
+        assert plan["fold_deletes"]["n_files"] >= 1
+
+        # ACT: compaction packs the small files and folds the deletes;
+        # the replanned advisor drops all three recommendations and the
+        # superseded originals surface as reclaimable
+        snap.compact_small_files(
+            spark, path, small_file_bytes=32 << 20, stats_cols=["doc_id"]
+        )
+        plan = self._plan(spark, path)
+        assert "compact_small_files" not in plan  # single healthy file
+        assert "cluster" not in plan
+        assert "fold_deletes" not in plan
+        assert plan["vacuum"]["n_files"] >= 12  # the originals
+        assert set(plan) == {"vacuum"}
+
+        # retention retires the old versions: the plan is EMPTY
+        snap.vacuum_snapshots(spark, path, keep_last=1)
+        assert self._plan(spark, path) == {}
+        # and the data survived the whole loop minus the deleted keys
+        got = sorted(
+            r["doc_id"] for r in snap.read_snapshot(spark, path).collect()
+        )
+        assert got == [d for d in range(120) if d not in (7, 19)]
