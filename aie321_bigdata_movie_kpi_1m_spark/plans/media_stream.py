@@ -61,6 +61,56 @@ def q_multimodal_decode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_features",
+    """
+WITH a AS (
+  SELECT doc_id AS id,
+         CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+         CAST(160 + doc_id % 80 AS BIGINT) AS n_frames
+  FROM documents
+),
+ch AS (
+  SELECT a.*, unnest(generate_series(0, n_channels - 1)) AS channel FROM a
+),
+samp AS (
+  SELECT id, n_channels, sample_rate, n_frames, channel,
+         unnest(generate_series(0, n_frames - 1)) AS t
+  FROM ch
+),
+vals AS (
+  SELECT *, ((id * 31 + t * 17 + channel * 7) % 65536) - 32768 AS x
+  FROM samp
+)
+SELECT id AS asset_id,
+       n_channels, sample_rate, n_frames,
+       CAST(FLOOR(n_frames * 1000.0 / sample_rate) AS BIGINT) AS duration_ms,
+       CAST(channel AS INTEGER) AS channel,
+       CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sumsq,
+       CAST(MAX(ABS(x)) AS INTEGER) AS peak
+FROM vals
+GROUP BY id, n_channels, sample_rate, n_frames, channel
+""",
+    "REAL WAV audio decode (round-8 verdict item 6 — stdlib `wave` IS "
+    "importable, so the audio half of the codec boundary closes): "
+    "deterministic genuine RIFF/WAVE PCM16 blobs (channels/rate/frames "
+    "arithmetic in doc_id, samples a pure integer series) decoded by an "
+    "Arrow-batched mapInPandas stage — wave parses the header, numpy "
+    "de-interleaves the frames, each channel emits exact-integer "
+    "features (sum of squared samples = the RMS numerator, peak "
+    "|sample|) so engines agree bit-for-bit; the oracle regenerates "
+    "every sample in SQL and recomputes the features from scratch, "
+    "value-checking the full synth -> encode -> decode -> feature path",
+    tags=("multimodal", "audio"),
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_features, synthesize_wav_assets
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    return audio_features(synthesize_wav_assets(docs))
+
+
+@register(
     "multimodal_resize_plan",
     """
 SELECT doc_id AS asset_id,
