@@ -1551,6 +1551,67 @@ def q_streaming_catalog_publish(
     )
 
 
+@register(
+    "streaming_catalog_tail",
+    """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+GROUP BY source
+""",
+    "CATALOG-VERSION STREAM SOURCE (round-8 verdict item 7, "
+    "sources/pyds.py CatalogStreamDataSource): tail one table THROUGH "
+    "the versioned table catalog — offsets are CATALOG versions, each "
+    "micro-batch is the table's layer delta between the layer versions "
+    "consecutive catalog versions pin, so multi-table transactions are "
+    "consumed ALL-OR-NOTHING (a staged-but-unswapped layer version is "
+    "unreachable: the catalog pin lands in one atomic rename) and a "
+    "consumer of several tables coordinating on the same catalog "
+    "offset sees a cross-table-consistent star; here the docs table of "
+    "the 4-transaction atomic-publish catalog is drained and rolled up "
+    "per source, and the oracle is the batch truth over the full base "
+    "table — a dropped, doubled, or half-published catalog version "
+    "breaks the hash; restart/repoint/rewind guards pytest-pinned",
+    tags=("streaming", "snapshots", "catalog"),
+)
+def q_streaming_catalog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sources.pyds import (
+        catalog_stream_schema,
+        register_catalog_stream,
+    )
+
+    register_catalog_stream(spark)
+    cat = _catalog_publish_store(spark, sf_dir)
+    ckpt = f"{cat}_tail_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.format("catalog_stream")
+        .schema(catalog_stream_schema(cat, "docs", "doc_id,source,n_chars"))
+        .option("path", cat)
+        .option("table", "docs")
+        .option("cols", "doc_id,source,n_chars")
+        .load()
+    )
+    out = _run_to_memory_sink(
+        spark,
+        stream.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+        ),
+        name="catalog_tail",
+        output_mode="complete",
+        drain_all=True,
+    )
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("chars_sum").cast("long").alias("chars_sum"),
+    )
+
+
 _CDF_TAIL_BUILT: set[str] = set()
 
 

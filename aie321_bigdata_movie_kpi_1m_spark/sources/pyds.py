@@ -1058,3 +1058,168 @@ def register_snapshot_stream(spark) -> None:
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     ensure_package_on_workers(spark)
     spark.dataSource.register(SnapshotStreamDataSource)
+
+
+class _CatalogStreamReader(_SnapshotStreamReader):
+    """Streaming reader over the versioned TABLE CATALOG — one table's
+    rows, advanced by CATALOG versions (round-8 verdict item 7): each
+    offset is a committed catalog version, and a micro-batch's rows are
+    the table's LAYER delta between the layer versions that consecutive
+    catalog versions pin.  Because a multi-table transaction stages its
+    layer commits first and lands the catalog pin in ONE atomic rename,
+    a consumer can never observe a staged-but-unswapped layer version —
+    the all-or-nothing property per catalog version; two consumers
+    tailing different tables that coordinate on the same catalog offset
+    see a cross-table-consistent star.
+
+    Inherits the layer reader's guards (append-only ranges unless
+    mode=cdf, vacuumed offsets raise, file://-only substrate) and its
+    whole planning/read machinery — this class only resolves catalog
+    version -> (layer path, layer version range) and delegates.  A
+    table REPOINTED to a different layer path inside the consumed range
+    raises (a file diff across unrelated paths is meaningless); so does
+    a pin that moved backwards (a restore — rewind needs a fresh
+    checkpoint, same as Delta)."""
+
+    def __init__(self, options: dict):
+        table = options["table"]
+        super().__init__(options)  # validates scheme, sets _path/_cols
+        self._catalog = self._path
+        self._table = table
+
+    def _cat_versions(self) -> list[int]:
+        import os
+
+        d = os.path.join(self._catalog, "_catalog")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in os.listdir(d)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _pin(self, cat_v: int) -> tuple[str, int] | None:
+        import json
+        import os
+
+        with open(
+            os.path.join(self._catalog, "_catalog", f"v{cat_v}.json")
+        ) as fh:
+            tables = json.load(fh)["tables"]
+        t = tables.get(self._table)
+        if t is None:
+            return None
+        return (
+            str(t["path"]).removeprefix("file://").removeprefix("file:"),
+            int(t["version"]),
+        )
+
+    def latestOffset(self) -> dict:
+        vs = self._cat_versions()
+        return {"version": vs[-1] if vs else 0}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        if e <= s:
+            return [
+                _SnapshotFilePartition(
+                    None, self._cols, cdf=self._mode == "cdf"
+                )
+            ]
+        cat_vs = self._cat_versions()
+        if s != 0 and s not in cat_vs:
+            raise ValueError(
+                f"catalog offset v{s} was vacuumed from {self._catalog}; "
+                "restart the stream from a fresh checkpoint"
+            )
+        # resolve the table's pin at every consumed catalog version:
+        # path must stay put, layer versions must not move backwards
+        pins = [
+            (cv, self._pin(cv))
+            for cv in cat_vs
+            if (s == 0 or cv >= s) and cv <= e
+        ]
+        known = [(cv, p) for cv, p in pins if p is not None]
+        if not known:
+            return [
+                _SnapshotFilePartition(
+                    None, self._cols, cdf=self._mode == "cdf"
+                )
+            ]
+        paths = {p[0] for _, p in known}
+        if len(paths) > 1:
+            raise ValueError(
+                f"table {self._table!r} was repointed across layer "
+                f"paths {sorted(paths)} inside catalog range "
+                f"({s}, {e}] — a catalog stream cannot diff across "
+                "paths; restart from a fresh checkpoint"
+            )
+        layer_vs = [p[1] for _, p in known]
+        if any(b < a for a, b in zip(layer_vs, layer_vs[1:])):
+            raise ValueError(
+                f"table {self._table!r} layer pin moved backwards "
+                f"({layer_vs}) inside catalog range ({s}, {e}] — a "
+                "restore needs a fresh checkpoint"
+            )
+        # start layer version: the pin AT the start catalog offset
+        # (absent there -> initial snapshot semantics, layer v0)
+        ls = known[0][1][1] if (s != 0 and known[0][0] == s) else 0
+        le = layer_vs[-1]
+        self._path = paths.pop()
+        return super().partitions({"version": ls}, {"version": le})
+
+
+def catalog_stream_schema(cat_path: str, table: str, cols: str):
+    """Driver-side schema for a catalog_stream: resolve the table's
+    head-catalog layer pin, then reuse the layer schema helper."""
+    import json
+    import os
+
+    d = os.path.join(cat_path, "_catalog")
+    head = sorted(
+        int(n[1:-5])
+        for n in os.listdir(d)
+        if n.startswith("v") and n.endswith(".json")
+    )[-1]
+    with open(os.path.join(d, f"v{head}.json")) as fh:
+        t = json.load(fh)["tables"][table]
+    layer = str(t["path"]).removeprefix("file://").removeprefix("file:")
+    return snapshot_stream_schema(layer, cols)
+
+
+class CatalogStreamDataSource(DataSource):
+    """``spark.readStream.format("catalog_stream")`` — tail ONE table
+    THROUGH the versioned table catalog (options: ``path`` = catalog
+    root, ``table`` = table name, ``cols`` = comma-list, ``mode`` =
+    "append"/"cdf" as in snapshot_stream).  Offsets are CATALOG
+    versions: batches advance only when a catalog swap commits, so
+    multi-table transactions are consumed all-or-nothing and never
+    half-published; see ``_CatalogStreamReader``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "catalog_stream"
+
+    def schema(self):
+        return catalog_stream_schema(
+            self.options["path"],
+            self.options["table"],
+            self.options["cols"],
+        )
+
+    def streamReader(self, schema):
+        return _CatalogStreamReader(dict(self.options))
+
+
+def register_catalog_stream(spark) -> None:
+    """Idempotently register the catalog-version streaming source."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from ..session import ensure_package_on_workers
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(CatalogStreamDataSource)

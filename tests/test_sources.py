@@ -5285,3 +5285,134 @@ class TestMaintenancePlan:
             r["doc_id"] for r in snap.read_snapshot(spark, path).collect()
         )
         assert got == [d for d in range(120) if d not in (7, 19)]
+
+
+class TestCatalogStream:
+    """Catalog-version stream source (round-8 verdict item 7): offsets
+    are catalog versions, batches are per-table layer deltas,
+    all-or-nothing per catalog version."""
+
+    def _drain(self, spark, cat, ckpt, name):
+        """One run of the stream against ``ckpt`` (foreachBatch is
+        checkpoint-recoverable, memory sink is not); returns the doc_ids
+        THIS run consumed."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            catalog_stream_schema,
+            register_catalog_stream,
+        )
+
+        register_catalog_stream(spark)
+        stream = (
+            spark.readStream.format("catalog_stream")
+            .schema(catalog_stream_schema(cat, "docs", "doc_id"))
+            .option("path", cat)
+            .option("table", "docs")
+            .option("cols", "doc_id")
+            .load()
+        )
+        got: list[int] = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _eid: got.extend(
+                    r["doc_id"] for r in df.collect()
+                )
+            )
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        return sorted(got)
+
+    def test_restart_consumes_only_new_catalog_versions(
+        self, spark, tmp_path
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat = str(tmp_path / "cat")
+        layer = str(tmp_path / "docs")
+        ckpt = str(tmp_path / "ckpt")
+
+        def docs(lo, hi):
+            return spark.range(lo, hi).selectExpr("id AS doc_id")
+
+        tc.multi_table_commit(
+            spark, cat, [("docs", docs(0, 5), layer, {"mode": "overwrite"})]
+        )
+        tc.multi_table_commit(
+            spark, cat, [("docs", docs(5, 10), layer, {"mode": "append"})]
+        )
+        assert self._drain(spark, cat, ckpt, "cat_tail_a") == list(range(10))
+        # new transaction AFTER the checkpointed offset
+        tc.multi_table_commit(
+            spark, cat, [("docs", docs(10, 13), layer, {"mode": "append"})]
+        )
+        # restart from the SAME checkpoint, fresh memory table: only the
+        # new catalog version's delta arrives
+        assert self._drain(spark, cat, ckpt, "cat_tail_b") == [10, 11, 12]
+
+    def test_staged_but_unswapped_commit_is_unreachable(
+        self, spark, tmp_path
+    ):
+        """A transaction that staged its layer commit but crashed before
+        the catalog swap (durable-but-unreferenced) must NOT be
+        consumable — the all-or-nothing property."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat = str(tmp_path / "cat")
+        layer = str(tmp_path / "docs")
+        ckpt = str(tmp_path / "ckpt")
+        tc.multi_table_commit(
+            spark,
+            cat,
+            [("docs", spark.range(5).selectExpr("id AS doc_id"), layer, {})],
+        )
+        assert self._drain(spark, cat, ckpt, "cat_half_a") == list(range(5))
+        # crashed transaction: layer commit lands, catalog swap never does
+        staged_v = snap.commit_snapshot(
+            spark,
+            spark.range(5, 8).selectExpr("id AS doc_id"),
+            layer,
+            mode="append",
+        )
+        assert self._drain(spark, cat, ckpt, "cat_half_b") == []
+        # the swap lands -> the whole transaction becomes visible at once
+        tc.commit_catalog(
+            spark, cat, {"docs": {"path": layer, "version": staged_v}}
+        )
+        assert self._drain(spark, cat, ckpt, "cat_half_c") == [5, 6, 7]
+
+    def test_repoint_and_rewind_raise(self, spark, tmp_path):
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            _CatalogStreamReader,
+        )
+
+        cat = str(tmp_path / "cat")
+        la, lb = str(tmp_path / "a"), str(tmp_path / "b")
+        df = spark.range(3).selectExpr("id AS doc_id")
+        tc.multi_table_commit(spark, cat, [("docs", df, la, {})])
+        tc.multi_table_commit(spark, cat, [("docs", df, lb, {})])  # repoint
+        r = _CatalogStreamReader(
+            {"path": cat, "table": "docs", "cols": "doc_id"}
+        )
+        with pytest.raises(ValueError, match="repointed"):
+            r.partitions({"version": 0}, {"version": 2})
+        # rewind: a later catalog version pins an OLDER layer version
+        cat2 = str(tmp_path / "cat2")
+        lc = str(tmp_path / "c")
+        tc.multi_table_commit(spark, cat2, [("docs", df, lc, {})])
+        tc.multi_table_commit(
+            spark, cat2, [("docs", df, lc, {"mode": "append"})]
+        )
+        tc.commit_catalog(spark, cat2, {"docs": {"path": lc, "version": 1}})
+        r2 = _CatalogStreamReader(
+            {"path": cat2, "table": "docs", "cols": "doc_id"}
+        )
+        with pytest.raises(ValueError, match="backwards"):
+            r2.partitions({"version": 0}, {"version": 3})
