@@ -1601,17 +1601,40 @@ def read_snapshot(
     return reader.parquet(*files)
 
 
+#: driver-side key volume moved by POSITION deletes (the list-probe
+#: path only) — tests pin that the DataFrame path ships zero
+_POS_DELETE_DRIVER_KEYS = {"n": 0}
+
+
 def delete_snapshot(
     spark: SparkSession,
     path: str,
-    predicate: str,
+    predicate: str | None = None,
     *,
+    keys: tuple[str, object] | None = None,
     prune_range: tuple[str, object, object] | list[tuple] | None = None,
     txn: tuple[str, int] | None = None,
 ) -> dict:
     """Merge-on-read DELETE: commit a new version in which every head
     row matching ``predicate`` (a SQL boolean expression over the
     layer's columns) is gone — WITHOUT rewriting a single data file.
+
+    ``keys=(key_col, keys_df_or_list)`` is the KEY-MATCH form of the
+    same position delete: matching rows are found with a broadcast
+    LEFT SEMI join against the key set instead of a SQL expression, so
+    a CDC sink's purge batch never funnels its keys through the driver
+    (no IN-literal construction; a DataFrame key set stays on the
+    executors end to end, and the matching scan still prunes — the
+    key envelope [min, max] resolves from one 3-scalar agg when no
+    ``prune_range`` is passed).  A plain Python list is accepted for
+    interactive probes; its driver-side volume is counted in
+    ``_POS_DELETE_DRIVER_KEYS`` so tests can pin that the streaming
+    path ships zero.  Exactly one of ``predicate``/``keys`` must be
+    given.  This is the position-delete twin of
+    ``delete_snapshot_keys``'s DataFrame path: pick THIS when the
+    layer's CDF readers must never pay the lazy pre-image
+    materialization (the scan records full pre-images eagerly), and
+    the metadata-only equality form when delete latency wins.
 
     Matching rows are recorded as POSITION DELETE FILES (parquet of
     ``(file, pos)`` under ``deletes/v{N}-{token}/`` — the Iceberg v2 /
@@ -1639,6 +1662,41 @@ def delete_snapshot(
     CDC sink replaying a micro-batch needs.
     Returns {"version", "rows_deleted", "files_touched"}.
     """
+    if (predicate is None) == (keys is None):
+        raise ValueError(
+            "delete_snapshot takes exactly one of predicate= or keys="
+        )
+    keys_df = None
+    if keys is not None:
+        key_col, kv = keys
+        if isinstance(kv, DataFrame):
+            keys_df = kv.select(key_col).distinct()
+        else:
+            kv = list(kv)
+            _POS_DELETE_DRIVER_KEYS["n"] += len(kv)
+            keys_df = spark.createDataFrame(
+                [(k,) for k in kv], f"`{key_col}` {'string' if kv and isinstance(kv[0], str) else 'long'}"
+            ).distinct()
+        if prune_range is None:
+            # one 3-scalar envelope agg (executor-side; only min/max/
+            # count reach the driver — model-state scale, never keys)
+            env = keys_df.agg(
+                F.min(key_col).alias("lo"),
+                F.max(key_col).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            if int(env["n"]) == 0:
+                versions = snapshot_versions(spark, path)
+                if not versions:
+                    raise FileNotFoundError(
+                        f"no committed snapshot under {path}"
+                    )
+                return {
+                    "version": versions[-1],
+                    "rows_deleted": 0,
+                    "files_touched": 0,
+                }
+            prune_range = (key_col, env["lo"], env["hi"])
     versions = snapshot_versions(spark, path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {path}")
@@ -1677,7 +1735,11 @@ def delete_snapshot(
             entries, {f.rsplit("/", 1)[-1] for f in candidates}
         )
         df = _apply_deletes_meta(spark, df, pos_dirs, eq)
-    matched = df.filter(F.expr(predicate))
+    matched = (
+        df.join(F.broadcast(keys_df), keys[0], "left_semi")
+        if keys_df is not None
+        else df.filter(F.expr(predicate))
+    )
     if m.get("cdf"):
         # the matched rows feed BOTH the position-delete file and the
         # change file: one lazy local checkpoint computes the scan once

@@ -256,15 +256,16 @@ def snapshot_cdc_writer(
       pre-images materialize lazily on first CDF read, so the layer
       stays consumable by the ``mode=cdf`` stream / the O(delta)
       ``snapshot_changes`` route.
-    - ``"position"``: ``delete_snapshot`` with a key-IN predicate,
-      stats-pruned to the key range — pays a scan of the candidate
-      files per batch, and (with the layer's ``change_feed`` property
-      on) records the deleted rows' full pre-images EAGERLY at commit
-      time.  Pick this when CDF reads must never pay the lazy
-      materialization (e.g. a latency-critical tail) and a per-batch
-      scan is acceptable.  This path collects the batch's delete keys
-      to the driver to build the IN literal (bounded by batch delete
-      volume).
+    - ``"position"``: ``delete_snapshot(keys=...)`` — the matching
+      scan is a broadcast semi-join against the batch's keys frame,
+      stats-pruned to the keys' [min, max] envelope; pays a scan of
+      the candidate files per batch, and (with the layer's
+      ``change_feed`` property on) records the deleted rows' full
+      pre-images EAGERLY at commit time.  Pick this when CDF reads
+      must never pay the lazy materialization (e.g. a
+      latency-critical tail) and a per-batch scan is acceptable.
+      Like the equality mode, the key set never touches the driver
+      (``_POS_DELETE_DRIVER_KEYS``-pinned).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -331,25 +332,16 @@ def snapshot_cdc_writer(
         retry_commit(apply_upserts, attempts=commit_attempts)
         if has_dels and snapshot_versions(spark, path):
             if delete_mode == "position":
-                # the IN literal needs driver-side values — documented
-                # trade of this mode (bounded by batch delete volume)
-                dels = [r[0] for r in dels_df.collect()]
-
-                def _lit(k):
-                    # SQL literal: quote + escape everything non-numeric
-                    if isinstance(k, bool) or not isinstance(
-                        k, (int, float)
-                    ):
-                        return "'" + str(k).replace("'", "''") + "'"
-                    return repr(k)
-
-                in_list = ", ".join(_lit(k) for k in sorted(dels))
+                # KEY-MATCH position delete: the matching scan is a
+                # broadcast semi-join against the keys frame, so this
+                # mode is driver-free too (no IN-literal collect —
+                # counter-pinned like the equality path); the scan's
+                # prune range resolves from the keys' 3-scalar envelope
                 retry_commit(
                     lambda: delete_snapshot(
                         spark,
                         path,
-                        f"{key_col} IN ({in_list})",
-                        prune_range=(key_col, min(dels), max(dels)),
+                        keys=(key_col, dels_df),
                         txn=(app_id, 2 * int(batch_id) + 1),
                     ),
                     attempts=commit_attempts,

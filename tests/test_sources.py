@@ -4778,6 +4778,7 @@ class TestReviewRound7Fixes:
         wb = snapshot_cdc_writer(
             path, "k", resolve=["seq"], delete_mode="position"
         )
+        keys_base = snap._POS_DELETE_DRIVER_KEYS["n"]
         b0 = spark.createDataFrame(
             [(1, "a", 1, "upsert"), (2, "b", 1, "upsert")],
             "k long, v string, seq long, op string",
@@ -4814,6 +4815,49 @@ class TestReviewRound7Fixes:
         # replay both halves: no-ops
         wb(b1, 1)
         assert snap.snapshot_versions(spark, path)[-1] == head
+        # BOTH delete modes are driver-free now (r8 verdict item 8):
+        # the position scan is a broadcast semi-join against the keys
+        # frame, never an IN-literal collect
+        assert snap._POS_DELETE_DRIVER_KEYS["n"] == keys_base
+
+    def test_delete_snapshot_keys_form(self, spark, tmp_path):
+        """delete_snapshot(keys=...): broadcast-semi-join position
+        delete — DataFrame keys ship zero driver values, list keys are
+        counted, empty key sets no-op, and exactly one of
+        predicate/keys is required."""
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark,
+            spark.range(100).selectExpr("id AS k", "id * 2 AS v"),
+            path,
+            stats_cols=["k"],
+        )
+        base = snap._POS_DELETE_DRIVER_KEYS["n"]
+        keys = spark.createDataFrame([(3,), (7,), (7,)], "k long")
+        r = snap.delete_snapshot(spark, path, keys=("k", keys))
+        assert r["rows_deleted"] == 2
+        assert snap._POS_DELETE_DRIVER_KEYS["n"] == base  # zero hops
+        left = {r2["k"] for r2 in snap.read_snapshot(spark, path).collect()}
+        assert 3 not in left and 7 not in left and len(left) == 98
+        # list form: interactive probe, driver volume counted
+        r = snap.delete_snapshot(spark, path, keys=("k", [10, 11]))
+        assert r["rows_deleted"] == 2
+        assert snap._POS_DELETE_DRIVER_KEYS["n"] == base + 2
+        # empty key set: no-op, no version churn
+        head = snap.snapshot_versions(spark, path)[-1]
+        r = snap.delete_snapshot(
+            spark, path, keys=("k", spark.range(0).selectExpr("id AS k"))
+        )
+        assert r["rows_deleted"] == 0
+        assert snap.snapshot_versions(spark, path)[-1] == head
+        with pytest.raises(ValueError, match="exactly one"):
+            snap.delete_snapshot(spark, path)
+        with pytest.raises(ValueError, match="exactly one"):
+            snap.delete_snapshot(spark, path, "k = 1", keys=("k", [1]))
 
 
 def F_hll(col):
