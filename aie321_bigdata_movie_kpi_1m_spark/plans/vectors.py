@@ -779,3 +779,73 @@ def q_ann_persisted_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=1,
         centroids=cents,
     )
+
+
+def persisted_pq_codebooks(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    layer: str,
+    *,
+    dims: int = _DIMS,
+    m: int = _PQ_M,
+    n_codes: int = _PQ_CODES,
+    iters: int = 1,
+) -> list:
+    """FIT-ONCE / REUSE-MANY for the PQ codebooks: the snapshot-layer
+    twin of ``persisted_ivf_centroids`` — one part per subspace
+    codebook.  Loads when the layer exists (any session), else runs the
+    distributed fit once and commits version 1."""
+    from ..sources.snapshots import snapshot_versions
+
+    if snapshot_versions(spark, layer):
+        mats, _ = load_ann_model(spark, layer)
+        return [mats[s] for s in sorted(mats)]
+    _ANN_FIT_RUNS["pq"] += 1
+    books = similarity.pq_fit_codebooks(
+        embeddings, dims=dims, m=m, n_codes=n_codes, iters=iters
+    )
+    save_ann_model(
+        spark,
+        layer,
+        {s: b for s, b in enumerate(books)},
+        {"kind": "pq", "dims": dims, "m": m, "n_codes": n_codes,
+         "iters": iters},
+    )
+    return books
+
+
+@register(
+    "ann_persisted_pq_topk",
+    _pq_oracle_sql(),
+    "PQ/ADC search through PERSISTED codebooks: the m per-subspace "
+    "codebooks load from the same versioned snapshot-layer model store "
+    "as the IVF quantizer (one part per subspace; fit once, reuse in "
+    "any session) — the ~100x scan-bandwidth compression PQ buys is "
+    "only economic if the codebook fit is amortized as a durable "
+    "artifact; deterministic fit makes the persisted codebooks "
+    "bit-equal to a fresh fit, so the full fit+encode+ADC+rerank SQL "
+    "replay value-checks the persisted path",
+    tags=("similarity", "snapshots", "model"),
+)
+def q_ann_persisted_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..session import scratch_dir
+
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    layer = scratch_dir("snapshots", tag, "pq_model")
+    books = persisted_pq_codebooks(spark, emb, layer)
+    return similarity.pq_topk(
+        emb,
+        queries,
+        k=_TOP_K,
+        dims=_DIMS,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        n_candidates=_PQ_CAND,
+        codebooks=books,
+    )

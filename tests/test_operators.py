@@ -1391,3 +1391,22 @@ class TestPersistedAnnModel:
         assert rep2["rebuilt"] is True
         assert rep2["model_version"] == 2
         assert snap.snapshot_versions(spark, layer) == [1, 2]
+
+
+def test_persisted_pq_codebooks_fit_once(spark, tmp_path):
+    """PQ twin of the persisted-model contract: codebooks load from the
+    layer on every later resolution (no refit), one part per subspace."""
+    import numpy as np
+
+    from aie321_bigdata_movie_kpi_1m_spark.plans import vectors
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    layer = str(tmp_path / "pq")
+    n0 = vectors._ANN_FIT_RUNS["pq"]
+    b1 = vectors.persisted_pq_codebooks(spark, emb, layer, m=4, n_codes=8)
+    assert vectors._ANN_FIT_RUNS["pq"] == n0 + 1
+    b2 = vectors.persisted_pq_codebooks(spark, emb, layer, m=4, n_codes=8)
+    assert vectors._ANN_FIT_RUNS["pq"] == n0 + 1  # reused from disk
+    assert len(b1) == len(b2) == 4
+    for a, b in zip(b1, b2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
