@@ -72,25 +72,32 @@ def postings_of(docs: DataFrame) -> DataFrame:
 
 
 def _commit_delta(
-    spark: SparkSession, group: str, post: DataFrame, *, first: bool
+    spark: SparkSession, group: str, docs: DataFrame, *, first: bool
 ) -> None:
     """Append one docs delta's rows to all three layers (postings
     clustered on token so file token-ranges stay disjoint and pruning
     stays sharp; stats as a single signed-delta ledger row computed on
-    the executors — the only driver values are the commit calls)."""
+    the executors — the only driver values are the commit calls).
+
+    ``doclen`` and the ledger derive from the DOCS delta, not the
+    postings: a token-less doc (NULL/empty text) gets a dl=0 row and
+    counts toward ``n_docs`` — exactly the BM25 convention the raw-text
+    oracle uses (``n_docs = COUNT(*) FROM documents``).  Deriving them
+    from the postings would silently drop empty docs from the corpus
+    stats and skew idf/avgdl the day the corpus contains one."""
     mode = "overwrite" if first else "append"
-    post = post.persist()
+    docs = docs.persist()
     try:
         commit_snapshot(
             spark,
-            post.repartitionByRange(8, "token"),
+            postings_of(docs).repartitionByRange(8, "token"),
             _sub(group, POSTINGS),
             mode=mode,
             stats_cols=["token", "doc_id"],
             bloom_col="token",
         )
-        dl = post.groupBy("doc_id").agg(
-            F.sum("tf").cast("long").alias("dl")
+        dl = docs.select(
+            "doc_id", F.size(_tokens("text")).cast("long").alias("dl")
         )
         commit_snapshot(
             spark, dl, _sub(group, DOCLEN), mode=mode, stats_cols=["doc_id"]
@@ -103,7 +110,7 @@ def _commit_delta(
         )
         commit_snapshot(spark, ledger, _sub(group, STATS), mode=mode)
     finally:
-        post.unpersist()
+        docs.unpersist()
 
 
 def build_token_index(
@@ -114,7 +121,7 @@ def build_token_index(
     the same O(delta) append path a streaming corpus drives."""
     for i in range(max(1, splits)):
         part = docs.filter(F.col("doc_id") % max(1, splits) == i)
-        _commit_delta(spark, group, postings_of(part), first=(i == 0))
+        _commit_delta(spark, group, part, first=(i == 0))
     return group
 
 
@@ -161,7 +168,7 @@ def refresh_token_index(
             )
             commit_snapshot(spark, neg, _sub(group, STATS), mode="append")
         if added.limit(1).count():
-            _commit_delta(spark, group, postings_of(added), first=False)
+            _commit_delta(spark, group, added, first=False)
         return {
             "removed_docs": bool(n_removed),
             "postings_version": snapshot_versions(

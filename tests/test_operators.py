@@ -1410,3 +1410,30 @@ def test_persisted_pq_codebooks_fit_once(spark, tmp_path):
     assert len(b1) == len(b2) == 4
     for a, b in zip(b1, b2):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_token_index_counts_empty_docs_in_corpus_stats(spark, tmp_path):
+    """BM25 convention pin: n_docs counts ALL docs (the raw-text
+    oracle's COUNT(*) FROM documents), so a token-less doc must get a
+    dl=0 doclen row and a ledger slot — deriving doclen from the
+    postings would silently drop it and skew idf/avgdl."""
+    from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+    docs = spark.createDataFrame(
+        [(1, "spark window"), (2, None), (3, "   "), (4, "spark")],
+        "doc_id long, text string",
+    )
+    group = str(tmp_path / "ti")
+    ti.build_token_index(spark, docs, group, splits=1)
+    stats = ti.corpus_stats(spark, group).first()
+    assert stats["n_docs"] == 4  # incl. the NULL and whitespace-only docs
+    assert stats["total_tokens"] == 3
+    from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    dl = {
+        r["doc_id"]: r["dl"]
+        for r in read_snapshot(spark, f"{group}/{ti.DOCLEN}").collect()
+    }
+    assert dl == {1: 2, 2: 0, 3: 0, 4: 1}
