@@ -1170,9 +1170,13 @@ class _CatalogStreamReader(_SnapshotStreamReader):
         return super().partitions({"version": ls}, {"version": le})
 
 
-def catalog_stream_schema(cat_path: str, table: str, cols: str):
+def catalog_stream_schema(
+    cat_path: str, table: str, cols: str, *, mode: str = "append"
+):
     """Driver-side schema for a catalog_stream: resolve the table's
-    head-catalog layer pin, then reuse the layer schema helper."""
+    head-catalog layer pin, then reuse the layer schema helper
+    (``mode="cdf"`` adds the ``change_type`` feed column, mirroring
+    the layer stream)."""
     import json
     import os
 
@@ -1185,6 +1189,8 @@ def catalog_stream_schema(cat_path: str, table: str, cols: str):
     with open(os.path.join(d, f"v{head}.json")) as fh:
         t = json.load(fh)["tables"][table]
     layer = str(t["path"]).removeprefix("file://").removeprefix("file:")
+    if mode == "cdf":
+        return snapshot_cdf_stream_schema(layer, cols)
     return snapshot_stream_schema(layer, cols)
 
 
@@ -1206,6 +1212,7 @@ class CatalogStreamDataSource(DataSource):
             self.options["path"],
             self.options["table"],
             self.options["cols"],
+            mode=self.options.get("mode", "append"),
         )
 
     def streamReader(self, schema):

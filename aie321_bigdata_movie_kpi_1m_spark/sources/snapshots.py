@@ -1672,10 +1672,25 @@ def delete_snapshot(
         if isinstance(kv, DataFrame):
             keys_df = kv.select(key_col).distinct()
         else:
-            kv = list(kv)
+            # interactive list probe: NULL keys never match under SQL
+            # equality, so drop them up front (they would also break
+            # schema inference); type comes from inference, matching
+            # whatever the caller's literals are
+            kv = [k for k in kv if k is not None]
             _POS_DELETE_DRIVER_KEYS["n"] += len(kv)
+            if not kv:
+                versions = snapshot_versions(spark, path)
+                if not versions:
+                    raise FileNotFoundError(
+                        f"no committed snapshot under {path}"
+                    )
+                return {
+                    "version": versions[-1],
+                    "rows_deleted": 0,
+                    "files_touched": 0,
+                }
             keys_df = spark.createDataFrame(
-                [(k,) for k in kv], f"`{key_col}` {'string' if kv and isinstance(kv[0], str) else 'long'}"
+                [(k,) for k in kv], [key_col]
             ).distinct()
         if prune_range is None:
             # one 3-scalar envelope agg (executor-side; only min/max/
