@@ -456,7 +456,11 @@ def audio_features(assets: DataFrame) -> DataFrame:
                     rows["duration_ms"].append(dur_ms)
                     rows["channel"].append(c)
                     rows["sumsq"].append(int((x * x).sum()))
-                    rows["peak"].append(int(np.abs(x).max()))
+                    # empty-capture WAVs are legal files: max() of an
+                    # empty array raises, peak of silence-length-0 is 0
+                    rows["peak"].append(
+                        int(np.abs(x).max()) if len(x) else 0
+                    )
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)

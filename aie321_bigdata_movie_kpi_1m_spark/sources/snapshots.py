@@ -3899,10 +3899,12 @@ def snapshot_maintenance_plan(
                 )
             )
 
-    # vacuum: files only older versions reference (union of every
-    # non-head version's file set minus the head's) — O(versions)
-    # manifest reads, still metadata
-    if len(versions) > 1:
+    # vacuum: files only other versions reference (union of every
+    # non-planned version's file set minus this one's) — O(versions)
+    # manifest reads, still metadata.  Only meaningful when planning
+    # the HEAD: for a time-traveled version, "files not in v" includes
+    # NEWER versions' files, which are live, not reclaimable
+    if len(versions) > 1 and v == versions[-1]:
         old_counts: dict = {}
         head_set = set(live_bases)
         for ov in versions:

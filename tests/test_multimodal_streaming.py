@@ -995,3 +995,27 @@ class TestWavAudioFeatures:
         )
         with pytest.raises((Py4JJavaError, Exception), match="no audio codec"):
             audio_features(assets).collect()
+
+    def test_zero_frame_wav_is_legal(self, spark):
+        """A zero-capture WAV is a legal file: features are zeros, not
+        a crash (empty-array max would raise)."""
+        import io
+        import wave
+
+        from aie321_bigdata_movie_kpi_1m_spark.operators.multimodal import (
+            audio_features,
+        )
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(b"")
+        assets = spark.createDataFrame(
+            [(3, bytearray(buf.getvalue()))], "asset_id long, content binary"
+        )
+        [r] = audio_features(assets).collect()
+        assert (r["n_frames"], r["duration_ms"], r["sumsq"], r["peak"]) == (
+            0, 0, 0, 0,
+        )
