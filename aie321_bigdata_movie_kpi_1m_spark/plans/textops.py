@@ -304,6 +304,49 @@ def q_indexed_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_index.indexed_keyword_search(spark, group, top2)
 
 
+#: fixed phrase for the positional-index query (a production caller
+#: parameterizes; both tokens are common in the synthetic corpus, so
+#: the adjacency test does real work)
+_PHRASE = ("table", "part")
+
+
+@register(
+    "indexed_phrase_search",
+    _TOKENS_CTE
+    + f""",
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS p, ts
+  FROM tok WHERE len(ts) >= 2
+),
+m AS (
+  SELECT doc_id FROM pos
+  WHERE ts[p] = '{_PHRASE[0]}' AND ts[p + 1] = '{_PHRASE[1]}'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM m GROUP BY doc_id
+ORDER BY n_matches DESC, doc_id
+LIMIT 20
+""",
+    "EXACT PHRASE search through the POSITIONAL inverted index "
+    "(plans/token_index.py — postings now carry sorted 0-based "
+    "position lists, the Lucene positional-postings design): docs "
+    "where the phrase's tokens appear CONSECUTIVELY, ranked by "
+    "occurrence count — the query class tf/boolean retrieval cannot "
+    "express; each term's postings load from ONLY the stats/bloom-"
+    "admitted files, the per-term position lists meet in one doc_id "
+    "equi-join, and adjacency is a JVM-side array filter (position p "
+    "of term 0 matches when term 1 contains p+1) — no text rescanned, "
+    "nothing leaves codegen; the oracle replays the adjacency scan "
+    "over the raw token lists",
+    tags=("text", "retrieval", "snapshots", "index", "pruning"),
+)
+def q_indexed_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    return token_index.indexed_phrase_search(spark, group, list(_PHRASE))
+
+
 @register(
     "doc_fingerprints",
     """

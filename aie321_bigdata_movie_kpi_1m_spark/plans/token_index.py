@@ -8,12 +8,15 @@ production lexical-retrieval index (Lucene segment files, ES shards)
 actually maintains, each AS a snapshot layer so all of them inherit
 time travel / compaction / atomic commits / change feeds:
 
-- ``postings``  — (token, doc_id, tf) rows, range-clustered on token,
-  per-file [min, max] token stats AND a token Bloom index, so a term
-  probe prunes to the files that can hold the term BEFORE the scan
-  plans (a point lookup, never a corpus re-tokenization);
+- ``postings``  — POSITIONAL (token, doc_id, tf, positions) rows,
+  range-clustered on token, per-file [min, max] token stats AND a
+  token Bloom index, so a term probe prunes to the files that can
+  hold the term BEFORE the scan plans (a point lookup, never a corpus
+  re-tokenization); the position lists serve exact PHRASE queries
+  (``indexed_phrase_search``), and tf-only consumers never pay for
+  them (column pruning);
 - ``doclen``    — (doc_id, dl) with dl = the doc's token count,
-  derived from the same postings delta (``sum(tf) per doc``) — the
+  derived from the same docs delta (0 for token-less docs) — the
   BM25 length-normalization operand, O(docs) rows not O(tokens);
 - ``stats``     — ONE signed-delta row per maintenance commit
   (n_docs, total_tokens): corpus aggregates as an append-only ledger,
@@ -36,7 +39,9 @@ at all); this implements SURVEY §2.9's LLM-pipeline retrieval tier.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens as _tokens
@@ -60,14 +65,24 @@ def _sub(group: str, name: str) -> str:
 
 
 def postings_of(docs: DataFrame) -> DataFrame:
-    """(token, doc_id, tf) posting rows for a docs delta — whitespace
-    tokenization lockstep with ``functions.text.tokens`` (and every
-    oracle's ``_TOKENS_CTE``).  One explode + one map-side-combinable
-    groupBy; docs with NULL/empty text contribute no rows."""
+    """(token, doc_id, tf, positions) POSITIONAL posting rows for a
+    docs delta — whitespace tokenization lockstep with
+    ``functions.text.tokens`` (and every oracle's ``_TOKENS_CTE``).
+    One posexplode + one map-side-combinable groupBy; docs with
+    NULL/empty text contribute no rows.  ``positions`` (0-based,
+    sorted) is what upgrades the index from boolean/tf retrieval to
+    PHRASE queries — the Lucene positional-postings design; consumers
+    that only need tf ignore the column (column pruning drops it at
+    the parquet scan)."""
     return (
-        docs.select("doc_id", F.explode(_tokens("text")).alias("token"))
+        docs.select(
+            "doc_id", F.posexplode(_tokens("text")).alias("pos", "token")
+        )
         .groupBy("token", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
     )
 
 
@@ -216,6 +231,7 @@ def indexed_bm25_topk(
     terms: list[str],
     *,
     limit: int = 20,
+    assert_pruned: bool = True,
 ) -> DataFrame:
     """BM25 top-k THROUGH the index (round-8 verdict item 1): tf from
     the pruned posting files, df by counting those rows per term,
@@ -230,7 +246,7 @@ def indexed_bm25_topk(
     bit-identical to the raw-text BM25 query: tf/df/dl/n_docs/total
     are exact integers from the same tokenization, and the double
     arithmetic is the same expression tree."""
-    post = pruned_postings(spark, group, terms)
+    post = pruned_postings(spark, group, terms, assert_pruned=assert_pruned)
     dfreq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = corpus_stats(spark, group)
     dl = read_snapshot(spark, _sub(group, DOCLEN))
@@ -266,12 +282,17 @@ def indexed_bm25_topk(
 
 
 def indexed_keyword_search(
-    spark: SparkSession, group: str, terms: list[str], *, limit: int = 20
+    spark: SparkSession,
+    group: str,
+    terms: list[str],
+    *,
+    limit: int = 20,
+    assert_pruned: bool = True,
 ) -> DataFrame:
     """AND-of-terms keyword search through the pruned postings (the
     round-8 query, now over the index group): docs matching ALL terms,
     ranked by exact integer combined tf, doc_id tie-break."""
-    post = pruned_postings(spark, group, terms)
+    post = pruned_postings(spark, group, terms, assert_pruned=assert_pruned)
     return (
         post.groupBy("doc_id")
         .agg(
@@ -282,4 +303,55 @@ def indexed_keyword_search(
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(limit)
         .select("doc_id", F.col("score").cast("long").alias("score"))
+    )
+
+
+def indexed_phrase_search(
+    spark: SparkSession,
+    group: str,
+    phrase: list[str],
+    *,
+    limit: int = 20,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """EXACT PHRASE search through the positional postings: docs where
+    ``phrase``'s tokens appear CONSECUTIVELY, ranked by occurrence
+    count — the query class (\"named entity\", \"error message\", code
+    snippet) tf/boolean retrieval cannot express.
+
+    Plan shape: each term's posting rows load from ONLY the files whose
+    stats/bloom admit it (one pruned read for the whole term set), the
+    per-term position lists meet in (k-1) equi-joins on doc_id — each
+    side a single term's postings, tiny relative to the corpus — and
+    adjacency is a JVM-side array filter (a position p of term 0
+    matches when every later term i contains p+i), so no text is
+    re-scanned and nothing leaves codegen.  Duplicate terms in the
+    phrase are fine (the same posting list joins under two aliases)."""
+    if len(phrase) < 2:
+        raise ValueError("phrase search needs at least two tokens")
+    post = pruned_postings(
+        spark, group, sorted(set(phrase)), assert_pruned=assert_pruned
+    )
+    joined = None
+    for i, term in enumerate(phrase):
+        side = post.filter(F.col("token") == term).select(
+            "doc_id", F.col("positions").alias(f"__p{i}")
+        )
+        joined = side if joined is None else joined.join(side, "doc_id")
+    starts = F.filter(
+        F.col("__p0"),
+        lambda p: reduce(
+            Column.__and__,
+            [
+                F.array_contains(F.col(f"__p{i}"), p + i)
+                for i in range(1, len(phrase))
+            ],
+        ),
+    )
+    return (
+        joined.select("doc_id", F.size(starts).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.col("n_matches").desc(), "doc_id")
+        .limit(limit)
+        .select("doc_id", F.col("n_matches").cast("long").alias("n_matches"))
     )

@@ -1437,3 +1437,95 @@ def test_token_index_counts_empty_docs_in_corpus_stats(spark, tmp_path):
         for r in read_snapshot(spark, f"{group}/{ti.DOCLEN}").collect()
     }
     assert dl == {1: 2, 2: 0, 3: 0, 4: 1}
+
+
+class TestIndexedPhraseSearch:
+    """Positional postings + exact phrase adjacency semantics."""
+
+    def _group(self, spark, tmp_path, rows):
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        group = str(tmp_path / "ti")
+        ti.build_token_index(spark, docs, group, splits=1)
+        return group
+
+    def test_adjacency_overlap_and_duplicate_terms(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        group = self._group(
+            spark,
+            tmp_path,
+            [(1, "a b a b a"), (2, "b a"), (3, "a a a")],
+        )
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in ti.indexed_phrase_search(
+                spark, group, ["a", "b"], assert_pruned=False
+            ).collect()
+        }
+        assert got == {1: 2}  # positions (0,2); (4,5) out of range; doc2 reversed
+        # duplicate terms: overlapping occurrences all count
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in ti.indexed_phrase_search(
+                spark, group, ["a", "a"], assert_pruned=False
+            ).collect()
+        }
+        assert got == {3: 2}
+        # 3-term phrase through the same join chain
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in ti.indexed_phrase_search(
+                spark, group, ["a", "b", "a"], assert_pruned=False
+            ).collect()
+        }
+        assert got == {1: 2}
+        import pytest
+
+        with pytest.raises(ValueError, match="two tokens"):
+            ti.indexed_phrase_search(spark, group, ["a"])
+
+    def test_phrase_results_track_maintenance(self, spark, tmp_path):
+        """An update through the change-feed refresh re-points the
+        positions — phrase hits change with NO rebuild."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs_layer = str(tmp_path / "docs")
+        group = str(tmp_path / "ti")
+        v1 = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(1, "x y z"), (2, "z x")], "doc_id long, text string"
+            ),
+            docs_layer,
+            change_feed=True,
+        )
+        ti.build_token_index(
+            spark, snap.read_snapshot(spark, docs_layer), group, splits=1
+        )
+        hit = lambda: {  # noqa: E731
+            r["doc_id"]: r["n_matches"]
+            for r in ti.indexed_phrase_search(
+                spark, group, ["x", "y"], assert_pruned=False
+            ).collect()
+        }
+        assert hit() == {1: 1}
+        snap.merge_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(1, "y x"), (2, "x y x y")], "doc_id long, text string"
+            ),
+            docs_layer,
+            "doc_id",
+        )
+        v2 = snap.snapshot_versions(spark, docs_layer)[-1]
+        ti.refresh_token_index(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, docs_layer, v1, v2, ["doc_id"], include_values=True
+            ),
+        )
+        assert hit() == {2: 2}  # doc1 reversed out, doc2 now matches twice
