@@ -626,3 +626,32 @@ def test_model_quality_filter_broadcasts_weights(spark):
     # join (that would shuffle the exploded token relation on bucket)
     assert "SortMergeJoin LeftOuter" in plan
     assert "SortMergeJoin Inner" not in plan
+
+
+def test_indexed_bm25_prunes_positions_and_broadcasts_dims(spark):
+    """Round-9 claims made checkable in the plan: (a) tf-only readers
+    never pay for the positional lists — `positions` must be absent
+    from every posting-scan ReadSchema (column pruning); (b) df and
+    the 1-row corpus stats ride broadcasts, and the fact side is never
+    a nested-loop build."""
+    plan = plan_of(spark, "indexed_bm25_topk")
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "positions" not in line, line
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never a global sort
+
+
+def test_indexed_phrase_search_reads_positions_only_where_needed(spark):
+    """The phrase query DOES need the position lists — and nothing
+    else beyond (token, doc_id, positions): tf must be pruned from its
+    posting scans."""
+    plan = plan_of(spark, "indexed_phrase_search")
+    saw_positions = False
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "positions" in line:
+            saw_positions = True
+            assert '"tf"' not in line and "tf:" not in line, line
+    assert saw_positions
+    assert "CartesianProduct" not in plan
