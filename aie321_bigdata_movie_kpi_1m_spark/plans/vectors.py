@@ -849,3 +849,65 @@ def q_ann_persisted_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_candidates=_PQ_CAND,
         codebooks=books,
     )
+
+
+@register(
+    "cluster_mixture_weights",
+    _ivf_cells_prefix()
+    + """
+, tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM cells)
+SELECT CAST(c AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(COUNT(*) / CAST(total AS DOUBLE), 6) AS share_r6,
+       ROUND(CAST(total AS DOUBLE) / (16 * COUNT(*)), 6) AS weight_r6
+FROM cells, tot
+GROUP BY c, total
+ORDER BY cluster
+""",
+    "CLUSTER-BALANCED MIXTURE WEIGHTS (the embedding-space data-mixing "
+    "stage: cluster the corpus, then up/down-weight clusters toward a "
+    "balanced target — the cluster half of DoReMi-style reweighting "
+    "and of cluster-stratified sampling): every vector is assigned to "
+    "its nearest cell of the PERSISTED IVF quantizer (the same "
+    "versioned model layer ann_persisted_ivf_topk searches through — "
+    "fit once, reused here), one map-side-combinable groupBy counts "
+    "cells, and each cluster's resampling weight is (total/k)/n — "
+    "exact integer counts with one double division, so engines agree "
+    "bit-for-bit; the oracle replays fit + assignment + weights fully "
+    "in SQL",
+    tags=("similarity", "model", "sampling"),
+)
+def q_cluster_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..operators.similarity import _as_double, _nearest_centroids_udf
+    from ..session import scratch_dir
+
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    layer = scratch_dir("snapshots", tag, "ivf_model")
+    cents = persisted_ivf_centroids(
+        spark, emb, layer, n_centroids=16, iters=1
+    )
+    assign = _nearest_centroids_udf(cents, 1)
+    cells = emb.select(
+        F.element_at(assign(_as_double("embedding")), 1).alias("cluster")
+    )
+    counts = cells.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    total = counts.agg(F.sum("n_vectors").cast("long").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_vectors",
+            F.round(
+                F.col("n_vectors") / F.col("total").cast("double"), 6
+            ).alias("share_r6"),
+            F.round(
+                F.col("total").cast("double") / (16 * F.col("n_vectors")), 6
+            ).alias("weight_r6"),
+        )
+        .orderBy("cluster")
+    )
