@@ -290,9 +290,14 @@ def q_indexed_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens costs one full pass over the posting table (per-file
     # min/max token stats cannot rank frequencies).  The two strings
     # are model-state-scale driver values, like ANN centroids.
+    pins = token_index.index_pins(spark, group)
     top2 = [
         r["token"]
-        for r in read_snapshot(spark, f"{group}/{token_index.POSTINGS}")
+        for r in read_snapshot(
+            spark,
+            f"{group}/{token_index.POSTINGS}",
+            pins[token_index.POSTINGS],
+        )
         .groupBy("token")
         .agg(F.sum("tf").alias("c"))
         .orderBy(F.col("c").desc(), "token")

@@ -137,6 +137,7 @@ def build_token_index(
     for i in range(max(1, splits)):
         part = docs.filter(F.col("doc_id") % max(1, splits) == i)
         _commit_delta(spark, group, part, first=(i == 0))
+        publish_index_pins(spark, group)  # readers see whole cycles only
     return group
 
 
@@ -184,44 +185,95 @@ def refresh_token_index(
             commit_snapshot(spark, neg, _sub(group, STATS), mode="append")
         if added.limit(1).count():
             _commit_delta(spark, group, added, first=False)
+        catalog_version = publish_index_pins(spark, group)
         return {
             "removed_docs": bool(n_removed),
             "postings_version": snapshot_versions(
                 spark, _sub(group, POSTINGS)
             )[-1],
+            "catalog_version": catalog_version,
         }
     finally:
         changes.unpersist()
 
 
-def corpus_stats(spark: SparkSession, group: str) -> DataFrame:
+def publish_index_pins(spark: SparkSession, group: str) -> int:
+    """Publish the index group's CONSISTENT READ POINT: one catalog
+    version pinning the current head of all three layers (the
+    table-catalog atomic-swap machinery).  The layers commit
+    SEQUENTIALLY during a build/refresh, so without this a concurrent
+    reader could pair postings v(N+1) with the ledger at vN — a TORN
+    index (wrong idf/avgdl, ghost postings).  Readers resolve versions
+    through the newest published pin set instead of each layer's own
+    head, so they see every maintenance cycle all-or-nothing; the swap
+    retries under OCC like any catalog commit.  Returns the catalog
+    version."""
+    from ..sources.snapshots import retry_commit
+    from ..sources.table_catalog import commit_catalog
+
+    def swap() -> int:
+        pins = {
+            t: {
+                "path": _sub(group, t),
+                "version": snapshot_versions(spark, _sub(group, t))[-1],
+            }
+            for t in (POSTINGS, DOCLEN, STATS)
+        }
+        return commit_catalog(spark, group, pins)
+
+    return retry_commit(swap)
+
+
+def index_pins(spark: SparkSession, group: str) -> dict:
+    """{layer name -> pinned version} from the newest published pin
+    set — the version every index read of one query must share."""
+    from ..sources.table_catalog import catalog_tables
+
+    return {
+        t: int(v["version"]) for t, v in catalog_tables(spark, group).items()
+    }
+
+
+def corpus_stats(
+    spark: SparkSession, group: str, *, pins: dict | None = None
+) -> DataFrame:
     """1-row (n_docs, total_tokens) from the signed-delta ledger —
     O(maintenance commits) rows, metadata scale."""
-    return read_snapshot(spark, _sub(group, STATS)).agg(
+    pins = pins or index_pins(spark, group)
+    return read_snapshot(spark, _sub(group, STATS), pins[STATS]).agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("total_tokens").cast("long").alias("total_tokens"),
     )
 
 
 def pruned_postings(
-    spark: SparkSession, group: str, terms: list[str], *, assert_pruned: bool = True
+    spark: SparkSession,
+    group: str,
+    terms: list[str],
+    *,
+    assert_pruned: bool = True,
+    pins: dict | None = None,
 ) -> DataFrame:
-    """The probe terms' posting rows, reading ONLY the files whose
-    range stats + token Bloom admit the terms (builder-asserted strict
-    subset when ``assert_pruned``) — the point-lookup read every index
-    query starts from."""
+    """The probe terms' posting rows at the PINNED postings version,
+    reading ONLY the files whose range stats + token Bloom admit the
+    terms (builder-asserted strict subset when ``assert_pruned``) —
+    the point-lookup read every index query starts from."""
+    pins = pins or index_pins(spark, group)
     path = _sub(group, POSTINGS)
+    v = pins[POSTINGS]
     if assert_pruned:
-        n_all = len(snapshot_files(spark, path))
+        n_all = len(snapshot_files(spark, path, v))
         n_probe = len(
-            snapshot_files(spark, path, prune_point=("token", list(terms)))
+            snapshot_files(
+                spark, path, v, prune_point=("token", list(terms))
+            )
         )
         if not (0 < n_probe < n_all):
             raise AssertionError(
                 f"token index did not prune: {n_probe} of {n_all} files"
             )
     return read_snapshot(
-        spark, path, prune_point=("token", list(terms))
+        spark, path, v, prune_point=("token", list(terms))
     ).filter(F.col("token").isin(*terms))
 
 
@@ -246,10 +298,13 @@ def indexed_bm25_topk(
     bit-identical to the raw-text BM25 query: tf/df/dl/n_docs/total
     are exact integers from the same tokenization, and the double
     arithmetic is the same expression tree."""
-    post = pruned_postings(spark, group, terms, assert_pruned=assert_pruned)
+    pins = index_pins(spark, group)  # ONE consistent read point
+    post = pruned_postings(
+        spark, group, terms, assert_pruned=assert_pruned, pins=pins
+    )
     dfreq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = corpus_stats(spark, group)
-    dl = read_snapshot(spark, _sub(group, DOCLEN))
+    stats = corpus_stats(spark, group, pins=pins)
+    dl = read_snapshot(spark, _sub(group, DOCLEN), pins[DOCLEN])
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
     idf = F.log(
         1

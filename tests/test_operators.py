@@ -1529,3 +1529,69 @@ class TestIndexedPhraseSearch:
             ),
         )
         assert hit() == {2: 2}  # doc1 reversed out, doc2 now matches twice
+
+
+def test_token_index_readers_never_see_torn_state(spark, tmp_path):
+    """The group's three layers commit sequentially, so mid-cycle a
+    reader could pair new postings with the old ledger — unless reads
+    resolve through the published PIN SET (one catalog version pinning
+    all three layer versions, swapped atomically at cycle end)."""
+    import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+    from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+    docs = spark.createDataFrame(
+        [(1, "spark window"), (2, "spark")], "doc_id long, text string"
+    )
+    group = str(tmp_path / "ti")
+    ti.build_token_index(spark, docs, group, splits=1)
+    before = {
+        r["doc_id"]: r["score"]
+        for r in ti.indexed_keyword_search(
+            spark, group, ["spark"], assert_pruned=False
+        ).collect()
+    }
+    stats_before = ti.corpus_stats(spark, group).first()
+
+    # simulate MID-CYCLE state: postings advanced, ledger NOT (a crash
+    # or a concurrent refresh between its layer commits)
+    extra = spark.createDataFrame([(9, "spark spark")], "doc_id long, text string")
+    snap.commit_snapshot(
+        spark,
+        ti.postings_of(extra),
+        f"{group}/{ti.POSTINGS}",
+        mode="append",
+        stats_cols=["token", "doc_id"],
+        bloom_col="token",
+    )
+    # pinned readers still serve the LAST PUBLISHED consistent cycle
+    after = {
+        r["doc_id"]: r["score"]
+        for r in ti.indexed_keyword_search(
+            spark, group, ["spark"], assert_pruned=False
+        ).collect()
+    }
+    assert after == before
+    assert ti.corpus_stats(spark, group).first() == stats_before
+    # completing the cycle (ledger/doclen append + pin swap) exposes it
+    snap.commit_snapshot(
+        spark,
+        extra.selectExpr("doc_id", "CAST(2 AS LONG) AS dl"),
+        f"{group}/{ti.DOCLEN}",
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    snap.commit_snapshot(
+        spark,
+        spark.createDataFrame([(1, 2)], "n_docs long, total_tokens long"),
+        f"{group}/{ti.STATS}",
+        mode="append",
+    )
+    ti.publish_index_pins(spark, group)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ti.indexed_keyword_search(
+            spark, group, ["spark"], assert_pruned=False
+        ).collect()
+    }
+    assert got == {9: 2, 1: 1, 2: 1}
+    assert ti.corpus_stats(spark, group).first()["n_docs"] == 3
