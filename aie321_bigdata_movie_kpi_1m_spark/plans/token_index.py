@@ -410,3 +410,51 @@ def indexed_phrase_search(
         .limit(limit)
         .select("doc_id", F.col("n_matches").cast("long").alias("n_matches"))
     )
+
+
+def maintain_token_index(
+    spark: SparkSession,
+    group: str,
+    *,
+    target_rows_per_file: int = 100_000,
+) -> dict:
+    """Steady-state MAINTENANCE cycle for the index group, closing the
+    loop the other round-9 pieces open: a stream of refreshes leaves
+    the postings layer with many small files plus live equality-delete
+    entries (merge-on-read tax on every search), so this runs the
+    metadata-only advisor per layer, compacts where it says to
+    (bin-packing small files, which also FOLDS the delete entries into
+    the rewrite), and publishes a fresh pin set so readers switch to
+    the maintained versions atomically.  Old pinned versions stay
+    readable until catalog retention retires them (``vacuum_catalog``'s
+    per-path ``min_pinned`` floors size each layer's own vacuum).
+    Returns {layer: actions_taken}."""
+    from ..sources.snapshots import (
+        compact_small_files,
+        snapshot_maintenance_plan,
+    )
+
+    taken: dict = {}
+    for layer in (POSTINGS, DOCLEN):
+        path = _sub(group, layer)
+        plan = {
+            r["action"]
+            for r in snapshot_maintenance_plan(
+                spark, path, target_rows_per_file=target_rows_per_file
+            ).collect()
+        }
+        actions = []
+        if {"compact_small_files", "fold_deletes"} & plan:
+            stats = (
+                ["token", "doc_id"] if layer == POSTINGS else ["doc_id"]
+            )
+            # rows-based advisor, bytes-based packer: small-file rows
+            # at the advisor's threshold are well under this byte cut
+            compact_small_files(
+                spark, path, small_file_bytes=32 << 20, stats_cols=stats
+            )
+            actions.append("compacted")
+        taken[layer] = actions
+    if any(taken.values()):
+        publish_index_pins(spark, group)
+    return taken

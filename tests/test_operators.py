@@ -1595,3 +1595,73 @@ def test_token_index_readers_never_see_torn_state(spark, tmp_path):
     }
     assert got == {9: 2, 1: 1, 2: 1}
     assert ti.corpus_stats(spark, group).first()["n_docs"] == 3
+
+
+def test_maintain_token_index_folds_deletes_and_repins(spark, tmp_path):
+    """The index lifecycle loop: refreshes leave small files + live
+    equality-delete entries; maintenance compacts where the advisor
+    says to (folding the deletes), publishes a fresh pin set, and
+    search results are unchanged."""
+    import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+    from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+    docs_layer = str(tmp_path / "docs")
+    group = str(tmp_path / "ti")
+    rows = [(i, f"spark token{i % 3} window") for i in range(12)]
+    v = snap.commit_snapshot(
+        spark,
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        docs_layer,
+        change_feed=True,
+    )
+    ti.build_token_index(
+        spark, snap.read_snapshot(spark, docs_layer), group, splits=4
+    )
+    # several delete cycles: small ledger/posting appends + live DVs
+    for batch in ([0, 1], [2, 3]):
+        keys = spark.createDataFrame([(k,) for k in batch], "doc_id long")
+        v2 = snap.delete_snapshot_keys(spark, docs_layer, "doc_id", keys)[
+            "version"
+        ]
+        ti.refresh_token_index(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, docs_layer, v, v2, ["doc_id"], include_values=True
+            ),
+        )
+        v = v2
+    search = lambda: {  # noqa: E731
+        r["doc_id"]: r["score"]
+        for r in ti.indexed_keyword_search(
+            spark, group, ["spark", "window"], assert_pruned=False
+        ).collect()
+    }
+    before = search()
+    assert set(before) == set(range(4, 12))
+    post_path = f"{group}/{ti.POSTINGS}"
+    m = snap._manifest_raw(
+        spark, post_path, snap.snapshot_versions(spark, post_path)[-1]
+    )
+    assert m.get("delete_files")  # live merge-on-read tax
+    taken = ti.maintain_token_index(spark, group, target_rows_per_file=1000)
+    assert "compacted" in taken[ti.POSTINGS]
+    # deletes folded: the maintained head carries no delete entries
+    m2 = snap._manifest_raw(
+        spark, post_path, snap.snapshot_versions(spark, post_path)[-1]
+    )
+    assert not m2.get("delete_files")
+    # pins advanced to the maintained version; results unchanged
+    assert ti.index_pins(spark, group)[ti.POSTINGS] == snap.snapshot_versions(
+        spark, post_path
+    )[-1]
+    assert search() == before
+    # the re-planned advisor has nothing left to say about postings
+    plan = {
+        r["action"]
+        for r in snap.snapshot_maintenance_plan(
+            spark, post_path, target_rows_per_file=1000
+        ).collect()
+        if r["action"] != "vacuum"  # superseded originals, expected
+    }
+    assert "fold_deletes" not in plan
