@@ -1905,3 +1905,164 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_checksum"),
         )
     )
+
+
+_STREAM_INDEX_BUILT: set[str] = set()
+
+
+def _stream_maintained_index(spark: SparkSession, sf_dir: str) -> str:
+    """An index group maintained ENTIRELY BY A STREAM: the docs layer's
+    change-data-feed stream (bootstrap inserts, then an equality-delete
+    version's pre-images) drives ``refresh_token_index`` per
+    micro-batch, so the retrieval tier is CDC-maintained end to end —
+    no batch rebuild anywhere.  The group starts EMPTY and every state
+    it ever reaches is a published pin set.  Once per process.
+
+    Exactly-once note: this drain runs to completion in-process; a
+    production deployment passes (app_id, batch_id) txn markers through
+    the refresh commits exactly as the CDC sink does, making replayed
+    micro-batches no-ops."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from ..sources.pyds import (
+        register_snapshot_stream,
+        snapshot_cdf_stream_schema,
+    )
+    from ..sources.snapshots import (
+        commit_snapshot,
+        delete_snapshot_keys,
+        drop_snapshot_layer,
+    )
+    from . import token_index
+    from .warehouse import _SCRATCH, _tag
+
+    group = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/stream_index"
+    if group in _STREAM_INDEX_BUILT:
+        return group
+    docs_layer = f"{group}_docs"
+    ckpt = f"{group}_ckpt"
+    for p in (group, docs_layer):
+        drop_snapshot_layer(spark, p)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    docs = load_star_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    commit_snapshot(
+        spark,
+        docs.repartitionByRange(4, "doc_id"),
+        docs_layer,
+        stats_cols=["doc_id"],
+        change_feed=True,
+    )
+    # the CDC event the index must survive without a rebuild
+    delete_snapshot_keys(
+        spark,
+        docs_layer,
+        "doc_id",
+        docs.filter(F2.col("doc_id") % 7 == 3).select("doc_id"),
+    )
+    # empty bootstrap: every row the index ever holds arrives by stream
+    token_index.build_token_index(
+        spark, docs.limit(0), group, splits=1
+    )
+
+    register_snapshot_stream(spark)
+    stream = (
+        spark.readStream.format("snapshot_stream")
+        .schema(snapshot_cdf_stream_schema(docs_layer, "doc_id,text"))
+        .option("path", docs_layer)
+        .option("cols", "doc_id,text")
+        .option("mode", "cdf")
+        .load()
+    )
+
+    def apply_batch(batch_df, _batch_id):
+        # one micro-batch may span SEVERAL source commits (the stream's
+        # latestOffset jumps to head): replay them IN COMMIT ORDER via
+        # the feed's _commit_version column, or an insert and a later
+        # delete of the same doc would net out wrong (the refresh
+        # applies deletes before appends within one call).  The
+        # distinct-versions collect is O(source commits) — metadata.
+        batch_df = batch_df.persist()
+        try:
+            versions = sorted(
+                r[0]
+                for r in batch_df.select("_commit_version")
+                .distinct()
+                .collect()
+            )
+            for v in versions:
+                changes = batch_df.filter(
+                    F2.col("_commit_version") == v
+                ).select(
+                    "doc_id",
+                    "change_type",
+                    F2.when(
+                        F2.col("change_type") == "delete",
+                        F2.struct(F2.col("text").alias("text")),
+                    ).alias("before"),
+                    F2.when(
+                        F2.col("change_type") == "insert",
+                        F2.struct(F2.col("text").alias("text")),
+                    ).alias("after"),
+                )
+                token_index.refresh_token_index(spark, group, changes)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .queryName("stream_index_maintenance")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    _STREAM_INDEX_BUILT.add(group)
+    return group
+
+
+@register(
+    "streaming_index_maintenance",
+    _TOKENS_CTE.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 7 <> 3"
+    )
+    + f""",
+ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM ex
+  WHERE token IN ('{_PHRASE[0]}', '{_PHRASE[1]}')
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT doc_id, SUM(tf) AS score, COUNT(DISTINCT token) AS n_terms
+  FROM tf GROUP BY 1)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM hits WHERE n_terms = 2
+ORDER BY score DESC, doc_id LIMIT 20
+""",
+    "STREAM-MAINTAINED RETRIEVAL INDEX, end to end: the docs layer's "
+    "change-data-feed stream (bootstrap inserts, then an equality-"
+    "delete version consumed through executor-side pre-image "
+    "reconstruction) drives refresh_token_index per micro-batch — the "
+    "index group starts EMPTY, every posting it ever holds arrives by "
+    "stream, deletes fold in O(delta) with zero driver key hops, and "
+    "each cycle publishes an atomic pin set; the keyword search then "
+    "runs against the maintained index and the oracle recomputes it "
+    "from the RAW SURVIVING documents — a dropped batch, unapplied "
+    "delete, or torn pin set breaks the hash",
+    tags=("text", "retrieval", "snapshots", "index", "streaming"),
+)
+def q_streaming_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from . import token_index
+
+    group = _stream_maintained_index(spark, sf_dir)
+    return token_index.indexed_keyword_search(
+        spark, group, list(_PHRASE), assert_pruned=False
+    )

@@ -591,6 +591,12 @@ class _SnapshotFilePartition(InputPartition):
     # emits them as 'delete' changes — O(touched files), parallel, no
     # driver-side data hop
     eq_del: tuple | None = None
+    # cdf mode: the manifest version that produced this partition's
+    # changes — emitted as the `_commit_version` column (Delta's
+    # readChangeFeed shape), so a consumer applying a multi-version
+    # batch can replay the versions IN COMMIT ORDER (an insert and a
+    # later delete of the same key net out correctly)
+    version: int = 0
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -718,7 +724,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
         have_prev = s in vs
         prev_m = self._manifest(s) if have_prev else None
-        out: list[tuple[str, bool]] = []
+        out: list[tuple[str, bool, int]] = []
         eq_parts: list[_SnapshotFilePartition] = []
         for v in [x for x in vs if s < x <= e]:
             m = self._manifest(v)
@@ -731,7 +737,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                         f"cdf stream initial version v{v} carries "
                         "deletion vectors — compact first"
                     )
-                out.extend((f, True) for f in sorted(self._file_set(m)))
+                out.extend(
+                    (f, True, v) for f in sorted(self._file_set(m))
+                )
             elif mode == "append":
                 if prev_m.get("format", 1) < 2 or m.get("format", 1) < 2:
                     raise ValueError(
@@ -752,7 +760,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 for entry in m.get("segments") or []:
                     if entry["path"] not in prev_seg:
                         out.extend(
-                            (f, True)
+                            (f, True, v)
                             for f in sorted(
                                 self._segment_files(entry["path"])
                             )
@@ -801,11 +809,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                                     pos_dirs,
                                     eq_entries,
                                 ),
+                                version=v,
                             )
                         )
                 else:
                     # recorded (or already-materialized) change files
-                    out.extend((f, False) for f in self._change_files(m))
+                    out.extend(
+                        (f, False, v) for f in self._change_files(m)
+                    )
             else:
                 raise ValueError(
                     f"version {v} (mode {mode!r}) has no change source "
@@ -815,8 +826,8 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             prev_m = m
             have_prev = True
         parts = [
-            _SnapshotFilePartition(f, self._cols, synth, cdf=True)
-            for f, synth in out
+            _SnapshotFilePartition(f, self._cols, synth, cdf=True, version=v)
+            for f, synth, v in out
         ] + eq_parts
         if not parts:
             return [
@@ -952,7 +963,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 for c in partition.cols
             ]
             for row in zip(*cols):
-                yield (*row, "delete")
+                yield (*row, "delete", partition.version)
             return
         if not partition.cdf:
             table = pq.read_table(
@@ -969,14 +980,15 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             )
             cols = [table.column(c).to_pylist() for c in partition.cols]
             for row in zip(*cols):
-                yield (*row, "insert")
+                yield (*row, "insert", partition.version)
         else:
             want = list(partition.cols) + ["change_type"]
             table = pq.read_table(
                 partition.file.removeprefix("file:"), columns=want
             )
             cols = [table.column(c).to_pylist() for c in want]
-            yield from zip(*cols)
+            for row in zip(*cols):
+                yield (*row, partition.version)
 
     def commit(self, end: dict) -> None:
         pass
@@ -1009,12 +1021,18 @@ def snapshot_stream_schema(path: str, cols: str):
 
 def snapshot_cdf_stream_schema(path: str, cols: str):
     """Schema for a ``mode=cdf`` snapshot stream: the requested columns
-    plus the ``change_type`` feed column."""
+    plus the ``change_type`` and ``_commit_version`` feed columns
+    (Delta's readChangeFeed shape — the version lets a consumer replay
+    a multi-version micro-batch in commit order)."""
     from pyspark.sql import types as T
 
     base = snapshot_stream_schema(path, cols)
     return T.StructType(
-        list(base.fields) + [T.StructField("change_type", T.StringType())]
+        list(base.fields)
+        + [
+            T.StructField("change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
     )
 
 
