@@ -209,7 +209,7 @@ def publish_index_pins(spark: SparkSession, group: str) -> int:
     retries under OCC like any catalog commit.  Returns the catalog
     version."""
     from ..sources.snapshots import retry_commit
-    from ..sources.table_catalog import commit_catalog
+    from ..sources.table_catalog import catalog_versions, catalog_tables, commit_catalog
 
     def swap() -> int:
         pins = {
@@ -219,6 +219,9 @@ def publish_index_pins(spark: SparkSession, group: str) -> int:
             }
             for t in (POSTINGS, DOCLEN, STATS)
         }
+        head = catalog_versions(spark, group)
+        if head and catalog_tables(spark, group) == pins:
+            return head[-1]  # unchanged pins: no catalog version churn
         return commit_catalog(spark, group, pins)
 
     return retry_commit(swap)
