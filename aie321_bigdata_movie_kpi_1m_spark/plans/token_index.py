@@ -458,6 +458,20 @@ def maintain_token_index(
             )
             actions.append("compacted")
         taken[layer] = actions
+    # ledger compaction: the signed-delta rows net into ONE row once
+    # the maintenance history grows (an overwrite commit — old versions
+    # stay pinned-readable until retention)
+    stats_path = _sub(group, STATS)
+    if len(snapshot_versions(spark, stats_path)) > 4:
+        commit_snapshot(
+            spark,
+            read_snapshot(spark, stats_path).agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_tokens").cast("long").alias("total_tokens"),
+            ),
+            stats_path,
+        )
+        taken[STATS] = ["ledger_netted"]
     if any(taken.values()):
         publish_index_pins(spark, group)
     return taken

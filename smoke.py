@@ -48,6 +48,9 @@ import sys
 # - indexed_bm25_topk: the round-9 index-group state machine (pruned
 #   postings + doclen + signed-delta stats ledger) — newest
 #   never-driver-sampled member of the snapshot-index family
+# - streaming_index_maintenance: the round-9 stream-built index (cdf
+#   feed with _commit_version, per-commit-order refresh replay) — the
+#   most state-machine-heavy never-sampled query
 ALWAYS = [
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -58,6 +61,7 @@ ALWAYS = [
     "snapshot_pushdown_scan",
     "streaming_snapshot_cdf_tail",
     "indexed_bm25_topk",
+    "streaming_index_maintenance",
 ]
 SLICE = 10
 

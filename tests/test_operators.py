@@ -1646,6 +1646,14 @@ def test_maintain_token_index_folds_deletes_and_repins(spark, tmp_path):
     assert m.get("delete_files")  # live merge-on-read tax
     taken = ti.maintain_token_index(spark, group, target_rows_per_file=1000)
     assert "compacted" in taken[ti.POSTINGS]
+    # the signed-delta ledger (4 build appends + 2 refresh cycles of
+    # rows) netted into one row, stats unchanged
+    assert taken.get(ti.STATS) == ["ledger_netted"]
+    stats_path = f"{group}/{ti.STATS}"
+    assert (
+        snap.read_snapshot(spark, stats_path).count() == 1
+    )
+    assert ti.corpus_stats(spark, group).first()["n_docs"] == 8
     # deletes folded: the maintained head carries no delete entries
     m2 = snap._manifest_raw(
         spark, post_path, snap.snapshot_versions(spark, post_path)[-1]
