@@ -911,3 +911,84 @@ def q_cluster_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def _cluster_quality_oracle() -> str:
+    from .textops import _QUALITY_EXPR_SQL, _TOKENS_CTE
+
+    tok_cte = _TOKENS_CTE.strip().removeprefix("WITH ")
+    return (
+        _ivf_cells_prefix()
+        + f""",
+{tok_cte},
+q AS (
+  SELECT doc_id, {_QUALITY_EXPR_SQL} AS q
+  FROM tok JOIN documents USING (doc_id)
+)
+SELECT CAST(c AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(ROUND(q * 10000) AS BIGINT)) AS BIGINT) AS q_tenk_sum,
+       CAST(COUNT(*) FILTER (q < 0.5) AS BIGINT) AS n_low
+FROM cells JOIN q ON q.doc_id = cells.vec_id
+GROUP BY c ORDER BY cluster
+"""
+    )
+
+
+@register(
+    "cluster_quality_profile",
+    _cluster_quality_oracle(),
+    "CLUSTER-LEVEL CORPUS CURATION (the SemDeDup-paper triage view: "
+    "embedding clusters ranked by content quality, so curation drops "
+    "or downweights whole low-quality regions instead of scoring docs "
+    "one by one): every document joins its embedding's nearest "
+    "persisted-IVF cell (1:1 doc_id/vec_id ids) to its heuristic "
+    "quality score, and ONE groupBy emits per-cluster doc count, an "
+    "EXACT integer quality sum (rounded-4 scores scaled to "
+    "ten-thousandths, so the aggregate is FP-order-independent and "
+    "engine-portable) and the count below the 0.5 admission line; the "
+    "oracle replays fit + assignment + quality + rollup fully in SQL",
+    tags=("similarity", "model", "quality", "text"),
+)
+def q_cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..operators import text_analysis
+    from ..operators.similarity import _as_double, _nearest_centroids_udf
+    from ..session import scratch_dir
+
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    docs = load_star_table(spark, sf_dir, "documents")
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    layer = scratch_dir("snapshots", tag, "ivf_model")
+    cents = persisted_ivf_centroids(
+        spark, emb, layer, n_centroids=16, iters=1
+    )
+    assign = _nearest_centroids_udf(cents, 1)
+    cells = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.element_at(assign(_as_double("embedding")), 1).alias("cluster"),
+    )
+    q = text_analysis.quality_score(docs).select(
+        "doc_id", "quality_score"
+    )
+    return (
+        q.join(cells, "doc_id")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.round(F.col("quality_score") * 10000).cast("long"))
+            .cast("long")
+            .alias("q_tenk_sum"),
+            F.count_if(F.col("quality_score") < 0.5)
+            .cast("long")
+            .alias("n_low"),
+        )
+        .orderBy("cluster")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_docs",
+            "q_tenk_sum",
+            "n_low",
+        )
+    )
