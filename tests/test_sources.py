@@ -5460,3 +5460,70 @@ class TestCatalogStream:
         )
         with pytest.raises(ValueError, match="backwards"):
             r2.partitions({"version": 0}, {"version": 3})
+
+
+class TestCdfStreamCommitVersion:
+    """The cdf stream's _commit_version column (round-9): every change
+    row names the manifest version that produced it, so a consumer
+    applying a micro-batch that spans several source commits can replay
+    them in commit order — an insert and a later delete of the same key
+    must not net out wrong."""
+
+    def test_commit_versions_per_change(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            register_snapshot_stream,
+            snapshot_cdf_stream_schema,
+        )
+
+        register_snapshot_stream(spark)
+        path, ckpt = str(tmp_path / "layer"), str(tmp_path / "ckpt")
+        # v1 bootstrap, v2 append, v3 equality-delete of a v1 key
+        snap.commit_snapshot(
+            spark,
+            spark.range(3).selectExpr("id AS k"),
+            path,
+            stats_cols=["k"],
+            change_feed=True,
+        )
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(10,)], "k long"),
+            path,
+            mode="append",
+        )
+        snap.delete_snapshot_keys(spark, path, "k", [1])
+        got: list = []
+        stream = (
+            spark.readStream.format("snapshot_stream")
+            .schema(snapshot_cdf_stream_schema(path, "k"))
+            .option("path", path)
+            .option("cols", "k")
+            .option("mode", "cdf")
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _bid: got.extend(
+                    (r["change_type"], r["k"], r["_commit_version"])
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert sorted(got) == [
+            ("delete", 1, 3),
+            ("insert", 0, 1),
+            ("insert", 1, 1),
+            ("insert", 2, 1),
+            ("insert", 10, 2),
+        ]
+        # the ordering property the column exists for: k=1's insert
+        # carries a LOWER version than its delete, even though both
+        # arrived in ONE micro-batch
+        ins_v = next(v for t, k, v in got if t == "insert" and k == 1)
+        del_v = next(v for t, k, v in got if t == "delete" and k == 1)
+        assert ins_v < del_v
