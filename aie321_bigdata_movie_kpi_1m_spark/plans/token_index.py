@@ -271,7 +271,11 @@ def pruned_postings(
                 spark, path, v, prune_point=("token", list(terms))
             )
         )
-        if not (0 < n_probe < n_all):
+        # n_probe == 0 is LEGITIMATE (and the strongest pruning): the
+        # stats/bloom prove no file can hold any probe term — a
+        # zero-hit search plans zero scans; only a full-table plan
+        # indicts the index
+        if n_probe >= n_all:
             raise AssertionError(
                 f"token index did not prune: {n_probe} of {n_all} files"
             )

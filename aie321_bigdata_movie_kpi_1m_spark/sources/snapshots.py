@@ -3848,8 +3848,18 @@ def snapshot_maintenance_plan(
         )
 
     # cluster: per stats column, how many live files START before the
-    # running max end of the files already seen (sorted by [lo, hi])
-    cols = sorted({c for b in live_bases for c in (stats.get(b) or {})})
+    # running max end of the files already seen (sorted by [lo, hi]).
+    # Hidden-partition DERIVED stats (_pt_*) are excluded: a bucket
+    # transform's per-file hash range legitimately spans the domain —
+    # that is its design, not a layout defect to "fix" with a rewrite
+    cols = sorted(
+        {
+            c
+            for b in live_bases
+            for c in (stats.get(b) or {})
+            if not c.startswith("_pt_")
+        }
+    )
     for col in cols:
         ranges = [
             tuple(stats[b][col])

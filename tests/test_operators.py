@@ -1673,3 +1673,24 @@ def test_maintain_token_index_folds_deletes_and_repins(spark, tmp_path):
         if r["action"] != "vacuum"  # superseded originals, expected
     }
     assert "fold_deletes" not in plan
+
+
+def test_pruned_postings_zero_hit_term_is_legitimate(spark, tmp_path):
+    """A probe term no file can hold plans ZERO scans — the strongest
+    pruning, not an assertion failure; the searches then return empty
+    instead of crashing (r9 self-review)."""
+    from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    group = str(tmp_path / "ti")
+    ti.build_token_index(spark, docs, group, splits=2)
+    assert (
+        ti.pruned_postings(spark, group, ["zzz_not_a_token"]).count() == 0
+    )
+    assert (
+        ti.indexed_keyword_search(spark, group, ["zzz_not_a_token"]).count()
+        == 0
+    )

@@ -5527,3 +5527,29 @@ class TestCdfStreamCommitVersion:
         ins_v = next(v for t, k, v in got if t == "insert" and k == 1)
         del_v = next(v for t, k, v in got if t == "delete" and k == 1)
         assert ins_v < del_v
+
+
+def test_maintenance_plan_ignores_hidden_partition_stats(spark, tmp_path):
+    """A bucket transform's per-file hash range legitimately spans the
+    domain — the advisor must not recommend a clustering rewrite on the
+    derived _pt_* stat (r9 self-review)."""
+    import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+    path = str(tmp_path / "layer")
+    for i in range(3):
+        snap.commit_snapshot(
+            spark,
+            spark.range(i * 100, (i + 1) * 100).selectExpr(
+                "id AS k", "CAST(id AS STRING) AS s"
+            ).repartition(1),
+            path,
+            mode="overwrite" if i == 0 else "append",
+            partition_spec=[{"transform": "bucket", "n": 8, "source": "s"}],
+        )
+    rows = snap.snapshot_maintenance_plan(
+        spark, path, target_rows_per_file=100000
+    ).collect()
+    assert all(
+        not (r["action"] == "cluster" and str(r["col"]).startswith("_pt_"))
+        for r in rows
+    )
