@@ -5553,3 +5553,67 @@ def test_maintenance_plan_ignores_hidden_partition_stats(spark, tmp_path):
         not (r["action"] == "cluster" and str(r["col"]).startswith("_pt_"))
         for r in rows
     )
+
+
+def test_catalog_stream_cdf_mode(spark, tmp_path):
+    """catalog_stream with mode=cdf: the change feed of one table,
+    advanced by CATALOG versions — a delete transaction's changes
+    arrive only when its catalog swap lands, with change_type and
+    _commit_version columns (the layer-stream cdf shape)."""
+    import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+    import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+    from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+        catalog_stream_schema,
+        register_catalog_stream,
+    )
+
+    register_catalog_stream(spark)
+    cat = str(tmp_path / "cat")
+    layer = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    tc.multi_table_commit(
+        spark,
+        cat,
+        [(
+            "docs",
+            spark.range(5).selectExpr("id AS doc_id"),
+            layer,
+            {"stats_cols": ["doc_id"], "change_feed": True},
+        )],
+    )
+    # transaction 2: equality-delete two keys, then pin the new layer
+    # version in the catalog
+    v = snap.delete_snapshot_keys(spark, layer, "doc_id", [1, 3])["version"]
+    tc.commit_catalog(spark, cat, {"docs": {"path": layer, "version": v}})
+
+    got: list = []
+    stream = (
+        spark.readStream.format("catalog_stream")
+        .schema(catalog_stream_schema(cat, "docs", "doc_id", mode="cdf"))
+        .option("path", cat)
+        .option("table", "docs")
+        .option("cols", "doc_id")
+        .option("mode", "cdf")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _b: got.extend(
+                (r["change_type"], r["doc_id"], r["_commit_version"])
+                for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == [
+        ("delete", 1, 2),
+        ("delete", 3, 2),
+        ("insert", 0, 1),
+        ("insert", 1, 1),
+        ("insert", 2, 1),
+        ("insert", 3, 1),
+        ("insert", 4, 1),
+    ]
