@@ -240,8 +240,26 @@ def _token_index_group(spark: SparkSession, sf_dir: str) -> str:
     if group in _TOKEN_INDEX_BUILT:
         return group
     drop_snapshot_layer(spark, group)
+    docs = load_star_table(spark, sf_dir, "documents")
+    # FIXTURE SIZING: the production default (100k posting rows per
+    # file) collapses these toy corpora into one file per delta, which
+    # would void the pruning the index queries exist to demonstrate —
+    # aim each split's delta at ~8 range-clustered files, the same
+    # layout a real corpus gets at the default.  One scalar agg,
+    # test scaffolding only.
+    from ..functions.text import tokens as _tok_fn
+
+    n_tok = int(
+        docs.select(
+            F.coalesce(F.sum(F.size(_tok_fn("text"))), F.lit(0))
+        ).first()[0]
+    )
     token_index.build_token_index(
-        spark, load_star_table(spark, sf_dir, "documents"), group, splits=2
+        spark,
+        docs,
+        group,
+        splits=2,
+        target_rows_per_file=max(100, n_tok // 16),
     )
     _TOKEN_INDEX_BUILT.add(group)
     return group
@@ -350,6 +368,49 @@ def q_indexed_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     group = _token_index_group(spark, sf_dir)
     return token_index.indexed_phrase_search(spark, group, list(_PHRASE))
+
+
+#: proximity window for the sloppy-phrase query (positions, not tokens)
+_PROX_SLOP = 3
+
+
+@register(
+    "indexed_proximity_search",
+    _TOKENS_CTE
+    + f""",
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts))) AS p, ts
+  FROM tok WHERE len(ts) >= 1
+),
+m AS (
+  SELECT doc_id FROM pos
+  WHERE ts[p] = '{_PHRASE[0]}'
+    AND len(list_filter(
+          ts[greatest(1, p - {_PROX_SLOP}):least(len(ts), p + {_PROX_SLOP})],
+          x -> x = '{_PHRASE[1]}')) > 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM m GROUP BY doc_id
+ORDER BY n_matches DESC, doc_id
+LIMIT 20
+""",
+    "PROXIMITY search (phrase-with-slop, Lucene's sloppy phrase with "
+    "symmetric-window semantics — r9 verdict item 6) through the same "
+    "positional index as the exact-phrase query: docs where the second "
+    f"term occurs within {_PROX_SLOP} positions of an occurrence of "
+    "the first, ranked by the count of such anchors; same pruned "
+    "per-term reads and doc_id equi-joins, the JVM array filter tests "
+    "|distance| <= slop instead of equality; the oracle replays the "
+    "window predicate over the raw token lists",
+    tags=("text", "retrieval", "snapshots", "index", "pruning"),
+)
+def q_indexed_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    return token_index.indexed_proximity_search(
+        spark, group, list(_PHRASE), slop=_PROX_SLOP
+    )
 
 
 @register(

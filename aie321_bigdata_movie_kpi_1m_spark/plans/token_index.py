@@ -39,6 +39,7 @@ at all); this implements SURVEY §2.9's LLM-pipeline retrieval tier.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -46,6 +47,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens as _tokens
 from ..sources.snapshots import (
+    _read_text,
+    _write_text,
     commit_snapshot,
     delete_snapshot_keys,
     read_snapshot,
@@ -58,6 +61,9 @@ POSTINGS, DOCLEN, STATS = "postings", "doclen", "stats"
 
 #: BM25 constants (Robertson defaults, shared with the raw-text query)
 _K1, _B = 1.2, 0.75
+
+#: bucket count for the doclen SERVING MIRROR (size by corpus at scale)
+_DOCLEN_BUCKETS = 8
 
 
 def _sub(group: str, name: str) -> str:
@@ -87,12 +93,26 @@ def postings_of(docs: DataFrame) -> DataFrame:
 
 
 def _commit_delta(
-    spark: SparkSession, group: str, docs: DataFrame, *, first: bool
+    spark: SparkSession,
+    group: str,
+    docs: DataFrame,
+    *,
+    first: bool,
+    target_rows_per_file: int = 100_000,
 ) -> None:
     """Append one docs delta's rows to all three layers (postings
     clustered on token so file token-ranges stay disjoint and pruning
-    stays sharp; stats as a single signed-delta ledger row computed on
-    the executors — the only driver values are the commit calls).
+    stays sharp; stats as a single signed-delta ledger row).
+
+    The postings delta is range-partitioned into
+    ``ceil(delta token count / target_rows_per_file)`` files — sized by
+    the DELTA, not a constant: a backfill delta writes proportionally
+    many files and a micro-batch writes one, instead of every delta
+    fanning into the same fixed count (small-file churn maintenance
+    would then have to clean).  The token count is an upper bound on
+    posting rows (tf folds duplicates), resolved in the same 2-scalar
+    aggregate that feeds the stats ledger — the only driver values are
+    those two longs, metadata scale.
 
     ``doclen`` and the ledger derive from the DOCS delta, not the
     postings: a token-less doc (NULL/empty text) gets a dl=0 row and
@@ -103,25 +123,32 @@ def _commit_delta(
     mode = "overwrite" if first else "append"
     docs = docs.persist()
     try:
+        dl = docs.select(
+            "doc_id", F.size(_tokens("text")).cast("long").alias("dl")
+        )
+        env = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias(
+                "total_tokens"
+            ),
+        ).first()
+        n_docs, total_tokens = int(env["n_docs"]), int(env["total_tokens"])
+        n_parts = max(
+            1, math.ceil(total_tokens / max(1, int(target_rows_per_file)))
+        )
         commit_snapshot(
             spark,
-            postings_of(docs).repartitionByRange(8, "token"),
+            postings_of(docs).repartitionByRange(n_parts, "token"),
             _sub(group, POSTINGS),
             mode=mode,
             stats_cols=["token", "doc_id"],
             bloom_col="token",
         )
-        dl = docs.select(
-            "doc_id", F.size(_tokens("text")).cast("long").alias("dl")
-        )
         commit_snapshot(
             spark, dl, _sub(group, DOCLEN), mode=mode, stats_cols=["doc_id"]
         )
-        ledger = dl.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias(
-                "total_tokens"
-            ),
+        ledger = spark.createDataFrame(
+            [(n_docs, total_tokens)], "n_docs long, total_tokens long"
         )
         commit_snapshot(spark, ledger, _sub(group, STATS), mode=mode)
     finally:
@@ -129,20 +156,41 @@ def _commit_delta(
 
 
 def build_token_index(
-    spark: SparkSession, docs: DataFrame, group: str, *, splits: int = 2
+    spark: SparkSession,
+    docs: DataFrame,
+    group: str,
+    *,
+    splits: int = 2,
+    target_rows_per_file: int = 100_000,
 ) -> str:
     """Bootstrap the index group from a docs snapshot, in ``splits``
-    incremental appends (split by doc_id parity/modulus) to exercise
-    the same O(delta) append path a streaming corpus drives."""
+    incremental appends (split by doc_id modulus — ``pmod``, so a
+    NEGATIVE doc_id lands in a split instead of silently vanishing
+    from the index) to exercise the same O(delta) append path a
+    streaming corpus drives.  Finishes by publishing the pin set and
+    writing the doclen serving mirror (see ``_write_doclen_mirror``)."""
     for i in range(max(1, splits)):
-        part = docs.filter(F.col("doc_id") % max(1, splits) == i)
-        _commit_delta(spark, group, part, first=(i == 0))
+        part = docs.filter(
+            F.pmod(F.col("doc_id"), F.lit(max(1, splits))) == i
+        )
+        _commit_delta(
+            spark,
+            group,
+            part,
+            first=(i == 0),
+            target_rows_per_file=target_rows_per_file,
+        )
         publish_index_pins(spark, group)  # readers see whole cycles only
+    _write_doclen_mirror(spark, group, index_pins(spark, group))
     return group
 
 
 def refresh_token_index(
-    spark: SparkSession, group: str, changes: DataFrame
+    spark: SparkSession,
+    group: str,
+    changes: DataFrame,
+    *,
+    target_rows_per_file: int = 100_000,
 ) -> dict:
     """Fold a base-table KEYED CHANGE FEED into the index, O(delta).
 
@@ -184,7 +232,13 @@ def refresh_token_index(
             )
             commit_snapshot(spark, neg, _sub(group, STATS), mode="append")
         if added.limit(1).count():
-            _commit_delta(spark, group, added, first=False)
+            _commit_delta(
+                spark,
+                group,
+                added,
+                first=False,
+                target_rows_per_file=target_rows_per_file,
+            )
         catalog_version = publish_index_pins(spark, group)
         return {
             "removed_docs": bool(n_removed),
@@ -235,6 +289,90 @@ def index_pins(spark: SparkSession, group: str) -> dict:
     return {
         t: int(v["version"]) for t, v in catalog_tables(spark, group).items()
     }
+
+
+def _mirror_manifest_path(group: str) -> str:
+    return f"{group}/doclen_bucketed/MIRROR.json"
+
+
+def _write_doclen_mirror(spark: SparkSession, group: str, pins: dict) -> dict:
+    """Write the doclen SERVING MIRROR: the pinned doclen version as a
+    doc_id-BUCKETED (+ sorted) external table, so the BM25
+    postings ⋈ doclen join reads the doclen side EXCHANGE-FREE — the
+    big side of that join is doclen (O(docs) rows; the term-pruned
+    postings are tiny), and at 100 TB a bucketed doclen means only the
+    small postings side ever shuffles, paid once per maintenance cycle
+    instead of per query.
+
+    The snapshot layer stays the source of truth (versioned, CDF,
+    O(delta) refresh); the mirror is DERIVED state keyed by the doclen
+    version it was built from — ``_doclen_df`` uses it only when its
+    recorded version equals the reader's pinned version and falls back
+    to the snapshot read otherwise, so refreshes between maintenance
+    cycles are correct (just not exchange-free) and time-traveling
+    readers never touch it.  Table metadata (bucket spec) is re-created
+    from the mirror manifest in any later session (``CREATE TABLE ...
+    CLUSTERED BY``), so the mirror is not bound to this process."""
+    import hashlib
+    import json
+
+    v = int(pins[DOCLEN])
+    # table name deterministic across processes (md5, not salted hash)
+    table = (
+        f"idx_doclen_{hashlib.md5(group.encode()).hexdigest()[:10]}_v{v}"
+    )
+    dest = f"{group}/doclen_bucketed/v{v}"
+    from ..sources.sinks import write_bucketed
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_bucketed(
+        read_snapshot(spark, _sub(group, DOCLEN), v),
+        table,
+        bucket_cols=["doc_id"],
+        n_buckets=_DOCLEN_BUCKETS,
+        sort_cols=["doc_id"],
+        path=dest,
+    )
+    rec = {
+        "doclen_version": v,
+        "n_buckets": _DOCLEN_BUCKETS,
+        "table": table,
+        "path": dest,
+    }
+    # manifest written LAST — the mirror's commit point.  _write_text
+    # refuses to overwrite (it is the snapshot-commit lock primitive),
+    # so drop the previous record first: a reader racing the gap sees
+    # no record and falls back to the snapshot read, never a torn one
+    # (the JSON itself lands by atomic tmp+rename)
+    from ..sources.snapshots import _fs, _hpath
+
+    jvm, fs = _fs(spark, group)
+    fs.delete(_hpath(jvm, _mirror_manifest_path(group)), False)
+    _write_text(spark, _mirror_manifest_path(group), json.dumps(rec))
+    return rec
+
+
+def _doclen_df(spark: SparkSession, group: str, pins: dict) -> DataFrame:
+    """The pinned doclen relation, served from the bucketed mirror when
+    it matches the pinned version (exchange-free join input), else from
+    the snapshot layer (correct, one exchange)."""
+    import json
+
+    try:
+        rec = json.loads(_read_text(spark, _mirror_manifest_path(group)))
+    except Exception:
+        rec = None
+    if rec and int(rec["doclen_version"]) == int(pins[DOCLEN]):
+        table = rec["table"]
+        if not spark.catalog.tableExists(table):
+            spark.sql(
+                f"CREATE TABLE {table} (doc_id BIGINT, dl BIGINT) "
+                f"USING parquet CLUSTERED BY (doc_id) "
+                f"SORTED BY (doc_id) INTO {int(rec['n_buckets'])} BUCKETS "
+                f"LOCATION '{rec['path']}'"
+            )
+        return spark.table(table).select("doc_id", "dl")
+    return read_snapshot(spark, _sub(group, DOCLEN), pins[DOCLEN])
 
 
 def corpus_stats(
@@ -300,8 +438,11 @@ def indexed_bm25_topk(
     Join shape at 100 TB: the term-filtered postings are the small
     side (a few terms' posting lists); df and the 1-row corpus stats
     ride broadcasts; the only big join is postings ⋈ doclen on doc_id,
-    an equi-join AQE plans (and a doc_id-bucketed doclen layer would
-    co-locate).  Top-k compiles to TakeOrderedAndProject.  Scores are
+    served from the doc_id-BUCKETED doclen mirror when it matches the
+    pinned version — the doclen (big) side then reads EXCHANGE-FREE
+    and only the tiny postings side shuffles (plan-pinned in
+    tests/test_plan_quality.py).  Top-k compiles to
+    TakeOrderedAndProject.  Scores are
     bit-identical to the raw-text BM25 query: tf/df/dl/n_docs/total
     are exact integers from the same tokenization, and the double
     arithmetic is the same expression tree."""
@@ -311,7 +452,7 @@ def indexed_bm25_topk(
     )
     dfreq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = corpus_stats(spark, group, pins=pins)
-    dl = read_snapshot(spark, _sub(group, DOCLEN), pins[DOCLEN])
+    dl = _doclen_df(spark, group, pins)
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
     idf = F.log(
         1
@@ -419,6 +560,73 @@ def indexed_phrase_search(
     )
 
 
+def indexed_proximity_search(
+    spark: SparkSession,
+    group: str,
+    terms: list[str],
+    *,
+    slop: int,
+    limit: int = 20,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """PROXIMITY search (phrase-with-slop — Lucene's sloppy phrase,
+    simplified to the symmetric-window semantics an oracle can replay
+    exactly): docs where EVERY term in ``terms`` occurs within ``slop``
+    positions of some occurrence of the FIRST term, ranked by the
+    count of such anchor occurrences.
+
+    Precise semantics: ``n_matches`` = |{p ∈ positions(terms[0]) :
+    ∀ i ≥ 1 ∃ q ∈ positions(terms[i]) with |q − p| ≤ slop}|.  A doc
+    matches when n_matches > 0.  ``slop=1`` with two terms admits both
+    orders at distance one; exact adjacency (ordered) remains
+    ``indexed_phrase_search``'s job.
+
+    Plan shape is the phrase query's: one pruned read covers the whole
+    term set (stats + bloom admit only the files that can hold a
+    term), per-term position lists meet in (k−1) doc_id equi-joins —
+    each side one term's postings, tiny relative to the corpus — and
+    the window predicate is a JVM array filter (``F.filter`` +
+    ``F.exists`` over the position arrays), so no text is re-scanned
+    and nothing leaves codegen."""
+    if len(terms) < 2:
+        raise ValueError("proximity search needs at least two tokens")
+    if slop < 1:
+        raise ValueError("slop must be >= 1")
+    post = pruned_postings(
+        spark, group, sorted(set(terms)), assert_pruned=assert_pruned
+    )
+    joined = None
+    for i, term in enumerate(terms):
+        side = post.filter(F.col("token") == term).select(
+            "doc_id", F.col("positions").alias(f"__p{i}")
+        )
+        joined = side if joined is None else joined.join(side, "doc_id")
+    def _window_pred(p: Column) -> Column:
+        # p is the anchor position (term 0); every later term needs
+        # SOME position within |slop| of it
+        return reduce(
+            Column.__and__,
+            [
+                F.exists(
+                    F.col(f"__p{i}"),
+                    lambda q: F.abs(q - p) <= F.lit(slop),
+                )
+                for i in range(1, len(terms))
+            ],
+        )
+
+    anchors = F.filter(F.col("__p0"), _window_pred)
+    return (
+        joined.select("doc_id", F.size(anchors).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.col("n_matches").desc(), "doc_id")
+        .limit(limit)
+        .select(
+            "doc_id", F.col("n_matches").cast("long").alias("n_matches")
+        )
+    )
+
+
 def maintain_token_index(
     spark: SparkSession,
     group: str,
@@ -456,9 +664,18 @@ def maintain_token_index(
                 ["token", "doc_id"] if layer == POSTINGS else ["doc_id"]
             )
             # rows-based advisor, bytes-based packer: small-file rows
-            # at the advisor's threshold are well under this byte cut
+            # at the advisor's threshold are well under this byte cut.
+            # fold_deletes forces the delete-TOUCHED files into the
+            # rewrite even when they sit above the byte cut — a
+            # "fold_deletes"-only plan must actually clear the
+            # merge-on-read entries, not hope the size sweep catches
+            # their files
             compact_small_files(
-                spark, path, small_file_bytes=32 << 20, stats_cols=stats
+                spark,
+                path,
+                small_file_bytes=32 << 20,
+                stats_cols=stats,
+                fold_deletes="fold_deletes" in plan,
             )
             actions.append("compacted")
         taken[layer] = actions
@@ -478,4 +695,18 @@ def maintain_token_index(
         taken[STATS] = ["ledger_netted"]
     if any(taken.values()):
         publish_index_pins(spark, group)
+    # doclen serving mirror: re-sync when it no longer matches the
+    # pinned doclen version (refreshes between cycles leave it stale —
+    # readers fall back to the snapshot read; the cycle restores the
+    # exchange-free join input)
+    import json
+
+    pins = index_pins(spark, group)
+    try:
+        rec = json.loads(_read_text(spark, _mirror_manifest_path(group)))
+    except Exception:
+        rec = None
+    if not rec or int(rec["doclen_version"]) != pins[DOCLEN]:
+        _write_doclen_mirror(spark, group, pins)
+        taken.setdefault(DOCLEN, []).append("mirror_refreshed")
     return taken

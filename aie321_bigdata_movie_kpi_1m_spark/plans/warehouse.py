@@ -2635,3 +2635,145 @@ def q_snapshot_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_maintenance_plan(
         spark, path, target_rows_per_file=_MAINT_TARGET_ROWS
     )
+
+
+_CMAINT_BUILT: set[str] = set()
+
+#: orders-side knobs for the catalog-wide sweep (docs side reuses
+#: _MAINT_BUCKETS/_MAINT_TARGET_ROWS so the two advisors share arithmetic)
+_CMAINT_ORD_BUCKETS = 8
+
+
+def _cmaint_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """A 3-table catalog in maintenance-relevant shapes: ``docs`` = the
+    12-append interleaved documents layer (same fixture the single-layer
+    advisor query plans), ``orders`` = 8 interleaved single-file appends
+    keyed o_orderkey, ``nation`` = one clean single-file commit that
+    must contribute ZERO plan rows (the sweep reports need, it never
+    invents work).  One catalog version pins all three.  Once per
+    process."""
+    from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
+    from ..sources.table_catalog import commit_catalog
+
+    cat = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/cmaint_cat"
+    if cat in _CMAINT_BUILT:
+        return cat
+    import shutil
+
+    shutil.rmtree(cat, ignore_errors=True)
+    docs_path = _maintenance_layer(spark, sf_dir)
+    orders_path = f"{cat}/orders"
+    nation_path = f"{cat}/nation"
+    drop_snapshot_layer(spark, orders_path)
+    drop_snapshot_layer(spark, nation_path)
+    orders = load_star_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    for i in range(_CMAINT_ORD_BUCKETS):
+        commit_snapshot(
+            spark,
+            orders.filter(
+                F.col("o_orderkey") % _CMAINT_ORD_BUCKETS == i
+            ).repartition(1),
+            orders_path,
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["o_orderkey"],
+        )
+    commit_snapshot(
+        spark,
+        load_star_table(spark, sf_dir, "nation").repartition(1),
+        nation_path,
+        stats_cols=["n_nationkey"],
+    )
+    commit_catalog(
+        spark,
+        cat,
+        {
+            "docs": {"path": docs_path, "version": _MAINT_BUCKETS},
+            "orders": {"path": orders_path, "version": _CMAINT_ORD_BUCKETS},
+            "nation": {"path": nation_path, "version": 1},
+        },
+    )
+    _CMAINT_BUILT.add(cat)
+    return cat
+
+
+def _cmaint_oracle_for(table: str, base: str, key: str, buckets: int) -> str:
+    """One table's worth of the catalog-sweep oracle: the same manifest
+    arithmetic as the single-layer advisor SQL, prefixed with the table
+    name (UNION'd by the caller)."""
+    return f"""
+SELECT * FROM (
+  WITH f AS (
+    SELECT {key} % {buckets} AS b, COUNT(*) AS n,
+           MIN({key}) AS lo, MAX({key}) AS hi
+    FROM {base} GROUP BY 1
+  ),
+  small AS (
+    SELECT COUNT(*) AS ns, SUM(n) AS sr FROM f
+    WHERE n < {_MAINT_TARGET_ROWS // 2}
+  ),
+  compact AS (
+    SELECT '{table}' AS table_name, 'compact_small_files' AS action,
+           CAST(NULL AS VARCHAR) AS col,
+           CAST(ns AS BIGINT) AS n_files, CAST(sr AS BIGINT) AS n_rows,
+           GREATEST(CAST(CEIL(sr / {_MAINT_TARGET_ROWS}.0) AS BIGINT), 1)
+             AS predicted_files,
+           CAST(NULL AS BIGINT) AS overlap_files
+    FROM small
+    WHERE ns >= 2
+      AND GREATEST(CAST(CEIL(sr / {_MAINT_TARGET_ROWS}.0) AS BIGINT), 1) < ns
+  ),
+  chain AS (
+    SELECT lo, hi,
+           MAX(hi) OVER (ORDER BY lo, hi
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS run_hi
+    FROM f
+  ),
+  ov AS (
+    SELECT COUNT(*) FILTER (run_hi IS NOT NULL AND lo <= run_hi) AS overlap,
+           COUNT(*) AS nr
+    FROM chain
+  ),
+  clus AS (
+    SELECT '{table}' AS table_name, 'cluster' AS action, '{key}' AS col,
+           CAST(nr AS BIGINT) AS n_files,
+           CAST((SELECT SUM(n) FROM f) AS BIGINT) AS n_rows,
+           CAST(nr AS BIGINT) AS predicted_files,
+           CAST(overlap AS BIGINT) AS overlap_files
+    FROM ov
+    WHERE nr >= 2 AND overlap > 0.5 * nr
+  )
+  SELECT * FROM compact UNION ALL SELECT * FROM clus
+)
+"""
+
+
+@register(
+    "catalog_maintenance_plan",
+    _cmaint_oracle_for("docs", "documents", "doc_id", _MAINT_BUCKETS)
+    + " UNION ALL "
+    + _cmaint_oracle_for("orders", "orders", "o_orderkey", _CMAINT_ORD_BUCKETS)
+    + "\nORDER BY table_name, action\n",
+    "CATALOG-WIDE MAINTENANCE SWEEP (r9 verdict item 7): ONE call plans "
+    "every table a catalog version pins — the per-layer metadata-only "
+    "advisor runs over each pinned layer path with the table name "
+    "prefixed, so a production scheduler iterates one DataFrame for "
+    "the whole star instead of remembering per-table calls; exercised "
+    "on a 3-table catalog (12-append interleaved documents layer, "
+    "8-append interleaved orders layer, and a CLEAN single-file nation "
+    "layer that must contribute zero rows — the sweep reports need, "
+    "never invents it); the oracle replays both dirty tables' "
+    "file/row/overlap arithmetic from the raw tables; the act-then-"
+    "replan loop under vacuum_catalog's min_pinned floors is pytest-"
+    "pinned in test_sources.py",
+    tags=("layout", "maintenance", "snapshots", "catalog"),
+)
+def q_catalog_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.table_catalog import catalog_maintenance_plan
+
+    cat = _cmaint_catalog(spark, sf_dir)
+    return catalog_maintenance_plan(
+        spark, cat, target_rows_per_file=_MAINT_TARGET_ROWS
+    )

@@ -627,14 +627,16 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, options: dict):
+        import re
+
         self._path = options["path"]
-        scheme = (
-            self._path.split("://", 1)[0]
-            if "://" in self._path
-            else self._path.split(":", 1)[0]
-            if self._path.startswith("file:")
-            else ""
-        )
+        # ANY RFC-3986 scheme prefix counts — including the
+        # single-slash Hadoop forms ("hdfs:/warehouse/t",
+        # "s3:/bucket/t") that parse to scheme '' under a naive
+        # "://"-only split and would fall through to plain file IO,
+        # exactly the silent no-data failure this guard exists to stop
+        mt = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):", self._path)
+        scheme = mt.group(1) if mt else ""
         if scheme not in ("", "file"):
             raise ValueError(
                 "SnapshotStreamDataSource reads manifests with plain "
@@ -1180,8 +1182,25 @@ class _CatalogStreamReader(_SnapshotStreamReader):
                 f"({layer_vs}) inside catalog range ({s}, {e}] — a "
                 "restore needs a fresh checkpoint"
             )
-        # start layer version: the pin AT the start catalog offset
-        # (absent there -> initial snapshot semantics, layer v0)
+        # start layer version: the pin AT the start catalog offset.
+        # Absent there, two cases split on the table's history BEFORE
+        # the checkpoint: never pinned before s -> the table is genuinely
+        # new to this stream, initial-snapshot semantics (layer v0) are
+        # right; pinned at some earlier surviving catalog version ->
+        # the table was DROPPED and re-added after rows were already
+        # consumed, and silently replaying from layer v0 would duplicate
+        # them — raise, same fresh-checkpoint contract as repoint/rewind
+        if s != 0 and known[0][0] != s:
+            if any(
+                self._pin(cv) is not None for cv in cat_vs if cv < s
+            ):
+                raise ValueError(
+                    f"table {self._table!r} had no pin at consumed "
+                    f"catalog offset v{s} but was pinned at an earlier "
+                    "catalog version — it was dropped and re-added; "
+                    "replaying from layer v0 would duplicate rows, "
+                    "restart the stream from a fresh checkpoint"
+                )
         ls = known[0][1][1] if (s != 0 and known[0][0] == s) else 0
         le = layer_vs[-1]
         self._path = paths.pop()

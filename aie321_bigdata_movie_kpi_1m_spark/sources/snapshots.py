@@ -3210,10 +3210,23 @@ def merge_snapshot(
         new_stats = {}
     repack_bases = {f.rsplit("/", 1)[-1] for f in repack_files}
     # repacked files keep their stats / counts / bloom / column-stat
-    # entries verbatim (their bytes never moved); rewritten files drop
-    # their blooms (a conservative reader keeps bloom-less files, so
-    # this only costs skipping sharpness on the rewritten tail, never
-    # correctness)
+    # entries verbatim (their bytes never moved); rewritten files get
+    # FRESH blooms under the manifest's pinned (m, k) — a CDC-maintained
+    # layer merges every cycle, and writing the rewritten region
+    # bloom-less would dull point-lookup skipping on exactly the hot
+    # tail.  O(rewritten bytes), the same order as the merge itself.
+    merge_blooms = (
+        _file_blooms(
+            spark,
+            data_dir,
+            new_files,
+            m["bloom_col"],
+            m=int(m.get("bloom_m") or _BLOOM_BITS),
+            k=int(m.get("bloom_k") or _BLOOM_HASHES),
+        )
+        if m.get("bloom_col") and m["bloom_col"] in cols
+        else {}
+    )
     repack_entries = _write_segment_entries(
         spark,
         path,
@@ -3233,7 +3246,7 @@ def merge_snapshot(
         new_files,
         new_stats,
         new_counts,
-        {},
+        merge_blooms,
         _list_parquet_sizes(spark, data_dir),
         new_colmeta,
         new_raw,
@@ -3285,12 +3298,24 @@ def compact_small_files(
     small_file_bytes: int = 32 * 1024 * 1024,
     target_file_bytes: int = 128 * 1024 * 1024,
     stats_cols: list[str] | None = None,
+    fold_deletes: bool = False,
 ) -> dict:
     """BIN-PACKING compaction (Delta ``OPTIMIZE`` semantics): rewrite
     ONLY the head files smaller than ``small_file_bytes``, coalesced
     into ~``target_file_bytes`` outputs; every file already at a healthy
     size is carried into the new manifest verbatim — stats, counts,
     Bloom entries and deletion-vector entries intact, zero bytes moved.
+
+    ``fold_deletes=True`` additionally forces every file a live
+    position/equality delete entry TOUCHES into the rewrite regardless
+    of its size, so the commit clears the merge-on-read entries a
+    "fold_deletes"-only maintenance plan names — without it, a delete
+    touching only healthy-sized files would survive the size sweep and
+    the layer would keep paying the merge-on-read tax while reporting
+    itself compacted.  Packed outputs get fresh Bloom bit sets under
+    the manifest's pinned (m, k) when the layer carries a bloom_col
+    (same contract as ``rewrite_snapshot``) — the maintenance job must
+    never un-tune the index it maintains.
 
     This is the steady-state maintenance job for a layer fed by
     O(delta) appends or streaming micro-batches: each run costs
@@ -3318,6 +3343,20 @@ def compact_small_files(
             else int(fs.getFileStatus(_hpath(jvm, f)).getLen())
         )
 
+    # fold_deletes: bases a live delete entry touches rewrite
+    # unconditionally (their deletion vectors fold into the rewrite)
+    forced: set[str] = set()
+    if fold_deletes:
+        for e in m.get("delete_files") or []:
+            t = e.get("touches") or {}
+            forced.update(t if isinstance(t, (list, tuple)) else t.keys())
+
+    def _packs(f: str, sizes: dict) -> bool:
+        return (
+            _size(f, sizes) < small_file_bytes
+            or f.rsplit("/", 1)[-1] in forced
+        )
+
     carried_entries: list[dict] = []
     small: list[str] = []
     small_bytes = 0
@@ -3338,11 +3377,7 @@ def compact_small_files(
             total_files += int(e["n_files"])
             seg = _read_segment(spark, e["path"])
             sizes = seg.get("sizes") or {}
-            seg_small = [
-                f
-                for f in seg["files"]
-                if _size(f, sizes) < small_file_bytes
-            ]
+            seg_small = [f for f in seg["files"] if _packs(f, sizes)]
             if not seg_small:
                 carried_entries.append(e)
                 continue
@@ -3363,10 +3398,9 @@ def compact_small_files(
         total_files = len(mm["files"])
         sizes_map = mm.get("sizes") or {}
         for f in mm["files"]:
-            n = _size(f, sizes_map)
-            if n < small_file_bytes:
+            if _packs(f, sizes_map):
                 small.append(f)
-                small_bytes += n
+                small_bytes += _size(f, sizes_map)
             else:
                 repack_files.append(f)
         stats_map = mm.get("stats", {})
@@ -3374,7 +3408,9 @@ def compact_small_files(
         blooms_map = mm.get("blooms", {})
         raw_map = mm.get("raw_sizes") or {}
         colmeta_map = mm.get("colmeta") or {}
-    if len(small) < 2:
+    if len(small) < 2 and not (forced and small):
+        # < 2 small files is nothing to pack — UNLESS a forced
+        # delete-touched file is among them, whose rewrite is the point
         return {
             "version": head,
             "files_rewritten": 0,
@@ -3396,8 +3432,9 @@ def compact_small_files(
         compact_dom_inherit = {c: "string" for c in stats_cols or []}
     # re-derive hidden-partitioning transform stats for the packed
     # files (best-effort — see _spec_derived_exprs)
+    packed_schema = spark.read.parquet(data_dir).schema
     compact_derived = _spec_derived_exprs(
-        spark.read.parquet(data_dir).schema, m.get("partition_spec")
+        packed_schema, m.get("partition_spec")
     )
     new_stats, new_counts, new_colmeta, new_raw, new_doms = _file_stats(
         spark, data_dir, new_files, stats_cols or [], compact_dom_inherit,
@@ -3406,6 +3443,27 @@ def compact_small_files(
     compact_stat_doms = {**(m.get("stat_doms") or {}), **new_doms}
     if not stats_cols and not compact_derived:
         new_stats = {}
+    # the packed outputs hold MOST of the layer's rows after a few
+    # maintenance cycles — writing them bloom-less (as pre-r10 code
+    # did with a literal ``{}``) strips the point-lookup index off
+    # exactly the files compaction produces AND voids their segments'
+    # bloom unions; recompute with the manifest's pinned (m, k) so old
+    # and new files probe bit-identically (same contract as
+    # ``rewrite_snapshot``'s recompute).  O(packed bytes) — the scan
+    # cost the rewrite already paid.
+    bloom_col = m.get("bloom_col")
+    new_blooms = (
+        _file_blooms(
+            spark,
+            data_dir,
+            new_files,
+            bloom_col,
+            m=int(m.get("bloom_m") or _BLOOM_BITS),
+            k=int(m.get("bloom_k") or _BLOOM_HASHES),
+        )
+        if bloom_col and bloom_col in packed_schema.names
+        else {}
+    )
     repack_bases = {f.rsplit("/", 1)[-1] for f in repack_files}
     repack_entries = _write_segment_entries(
         spark,
@@ -3426,7 +3484,7 @@ def compact_small_files(
         new_files,
         new_stats,
         new_counts,
-        {},
+        new_blooms,
         _list_parquet_sizes(spark, data_dir),
         new_colmeta,
         new_raw,

@@ -281,6 +281,59 @@ def vacuum_catalog(
     }
 
 
+def catalog_maintenance_plan(
+    spark: SparkSession,
+    cat_path: str,
+    *,
+    target_rows_per_file: int,
+    small_file_rows: int | None = None,
+    overlap_threshold: float = 0.5,
+    catalog_version: int | None = None,
+) -> DataFrame:
+    """CATALOG-WIDE maintenance sweep (r9 verdict item 7): one call
+    plans EVERY table the catalog version pins, running the
+    metadata-only layer advisor (``snapshots.snapshot_maintenance_plan``)
+    per pinned layer path and prefixing each row with the table name —
+    the "describe detail across the whole star" view a production
+    maintenance scheduler iterates.
+
+    Each layer is planned at ITS OWN HEAD: maintenance targets the live
+    layer, while the pinned history stays readable because the acting
+    job sizes each layer's vacuum from ``vacuum_catalog``'s per-path
+    ``min_pinned`` floors (the coherence rule documented there) — the
+    advisor never recommends dropping a version a surviving catalog
+    version still pins (its ``vacuum`` rows count files, the layer
+    vacuum enforces the floor).  A table repointed across paths in
+    history is planned at the path THIS catalog version pins.  Cost:
+    O(sum of member layers' manifest JSON) — still zero data files.
+
+    Returns one DataFrame: (table_name, action, col, n_files, n_rows,
+    predicted_files, overlap_files), ordered by (table_name, action).
+    Tables whose layers need nothing contribute no rows."""
+    from pyspark.sql import functions as F
+
+    from .snapshots import snapshot_maintenance_plan
+
+    tables = catalog_tables(spark, cat_path, catalog_version)
+    out: DataFrame | None = None
+    for name in sorted(tables):
+        plan = snapshot_maintenance_plan(
+            spark,
+            str(tables[name]["path"]),
+            target_rows_per_file=target_rows_per_file,
+            small_file_rows=small_file_rows,
+            overlap_threshold=overlap_threshold,
+        ).select(F.lit(name).alias("table_name"), "*")
+        out = plan if out is None else out.unionByName(plan)
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            "table_name string, action string, col string, n_files long, "
+            "n_rows long, predicted_files long, overlap_files long",
+        )
+    return out.orderBy("table_name", "action", "col")
+
+
 def register_catalog_views(
     spark: SparkSession,
     cat_path: str,

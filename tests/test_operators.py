@@ -1227,8 +1227,14 @@ class TestTokenIndexMaintenance:
         v1 = snap.commit_snapshot(
             spark, self._docs(spark), docs_layer, change_feed=True
         )
+        # tiny target: deltas are a few tokens, and the pruning the
+        # default-asserted searches pin needs multiple files per delta
         ti.build_token_index(
-            spark, snap.read_snapshot(spark, docs_layer), group, splits=2
+            spark,
+            snap.read_snapshot(spark, docs_layer),
+            group,
+            splits=2,
+            target_rows_per_file=2,
         )
         terms = ["spark", "window"]
         before = {
@@ -1290,7 +1296,11 @@ class TestTokenIndexMaintenance:
             spark, self._docs(spark), docs_layer, change_feed=True
         )
         ti.build_token_index(
-            spark, snap.read_snapshot(spark, docs_layer), group, splits=1
+            spark,
+            snap.read_snapshot(spark, docs_layer),
+            group,
+            splits=1,
+            target_rows_per_file=2,
         )
         # doc 2 rewritten to drop 'window'; doc 9 inserted matching both
         merged = spark.createDataFrame(
@@ -1694,3 +1704,336 @@ def test_pruned_postings_zero_hit_term_is_legitimate(spark, tmp_path):
         ti.indexed_keyword_search(spark, group, ["zzz_not_a_token"]).count()
         == 0
     )
+
+
+class TestTokenIndexRound10:
+    """Round-10 verdict/advice items on the index group: pmod splits,
+    rows-scaled delta sizing, proximity search, bloom-preserving
+    maintenance, the bucketed doclen mirror, and the refresh-vs-
+    maintenance pin race."""
+
+    def test_negative_doc_ids_land_in_a_split(self, spark, tmp_path):
+        """ADVICE r9: Spark's % keeps the dividend's sign, so a
+        negative odd doc_id matched no `% splits == i` arm and silently
+        vanished from postings/doclen/stats; pmod fixes it."""
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs = spark.createDataFrame(
+            [(-3, "neg odd doc"), (-2, "neg even"), (1, "pos"), (0, "zero")],
+            "doc_id long, text string",
+        )
+        group = str(tmp_path / "ti")
+        ti.build_token_index(spark, docs, group, splits=2)
+        stats = ti.corpus_stats(spark, group).first()
+        assert stats["n_docs"] == 4  # incl. BOTH negative ids
+        assert stats["total_tokens"] == 3 + 2 + 1 + 1
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            read_snapshot,
+        )
+
+        dl = {
+            r["doc_id"]: r["dl"]
+            for r in read_snapshot(spark, f"{group}/{ti.DOCLEN}").collect()
+        }
+        assert dl == {-3: 3, -2: 2, 1: 1, 0: 1}
+
+    def test_delta_partitioning_scales_with_rows(self, spark, tmp_path):
+        """r9 verdict item 2: the postings delta writes
+        ceil(delta tokens / target) files — a micro-batch lands ONE
+        file, a backfill proportionally many, never a fixed 8."""
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            snapshot_files,
+            snapshot_versions,
+        )
+
+        group = str(tmp_path / "ti")
+        # tiny bootstrap at the PRODUCTION default target: one file
+        tiny = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+        )
+        ti.build_token_index(spark, tiny, group, splits=1)
+        post = f"{group}/{ti.POSTINGS}"
+        assert len(snapshot_files(spark, post)) == 1
+        # big synthetic delta at a small target: ceil(1000 tokens / 100)
+        big = spark.range(100, 200).selectExpr(
+            "id AS doc_id",
+            "concat_ws(' ', transform(sequence(1, 10), "
+            "x -> concat('tok', (id * 10 + x) % 97))) AS text",
+        )
+        v_before = snapshot_versions(spark, post)[-1]
+        ti._commit_delta(
+            spark, group, big, first=False, target_rows_per_file=100
+        )
+        v_after = snapshot_versions(spark, post)[-1]
+        delta_files = set(snapshot_files(spark, post, v_after)) - set(
+            snapshot_files(spark, post, v_before)
+        )
+        assert len(delta_files) == 10  # ceil(100 docs * 10 tokens / 100)
+
+    def test_proximity_search_window_semantics(self, spark, tmp_path):
+        """r9 verdict item 6: terms-within-k through the positional
+        index — n_matches counts anchor positions of the FIRST term
+        with every other term within |slop| positions."""
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a x b"),        # |b - a| = 2
+                (2, "a x x x b"),    # |b - a| = 4
+                (3, "b x a"),        # reversed, distance 2 (symmetric)
+                (4, "a c a c"),      # anchors 0 and 2 both within 1 of a c
+                (5, "a only here"),  # missing second term
+            ],
+            "doc_id long, text string",
+        )
+        group = str(tmp_path / "ti")
+        ti.build_token_index(
+            spark, docs, group, splits=1, target_rows_per_file=2
+        )
+        prox = lambda terms, slop: {  # noqa: E731
+            r["doc_id"]: r["n_matches"]
+            for r in ti.indexed_proximity_search(
+                spark, group, terms, slop=slop, assert_pruned=False
+            ).collect()
+        }
+        assert prox(["a", "b"], 2) == {1: 1, 3: 1}
+        assert prox(["a", "b"], 4) == {1: 1, 2: 1, 3: 1}
+        assert prox(["a", "c"], 1) == {4: 2}
+        # three terms: all must fall within slop of the anchor
+        docs3 = prox(["a", "x", "b"], 2)
+        assert docs3 == {1: 1, 3: 1}
+        with pytest.raises(ValueError, match="two tokens"):
+            ti.indexed_proximity_search(spark, group, ["a"], slop=2)
+        with pytest.raises(ValueError, match="slop"):
+            ti.indexed_proximity_search(spark, group, ["a", "b"], slop=0)
+
+    def test_maintenance_compaction_keeps_bloom_skipping(
+        self, spark, tmp_path
+    ):
+        """r9 verdict item 1 (index level): after maintenance packs the
+        postings layer, a term probe still bloom-skips — including a
+        mid-range ABSENT token that min/max stats alone cannot drop."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i:03d} common filler") for i in range(60)],
+            "doc_id long, text string",
+        )
+        group = str(tmp_path / "ti")
+        ti.build_token_index(
+            spark, docs, group, splits=2, target_rows_per_file=20
+        )
+        post = f"{group}/{ti.POSTINGS}"
+        before = {
+            r["doc_id"]: r["score"]
+            for r in ti.indexed_keyword_search(
+                spark, group, ["tok007", "common"]
+            ).collect()
+        }
+        # the maintenance cycle's packer, byte-tuned so the toy layer
+        # still packs into several files
+        snap.compact_small_files(
+            spark,
+            path=post,
+            target_file_bytes=4096,
+            stats_cols=["token", "doc_id"],
+        )
+        ti.publish_index_pins(spark, group)
+        pins = ti.index_pins(spark, group)
+        all_files = snap.snapshot_files(spark, post, pins[ti.POSTINGS])
+        assert len(all_files) >= 2
+        kept = snap.snapshot_files(
+            spark, post, pins[ti.POSTINGS], prune_point=("token", "tok007")
+        )
+        assert 0 < len(kept) < len(all_files)  # still a strict subset
+        # mid-range absent token: every packed file's [min, max] covers
+        # it, ONLY the regenerated blooms can prove it absent
+        ghost = snap.snapshot_files(
+            spark, post, pins[ti.POSTINGS], prune_point=("token", "tok0075x")
+        )
+        assert len(ghost) == 0
+        after = {
+            r["doc_id"]: r["score"]
+            for r in ti.indexed_keyword_search(
+                spark, group, ["tok007", "common"]
+            ).collect()
+        }
+        assert after == before
+
+    def test_doclen_mirror_serves_and_falls_back(self, spark, tmp_path):
+        """r9 verdict item 3: BM25's doclen side reads from the
+        doc_id-bucketed mirror when it matches the pinned version and
+        falls back to the snapshot read (same results) when a refresh
+        has moved the layer on; maintenance re-syncs the mirror."""
+        import json
+        import os
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs_layer = str(tmp_path / "docs")
+        group = str(tmp_path / "ti")
+        v1 = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(i, f"spark data pipeline term{i % 5}") for i in range(20)],
+                "doc_id long, text string",
+            ),
+            docs_layer,
+            change_feed=True,
+        )
+        ti.build_token_index(
+            spark,
+            snap.read_snapshot(spark, docs_layer),
+            group,
+            splits=2,
+            target_rows_per_file=10,
+        )
+        mpath = f"{group}/doclen_bucketed/MIRROR.json"
+        assert os.path.exists(mpath)
+        rec = json.loads(open(mpath).read())
+        pins = ti.index_pins(spark, group)
+        assert rec["doclen_version"] == pins[ti.DOCLEN]
+        # mirror-served relation IS the bucketed table
+        dl = ti._doclen_df(spark, group, pins)
+        assert "FileScan" in dl._jdf.queryExecution().executedPlan().toString()
+        fresh = ti.indexed_bm25_topk(spark, group, ["spark", "data"]).collect()
+        # a refresh moves doclen past the mirror -> fallback path, same
+        # numbers recomputed over the surviving corpus
+        keys = spark.createDataFrame([(0,), (1,)], "doc_id long")
+        v2 = snap.delete_snapshot_keys(spark, docs_layer, "doc_id", keys)[
+            "version"
+        ]
+        ti.refresh_token_index(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, docs_layer, v1, v2, ["doc_id"], include_values=True
+            ),
+        )
+        pins2 = ti.index_pins(spark, group)
+        assert pins2[ti.DOCLEN] != rec["doclen_version"]  # mirror stale
+        stale_rows = ti.indexed_bm25_topk(
+            spark, group, ["spark", "data"]
+        ).collect()
+        assert {r["doc_id"] for r in stale_rows} == {
+            r["doc_id"] for r in fresh
+        } - {0, 1}
+        # maintenance re-syncs the mirror to the new pinned version
+        taken = ti.maintain_token_index(spark, group, target_rows_per_file=5)
+        assert "mirror_refreshed" in taken[ti.DOCLEN]
+        rec2 = json.loads(open(mpath).read())
+        assert rec2["doclen_version"] == ti.index_pins(spark, group)[ti.DOCLEN]
+        # maintenance packed the toy layer into one file — pruning is
+        # moot there, the mirror-vs-fallback parity is what's pinned
+        resynced = ti.indexed_bm25_topk(
+            spark, group, ["spark", "data"], assert_pruned=False
+        ).collect()
+        assert [
+            (r["doc_id"], r["bm25_r4"]) for r in resynced
+        ] == [(r["doc_id"], r["bm25_r4"]) for r in stale_rows]
+
+    def test_refresh_vs_maintenance_race_pins_never_torn(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r9 verdict item 5: a refresh landing INSIDE a maintenance
+        cycle — both commits land, and EVERY published pin set is
+        internally consistent (ledger totals == doclen recompute,
+        postings doc_ids ⊆ doclen doc_ids at the same pins)."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+        from pyspark.sql import functions as F
+
+        docs_layer = str(tmp_path / "docs")
+        group = str(tmp_path / "ti")
+        v = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(i, f"alpha beta w{i % 4}") for i in range(16)],
+                "doc_id long, text string",
+            ),
+            docs_layer,
+            change_feed=True,
+        )
+
+        def refresh_batch(v_from, keys):
+            kdf = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+            v_to = snap.delete_snapshot_keys(
+                spark, docs_layer, "doc_id", kdf
+            )["version"]
+            ti.refresh_token_index(
+                spark,
+                group,
+                snap.snapshot_changes_keyed(
+                    spark, docs_layer, v_from, v_to,
+                    ["doc_id"], include_values=True,
+                ),
+            )
+            return v_to
+
+        ti.build_token_index(
+            spark,
+            snap.read_snapshot(spark, docs_layer),
+            group,
+            splits=4,
+            target_rows_per_file=8,
+        )
+        v = refresh_batch(v, [0, 1])  # leaves small files + live DVs
+
+        # inject the race: the FIRST compaction inside the maintenance
+        # cycle is preceded by a concurrent refresh landing new layer
+        # versions + its own pin publish
+        real_compact = snap.compact_small_files
+        state = {"fired": False, "v": v}
+
+        def racing_compact(spark_, path, **kw):
+            if not state["fired"]:
+                state["fired"] = True
+                state["v"] = refresh_batch(state["v"], [2, 3])
+            return real_compact(spark_, path, **kw)
+
+        monkeypatch.setattr(snap, "compact_small_files", racing_compact)
+        taken = ti.maintain_token_index(spark, group, target_rows_per_file=8)
+        assert state["fired"] and "compacted" in taken[ti.POSTINGS]
+
+        # both landed: the final search reflects BOTH delete batches
+        got = {
+            r["doc_id"]: r["score"]
+            for r in ti.indexed_keyword_search(
+                spark, group, ["alpha", "beta"], assert_pruned=False
+            ).collect()
+        }
+        assert set(got) == set(range(4, 16))
+
+        # EVERY published pin set is internally consistent
+        for cat_v in tc.catalog_versions(spark, group):
+            pins = {
+                t: int(p["version"])
+                for t, p in tc.catalog_tables(spark, group, cat_v).items()
+            }
+            dl = snap.read_snapshot(
+                spark, f"{group}/{ti.DOCLEN}", pins[ti.DOCLEN]
+            )
+            ledger = ti.corpus_stats(spark, group, pins=pins).first()
+            recomputed = dl.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+            ).first()
+            assert ledger["n_docs"] == recomputed["n"]
+            assert ledger["total_tokens"] == recomputed["t"]
+            post_docs = {
+                r["doc_id"]
+                for r in snap.read_snapshot(
+                    spark, f"{group}/{ti.POSTINGS}", pins[ti.POSTINGS]
+                )
+                .select("doc_id")
+                .distinct()
+                .collect()
+            }
+            dl_docs = {r["doc_id"] for r in dl.select("doc_id").collect()}
+            assert post_docs <= dl_docs

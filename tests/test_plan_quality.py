@@ -655,3 +655,50 @@ def test_indexed_phrase_search_reads_positions_only_where_needed(spark):
             assert '"tf"' not in line and "tf:" not in line, line
     assert saw_positions
     assert "CartesianProduct" not in plan
+
+
+def test_indexed_bm25_doclen_side_is_exchange_free(spark):
+    """r9 verdict item 3: the BM25 postings ⋈ doclen join reads its BIG
+    side (doclen, O(docs)) from the doc_id-bucketed serving mirror —
+    with broadcast disabled (the 100 TB case: a hot term's posting
+    list outgrows any broadcast), the doclen scan must report its
+    bucket spec and carry NO Exchange above it; only the tiny pruned
+    postings side shuffles into the bucket layout."""
+    from aie321_bigdata_movie_kpi_1m_spark.plans.textops import (
+        _token_index_group,
+    )
+    from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+    group = _token_index_group(spark, SF)
+    pins = ti.index_pins(spark, group)
+    # the fixture build wrote the mirror; the relation must be the
+    # bucketed table, not the snapshot fallback
+    dl_plan = (
+        ti._doclen_df(spark, group, pins)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "spark_catalog.default.idx_doclen_" in dl_plan
+    with _confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        df = ti.indexed_bm25_topk(
+            spark, group, ["table", "part"], assert_pruned=False
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    # the doclen scan is the bucketed table with the bucket layout live
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount" in plan
+    # broadcast disabled -> SMJ on doc_id, and exactly ONE side pays a
+    # doc_id exchange (the tiny pruned postings side); the bucketed
+    # doclen side feeds the join Scan -> Filter -> Sort, exchange-free
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert smj, plan
+    import re
+
+    n_doc_id_exchanges = len(
+        re.findall(r"Arguments: hashpartitioning\(doc_id", plan)
+    )
+    assert n_doc_id_exchanges == 1, plan
