@@ -992,3 +992,256 @@ def q_cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_low",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDF-maintained ANN assignment state (r9 verdict item 4): the vector twin
+# of plans/token_index.refresh_token_index — corpus churn folds into a
+# persisted per-vector cell-assignment layer O(changed vectors), with NO
+# model re-fit (ivf_rebuild_gate keeps sole ownership of re-fits)
+# ---------------------------------------------------------------------------
+
+
+def _assign_cells(embeddings: DataFrame, cents) -> DataFrame:
+    """(vec_id, cell, embedding) rows: each vector labeled with its
+    nearest persisted-IVF cell (same pandas-UDF argmin + tie order as
+    every other IVF consumer, so assignments are bit-stable)."""
+    from ..operators.similarity import _as_double, _nearest_centroids_udf
+
+    assign = _nearest_centroids_udf(cents, 1)
+    return embeddings.select(
+        "vec_id",
+        F.element_at(assign(_as_double("embedding")), 1)
+        .cast("int")
+        .alias("cell"),
+        "embedding",
+    )
+
+
+def build_ann_assignments(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    group: str,
+    *,
+    model_layer: str | None = None,
+    n_centroids: int = 16,
+    iters: int = 1,
+) -> str:
+    """Bootstrap the ASSIGNMENT LAYER of an ANN index group: fit-or-load
+    the persisted IVF quantizer (``persisted_ivf_centroids`` — a re-run
+    never refits), label every vector with its nearest cell, and commit
+    (vec_id, cell, embedding) as a snapshot layer range-clustered on
+    cell with (cell, vec_id) stats — an n_probe search or a per-cluster
+    aggregate then reads ONLY the files whose cell range qualifies.
+
+    At 100 TB this is the state a production vector index actually
+    keeps: the expensive artifacts are the FIT (persisted, versioned,
+    rebuild-gated) and the ASSIGNMENTS (this layer); corpus churn must
+    update the assignments O(delta) (``refresh_ann_assignments``), not
+    re-derive them from the embeddings table per query."""
+    from ..sources.snapshots import commit_snapshot
+
+    model_layer = model_layer or f"{group}/model"
+    cents = persisted_ivf_centroids(
+        spark, embeddings, model_layer, n_centroids=n_centroids, iters=iters
+    )
+    commit_snapshot(
+        spark,
+        _assign_cells(embeddings, cents).repartitionByRange(4, "cell"),
+        f"{group}/assign",
+        mode="overwrite",
+        stats_cols=["cell", "vec_id"],
+    )
+    return group
+
+
+def refresh_ann_assignments(
+    spark: SparkSession,
+    group: str,
+    changes: DataFrame,
+    *,
+    model_layer: str | None = None,
+) -> dict:
+    """Fold the embeddings layer's KEYED CHANGE FEED into the assignment
+    layer, O(changed vectors) — r9 verdict item 4, mirroring
+    ``refresh_token_index``'s shape exactly:
+
+    - deleted/updated vec_ids become ONE DataFrame-native equality
+      delete on the assign layer (keys never touch the driver);
+    - inserted/updated AFTER embeddings are labeled with their nearest
+      cell of the PERSISTED model — loaded, never refit (the fit-run
+      counter stays pinned; ``ivf_rebuild_gate`` alone may commit a new
+      model version when measured recall degrades) — and appended
+      cell-clustered.
+
+    Unchanged vectors are never read; no assignment file is rewritten."""
+    from ..sources.snapshots import commit_snapshot, delete_snapshot_keys
+
+    model_layer = model_layer or f"{group}/model"
+    assign_path = f"{group}/assign"
+    changes = changes.persist()
+    try:
+        removed = changes.filter(
+            F.col("change_type").isin("delete", "update")
+        )
+        added = changes.filter(
+            F.col("change_type").isin("insert", "update")
+        ).select("vec_id", F.col("after.embedding").alias("embedding"))
+        n_removed = removed.limit(1).count()
+        if n_removed:
+            delete_snapshot_keys(
+                spark, assign_path, "vec_id", removed.select("vec_id")
+            )
+        n_added = added.limit(1).count()
+        if n_added:
+            mats, _meta = load_ann_model(spark, model_layer)
+            commit_snapshot(
+                spark,
+                _assign_cells(added, mats[0]).repartitionByRange(2, "cell"),
+                assign_path,
+                mode="append",
+                stats_cols=["cell", "vec_id"],
+            )
+        from ..sources.snapshots import snapshot_versions as _vs
+
+        return {
+            "removed": bool(n_removed),
+            "added": bool(n_added),
+            "assign_version": _vs(spark, assign_path)[-1],
+        }
+    finally:
+        changes.unpersist()
+
+
+_ANN_CDF_BUILT: set[str] = set()
+
+
+def _ann_cdf_group(spark: SparkSession, sf_dir: str) -> str:
+    """Fixture: an embeddings CDF layer hit by a delete batch
+    (vec_id % 7 = 3) and an insert batch (negated mirrors of
+    vec_id % 11 = 5 at vec_id + 1000000), folded into the assignment
+    layer purely through the keyed change feed — the persisted model is
+    the SHARED scratch IVF fit (bit-equal to the oracle's SQL replay of
+    the fit over the ORIGINAL corpus, which is exactly the point: churn
+    updates assignments, never the fit).  Once per process."""
+    import os as _os
+
+    from ..session import scratch_dir
+    from ..sources import snapshots as snap
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    group = scratch_dir("snapshots", tag, "ann_cdf")
+    if group in _ANN_CDF_BUILT:
+        return group
+    emb_layer = f"{group}/embeddings"
+    for p in (emb_layer, f"{group}/assign"):
+        snap.drop_snapshot_layer(spark, p)
+    emb = load_star_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    v1 = snap.commit_snapshot(
+        spark, emb, emb_layer, stats_cols=["vec_id"], change_feed=True
+    )
+    build_ann_assignments(
+        spark,
+        snap.read_snapshot(spark, emb_layer),
+        group,
+        model_layer=scratch_dir("snapshots", tag, "ivf_model"),
+    )
+    # CDC: one delete batch, one insert batch (mirrored vectors)
+    snap.delete_snapshot_keys(
+        spark,
+        emb_layer,
+        "vec_id",
+        emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    snap.commit_snapshot(
+        spark,
+        emb.filter(F.col("vec_id") % 11 == 5).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        ),
+        emb_layer,
+        mode="append",
+        stats_cols=["vec_id"],
+    )
+    v3 = snap.snapshot_versions(spark, emb_layer)[-1]
+    refresh_ann_assignments(
+        spark,
+        group,
+        snap.snapshot_changes_keyed(
+            spark, emb_layer, v1, v3, ["vec_id"], include_values=True
+        ),
+        model_layer=scratch_dir("snapshots", tag, "ivf_model"),
+    )
+    _ANN_CDF_BUILT.add(group)
+    return group
+
+
+@register(
+    "ann_cdf_mixture_weights",
+    _ivf_cells_prefix()
+    + """
+, surv AS (
+  SELECT vec_id, v FROM e WHERE vec_id % 7 <> 3
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> -x) AS v
+  FROM e WHERE vec_id % 11 = 5
+),
+cells2 AS (
+  SELECT vec_id, c FROM (
+    SELECT s2.vec_id, k.c,
+           row_number() OVER (
+             PARTITION BY s2.vec_id
+             ORDER BY list_inner_product(k.v, k.v)
+                      - 2 * list_inner_product(s2.v, k.v), k.c) AS rn
+    FROM surv s2, cents k
+  ) WHERE rn = 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM cells2)
+SELECT CAST(c AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(COUNT(*) / CAST(total AS DOUBLE), 6) AS share_r6,
+       ROUND(CAST(total AS DOUBLE) / (16 * COUNT(*)), 6) AS weight_r6
+FROM cells2, tot
+GROUP BY c, total
+ORDER BY cluster
+""",
+    "CDF-MAINTAINED ANN ASSIGNMENT STATE (r9 verdict item 4, the vector "
+    "twin of refresh_token_index): the embeddings layer's keyed change "
+    "feed — a delete batch and an insert batch of mirrored vectors — "
+    "folds into a persisted (vec_id, cell, embedding) assignment layer "
+    "as ONE equality delete (zero driver key hops) plus one "
+    "cell-clustered append of the new vectors labeled by the PERSISTED "
+    "quantizer (loaded, never refit: the fit-run counter is pytest-"
+    "pinned; ivf_rebuild_gate alone owns re-fits), and the mixture "
+    "weights recompute from the maintained layer with one map-side "
+    "groupBy; the oracle replays fit-on-original-corpus + assignment "
+    "of the SURVIVING+INSERTED set + weights fully in SQL — a dropped "
+    "delete, unassigned insert, or sneaky refit breaks the hash",
+    tags=("similarity", "model", "snapshots", "cdc", "sampling"),
+)
+def q_ann_cdf_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    group = _ann_cdf_group(spark, sf_dir)
+    counts = (
+        read_snapshot(spark, f"{group}/assign")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    total = counts.agg(F.sum("n_vectors").cast("long").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cell").cast("int").alias("cluster"),
+            "n_vectors",
+            F.round(
+                F.col("n_vectors") / F.col("total").cast("double"), 6
+            ).alias("share_r6"),
+            F.round(
+                F.col("total").cast("double") / (16 * F.col("n_vectors")), 6
+            ).alias("weight_r6"),
+        )
+        .orderBy("cluster")
+    )

@@ -2037,3 +2037,101 @@ class TestTokenIndexRound10:
             }
             dl_docs = {r["doc_id"] for r in dl.select("doc_id").collect()}
             assert post_docs <= dl_docs
+
+
+class TestAnnCdfAssignments:
+    """r9 verdict item 4: the assignment layer is the vector twin of
+    the token index — corpus churn folds in O(changed vectors) from the
+    keyed change feed, results change, and the persisted fit is NEVER
+    re-run (the rebuild gate alone owns re-fits)."""
+
+    def test_refresh_changes_results_without_refit(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+        from pyspark.sql import functions as F
+
+        emb_layer = str(tmp_path / "emb")
+        group = str(tmp_path / "ann")
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        v1 = snap.commit_snapshot(
+            spark, emb, emb_layer, stats_cols=["vec_id"], change_feed=True
+        )
+        vx.build_ann_assignments(
+            spark, snap.read_snapshot(spark, emb_layer), group
+        )
+        assign_path = f"{group}/assign"
+        fit_runs_before = dict(vx._ANN_FIT_RUNS)
+        files_before = set(snap.snapshot_files(spark, assign_path))
+        before = {
+            r["cell"]: r["n"]
+            for r in snap.read_snapshot(spark, assign_path)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+        # CDC: delete a residue class, insert mirrored vectors
+        snap.delete_snapshot_keys(
+            spark,
+            emb_layer,
+            "vec_id",
+            emb.filter(F.col("vec_id") % 5 == 2).select("vec_id"),
+        )
+        snap.commit_snapshot(
+            spark,
+            emb.filter(F.col("vec_id") % 9 == 4).select(
+                (F.col("vec_id") + 500000).alias("vec_id"),
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            ),
+            emb_layer,
+            mode="append",
+            stats_cols=["vec_id"],
+        )
+        v3 = snap.snapshot_versions(spark, emb_layer)[-1]
+        rep = vx.refresh_ann_assignments(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, emb_layer, v1, v3, ["vec_id"], include_values=True
+            ),
+        )
+        assert rep["removed"] and rep["added"]
+
+        # NO refit: the fit-run counter is pinned
+        assert dict(vx._ANN_FIT_RUNS) == fit_runs_before
+        # O(delta): every pre-existing assignment file survives
+        # untouched (equality delete, no rewrite)
+        assert files_before <= set(snap.snapshot_files(spark, assign_path))
+        # results changed AND match a direct recompute over the layer's
+        # surviving corpus with the SAME persisted model
+        after = {
+            r["cell"]: r["n"]
+            for r in snap.read_snapshot(spark, assign_path)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert after != before
+        mats, _ = vx.load_ann_model(spark, f"{group}/model")
+        expect = {
+            r["cell"]: r["n"]
+            for r in vx._assign_cells(
+                snap.read_snapshot(spark, emb_layer).select(
+                    "vec_id", "embedding"
+                ),
+                mats[0],
+            )
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert after == expect
+        # and no deleted vec_id survives in the assignment layer
+        assert (
+            snap.read_snapshot(spark, assign_path)
+            .filter((F.col("vec_id") % 5 == 2) & (F.col("vec_id") < 500000))
+            .count()
+            == 0
+        )

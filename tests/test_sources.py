@@ -5794,3 +5794,114 @@ class TestCompactBloomRegeneration:
         assert set(mm["blooms"]) == {
             f.rsplit("/", 1)[-1] for f in mm["files"]
         }
+
+
+class TestCatalogMaintenanceSweep:
+    """r9 verdict item 7: catalog_maintenance_plan plans EVERY table a
+    catalog version pins; the act-then-replan loop ends all-clear with
+    every surviving pinned catalog version still readable under the
+    per-path min_pinned retention floors."""
+
+    def test_sweep_act_replan_and_pinned_reads_survive(
+        self, spark, tmp_path
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat = str(tmp_path / "cat")
+        t1, t2, t3 = (str(tmp_path / n) for n in ("t1", "t2", "t3"))
+        # t1/t2: interleaved tiny appends (12 and 8); t3: one clean file
+        for path, buckets, n in ((t1, 12, 120), (t2, 8, 80)):
+            df = spark.range(n).selectExpr("id AS k")
+            for i in range(buckets):
+                snap.commit_snapshot(
+                    spark,
+                    df.filter(F.col("k") % buckets == i).repartition(1),
+                    path,
+                    mode="overwrite" if i == 0 else "append",
+                    stats_cols=["k"],
+                )
+        snap.commit_snapshot(
+            spark,
+            spark.range(50).selectExpr("id AS k").repartition(1),
+            t3,
+            stats_cols=["k"],
+        )
+        # catalog v1 pins t1 mid-history (an old consistent read point),
+        # v2 pins the heads — the floors must protect v1's pin
+        tc.commit_catalog(
+            spark,
+            cat,
+            {
+                "t1": {"path": t1, "version": 6},
+                "t2": {"path": t2, "version": 8},
+                "t3": {"path": t3, "version": 1},
+            },
+        )
+        tc.commit_catalog(
+            spark,
+            cat,
+            {
+                "t1": {"path": t1, "version": 12},
+                "t2": {"path": t2, "version": 8},
+                "t3": {"path": t3, "version": 1},
+            },
+        )
+        plan = tc.catalog_maintenance_plan(
+            spark, cat, target_rows_per_file=24
+        ).collect()
+        by_table = {}
+        for r in plan:
+            by_table.setdefault(r["table_name"], set()).add(r["action"])
+        assert "compact_small_files" in by_table["t1"]
+        assert "compact_small_files" in by_table["t2"]
+        assert "t3" not in by_table  # clean layer contributes no rows
+
+        # ACT on every advised table, then REPLAN: only vacuum remains
+        for name in sorted(by_table):
+            path = tc.catalog_tables(spark, cat)[name]["path"]
+            snap.compact_small_files(
+                spark, path, small_file_bytes=32 << 20, stats_cols=["k"]
+            )
+        replan = tc.catalog_maintenance_plan(
+            spark, cat, target_rows_per_file=24
+        ).collect()
+        assert {r["action"] for r in replan} == {"vacuum"}
+
+        # retention under the floors: catalog keeps both versions, so
+        # min_pinned for t1 is layer v6 — size t1's own vacuum from it
+        floors = tc.vacuum_catalog(spark, cat, keep_last=2)["min_pinned"]
+        assert floors[t1]["version"] == 6
+        head_t1 = snap.snapshot_versions(spark, t1)[-1]
+        snap.vacuum_snapshots(
+            spark, t1, keep_last=head_t1 - floors[t1]["version"] + 1
+        )
+        # EVERY surviving pinned catalog version still reads, exactly
+        for cv in tc.catalog_versions(spark, cat):
+            got1 = sorted(
+                r["k"]
+                for r in tc.read_catalog_table(
+                    spark, cat, "t1", catalog_version=cv
+                ).collect()
+            )
+            expect = (
+                [k for k in range(120) if k % 12 < 6]  # first 6 appends
+                if cv == 1
+                else list(range(120))
+            )
+            assert got1 == expect
+            assert (
+                tc.read_catalog_table(
+                    spark, cat, "t3", catalog_version=cv
+                ).count()
+                == 50
+            )
+        # the replanned sweep after layer vacuum: t1 all-clear
+        final = {
+            (r["table_name"], r["action"])
+            for r in tc.catalog_maintenance_plan(
+                spark, cat, target_rows_per_file=24
+            ).collect()
+        }
+        assert ("t1", "compact_small_files") not in final
+        assert ("t1", "fold_deletes") not in final
