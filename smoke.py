@@ -62,6 +62,10 @@ ALWAYS = [
     "streaming_snapshot_cdf_tail",
     "indexed_bm25_topk",
     "streaming_index_maintenance",
+    # r10 state machines: CDF-maintained ANN assignments and the
+    # lexicon-sideband probe derivation
+    "ann_cdf_mixture_weights",
+    "indexed_keyword_search",
 ]
 SLICE = 10
 

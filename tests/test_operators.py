@@ -2135,3 +2135,118 @@ class TestAnnCdfAssignments:
             .count()
             == 0
         )
+
+
+class TestLexiconSideband:
+    """r9 verdict item 8: probe-term derivation through the lexicon
+    sideband — O(commits x K) ledger rows with a threshold-algorithm
+    exactness bound, full-pass fallback when the bound can't prove the
+    answer, complete negative rows keeping it exact under deletes, and
+    completeness-preserving netting."""
+
+    def _docs(self, spark, beta_per_split):
+        # per split (doc parity): 'alpha' x20 (rank 1), five fillers x6
+        # each, 'beta' x beta_per_split; fillers DIFFER across splits so
+        # no filler can reach global rank 2
+        rows = []
+        did = 0
+        for s in (0, 1):
+            for tok, cnt in (
+                [("alpha", 20), ("beta", beta_per_split)]
+                + [(f"f{s}_{i}", 6) for i in range(5)]
+            ):
+                while did % 2 != s:
+                    did += 1
+                rows.append((did, " ".join([tok] * cnt)))
+                did += 1
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_bound_proof_resolves_and_matches_full_pass(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        monkeypatch.setattr(ti, "_LEX_K", 4)
+        group = str(tmp_path / "ti")
+        # beta x15/split: inside every commit's top-4 -> exact total,
+        # lb(beta)=30 beats every filler ub (6+6) and the unseen bound
+        ti.build_token_index(spark, self._docs(spark, 15), group, splits=2)
+        stats0 = dict(ti._LEX_PROBE_STATS)
+        got = ti.top_terms(spark, group, 2)
+        assert got == ["alpha", "beta"]
+        assert ti._LEX_PROBE_STATS["resolved"] == stats0["resolved"] + 1
+        assert ti._LEX_PROBE_STATS["fallbacks"] == stats0["fallbacks"]
+
+    def test_unprovable_bound_falls_back_correctly(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        monkeypatch.setattr(ti, "_LEX_K", 4)
+        group = str(tmp_path / "ti")
+        # beta x5/split: EXCLUDED from every commit's top-4 (fillers x6
+        # outrank it) yet globally rank 2 (10 > 6) — the sideband alone
+        # cannot prove the answer; the fallback full pass must
+        ti.build_token_index(spark, self._docs(spark, 5), group, splits=2)
+        stats0 = dict(ti._LEX_PROBE_STATS)
+        got = ti.top_terms(spark, group, 2)
+        assert got == ["alpha", "beta"]
+        assert ti._LEX_PROBE_STATS["fallbacks"] == stats0["fallbacks"] + 1
+
+    def test_deletes_keep_sideband_exact(self, spark, tmp_path, monkeypatch):
+        """Complete negative rows: deleting docs through the change-feed
+        refresh re-ranks the lexicon exactly (a delete can DEMOTE the
+        old #2 below a token the sideband fully knows)."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        monkeypatch.setattr(ti, "_LEX_K", 16)
+        docs_layer = str(tmp_path / "docs")
+        group = str(tmp_path / "ti")
+        docs = self._docs(spark, 15)
+        v1 = snap.commit_snapshot(spark, docs, docs_layer, change_feed=True)
+        ti.build_token_index(
+            spark, snap.read_snapshot(spark, docs_layer), group, splits=2
+        )
+        assert ti.top_terms(spark, group, 2) == ["alpha", "beta"]
+        # delete every beta doc (text is 'beta beta ...')
+        keys = docs.filter(F.col("text").startswith("beta")).select("doc_id")
+        v2 = snap.delete_snapshot_keys(spark, docs_layer, "doc_id", keys)[
+            "version"
+        ]
+        ti.refresh_token_index(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, docs_layer, v1, v2, ["doc_id"], include_values=True
+            ),
+        )
+        stats0 = dict(ti._LEX_PROBE_STATS)
+        got = ti.top_terms(spark, group, 2)
+        # beta netted to 0 by the complete negative rows; the new #2 is
+        # the lexically-first filler at 6
+        assert got == ["alpha", "f0_0"]
+        assert ti._LEX_PROBE_STATS["resolved"] == stats0["resolved"] + 1
+
+    def test_netting_merges_complete_commits_only(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        # K=2: the 6 pmod-splits hold 2-3 distinct tokens each, so
+        # several commits overflow K and carry a wm > 0 (incomplete)
+        monkeypatch.setattr(ti, "_LEX_K", 2)
+        group = str(tmp_path / "ti")
+        ti.build_token_index(spark, self._docs(spark, 15), group, splits=6)
+        lex_path = f"{group}/{ti.LEXICON}"
+        assert len(snap.snapshot_versions(spark, lex_path)) == 6
+        before = ti.top_terms(spark, group, 2)
+        taken = ti.maintain_token_index(spark, group, target_rows_per_file=50)
+        assert taken.get(ti.LEXICON) == ["lexicon_netted"]
+        lex = snap.read_snapshot(spark, lex_path).collect()
+        # incomplete commits carried verbatim: their wm>0 rows survive;
+        # netting never fakes exactness
+        wms = [r["tf"] for r in lex if r["token"] is None]
+        assert any(w > 0 for w in wms)
+        assert ti.top_terms(spark, group, 2) == before
