@@ -1051,6 +1051,7 @@ def build_ann_assignments(
         f"{group}/assign",
         mode="overwrite",
         stats_cols=["cell", "vec_id"],
+        bloom_col="cell",
     )
     return group
 
@@ -1101,6 +1102,7 @@ def refresh_ann_assignments(
                 assign_path,
                 mode="append",
                 stats_cols=["cell", "vec_id"],
+                bloom_col="cell",
             )
         from ..sources.snapshots import snapshot_versions as _vs
 
@@ -1225,6 +1227,366 @@ def q_ann_cdf_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.snapshots import read_snapshot
 
     group = _ann_cdf_group(spark, sf_dir)
+    counts = (
+        read_snapshot(spark, f"{group}/assign")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    total = counts.agg(F.sum("n_vectors").cast("long").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cell").cast("int").alias("cluster"),
+            "n_vectors",
+            F.round(
+                F.col("n_vectors") / F.col("total").cast("double"), 6
+            ).alias("share_r6"),
+            F.round(
+                F.col("total").cast("double") / (16 * F.col("n_vectors")), 6
+            ).alias("weight_r6"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def ann_assign_topk(
+    spark: SparkSession,
+    group: str,
+    queries: DataFrame,
+    *,
+    k: int = _TOP_K,
+    n_probe: int = 6,
+    model_layer: str | None = None,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """IVF top-k THROUGH the maintained assignment layer: probe cells
+    come from the PERSISTED quantizer (k-row model load, no corpus
+    assignment at query time), and the candidate scan reads ONLY the
+    assign-layer files whose cell range-cluster stats + cell Bloom
+    admit a probed cell (builder-asserted strict subset) — the index
+    read path ``ivf_topk`` pays per query (re-assigning the corpus and
+    shuffling it on cell) becomes a PRUNED SNAPSHOT READ.  That is the
+    whole point of persisting assignments: at 100 TB a query touches
+    ~n_probe/n_centroids of the layer's FILES, not just its rows.
+
+    The probed-cell union is N_queries x n_probe small ints — model-
+    scale driver values, same class as the centroids.  Scoring is the
+    exact-cosine rerank ``ivf_topk``/the oracle pin, bit-identical."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        _as_double,
+        _dot,
+        _nearest_centroids_udf,
+    )
+    from ..sources.snapshots import read_snapshot, snapshot_files
+
+    model_layer = model_layer or f"{group}/model"
+    mats, _meta = load_ann_model(spark, model_layer)
+    probe = _nearest_centroids_udf(mats[0], n_probe)
+    qv = queries.select(
+        F.col("query_id"), _as_double("embedding").alias("__qv")
+    ).withColumn("__cell", F.explode(probe(F.col("__qv"))))
+    cells = sorted(
+        int(r["__cell"]) for r in qv.select("__cell").distinct().collect()
+    )
+    path = f"{group}/assign"
+    if assert_pruned:
+        n_all = len(snapshot_files(spark, path))
+        n_kept = len(
+            snapshot_files(spark, path, prune_point=("cell", cells))
+        )
+        if n_all > 1 and n_kept >= n_all:
+            raise AssertionError(
+                f"assignment layer did not prune: {n_kept} of {n_all} files"
+            )
+    cand = (
+        read_snapshot(spark, path, prune_point=("cell", cells))
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell").alias("__cell"),
+            _as_double("embedding").alias("__cv"),
+        )
+    )
+    paired = (
+        cand.join(F.broadcast(qv), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "__sim",
+            _dot(F.col("__qv"), F.col("__cv"))
+            / F.sqrt(
+                _dot(F.col("__qv"), F.col("__qv"))
+                * _dot(F.col("__cv"), F.col("__cv"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        paired.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def _ann_cdf_topk_oracle() -> str:
+    """Fit on the ORIGINAL corpus, assignment + probes + rerank over the
+    surviving+inserted set — the churned-corpus twin of _ivf_oracle_sql."""
+    return (
+        _ivf_cells_prefix()
+        + f"""
+, surv AS (
+  SELECT vec_id, v FROM e WHERE vec_id % 7 <> 3
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> -x) AS v
+  FROM e WHERE vec_id % 11 = 5
+),
+cells2 AS (
+  SELECT vec_id, c FROM (
+    SELECT s2.vec_id, k.c,
+           row_number() OVER (
+             PARTITION BY s2.vec_id
+             ORDER BY list_inner_product(k.v, k.v)
+                      - 2 * list_inner_product(s2.v, k.v), k.c) AS rn
+    FROM surv s2, cents k
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, c FROM (
+    SELECT s2.vec_id AS query_id, k.c,
+           row_number() OVER (
+             PARTITION BY s2.vec_id
+             ORDER BY list_inner_product(k.v, k.v)
+                      - 2 * list_inner_product(s2.v, k.v), k.c) AS rn
+    FROM surv s2, cents k WHERE s2.vec_id < {_N_QUERIES}
+  ) WHERE rn <= 6
+),
+cand AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id
+  FROM probes p
+  JOIN cells2 cl ON cl.c = p.c AND cl.vec_id <> p.query_id
+),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         list_inner_product(qe.v, ce.v)
+           / sqrt(list_inner_product(qe.v, qe.v)
+                  * list_inner_product(ce.v, ce.v)) AS sim
+  FROM cand
+  JOIN surv qe ON qe.vec_id = query_id
+  JOIN surv ce ON ce.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim
+FROM ranked WHERE rn <= {_TOP_K}
+"""
+    )
+
+
+@register(
+    "ann_cdf_ivf_topk",
+    _ann_cdf_topk_oracle(),
+    "IVF SEARCH THROUGH THE MAINTAINED ASSIGNMENT LAYER: probe cells "
+    "resolve from the persisted quantizer (k-row model load), and the "
+    "candidate scan reads ONLY the assign-layer files whose cell "
+    "range-cluster stats + cell Bloom admit a probed cell (strict "
+    "subset builder-asserted) — where ann_ivf_topk re-assigns and "
+    "re-shuffles the corpus per query, the persisted layer turns the "
+    "inverted lists into FILE LAYOUT and a query touches "
+    "~n_probe/n_centroids of the files; runs against the CDF-churned "
+    "fixture (deletes + mirrored inserts folded by "
+    "refresh_ann_assignments, fit never re-run), so results prove the "
+    "maintenance too; the oracle replays fit-on-original + survivors' "
+    "assignment/probes/exact-rerank fully in SQL",
+    tags=("similarity", "model", "snapshots", "cdc", "pruning"),
+)
+def q_ann_cdf_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..session import scratch_dir
+    from ..sources.snapshots import read_snapshot
+
+    group = _ann_cdf_group(spark, sf_dir)
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    queries = (
+        read_snapshot(spark, f"{group}/embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    # assert_pruned=False: a BATCH of uniform-random queries probes a
+    # cell union spanning most of the quantizer (7 queries x 6 probes
+    # over 16 cells), so batch-level file pruning is legitimately ~nil
+    # on this worst-case corpus; the per-QUERY pruning contract — the
+    # scale property, one query touches ~n_probe/n_centroids of the
+    # files — is builder-asserted in the single-query pytest
+    # (TestAnnAssignTopk)
+    return ann_assign_topk(
+        spark,
+        group,
+        queries,
+        model_layer=scratch_dir("snapshots", tag, "ivf_model"),
+        assert_pruned=False,
+    )
+
+
+_STREAM_ANN_BUILT: set[str] = set()
+
+
+def _stream_ann_group(spark: SparkSession, sf_dir: str) -> str:
+    """Vector tier maintained ENTIRELY BY A STREAM — the ANN twin of
+    textops._stream_maintained_index: the embeddings layer's keyed CDF
+    stream (bootstrap inserts, then an equality-delete version's
+    pre-images, ARRAY-typed columns end to end) drives
+    ``refresh_ann_assignments`` per micro-batch, replaying multi-version
+    batches in ``_commit_version`` order; the assignment layer starts
+    EMPTY and every vector it ever holds arrives by stream.  The
+    quantizer is the shared persisted fit (ensured first — fit is
+    deterministic, so whoever fits commits the same model).  Once per
+    process."""
+    import os as _os
+    import shutil
+
+    from ..session import scratch_dir
+    from ..sources import snapshots as snap
+    from ..sources.pyds import (
+        register_snapshot_stream,
+        snapshot_cdf_stream_schema,
+    )
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    group = scratch_dir("snapshots", tag, "stream_ann")
+    if group in _STREAM_ANN_BUILT:
+        return group
+    emb_layer = f"{group}/embeddings"
+    ckpt = f"{group}_ckpt"
+    for p in (emb_layer, f"{group}/assign"):
+        snap.drop_snapshot_layer(spark, p)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    emb = load_star_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    model_layer = scratch_dir("snapshots", tag, "ivf_model")
+    persisted_ivf_centroids(spark, emb, model_layer, n_centroids=16, iters=1)
+    snap.commit_snapshot(
+        spark, emb, emb_layer, stats_cols=["vec_id"], change_feed=True
+    )
+    snap.delete_snapshot_keys(
+        spark,
+        emb_layer,
+        "vec_id",
+        emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    # empty bootstrap: every assignment arrives by stream
+    build_ann_assignments(
+        spark, emb.limit(0), group, model_layer=model_layer
+    )
+
+    register_snapshot_stream(spark)
+    stream = (
+        spark.readStream.format("snapshot_stream")
+        .schema(snapshot_cdf_stream_schema(emb_layer, "vec_id,embedding"))
+        .option("path", emb_layer)
+        .option("cols", "vec_id,embedding")
+        .option("mode", "cdf")
+        .load()
+    )
+
+    def apply_batch(batch_df, _batch_id):
+        batch_df = batch_df.persist()
+        try:
+            versions = sorted(
+                r[0]
+                for r in batch_df.select("_commit_version")
+                .distinct()
+                .collect()
+            )
+            for v in versions:
+                changes = batch_df.filter(
+                    F.col("_commit_version") == v
+                ).select(
+                    "vec_id",
+                    "change_type",
+                    F.when(
+                        F.col("change_type") == "delete",
+                        F.struct(F.col("embedding").alias("embedding")),
+                    ).alias("before"),
+                    F.when(
+                        F.col("change_type") == "insert",
+                        F.struct(F.col("embedding").alias("embedding")),
+                    ).alias("after"),
+                )
+                refresh_ann_assignments(
+                    spark, group, changes, model_layer=model_layer
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .queryName("stream_ann_maintenance")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    _STREAM_ANN_BUILT.add(group)
+    return group
+
+
+@register(
+    "streaming_ann_maintenance",
+    _ivf_cells_prefix()
+    + """
+, surv AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 3),
+cells2 AS (
+  SELECT vec_id, c FROM (
+    SELECT s2.vec_id, k.c,
+           row_number() OVER (
+             PARTITION BY s2.vec_id
+             ORDER BY list_inner_product(k.v, k.v)
+                      - 2 * list_inner_product(s2.v, k.v), k.c) AS rn
+    FROM surv s2, cents k
+  ) WHERE rn = 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM cells2)
+SELECT CAST(c AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(COUNT(*) / CAST(total AS DOUBLE), 6) AS share_r6,
+       ROUND(CAST(total AS DOUBLE) / (16 * COUNT(*)), 6) AS weight_r6
+FROM cells2, tot
+GROUP BY c, total
+ORDER BY cluster
+""",
+    "STREAM-MAINTAINED VECTOR TIER, end to end (the ANN twin of "
+    "streaming_index_maintenance): the embeddings layer's change-data-"
+    "feed stream — ARRAY-typed columns through the Python stream "
+    "source, bootstrap inserts then an equality-delete version's "
+    "executor-side pre-image reconstruction — drives "
+    "refresh_ann_assignments per micro-batch with _commit_version "
+    "replay ordering; the assignment layer starts EMPTY, every vector "
+    "arrives by stream, deletes fold O(delta) with zero driver key "
+    "hops, the persisted quantizer is never re-fit; the mixture "
+    "weights then read the stream-built layer and the oracle replays "
+    "fit + surviving-corpus assignment + weights in SQL — a dropped "
+    "batch, unapplied delete, or misordered replay breaks the hash",
+    tags=("similarity", "model", "snapshots", "streaming", "cdc"),
+)
+def q_streaming_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    group = _stream_ann_group(spark, sf_dir)
     counts = (
         read_snapshot(spark, f"{group}/assign")
         .groupBy("cell")

@@ -2250,3 +2250,56 @@ class TestLexiconSideband:
         wms = [r["tf"] for r in lex if r["token"] is None]
         assert any(w > 0 for w in wms)
         assert ti.top_terms(spark, group, 2) == before
+
+
+class TestAnnAssignTopk:
+    """IVF search through the maintained assignment layer: per-query
+    cell pruning (the scale contract) and bit-parity with the direct
+    ivf_topk path on the same persisted quantizer."""
+
+    def test_single_query_prunes_and_matches_direct_path(
+        self, spark, tmp_path
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.operators import similarity
+        from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+        from pyspark.sql import functions as F
+
+        group = str(tmp_path / "ann")
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        vx.build_ann_assignments(spark, emb, group)
+        queries = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # assert_pruned=True raises unless the probed cells admit a
+        # STRICT file subset — one query, n_probe=2 over 4 range-
+        # clustered files must prune
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+            for r in vx.ann_assign_topk(
+                spark, group, queries, n_probe=2, assert_pruned=True
+            ).collect()
+        )
+        mats, _ = vx.load_ann_model(spark, f"{group}/model")
+        expect = sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+            for r in similarity.ivf_topk(
+                emb, queries, k=10, n_centroids=16, n_probe=2,
+                iters=1, centroids=mats[0],
+            ).collect()
+        )
+        assert got == expect and len(got) == 10
+        # the probed-cell read planned a strict file subset
+        probe = similarity._nearest_centroids_udf(mats[0], 2)
+        cells = [
+            int(c)
+            for c in queries.select(
+                probe(similarity._as_double("embedding")).alias("cs")
+            ).first()["cs"]
+        ]
+        path = f"{group}/assign"
+        assert len(
+            snap.snapshot_files(spark, path, prune_point=("cell", cells))
+        ) < len(snap.snapshot_files(spark, path))
