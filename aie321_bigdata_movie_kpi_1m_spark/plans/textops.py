@@ -2114,3 +2114,33 @@ def q_streaming_index_maintenance(
     return token_index.indexed_keyword_search(
         spark, group, list(_PHRASE), assert_pruned=False
     )
+
+
+@register(
+    "lexicon_top_terms",
+    _TOKENS_CTE
+    + """,
+ex AS (SELECT doc_id, unnest(ts) AS token FROM tok)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS total_tf
+FROM ex GROUP BY 1
+ORDER BY total_tf DESC, token
+LIMIT 10
+""",
+    "TERM DICTIONARY via the lexicon sideband (r10): the corpus's top-10 "
+    "tokens with their EXACT collection frequencies, resolved from "
+    "O(maintenance commits x K) ledger rows under the threshold-"
+    "algorithm exactness bound (complete-dictionary fast path when no "
+    "commit excluded anything) — the metadata-scale answer to the "
+    "'what is in this corpus' question a full posting pass (or worse, "
+    "a corpus re-tokenization) would otherwise cost at 100 TB; an "
+    "unprovable distribution falls back to the posting pass, counted, "
+    "so the result is ALWAYS exact; the oracle recomputes frequencies "
+    "from the raw text",
+    tags=("text", "snapshots", "index"),
+)
+def q_lexicon_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    rows = token_index.top_terms_with_counts(spark, group, 10)
+    return spark.createDataFrame(rows, "token string, total_tf long")

@@ -432,6 +432,21 @@ def _write_doclen_mirror(spark: SparkSession, group: str, pins: dict) -> dict:
     jvm, fs = _fs(spark, group)
     fs.delete(_hpath(jvm, _mirror_manifest_path(group)), False)
     _write_text(spark, _mirror_manifest_path(group), json.dumps(rec))
+    # GC superseded mirror dirs: the mirror is DERIVED state keyed to
+    # ONE doclen version — a reader either matches the new record (uses
+    # v{v}) or mismatches (snapshot fallback), so no reader ever needs
+    # an older dir; without this every maintenance cycle would leak a
+    # full doclen copy
+    mdir = f"{group}/doclen_bucketed"
+    for st in fs.listStatus(_hpath(jvm, mdir)):
+        name = st.getPath().getName()
+        if name.startswith("v") and name != f"v{v}":
+            fs.delete(st.getPath(), True)
+            spark.sql(
+                "DROP TABLE IF EXISTS "
+                f"idx_doclen_{hashlib.md5(group.encode()).hexdigest()[:10]}"
+                f"_{name}"
+            )
     return rec
 
 
@@ -477,6 +492,17 @@ def top_terms(
     *,
     pins: dict | None = None,
 ) -> list[str]:
+    """Corpus top-``n`` tokens (see ``top_terms_with_counts``)."""
+    return [t for t, _ in top_terms_with_counts(spark, group, n, pins=pins)]
+
+
+def top_terms_with_counts(
+    spark: SparkSession,
+    group: str,
+    n: int = 2,
+    *,
+    pins: dict | None = None,
+) -> list[tuple[str, int]]:
     """Corpus top-``n`` tokens by total tf (ties by token), resolved
     from the LEXICON sideband at METADATA SCALE with a provable
     exactness bound — r9 verdict item 8, retiring the full posting
@@ -495,13 +521,13 @@ def top_terms(
     posting pass — correct, counted, just not metadata-scale."""
     pins = pins or index_pins(spark, group)
 
-    def _full_pass() -> list[str]:
+    def _full_pass() -> list[tuple[str, int]]:
         _LEX_PROBE_STATS["fallbacks"] += 1
         return [
-            r["token"]
+            (r["token"], int(r["c"]))
             for r in read_snapshot(spark, _sub(group, POSTINGS), pins[POSTINGS])
             .groupBy("token")
-            .agg(F.sum("tf").alias("c"))
+            .agg(F.sum("tf").cast("long").alias("c"))
             .orderBy(F.col("c").desc(), "token")
             .limit(n)
             .collect()
@@ -534,7 +560,7 @@ def top_terms(
         if len(cand) < n:
             return _full_pass()
         _LEX_PROBE_STATS["resolved"] += 1
-        return [r["token"] for r in cand]
+        return [(r["token"], int(r["lb"])) for r in cand]
     per = per.persist()
     try:
         cand = per.orderBy(F.col("lb").desc(), "token").limit(n).collect()
@@ -551,7 +577,8 @@ def top_terms(
         beats_unseen = nth_lb > total_wm
         if exact and beats_seen and beats_unseen:
             _LEX_PROBE_STATS["resolved"] += 1
-            return [r["token"] for r in cand]
+            # exact => lb IS the true total, not just a bound
+            return [(r["token"], int(r["lb"])) for r in cand]
         return _full_pass()
     finally:
         per.unpersist()

@@ -1928,6 +1928,14 @@ class TestTokenIndexRound10:
         assert "mirror_refreshed" in taken[ti.DOCLEN]
         rec2 = json.loads(open(mpath).read())
         assert rec2["doclen_version"] == ti.index_pins(spark, group)[ti.DOCLEN]
+        # superseded mirror dirs are GC'd (derived state — no reader
+        # ever needs an old one: version-mismatch readers fall back)
+        vdirs = [
+            d
+            for d in os.listdir(f"{group}/doclen_bucketed")
+            if d.startswith("v")
+        ]
+        assert vdirs == [f"v{rec2['doclen_version']}"]
         # maintenance packed the toy layer into one file — pruning is
         # moot there, the mirror-vs-fallback parity is what's pinned
         resynced = ti.indexed_bm25_topk(
