@@ -1414,7 +1414,9 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 #: the RAW TEXT — both the raw-text query and the index-backed query
 #: must reproduce it, which is exactly what makes the index's answers
 #: trustworthy (an index that drifts from the corpus fails this oracle)
-_BM25_ORACLE = (
+#: prefix through the per-(doc, term) scored CTE — shared by the BM25
+#: oracles and the hybrid-fusion oracle
+_BM25_SCORED_CTE = (
     _TOKENS_CTE
     + f"""
 , ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
@@ -1443,6 +1445,12 @@ scored AS (
   JOIN dl l USING (doc_id)
   CROSS JOIN stats s
 )
+"""
+)
+
+_BM25_ORACLE = (
+    _BM25_SCORED_CTE
+    + """
 SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms, ROUND(SUM(sc), 4) AS bm25_r4
 FROM scored GROUP BY doc_id
 ORDER BY bm25_r4 DESC, doc_id
@@ -2144,3 +2152,137 @@ def q_lexicon_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     group = _token_index_group(spark, sf_dir)
     rows = token_index.top_terms_with_counts(spark, group, 10)
     return spark.createDataFrame(rows, "token string, total_tf long")
+
+
+_HYBRID_RRF_ORACLE = (
+    _BM25_SCORED_CTE
+    + """
+, lex AS (
+  SELECT doc_id, ROUND(SUM(sc), 4) AS bm25_r4
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25_r4 DESC, doc_id LIMIT 50
+),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_r4 DESC, doc_id) AS lex_rank
+  FROM lex
+),
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qv AS (SELECT v FROM ev WHERE vec_id = 0),
+sem AS (
+  SELECT ev.vec_id AS doc_id,
+         list_inner_product(ev.v, q.v)
+           / sqrt(list_inner_product(ev.v, ev.v)
+                  * list_inner_product(q.v, q.v)) AS sim
+  FROM ev, qv q WHERE ev.vec_id <> 0
+  ORDER BY sim DESC, doc_id LIMIT 50
+),
+semr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS sem_rank
+  FROM sem
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(s.sem_rank, 0) AS sem_rank,
+         ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
+               + COALESCE(1.0 / (60 + s.sem_rank), 0), 6) AS rrf_r6
+  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank,
+       rrf_r6
+FROM fused
+ORDER BY rrf_r6 DESC, doc_id
+LIMIT 20
+"""
+)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    _HYBRID_RRF_ORACLE,
+    "HYBRID RETRIEVAL via RECIPROCAL RANK FUSION (the standard "
+    "two-tower RAG stack: lexical BM25 + dense vector search fused by "
+    "1/(60+rank)): the lexical top-50 comes THROUGH the inverted index "
+    "(pruned posting reads, ledger stats, bucketed-doclen join — never "
+    "a corpus re-tokenization), the semantic top-50 is exact cosine to "
+    "a fixed query vector over the embeddings (doc_id = vec_id "
+    "identity), each side ranks independently (TakeOrderedAndProject "
+    "limits BEFORE the 50-row ranking windows, so no corpus-wide "
+    "single-partition window), and a 50x50 full-outer join fuses — "
+    "rank arithmetic is exact integers, the only doubles are the two "
+    "reciprocals; the oracle replays BM25, cosine, both rankings, and "
+    "the fusion from the raw tables",
+    tags=("text", "retrieval", "similarity", "index"),
+)
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double, _dot
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    lex = token_index.indexed_bm25_topk(
+        spark, group, list(_BM25_TERMS), limit=50
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_r4").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("__qv")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot(_as_double("embedding"), F.col("__qv"))
+                / F.sqrt(
+                    _dot(_as_double("embedding"), _as_double("embedding"))
+                    * _dot(F.col("__qv"), F.col("__qv"))
+                )
+            ).alias("__sim"),
+        )
+        .orderBy(F.col("__sim").desc(), "doc_id")
+        .limit(50)
+    )
+    semr = sims.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("__sim").desc(), "doc_id"))
+        .alias("sem_rank"),
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(60) + F.col("sem_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        lexr.join(semr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            rrf.alias("rrf_r6"),
+            F.coalesce(F.col("lex_rank"), F.lit(0))
+            .cast("long")
+            .alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(0))
+            .cast("long")
+            .alias("sem_rank"),
+        )
+        .select("doc_id", "lex_rank", "sem_rank", "rrf_r6")
+        .orderBy(F.col("rrf_r6").desc(), "doc_id")
+        .limit(20)
+    )

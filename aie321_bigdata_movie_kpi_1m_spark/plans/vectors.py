@@ -1607,3 +1607,44 @@ def q_streaming_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def maintain_ann_assignments(
+    spark: SparkSession,
+    group: str,
+    *,
+    target_rows_per_file: int = 100_000,
+) -> dict:
+    """Steady-state MAINTENANCE for the assignment layer — the vector
+    twin of ``token_index.maintain_token_index``: a stream of refreshes
+    leaves small cell-clustered appends plus live equality-delete
+    entries (merge-on-read tax on every probed read), so this runs the
+    metadata-only advisor and compacts where it says to —
+    ``fold_deletes=True`` forces the delete-touched files into the
+    rewrite, and the packer regenerates the cell Bloom entries for the
+    packed outputs (the r10 contract: maintenance must never un-tune
+    the index it maintains).  Model re-fits stay exclusively with
+    ``ivf_rebuild_gate``.  Returns {"assign": actions}."""
+    from ..sources.snapshots import (
+        compact_small_files,
+        snapshot_maintenance_plan,
+    )
+
+    path = f"{group}/assign"
+    plan = {
+        r["action"]
+        for r in snapshot_maintenance_plan(
+            spark, path, target_rows_per_file=target_rows_per_file
+        ).collect()
+    }
+    actions = []
+    if {"compact_small_files", "fold_deletes"} & plan:
+        compact_small_files(
+            spark,
+            path,
+            small_file_bytes=32 << 20,
+            stats_cols=["cell", "vec_id"],
+            fold_deletes="fold_deletes" in plan,
+        )
+        actions.append("compacted")
+    return {"assign": actions}

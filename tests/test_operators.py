@@ -2311,3 +2311,71 @@ class TestAnnAssignTopk:
         assert len(
             snap.snapshot_files(spark, path, prune_point=("cell", cells))
         ) < len(snap.snapshot_files(spark, path))
+
+
+def test_maintain_ann_assignments_folds_and_keeps_blooms(spark, tmp_path):
+    """The vector tier's maintenance loop: refresh churn leaves small
+    files + live equality-delete entries; the cycle compacts, FOLDS the
+    deletes (fold_deletes forces touched files in), regenerates cell
+    blooms on the packed outputs, and search results are unchanged."""
+    import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+    from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+    from pyspark.sql import functions as F
+
+    emb_layer = str(tmp_path / "emb")
+    group = str(tmp_path / "ann")
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    v = snap.commit_snapshot(
+        spark, emb, emb_layer, stats_cols=["vec_id"], change_feed=True
+    )
+    vx.build_ann_assignments(spark, emb, group)
+    # two refresh cycles of delete churn -> live DVs + ledger appends
+    for residue in (2, 4):
+        keys = emb.filter(F.col("vec_id") % 9 == residue).select("vec_id")
+        v2 = snap.delete_snapshot_keys(spark, emb_layer, "vec_id", keys)[
+            "version"
+        ]
+        vx.refresh_ann_assignments(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, emb_layer, v, v2, ["vec_id"], include_values=True
+            ),
+        )
+        v = v2
+    assign_path = f"{group}/assign"
+    m = snap._manifest_raw(
+        spark, assign_path, snap.snapshot_versions(spark, assign_path)[-1]
+    )
+    assert m.get("delete_files")  # merge-on-read tax live
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = sorted(
+        (r["neighbor_id"], r["cosine_sim"])
+        for r in vx.ann_assign_topk(
+            spark, group, queries, n_probe=2, assert_pruned=False
+        ).collect()
+    )
+    taken = vx.maintain_ann_assignments(spark, group, target_rows_per_file=500)
+    assert taken["assign"] == ["compacted"]
+    m2 = snap._manifest_raw(
+        spark, assign_path, snap.snapshot_versions(spark, assign_path)[-1]
+    )
+    assert not m2.get("delete_files")  # folded
+    mm = snap._manifest(
+        spark, assign_path, snap.snapshot_versions(spark, assign_path)[-1]
+    )
+    assert set(mm["blooms"]) == {
+        f.rsplit("/", 1)[-1] for f in mm["files"]
+    }  # packed outputs re-bloomed
+    assert snap.snapshot_row_count(spark, assign_path) is not None  # exact again
+    after = sorted(
+        (r["neighbor_id"], r["cosine_sim"])
+        for r in vx.ann_assign_topk(
+            spark, group, queries, n_probe=2, assert_pruned=False
+        ).collect()
+    )
+    assert after == before
