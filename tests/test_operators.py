@@ -2379,3 +2379,40 @@ def test_maintain_ann_assignments_folds_and_keeps_blooms(spark, tmp_path):
         ).collect()
     )
     assert after == before
+
+
+def test_doclen_mirror_recreates_table_in_new_session(spark, tmp_path):
+    """The mirror is self-describing: its manifest carries the bucket
+    spec, so a process that never wrote it (here simulated by dropping
+    the table registration) re-creates the bucketed external table from
+    the manifest and still gets the bucketed scan."""
+    from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    group = str(tmp_path / "ti")
+    ti.build_token_index(
+        spark, docs, group, splits=1, target_rows_per_file=6
+    )
+    pins = ti.index_pins(spark, group)
+    dl = ti._doclen_df(spark, group, pins)
+    plan1 = dl._jdf.queryExecution().executedPlan().toString()
+    assert "idx_doclen_" in plan1
+    table = [
+        t for t in plan1.split() if "idx_doclen_" in t
+    ][0].split(".")[-1].split("[")[0]
+    # simulate a fresh session: the table registration is gone, the
+    # mirror dir + manifest survive on disk
+    spark.sql(f"DROP TABLE {table}")
+    assert not spark.catalog.tableExists(table)
+    dl2 = ti._doclen_df(spark, group, pins)
+    assert spark.catalog.tableExists(table)  # re-created from manifest
+    got = {r["doc_id"]: r["dl"] for r in dl2.collect()}
+    assert got == {i: 3 for i in range(12)}
+    # and the re-created table still drives the bucketed BM25 join
+    rows = ti.indexed_bm25_topk(
+        spark, group, ["alpha", "beta"], assert_pruned=False
+    ).collect()
+    assert {r["doc_id"] for r in rows} == set(range(12))
