@@ -1018,6 +1018,57 @@ def _assign_cells(embeddings: DataFrame, cents) -> DataFrame:
     )
 
 
+def publish_ann_pins(
+    spark: SparkSession, group: str, *, model_layer: str | None = None
+) -> int:
+    """Publish the ANN group's CONSISTENT READ POINT — the same pin
+    discipline the token index group has: one catalog version pinning
+    the current heads of the ASSIGN layer and the MODEL layer (which
+    may live outside the group dir when the quantizer is shared — the
+    catalog pins paths, so that is fine).  Without this a reader could
+    pair fresh assignments with a quantizer version they were not
+    labeled by (a rebuild-gate recommit landing mid-read): never wrong
+    rows, but candidates scored from cells the new centroids do not
+    tile — silent recall loss.  Swap retries under catalog OCC."""
+    from ..sources.snapshots import retry_commit, snapshot_versions
+    from ..sources.table_catalog import (
+        catalog_tables,
+        catalog_versions,
+        commit_catalog,
+    )
+
+    model_layer = model_layer or f"{group}/model"
+
+    def swap() -> int:
+        pins = {
+            "assign": {
+                "path": f"{group}/assign",
+                "version": snapshot_versions(spark, f"{group}/assign")[-1],
+            },
+            "model": {
+                "path": model_layer,
+                "version": snapshot_versions(spark, model_layer)[-1],
+            },
+        }
+        head = catalog_versions(spark, group)
+        if head and catalog_tables(spark, group) == pins:
+            return head[-1]
+        return commit_catalog(spark, group, pins)
+
+    return retry_commit(swap)
+
+
+def ann_pins(spark: SparkSession, group: str) -> dict | None:
+    """{layer -> {path, version}} from the newest published pin set, or
+    None for a group that never published (head reads — pre-pin
+    compatibility)."""
+    from ..sources.table_catalog import catalog_tables, catalog_versions
+
+    if not catalog_versions(spark, group):
+        return None
+    return catalog_tables(spark, group)
+
+
 def build_ann_assignments(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -1053,6 +1104,7 @@ def build_ann_assignments(
         stats_cols=["cell", "vec_id"],
         bloom_col="cell",
     )
+    publish_ann_pins(spark, group, model_layer=model_layer)
     return group
 
 
@@ -1106,10 +1158,14 @@ def refresh_ann_assignments(
             )
         from ..sources.snapshots import snapshot_versions as _vs
 
+        catalog_version = publish_ann_pins(
+            spark, group, model_layer=model_layer
+        )
         return {
             "removed": bool(n_removed),
             "added": bool(n_added),
             "assign_version": _vs(spark, assign_path)[-1],
+            "catalog_version": catalog_version,
         }
     finally:
         changes.unpersist()
@@ -1281,8 +1337,20 @@ def ann_assign_topk(
     )
     from ..sources.snapshots import read_snapshot, snapshot_files
 
+    # ONE consistent read point (same discipline as the token index):
+    # the published pin set names the assign version AND the exact
+    # model version those assignments were labeled by — a rebuild-gate
+    # recommit landing mid-read can never pair fresh centroids with
+    # assignments from the old quantizer
+    pins = ann_pins(spark, group)
+    model_v = None
+    assign_v = None
+    if pins is not None:
+        model_layer = str(pins["model"]["path"])
+        model_v = int(pins["model"]["version"])
+        assign_v = int(pins["assign"]["version"])
     model_layer = model_layer or f"{group}/model"
-    mats, _meta = load_ann_model(spark, model_layer)
+    mats, _meta = load_ann_model(spark, model_layer, model_v)
     probe = _nearest_centroids_udf(mats[0], n_probe)
     qv = queries.select(
         F.col("query_id"), _as_double("embedding").alias("__qv")
@@ -1292,16 +1360,16 @@ def ann_assign_topk(
     )
     path = f"{group}/assign"
     if assert_pruned:
-        n_all = len(snapshot_files(spark, path))
+        n_all = len(snapshot_files(spark, path, assign_v))
         n_kept = len(
-            snapshot_files(spark, path, prune_point=("cell", cells))
+            snapshot_files(spark, path, assign_v, prune_point=("cell", cells))
         )
         if n_all > 1 and n_kept >= n_all:
             raise AssertionError(
                 f"assignment layer did not prune: {n_kept} of {n_all} files"
             )
     cand = (
-        read_snapshot(spark, path, prune_point=("cell", cells))
+        read_snapshot(spark, path, assign_v, prune_point=("cell", cells))
         .filter(F.col("cell").isin(cells))
         .select(
             F.col("vec_id").alias("neighbor_id"),
@@ -1647,4 +1715,12 @@ def maintain_ann_assignments(
             fold_deletes="fold_deletes" in plan,
         )
         actions.append("compacted")
+        # readers switch to the maintained version atomically; the
+        # pinned model path/version carries through unchanged
+        pins = ann_pins(spark, group)
+        publish_ann_pins(
+            spark,
+            group,
+            model_layer=str(pins["model"]["path"]) if pins else None,
+        )
     return {"assign": actions}

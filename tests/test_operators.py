@@ -2416,3 +2416,47 @@ def test_doclen_mirror_recreates_table_in_new_session(spark, tmp_path):
         spark, group, ["alpha", "beta"], assert_pruned=False
     ).collect()
     assert {r["doc_id"] for r in rows} == set(range(12))
+
+
+def test_ann_readers_never_see_torn_state(spark, tmp_path):
+    """ANN group pin discipline (the token index's contract, mirrored):
+    an assign-layer commit that has NOT been published through the pin
+    set is invisible to searches; publishing exposes it atomically."""
+    import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+    from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+    from pyspark.sql import functions as F
+
+    group = str(tmp_path / "ann")
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    vx.build_ann_assignments(spark, emb, group)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    search = lambda: {  # noqa: E731
+        r["neighbor_id"]
+        for r in vx.ann_assign_topk(
+            spark, group, queries, n_probe=2, assert_pruned=False
+        ).collect()
+    }
+    before = search()
+    # mid-cycle state: a clone of the query vector lands in the assign
+    # layer (its own cell — always probed) WITHOUT a pin publish
+    mats, _ = vx.load_ann_model(spark, f"{group}/model")
+    ghost = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(99999).cast("long").alias("vec_id"), "embedding"
+    )
+    snap.commit_snapshot(
+        spark,
+        vx._assign_cells(ghost, mats[0]),
+        f"{group}/assign",
+        mode="append",
+        stats_cols=["cell", "vec_id"],
+        bloom_col="cell",
+    )
+    assert search() == before  # pinned readers still see the last cycle
+    assert 99999 not in before
+    vx.publish_ann_pins(spark, group)
+    after = search()
+    assert 99999 in after  # cosine 1.0 clone: top neighbor once published
