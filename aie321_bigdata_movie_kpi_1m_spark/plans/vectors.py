@@ -1077,6 +1077,7 @@ def build_ann_assignments(
     model_layer: str | None = None,
     n_centroids: int = 16,
     iters: int = 1,
+    target_rows_per_file: int = 100_000,
 ) -> str:
     """Bootstrap the ASSIGNMENT LAYER of an ANN index group: fit-or-load
     the persisted IVF quantizer (``persisted_ivf_centroids`` — a re-run
@@ -1089,16 +1090,32 @@ def build_ann_assignments(
     keeps: the expensive artifacts are the FIT (persisted, versioned,
     rebuild-gated) and the ASSIGNMENTS (this layer); corpus churn must
     update the assignments O(delta) (``refresh_ann_assignments``), not
-    re-derive them from the embeddings table per query."""
+    re-derive them from the embeddings table per query.
+
+    The layer is range-partitioned into ``ceil(rows /
+    target_rows_per_file)`` cell-clustered files — sized by the CORPUS,
+    not a constant (the ``_commit_delta`` contract): a big bootstrap
+    writes proportionally many files, a toy fixture one.  The row count
+    is one scalar aggregate, the only driver value."""
+    import math as _math
+
     from ..sources.snapshots import commit_snapshot
 
     model_layer = model_layer or f"{group}/model"
     cents = persisted_ivf_centroids(
         spark, embeddings, model_layer, n_centroids=n_centroids, iters=iters
     )
+    n_parts = max(
+        1,
+        _math.ceil(
+            embeddings.count() / max(1, int(target_rows_per_file))
+        ),
+    )
     commit_snapshot(
         spark,
-        _assign_cells(embeddings, cents).repartitionByRange(4, "cell"),
+        _assign_cells(embeddings, cents).repartitionByRange(
+            n_parts, "cell"
+        ),
         f"{group}/assign",
         mode="overwrite",
         stats_cols=["cell", "vec_id"],
@@ -1114,6 +1131,7 @@ def refresh_ann_assignments(
     changes: DataFrame,
     *,
     model_layer: str | None = None,
+    target_rows_per_file: int = 100_000,
 ) -> dict:
     """Fold the embeddings layer's KEYED CHANGE FEED into the assignment
     layer, O(changed vectors) — r9 verdict item 4, mirroring
@@ -1125,9 +1143,14 @@ def refresh_ann_assignments(
       cell of the PERSISTED model — loaded, never refit (the fit-run
       counter stays pinned; ``ivf_rebuild_gate`` alone may commit a new
       model version when measured recall degrades) — and appended
-      cell-clustered.
+      cell-clustered into ``ceil(delta rows / target_rows_per_file)``
+      files (the ``_commit_delta`` rows-scaled contract, r10 verdict
+      item 2: a backfill delta writes proportionally many files, a
+      micro-batch one — never a fixed fan-out maintenance must clean).
 
     Unchanged vectors are never read; no assignment file is rewritten."""
+    import math as _math
+
     from ..sources.snapshots import commit_snapshot, delete_snapshot_keys
 
     model_layer = model_layer or f"{group}/model"
@@ -1145,12 +1168,18 @@ def refresh_ann_assignments(
             delete_snapshot_keys(
                 spark, assign_path, "vec_id", removed.select("vec_id")
             )
-        n_added = added.limit(1).count()
+        n_added = added.count()
         if n_added:
             mats, _meta = load_ann_model(spark, model_layer)
+            n_parts = max(
+                1,
+                _math.ceil(n_added / max(1, int(target_rows_per_file))),
+            )
             commit_snapshot(
                 spark,
-                _assign_cells(added, mats[0]).repartitionByRange(2, "cell"),
+                _assign_cells(added, mats[0]).repartitionByRange(
+                    n_parts, "cell"
+                ),
                 assign_path,
                 mode="append",
                 stats_cols=["cell", "vec_id"],
@@ -1197,14 +1226,28 @@ def _ann_cdf_group(spark: SparkSession, sf_dir: str) -> str:
     emb = load_star_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    # the insert batch mirrors ids at vec_id + 1000000: guard the
+    # delete/insert DISJOINTNESS the fixture and its oracle assume
+    # (ADVICE r10 — a scale factor whose real ids reach 1e6 would
+    # silently collide; fail loudly instead)
+    max_id = emb.agg(F.max("vec_id").alias("m")).first()["m"]
+    if max_id is not None and int(max_id) >= 1_000_000:
+        raise AssertionError(
+            f"ann_cdf fixture offset collision: max vec_id {max_id} "
+            ">= 1000000 — raise the mirror offset"
+        )
     v1 = snap.commit_snapshot(
         spark, emb, emb_layer, stats_cols=["vec_id"], change_feed=True
     )
+    # toy-corpus target keeps the layout multi-file so cell pruning
+    # stays exercised (rows-scaled partitioning would otherwise
+    # collapse 500-2000 fixture rows into one file)
     build_ann_assignments(
         spark,
         snap.read_snapshot(spark, emb_layer),
         group,
         model_layer=scratch_dir("snapshots", tag, "ivf_model"),
+        target_rows_per_file=125,
     )
     # CDC: one delete batch, one insert batch (mirrored vectors)
     snap.delete_snapshot_keys(

@@ -1928,14 +1928,19 @@ class TestTokenIndexRound10:
         assert "mirror_refreshed" in taken[ti.DOCLEN]
         rec2 = json.loads(open(mpath).read())
         assert rec2["doclen_version"] == ti.index_pins(spark, group)[ti.DOCLEN]
-        # superseded mirror dirs are GC'd (derived state — no reader
-        # ever needs an old one: version-mismatch readers fall back)
-        vdirs = [
+        # superseded mirror dirs are GC'd with ONE-CYCLE GRACE (r10
+        # verdict item 3): the immediately-superseded dir survives this
+        # cycle (a reader that resolved the old manifest mid-swap keeps
+        # its files), everything older is reclaimed
+        vdirs = {
             d
             for d in os.listdir(f"{group}/doclen_bucketed")
             if d.startswith("v")
-        ]
-        assert vdirs == [f"v{rec2['doclen_version']}"]
+        }
+        assert vdirs == {
+            f"v{rec['doclen_version']}",
+            f"v{rec2['doclen_version']}",
+        }
         # maintenance packed the toy layer into one file — pruning is
         # moot there, the mirror-vs-fallback parity is what's pinned
         resynced = ti.indexed_bm25_topk(
@@ -1944,6 +1949,93 @@ class TestTokenIndexRound10:
         assert [
             (r["doc_id"], r["bm25_r4"]) for r in resynced
         ] == [(r["doc_id"], r["bm25_r4"]) for r in stale_rows]
+
+    def test_doclen_mirror_gc_grace_period(self, spark, tmp_path):
+        """r10 verdict item 3, the injected interleaving: a reader
+        resolves the OLD mirror, maintenance re-syncs mid-"scan", and
+        the old reader's read still completes (its dir survives one
+        cycle); the cycle after that reclaims the N-2 dir."""
+        import os
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs_layer = str(tmp_path / "docs")
+        group = str(tmp_path / "ti")
+        v = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(i, f"alpha beta w{i % 4}") for i in range(16)],
+                "doc_id long, text string",
+            ),
+            docs_layer,
+            change_feed=True,
+        )
+        ti.build_token_index(
+            spark,
+            snap.read_snapshot(spark, docs_layer),
+            group,
+            splits=1,
+            target_rows_per_file=8,
+        )
+        mdir = f"{group}/doclen_bucketed"
+
+        def _vdirs():
+            return {d for d in os.listdir(mdir) if d.startswith("v")}
+
+        def _churn(keys):
+            nonlocal v
+            v2 = snap.delete_snapshot_keys(
+                spark,
+                docs_layer,
+                "doc_id",
+                spark.createDataFrame([(k,) for k in keys], "doc_id long"),
+            )["version"]
+            ti.refresh_token_index(
+                spark,
+                group,
+                snap.snapshot_changes_keyed(
+                    spark, docs_layer, v, v2, ["doc_id"], include_values=True
+                ),
+            )
+            v = v2
+
+        pins_a = ti.index_pins(spark, group)
+        va = pins_a[ti.DOCLEN]
+        # the old reader: resolves the CURRENT mirror, scan deferred
+        old_reader = ti._doclen_df(spark, group, pins_a)
+        _churn([0, 1])
+        ti.maintain_token_index(spark, group, target_rows_per_file=8)
+        pins_b = ti.index_pins(spark, group)
+        vb = pins_b[ti.DOCLEN]
+        assert vb != va
+        # grace: the superseded dir survives the swap, so the old
+        # reader's scan completes against its resolved files
+        assert _vdirs() == {f"v{va}", f"v{vb}"}
+        got = {r["doc_id"]: r["dl"] for r in old_reader.collect()}
+        assert got == {i: 3 for i in range(16)}  # pre-delete corpus
+        # next cycle: N-2 (va) is reclaimed, vb kept one more cycle
+        _churn([2, 3])
+        ti.maintain_token_index(spark, group, target_rows_per_file=8)
+        vc = ti.index_pins(spark, group)[ti.DOCLEN]
+        assert _vdirs() == {f"v{vb}", f"v{vc}"}
+
+    def test_lexicon_build_is_window_free(self, spark):
+        """r10 verdict item 1: the lexicon delta's top-K + watermark
+        compile to distributed TakeOrderedAndProject — NO Window node
+        funnels the (possibly corpus-sized bootstrap) delta vocabulary
+        through one task."""
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{(i * 7 + j) % 97}" for j in range(10)))
+             for i in range(200)],
+            "doc_id long, text string",
+        )
+        lex = ti._lexicon_delta(ti.postings_of(docs))
+        plan = lex._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "TakeOrderedAndProject" in plan
 
     def test_refresh_vs_maintenance_race_pins_never_torn(
         self, spark, tmp_path, monkeypatch
@@ -2144,6 +2236,59 @@ class TestAnnCdfAssignments:
             == 0
         )
 
+    def test_ann_delta_partitioning_scales_with_rows(self, spark, tmp_path):
+        """r10 verdict item 2 (the postings contract, mirrored): an
+        assignment delta writes ceil(delta rows / target) files — a
+        micro-batch lands ONE file, a backfill proportionally many,
+        never a fixed 2."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+        from pyspark.sql import functions as F
+
+        group = str(tmp_path / "ann")
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        vx.build_ann_assignments(spark, emb, group)
+        assign_path = f"{group}/assign"
+        # bootstrap at the production default target: one file
+        assert len(snap.snapshot_files(spark, assign_path)) == 1
+
+        def _delta(src, offset):
+            return src.select(
+                (F.col("vec_id") + offset).alias("vec_id"),
+                F.lit("insert").alias("change_type"),
+                F.lit(None)
+                .cast("struct<embedding:array<float>>")
+                .alias("before"),
+                F.struct(F.col("embedding").alias("embedding")).alias(
+                    "after"
+                ),
+            )
+
+        # tiny delta (5 vectors) at a 100-row target: ONE file
+        v0 = snap.snapshot_versions(spark, assign_path)[-1]
+        vx.refresh_ann_assignments(
+            spark,
+            group,
+            _delta(emb.filter(F.col("vec_id") < 5), 10_000),
+            target_rows_per_file=100,
+        )
+        v1 = snap.snapshot_versions(spark, assign_path)[-1]
+        tiny_files = set(snap.snapshot_files(spark, assign_path, v1)) - set(
+            snap.snapshot_files(spark, assign_path, v0)
+        )
+        assert len(tiny_files) == 1
+        # big delta (500 vectors) at the same target: ceil(500/100)
+        vx.refresh_ann_assignments(
+            spark, group, _delta(emb, 20_000), target_rows_per_file=100
+        )
+        v2 = snap.snapshot_versions(spark, assign_path)[-1]
+        big_files = set(snap.snapshot_files(spark, assign_path, v2)) - set(
+            snap.snapshot_files(spark, assign_path, v1)
+        )
+        assert len(big_files) == 5
+
 
 class TestLexiconSideband:
     """r9 verdict item 8: probe-term derivation through the lexicon
@@ -2277,13 +2422,15 @@ class TestAnnAssignTopk:
         emb = spark.read.parquet(
             "/root/testdata/sf0.001/embeddings.parquet"
         ).select("vec_id", "embedding")
-        vx.build_ann_assignments(spark, emb, group)
+        vx.build_ann_assignments(
+            spark, emb, group, target_rows_per_file=125
+        )
         queries = emb.filter(F.col("vec_id") == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         # assert_pruned=True raises unless the probed cells admit a
         # STRICT file subset — one query, n_probe=2 over 4 range-
-        # clustered files must prune
+        # clustered files (500 rows / 125 target) must prune
         got = sorted(
             (r["query_id"], r["neighbor_id"], r["cosine_sim"])
             for r in vx.ann_assign_topk(
@@ -2330,7 +2477,7 @@ def test_maintain_ann_assignments_folds_and_keeps_blooms(spark, tmp_path):
     v = snap.commit_snapshot(
         spark, emb, emb_layer, stats_cols=["vec_id"], change_feed=True
     )
-    vx.build_ann_assignments(spark, emb, group)
+    vx.build_ann_assignments(spark, emb, group, target_rows_per_file=125)
     # two refresh cycles of delete churn -> live DVs + ledger appends
     for residue in (2, 4):
         keys = emb.filter(F.col("vec_id") % 9 == residue).select("vec_id")
