@@ -400,6 +400,61 @@ def q_indexed_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ordered sloppy-phrase parameters: a 3-term chain over common corpus
+#: tokens; slop=2 so each term may trail the anchor by its displacement
+#: plus two positions, but never precede its predecessor
+_PROX_ORD_TERMS = ("table", "part", "scan")
+_PROX_ORD_SLOP = 2
+
+
+@register(
+    "indexed_proximity_ordered",
+    _TOKENS_CTE
+    + f""",
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts))) AS p, ts
+  FROM tok WHERE len(ts) >= 1
+),
+m AS (
+  SELECT doc_id FROM pos
+  WHERE ts[p] = '{_PROX_ORD_TERMS[0]}'
+    AND len(list_filter(
+          ts[p + 1:least(len(ts), p + {_PROX_ORD_SLOP} + 1)],
+          (x1, i1) -> x1 = '{_PROX_ORD_TERMS[1]}'
+            AND list_contains(
+                  ts[p + i1 + 1:least(len(ts), p + {_PROX_ORD_SLOP} + 2)],
+                  '{_PROX_ORD_TERMS[2]}'))) > 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM m GROUP BY doc_id
+ORDER BY n_matches DESC, doc_id
+LIMIT 20
+""",
+    "ORDERED PROXIMITY search (true Lucene sloppy phrase, r10 verdict "
+    "item 6) through the positional index: anchor on the first term at "
+    "position p, then a MONOTONE chain q_1 < q_2 with each q_i in "
+    f"(q_(i-1), p + {_PROX_ORD_SLOP} + i] — every term appears AFTER "
+    "its predecessor inside the anchor's displacement-widened window, "
+    "so 'table .. part .. scan' matches and any permutation does not "
+    "(the symmetric variant admits both); same pruned per-term reads "
+    "and doc_id equi-joins, the JVM filter gains nested F.exists with "
+    "a monotonicity conjunct; the oracle replays the ordered chain "
+    "over the raw token lists with indexed list_filter + slices",
+    tags=("text", "retrieval", "snapshots", "index", "pruning"),
+)
+def q_indexed_proximity_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    return token_index.indexed_proximity_search(
+        spark,
+        group,
+        list(_PROX_ORD_TERMS),
+        slop=_PROX_ORD_SLOP,
+        ordered=True,
+    )
+
+
 @register(
     "doc_fingerprints",
     """

@@ -1357,6 +1357,7 @@ def ann_assign_topk(
     n_probe: int = 6,
     model_layer: str | None = None,
     assert_pruned: bool = True,
+    with_rank: bool = False,
 ) -> DataFrame:
     """IVF top-k THROUGH the maintained assignment layer: probe cells
     come from the PERSISTED quantizer (k-row model load, no corpus
@@ -1435,14 +1436,20 @@ def ann_assign_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id")
     )
+    cols = [
+        F.col("query_id"),
+        F.col("neighbor_id"),
+        F.round(F.col("__sim"), 6).alias("cosine_sim"),
+    ]
+    if with_rank:
+        # the selection rank (over the UNROUNDED sim) — consumers
+        # fusing ranks (RRF) take it from here instead of re-ranking
+        # the rounded scores, so tie behavior is exactly the top-k's
+        cols.append(F.col("__rn").cast("long").alias("rank"))
     return (
         paired.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("__sim"), 6).alias("cosine_sim"),
-        )
+        .select(*cols)
     )
 
 
@@ -1767,3 +1774,176 @@ def maintain_ann_assignments(
             model_layer=str(pins["model"]["path"]) if pins else None,
         )
     return {"assign": actions}
+
+
+_PLAIN_ANN_BUILT: set[str] = set()
+
+
+def _plain_ann_group(spark: SparkSession, sf_dir: str) -> str:
+    """UNCHURNED assignment layer over the raw embeddings — the dense
+    tower's serving state for hybrid retrieval: the shared persisted
+    quantizer labels the corpus once, the layer commits cell-clustered
+    with cell stats + Bloom, and searches ride ``ann_assign_topk``'s
+    pruned reads.  Toy-scale target keeps ~8+ files so the per-query
+    strict-subset assertion stays exercised.  Once per process."""
+    import os as _os
+
+    from ..session import scratch_dir
+    from ..sources import snapshots as snap
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    group = scratch_dir("snapshots", tag, "ann_plain")
+    if group in _PLAIN_ANN_BUILT:
+        return group
+    snap.drop_snapshot_layer(spark, f"{group}/assign")
+    emb = load_star_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    build_ann_assignments(
+        spark,
+        emb,
+        group,
+        model_layer=scratch_dir("snapshots", tag, "ivf_model"),
+        target_rows_per_file=63,
+    )
+    _PLAIN_ANN_BUILT.add(group)
+    return group
+
+
+def _hybrid_rrf_ann_oracle() -> str:
+    """Fit + probe + exact-rerank + BM25 + RRF fusion, fully in SQL —
+    the index-served twin of textops._HYBRID_RRF_ORACLE (whose dense
+    tower scans the whole corpus; this one replays the IVF probe, so
+    the candidate set is the probed cells' members only)."""
+    from .textops import _BM25_SCORED_CTE
+
+    bm25_body = _BM25_SCORED_CTE.strip().removeprefix("WITH ")
+    return (
+        _ivf_cells_prefix()
+        + ",\n"
+        + bm25_body
+        + """,
+probes AS (
+  SELECT c FROM (
+    SELECT k.c,
+           row_number() OVER (
+             ORDER BY list_inner_product(k.v, k.v)
+                      - 2 * list_inner_product(q.v, k.v), k.c) AS rn
+    FROM cents k, (SELECT v FROM e WHERE vec_id = 0) q
+  ) WHERE rn <= 6
+),
+semsel AS (
+  SELECT cl.vec_id AS doc_id,
+         list_inner_product(ce.v, q.v)
+           / sqrt(list_inner_product(ce.v, ce.v)
+                  * list_inner_product(q.v, q.v)) AS sim
+  FROM cells cl
+  JOIN probes p ON cl.c = p.c
+  JOIN e ce ON ce.vec_id = cl.vec_id
+  CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q
+  WHERE cl.vec_id <> 0
+),
+semr AS (
+  SELECT doc_id, sem_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sim DESC, doc_id) AS sem_rank
+    FROM semsel
+  ) WHERE sem_rank <= 50
+),
+lex AS (
+  SELECT doc_id, ROUND(SUM(sc), 4) AS bm25_r4
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25_r4 DESC, doc_id LIMIT 50
+),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_r4 DESC, doc_id) AS lex_rank
+  FROM lex
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(s.sem_rank, 0) AS sem_rank,
+         ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
+               + COALESCE(1.0 / (60 + s.sem_rank), 0), 6) AS rrf_r6
+  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank,
+       rrf_r6
+FROM fused
+ORDER BY rrf_r6 DESC, doc_id
+LIMIT 20
+"""
+    )
+
+
+@register(
+    "hybrid_rrf_ann",
+    _hybrid_rrf_ann_oracle(),
+    "HYBRID RETRIEVAL, BOTH TOWERS INDEX-SERVED (r10 verdict item 5): "
+    "the lexical top-50 rides the inverted index (pruned posting "
+    "reads, ledger stats, bucketed-doclen join) and the dense top-50 "
+    "now rides the PERSISTED ASSIGNMENT LAYER through ann_assign_topk "
+    "— probe cells from the loaded quantizer, candidates from ONLY "
+    "the cell-bloom/range-admitted files (strict subset builder-"
+    "asserted), exact cosine rerank on the pruned candidates, the "
+    "selection rank carried out of the top-k itself — fused by "
+    "1/(60+rank); at 100 TB neither tower scans its corpus: the "
+    "full-scan exact variant (hybrid_rrf_retrieval) stays as the "
+    "recall reference; the oracle replays fit, probes, rerank, BM25, "
+    "both rankings and the fusion from the raw tables",
+    tags=("text", "retrieval", "similarity", "index", "pruning", "model"),
+)
+def q_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from . import token_index
+    from .textops import _BM25_TERMS, _token_index_group
+
+    ti_group = _token_index_group(spark, sf_dir)
+    lex = token_index.indexed_bm25_topk(
+        spark, ti_group, list(_BM25_TERMS), limit=50
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_r4").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    ann_group = _plain_ann_group(spark, sf_dir)
+    queries = (
+        load_star_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    sem = ann_assign_topk(
+        spark, ann_group, queries, k=50, n_probe=6, with_rank=True
+    )
+    semr = sem.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(60) + F.col("sem_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        lexr.join(semr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(0))
+            .cast("long")
+            .alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(0))
+            .cast("long")
+            .alias("sem_rank"),
+            rrf.alias("rrf_r6"),
+        )
+        .orderBy(F.col("rrf_r6").desc(), "doc_id")
+        .limit(20)
+    )

@@ -1810,6 +1810,69 @@ class TestTokenIndexRound10:
         with pytest.raises(ValueError, match="slop"):
             ti.indexed_proximity_search(spark, group, ["a", "b"], slop=0)
 
+    def test_proximity_ordered_semantics(self, spark, tmp_path):
+        """r10 verdict item 6: ordered sloppy phrase — anchor on term 0,
+        monotone chain q_1 < q_2 < … with q_i ∈ (q_{i−1}, p + slop + i];
+        pinned against symmetric-window disagreement cases and 3-term
+        chains."""
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c"),        # adjacent chain
+                (2, "a x b c"),      # displaced chain (b trails by 2)
+                (3, "b x a c"),      # b BEFORE the anchor
+                (4, "a c b"),        # tail out of order
+                (5, "a b c a b c"),  # two valid anchors
+                (6, "c b a"),        # fully reversed
+            ],
+            "doc_id long, text string",
+        )
+        group = str(tmp_path / "ti")
+        ti.build_token_index(
+            spark, docs, group, splits=1, target_rows_per_file=4
+        )
+
+        def prox(terms, slop, ordered):
+            return {
+                r["doc_id"]: r["n_matches"]
+                for r in ti.indexed_proximity_search(
+                    spark,
+                    group,
+                    terms,
+                    slop=slop,
+                    ordered=ordered,
+                    assert_pruned=False,
+                ).collect()
+            }
+
+        # 3-term ordered chains: monotone only
+        assert prox(["a", "b", "c"], 1, True) == {1: 1, 2: 1, 5: 2}
+        # disagreement: symmetric admits the reversed doc 3, ordered
+        # never does (b precedes the anchor)
+        assert 3 in prox(["a", "b", "c"], 2, False)
+        assert 3 not in prox(["a", "b", "c"], 2, True)
+        # out-of-order tail: symmetric yes (both within slop), ordered no
+        sym = prox(["a", "b", "c"], 2, False)
+        orda = prox(["a", "b", "c"], 2, True)
+        assert 4 in sym and 4 not in orda
+        assert 6 in sym and 6 not in orda
+        # slop=0 ordered IS the exact phrase
+        phrase = {
+            r["doc_id"]: r["n_matches"]
+            for r in ti.indexed_phrase_search(
+                spark, group, ["a", "b", "c"], assert_pruned=False
+            ).collect()
+        }
+        assert prox(["a", "b", "c"], 0, True) == phrase == {1: 1, 5: 2}
+        # ordered admits slop=0; symmetric still requires >= 1
+        import pytest
+
+        with pytest.raises(ValueError, match="slop"):
+            ti.indexed_proximity_search(
+                spark, group, ["a", "b"], slop=-1, ordered=True
+            )
+
     def test_maintenance_compaction_keeps_bloom_skipping(
         self, spark, tmp_path
     ):
