@@ -2645,12 +2645,15 @@ _CMAINT_ORD_BUCKETS = 8
 
 
 def _cmaint_catalog(spark: SparkSession, sf_dir: str) -> str:
-    """A 3-table catalog in maintenance-relevant shapes: ``docs`` = the
+    """A 4-table catalog in maintenance-relevant shapes: ``docs`` = the
     12-append interleaved documents layer (same fixture the single-layer
     advisor query plans), ``orders`` = 8 interleaved single-file appends
-    keyed o_orderkey, ``nation`` = one clean single-file commit that
+    keyed o_orderkey (ONE dull dimension -> a cluster row),
+    ``orders_wide`` = the same appends carrying stats on BOTH
+    o_orderkey AND o_custkey (TWO dull dimensions -> ONE zorder row,
+    r10 verdict item 7), ``nation`` = one clean single-file commit that
     must contribute ZERO plan rows (the sweep reports need, it never
-    invents work).  One catalog version pins all three.  Once per
+    invents work).  One catalog version pins all four.  Once per
     process."""
     from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
     from ..sources.table_catalog import commit_catalog
@@ -2663,21 +2666,30 @@ def _cmaint_catalog(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(cat, ignore_errors=True)
     docs_path = _maintenance_layer(spark, sf_dir)
     orders_path = f"{cat}/orders"
+    wide_path = f"{cat}/orders_wide"
     nation_path = f"{cat}/nation"
-    drop_snapshot_layer(spark, orders_path)
-    drop_snapshot_layer(spark, nation_path)
+    for p in (orders_path, wide_path, nation_path):
+        drop_snapshot_layer(spark, p)
     orders = load_star_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
     for i in range(_CMAINT_ORD_BUCKETS):
+        part = orders.filter(
+            F.col("o_orderkey") % _CMAINT_ORD_BUCKETS == i
+        ).repartition(1)
         commit_snapshot(
             spark,
-            orders.filter(
-                F.col("o_orderkey") % _CMAINT_ORD_BUCKETS == i
-            ).repartition(1),
+            part,
             orders_path,
             mode="overwrite" if i == 0 else "append",
             stats_cols=["o_orderkey"],
+        )
+        commit_snapshot(
+            spark,
+            part,
+            wide_path,
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["o_custkey", "o_orderkey"],
         )
     commit_snapshot(
         spark,
@@ -2691,6 +2703,10 @@ def _cmaint_catalog(spark: SparkSession, sf_dir: str) -> str:
         {
             "docs": {"path": docs_path, "version": _MAINT_BUCKETS},
             "orders": {"path": orders_path, "version": _CMAINT_ORD_BUCKETS},
+            "orders_wide": {
+                "path": wide_path,
+                "version": _CMAINT_ORD_BUCKETS,
+            },
             "nation": {"path": nation_path, "version": 1},
         },
     )
@@ -2750,24 +2766,105 @@ SELECT * FROM (
 """
 
 
+def _cmaint_zorder_oracle_for(
+    table: str, base: str, key: str, col2: str, buckets: int
+) -> str:
+    """The two-dull-dimension table's worth of the catalog-sweep
+    oracle: same compaction arithmetic, but the clustering signal
+    replays the advisor's MULTI-COLUMN collapse — when both columns'
+    per-file [min, max] chains overlap past 50%, ONE zorder row with
+    the comma-joined sorted columns and the summed overlap counts."""
+    cols_sorted = ",".join(sorted([key, col2]))
+    return f"""
+SELECT * FROM (
+  WITH f AS (
+    SELECT {key} % {buckets} AS b, COUNT(*) AS n,
+           MIN({key}) AS lo1, MAX({key}) AS hi1,
+           MIN({col2}) AS lo2, MAX({col2}) AS hi2
+    FROM {base} GROUP BY 1
+  ),
+  small AS (
+    SELECT COUNT(*) AS ns, SUM(n) AS sr FROM f
+    WHERE n < {_MAINT_TARGET_ROWS // 2}
+  ),
+  compact AS (
+    SELECT '{table}' AS table_name, 'compact_small_files' AS action,
+           CAST(NULL AS VARCHAR) AS col,
+           CAST(ns AS BIGINT) AS n_files, CAST(sr AS BIGINT) AS n_rows,
+           GREATEST(CAST(CEIL(sr / {_MAINT_TARGET_ROWS}.0) AS BIGINT), 1)
+             AS predicted_files,
+           CAST(NULL AS BIGINT) AS overlap_files
+    FROM small
+    WHERE ns >= 2
+      AND GREATEST(CAST(CEIL(sr / {_MAINT_TARGET_ROWS}.0) AS BIGINT), 1) < ns
+  ),
+  chain1 AS (
+    SELECT lo1 AS lo, hi1 AS hi,
+           MAX(hi1) OVER (ORDER BY lo1, hi1
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS run_hi
+    FROM f
+  ),
+  ov1 AS (
+    SELECT COUNT(*) FILTER (run_hi IS NOT NULL AND lo <= run_hi) AS o,
+           COUNT(*) AS nr
+    FROM chain1
+  ),
+  chain2 AS (
+    SELECT lo2 AS lo, hi2 AS hi,
+           MAX(hi2) OVER (ORDER BY lo2, hi2
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS run_hi
+    FROM f
+  ),
+  ov2 AS (
+    SELECT COUNT(*) FILTER (run_hi IS NOT NULL AND lo <= run_hi) AS o,
+           COUNT(*) AS nr
+    FROM chain2
+  ),
+  zord AS (
+    SELECT '{table}' AS table_name, 'zorder' AS action,
+           '{cols_sorted}' AS col,
+           CAST(GREATEST(ov1.nr, ov2.nr) AS BIGINT) AS n_files,
+           CAST((SELECT SUM(n) FROM f) AS BIGINT) AS n_rows,
+           CAST(GREATEST(ov1.nr, ov2.nr) AS BIGINT) AS predicted_files,
+           CAST(ov1.o + ov2.o AS BIGINT) AS overlap_files
+    FROM ov1, ov2
+    WHERE ov1.nr >= 2 AND ov1.o > 0.5 * ov1.nr
+      AND ov2.nr >= 2 AND ov2.o > 0.5 * ov2.nr
+  )
+  SELECT * FROM compact UNION ALL SELECT * FROM zord
+)
+"""
+
+
 @register(
     "catalog_maintenance_plan",
     _cmaint_oracle_for("docs", "documents", "doc_id", _MAINT_BUCKETS)
     + " UNION ALL "
     + _cmaint_oracle_for("orders", "orders", "o_orderkey", _CMAINT_ORD_BUCKETS)
+    + " UNION ALL "
+    + _cmaint_zorder_oracle_for(
+        "orders_wide", "orders", "o_orderkey", "o_custkey", _CMAINT_ORD_BUCKETS
+    )
     + "\nORDER BY table_name, action\n",
     "CATALOG-WIDE MAINTENANCE SWEEP (r9 verdict item 7): ONE call plans "
     "every table a catalog version pins — the per-layer metadata-only "
     "advisor runs over each pinned layer path with the table name "
     "prefixed, so a production scheduler iterates one DataFrame for "
     "the whole star instead of remembering per-table calls; exercised "
-    "on a 3-table catalog (12-append interleaved documents layer, "
-    "8-append interleaved orders layer, and a CLEAN single-file nation "
-    "layer that must contribute zero rows — the sweep reports need, "
-    "never invents it); the oracle replays both dirty tables' "
-    "file/row/overlap arithmetic from the raw tables; the act-then-"
-    "replan loop under vacuum_catalog's min_pinned floors is pytest-"
-    "pinned in test_sources.py",
+    "on a 4-table catalog (12-append interleaved documents layer, "
+    "8-append interleaved orders layer -> one dull dimension, a "
+    "two-stats-column orders_wide layer whose dimensions are BOTH "
+    "overlap-dull -> ONE multi-column ZORDER recommendation instead of "
+    "per-column cluster rows (r10 verdict item 7; acting on it via "
+    "rewrite_snapshot(zorder_by) is pytest-pinned to clear both "
+    "signals), and a CLEAN single-file nation layer that must "
+    "contribute zero rows — the sweep reports need, never invents it); "
+    "the oracle replays every dirty table's file/row/overlap "
+    "arithmetic, including the zorder collapse, from the raw tables; "
+    "the act-then-replan loop under vacuum_catalog's min_pinned floors "
+    "is pytest-pinned in test_sources.py",
     tags=("layout", "maintenance", "snapshots", "catalog"),
 )
 def q_catalog_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

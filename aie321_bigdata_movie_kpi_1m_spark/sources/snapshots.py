@@ -3860,12 +3860,20 @@ def snapshot_maintenance_plan(
       ``small_file_rows`` (default ``target_rows_per_file // 2``) whose
       repack would actually shrink the file count;
       ``predicted_files`` = ceil(small rows / target).
-    - ``cluster`` — one row per stats column whose live per-file
-      [min, max] ranges OVERLAP beyond ``overlap_threshold`` (files
-      sorted by range start; a file overlaps when it starts before the
-      running max end).  Overlapping ranges are what make data skipping
-      dull — the signal that a ``rewrite_snapshot(cluster=...)`` /
-      Z-order pays for itself.  ``overlap_files`` carries the count.
+    - ``cluster`` — emitted when EXACTLY ONE stats column's live
+      per-file [min, max] ranges OVERLAP beyond ``overlap_threshold``
+      (files sorted by range start; a file overlaps when it starts
+      before the running max end).  Overlapping ranges are what make
+      data skipping dull — the signal a
+      ``rewrite_snapshot(cluster_by=...)`` pays for itself.
+      ``overlap_files`` carries the count.
+    - ``zorder`` — when TWO OR MORE stats columns are overlap-dull, ONE
+      row recommending a multi-column
+      ``rewrite_snapshot(zorder_by=[...])`` instead of per-column
+      cluster rows (a single-column cluster sharpens one dimension and
+      scrambles the rest; the Morton interleave narrows all).  ``col``
+      is the comma-joined sorted dull columns, ``overlap_files`` the
+      summed per-column overlap counts.
     - ``fold_deletes`` — live deletion-vector / equality-delete entries
       force merge-on-read on their touched files and suppress
       metadata-only row counts; a compaction/rewrite folds them.
@@ -3918,6 +3926,7 @@ def snapshot_maintenance_plan(
             if not c.startswith("_pt_")
         }
     )
+    dull: list[tuple[str, int, int]] = []  # (col, n_ranges, overlap)
     for col in cols:
         ranges = [
             tuple(stats[b][col])
@@ -3936,16 +3945,30 @@ def snapshot_maintenance_plan(
                 overlap += 1
             run_hi = max(run_hi, hi)
         if overlap / len(ranges) > overlap_threshold:
-            rows.append(
-                (
-                    "cluster",
-                    str(col),
-                    len(ranges),
-                    sum(int(counts.get(b, 0)) for b in live_bases),
-                    len(ranges),
-                    overlap,
-                )
+            dull.append((str(col), len(ranges), overlap))
+    total_rows = sum(int(counts.get(b, 0)) for b in live_bases)
+    if len(dull) == 1:
+        col, n_ranges, overlap = dull[0]
+        rows.append(("cluster", col, n_ranges, total_rows, n_ranges, overlap))
+    elif len(dull) >= 2:
+        # TWO OR MORE overlap-dull dimensions: a single-column cluster
+        # would sharpen one and leave the others scrambled — recommend
+        # ONE multi-column Z-ORDER rewrite instead (the machinery
+        # exists: rewrite_snapshot(zorder_by=[...]) range-partitions on
+        # the Morton interleave so EVERY participating column's
+        # per-file [min, max] narrows).  col carries the comma-joined
+        # sorted dimensions; overlap_files sums the per-column overlap
+        # counts (the signal strength the rewrite must clear)
+        rows.append(
+            (
+                "zorder",
+                ",".join(c for c, _, _ in dull),
+                max(n for _, n, _ in dull),
+                total_rows,
+                max(n for _, n, _ in dull),
+                sum(o for _, _, o in dull),
             )
+        )
 
     # fold_deletes: live delete entries at the head force merge-on-read
     dels = m.get("delete_files") or []

@@ -5356,6 +5356,55 @@ class TestMaintenancePlan:
         )
         assert got == [d for d in range(120) if d not in (7, 19)]
 
+    def test_zorder_recommendation_act_then_replan(self, spark, tmp_path):
+        """r10 verdict item 7: TWO overlap-dull stats columns collapse
+        into ONE zorder recommendation (not per-column cluster rows);
+        acting on it — rewrite_snapshot(zorder_by=[...]) — clears BOTH
+        columns' overlap signals while both dimensions still prune
+        strictly."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        # four tight 2D corner clusters, cluster id cycling every 8 ids
+        # so each interleaved append (k % 8) holds ALL clusters — both
+        # columns' per-file ranges span the domain
+        base = spark.range(400).selectExpr(
+            "id AS k",
+            "(id % 10) + (CASE WHEN (id div 8) % 4 IN (2, 3) "
+            "THEN 90 ELSE 0 END) AS x",
+            "(id % 10) + (CASE WHEN (id div 8) % 4 IN (1, 3) "
+            "THEN 90 ELSE 0 END) AS y",
+        )
+        for i in range(8):
+            snap.commit_snapshot(
+                spark,
+                base.filter(F.col("k") % 8 == i).repartition(1),
+                path,
+                mode="overwrite" if i == 0 else "append",
+                stats_cols=["x", "y"],
+            )
+        plan = self._plan(spark, path)
+        z = plan["zorder"]
+        assert z["col"] == "x,y"
+        assert (z["n_files"], z["overlap_files"]) == (8, 14)  # 7 + 7
+        assert "cluster" not in plan  # collapsed into the zorder row
+        # ACT: the recommended multi-column rewrite
+        snap.rewrite_snapshot(
+            spark, path, zorder_by=["x", "y"], n_files=4,
+            stats_cols=["x", "y"],
+        )
+        plan2 = self._plan(spark, path)
+        assert "zorder" not in plan2 and "cluster" not in plan2
+        # both dimensions prune strictly after the rewrite
+        all_files = snap.snapshot_files(spark, path)
+        for col in ("x", "y"):
+            kept = snap.snapshot_files(
+                spark, path, prune_range=(col, 0, 10)
+            )
+            assert 0 < len(kept) < len(all_files)
+        # rows survived the rewrite
+        assert snap.read_snapshot(spark, path).count() == 400
+
 
 class TestCatalogStream:
     """Catalog-version stream source (round-8 verdict item 7): offsets
