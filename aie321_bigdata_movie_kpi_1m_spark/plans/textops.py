@@ -2179,6 +2179,205 @@ def q_streaming_index_maintenance(
     )
 
 
+_AUTO_MAINT_STATS: dict[str, dict] = {}
+
+
+def _auto_maint_index(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Stream-maintained index WITH the AUTO-MAINTENANCE GOVERNOR wired
+    into the sink (r10 verdict item 8): a bootstrap insert commit plus
+    SIX churn commits (deletes of doc_id%9 residues 1/3/5 interleaved
+    with +1e6-offset mirror inserts of residues 2/4/6), each drained as
+    its own micro-batch, so the foreachBatch hook sees 7+ batches;
+    every 2nd batch it runs the catalog-wide advisor over the group's
+    pin catalog and executes warranted maintenance MID-STREAM
+    (fold-deletes compaction, ledger/lexicon netting, mirror re-sync,
+    atomic pin re-publish).  Returns (group, governor stats).  Once per
+    process."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from ..sources.pyds import (
+        register_snapshot_stream,
+        snapshot_cdf_stream_schema,
+    )
+    from ..sources.snapshots import (
+        commit_snapshot,
+        delete_snapshot_keys,
+        drop_snapshot_layer,
+    )
+    from . import token_index
+    from .warehouse import _SCRATCH, _tag
+
+    group = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/auto_maint_index"
+    if group in _AUTO_MAINT_STATS:
+        return group, _AUTO_MAINT_STATS[group]
+    docs_layer = f"{group}_docs"
+    ckpt = f"{group}_ckpt"
+    for p in (group, docs_layer):
+        drop_snapshot_layer(spark, p)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    docs = load_star_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    from ..functions.text import tokens as _tok_fn
+
+    n_tok = int(
+        docs.select(
+            F2.coalesce(F2.sum(F2.size(_tok_fn("text"))), F2.lit(0))
+        ).first()[0]
+    )
+    target = max(100, n_tok // 16)
+    commit_snapshot(
+        spark,
+        docs.repartitionByRange(4, "doc_id"),
+        docs_layer,
+        stats_cols=["doc_id"],
+        change_feed=True,
+    )
+    # empty bootstrap: every row arrives by stream
+    token_index.build_token_index(spark, docs.limit(0), group, splits=1)
+    on_batch, stats = token_index.auto_maintenance_hook(
+        spark, group, every_n=2, target_rows_per_file=target
+    )
+
+    register_snapshot_stream(spark)
+    stream = (
+        spark.readStream.format("snapshot_stream")
+        .schema(snapshot_cdf_stream_schema(docs_layer, "doc_id,text"))
+        .option("path", docs_layer)
+        .option("cols", "doc_id,text")
+        .option("mode", "cdf")
+        .load()
+    )
+
+    def apply_batch(batch_df, _batch_id):
+        batch_df = batch_df.persist()
+        try:
+            versions = sorted(
+                r[0]
+                for r in batch_df.select("_commit_version")
+                .distinct()
+                .collect()
+            )
+            for v in versions:
+                changes = batch_df.filter(
+                    F2.col("_commit_version") == v
+                ).select(
+                    "doc_id",
+                    "change_type",
+                    F2.when(
+                        F2.col("change_type") == "delete",
+                        F2.struct(F2.col("text").alias("text")),
+                    ).alias("before"),
+                    F2.when(
+                        F2.col("change_type") == "insert",
+                        F2.struct(F2.col("text").alias("text")),
+                    ).alias("after"),
+                )
+                token_index.refresh_token_index(
+                    spark, group, changes, target_rows_per_file=target
+                )
+        finally:
+            batch_df.unpersist()
+        on_batch()  # the governor: advisor sweep every N batches
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .queryName("stream_auto_maintenance")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: the bootstrap corpus
+    for residue in (1, 2, 3, 4, 5, 6):  # batches 2..7, one per commit
+        if residue % 2 == 1:
+            delete_snapshot_keys(
+                spark,
+                docs_layer,
+                "doc_id",
+                docs.filter(F2.col("doc_id") % 9 == residue).select(
+                    "doc_id"
+                ),
+            )
+        else:
+            commit_snapshot(
+                spark,
+                docs.filter(F2.col("doc_id") % 9 == residue).select(
+                    (F2.col("doc_id") + 1000000).alias("doc_id"), "text"
+                ),
+                docs_layer,
+                mode="append",
+                stats_cols=["doc_id"],
+            )
+        q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    _AUTO_MAINT_STATS[group] = stats
+    return group, stats
+
+
+@register(
+    "streaming_auto_maintenance",
+    """
+WITH surv AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 9 NOT IN (1, 3, 5)
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 9 IN (2, 4, 6)
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM surv
+),
+ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM ex
+  WHERE token IN ('table', 'part') GROUP BY 1, 2
+),
+hits AS (
+  SELECT doc_id, SUM(tf) AS score, COUNT(DISTINCT token) AS n_terms
+  FROM tf GROUP BY 1)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM hits WHERE n_terms = 2
+ORDER BY score DESC, doc_id LIMIT 20
+""",
+    "AUTO-MAINTENANCE LOOP OVER A STREAMING SINK (r10 verdict item 8, "
+    "closing the production loop): the docs CDF stream drives "
+    "refresh_token_index per micro-batch across SEVEN batches "
+    "(bootstrap + 3 delete commits + 3 mirror-insert commits), and a "
+    "foreachBatch governor runs the CATALOG-WIDE metadata-only advisor "
+    "over the group's pin catalog every 2nd batch, executing warranted "
+    "maintenance MID-STREAM — fold-deletes compaction, ledger/lexicon "
+    "netting, doclen-mirror re-sync, one atomic pin re-publish per "
+    "cycle (the refresh-vs-maintenance race invariant: pins never "
+    "torn) — with the run counter builder-asserted >= 1; the keyword "
+    "search then runs against the auto-maintained index and the "
+    "oracle recomputes it from the raw SURVIVING + mirrored documents "
+    "— a dropped batch, unfolded delete, or over-eager compaction "
+    "breaks the hash",
+    tags=(
+        "text", "retrieval", "snapshots", "index", "streaming",
+        "maintenance",
+    ),
+)
+def q_streaming_auto_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from . import token_index
+
+    group, stats = _auto_maint_index(spark, sf_dir)
+    if stats["maintenance_runs"] < 1 or stats["batches"] < 6:
+        raise AssertionError(
+            f"auto-maintenance did not fire mid-stream: {stats}"
+        )
+    return token_index.indexed_keyword_search(
+        spark, group, list(_PHRASE), assert_pruned=False
+    )
+
+
 @register(
     "lexicon_top_terms",
     _TOKENS_CTE

@@ -1106,6 +1106,12 @@ class _CatalogStreamReader(_SnapshotStreamReader):
         super().__init__(options)  # validates scheme, sets _path/_cols
         self._catalog = self._path
         self._table = table
+        # per-version pin cache: catalog manifests are immutable once
+        # written (vacuum deletes, never rewrites), so a version's pin
+        # never changes — without this the drop/re-add scan re-reads
+        # every surviving pre-checkpoint manifest JSON on EVERY
+        # microbatch planning call (ADVICE r10)
+        self._pin_cache: dict = {}
 
     def _cat_versions(self) -> list[int]:
         import os
@@ -1123,17 +1129,23 @@ class _CatalogStreamReader(_SnapshotStreamReader):
         import json
         import os
 
+        if cat_v in self._pin_cache:
+            return self._pin_cache[cat_v]
         with open(
             os.path.join(self._catalog, "_catalog", f"v{cat_v}.json")
         ) as fh:
             tables = json.load(fh)["tables"]
         t = tables.get(self._table)
-        if t is None:
-            return None
-        return (
-            str(t["path"]).removeprefix("file://").removeprefix("file:"),
-            int(t["version"]),
+        pin = (
+            None
+            if t is None
+            else (
+                str(t["path"]).removeprefix("file://").removeprefix("file:"),
+                int(t["version"]),
+            )
         )
+        self._pin_cache[cat_v] = pin
+        return pin
 
     def latestOffset(self) -> dict:
         vs = self._cat_versions()
@@ -1200,6 +1212,21 @@ class _CatalogStreamReader(_SnapshotStreamReader):
                     "catalog version — it was dropped and re-added; "
                     "replaying from layer v0 would duplicate rows, "
                     "restart the stream from a fresh checkpoint"
+                )
+            # catalog versions are contiguous from v1; if retention
+            # vacuumed the history below s, the surviving manifests
+            # cannot PROVE the table is genuinely new (a pre-vacuum
+            # pin would make a layer-v0 replay duplicate already-
+            # consumed rows) — refuse instead of silently replaying
+            # (ADVICE r10: the vacuumed-history blind spot)
+            if min(cat_vs) > 1:
+                raise ValueError(
+                    f"table {self._table!r} has no pin at consumed "
+                    f"catalog offset v{s} and catalog history below "
+                    f"v{min(cat_vs)} was vacuumed — cannot prove the "
+                    "table was not dropped and re-added before the "
+                    "checkpoint; restart the stream from a fresh "
+                    "checkpoint"
                 )
         ls = known[0][1][1] if (s != 0 and known[0][0] == s) else 0
         le = layer_vs[-1]

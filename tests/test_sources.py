@@ -5584,6 +5584,45 @@ class TestCatalogStream:
         parts = r2.partitions({"version": 1}, {"version": 3})
         assert parts  # plans the aux initial snapshot without raising
 
+    def test_vacuumed_history_blind_spot_refuses(self, spark, tmp_path):
+        """ADVICE r10: when the catalog history BELOW the consumed
+        offset was vacuumed, the reader cannot prove a no-pin-at-start
+        table wasn't dropped and re-added pre-checkpoint — it must
+        refuse (fresh-checkpoint contract) instead of silently
+        replaying from layer v0 and duplicating rows."""
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            _CatalogStreamReader,
+        )
+
+        cat = str(tmp_path / "cat")
+        layer = str(tmp_path / "docs")
+        other = str(tmp_path / "other")
+        df = spark.range(3).selectExpr("id AS doc_id")
+        snap.commit_snapshot(spark, df, layer)
+        snap.commit_snapshot(spark, df, other)
+        # v1: docs pinned; v2: docs dropped; v3: docs re-added — then
+        # retention vacuums v1, erasing the evidence of the early pin
+        tc.commit_catalog(spark, cat, {"docs": {"path": layer, "version": 1}})
+        tc.commit_catalog(spark, cat, {"aux": {"path": other, "version": 1}})
+        tc.commit_catalog(
+            spark,
+            cat,
+            {
+                "aux": {"path": other, "version": 1},
+                "docs": {"path": layer, "version": 1},
+            },
+        )
+        tc.vacuum_catalog(spark, cat, keep_last=2)  # v1 gone
+        r = _CatalogStreamReader(
+            {"path": cat, "table": "docs", "cols": "doc_id"}
+        )
+        with pytest.raises(ValueError, match="vacuumed"):
+            r.partitions({"version": 2}, {"version": 3})
+
 
 class TestCdfStreamCommitVersion:
     """The cdf stream's _commit_version column (round-9): every change
