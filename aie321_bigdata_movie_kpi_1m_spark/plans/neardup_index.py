@@ -1,0 +1,387 @@
+"""Persisted MinHash-LSH NEAR-DUPLICATE INDEX as a snapshot layer —
+the dedup pillar's durable-versioned-index tier, completing the family
+the token index (lexical retrieval) and the ANN assignment layer
+(vector search) already give the other two pillars.
+
+``minhash_lsh_pairs`` recomputes every document's signature per query —
+correct, but at 100 TB a corpus-dedup pass or a "does this new batch
+collide with the corpus?" admission check cannot re-shingle and re-hash
+the whole corpus each time.  This module persists the BANDED BUCKET
+rows (the LSH join key material) once, maintains them O(delta) from the
+base table's change feed, and serves both query shapes from the layer:
+
+- ``buckets`` layer — (bkey, doc_id) rows where ``bkey =
+  xxhash64(band, h_{band*r} .. h_{band*r+r-1})`` folds the band id into
+  the 8-byte key, range-clustered on bkey with per-file [min, max]
+  stats AND a bkey Bloom index.  A point LOOKUP (new docs probed
+  against the corpus) reads ONLY the files whose Bloom admits one of
+  the probe keys — with range clustering each file holds a narrow bkey
+  slice, so q docs probe O(q x bands) files out of the whole layer, a
+  point lookup, never a corpus pass.  A corpus-wide PAIR sweep
+  self-joins the layer on bkey (singleton buckets dropped first), so
+  the expensive half of MinHash dedup — tokenize, shingle, 64 hashes
+  per doc — is paid at INDEX time, amortized across every query.
+- ``PARAMS.json`` sideband — (num_hashes, bands, shingle n) pinned at
+  build, because a probe hashed under different parameters would
+  silently miss everything; refresh and lookup load it, never guess.
+
+Candidates from either shape are EXACT-VERIFIED (n-gram Jaccard over
+shingle sets joined point-wise from the base table — candidates only,
+never all-pairs), so at (64, 32) the output equals the exact-Jaccard
+answer up to a ~6e-15 miss probability — which is what the oracles
+check.
+
+MAINTENANCE mirrors the token index: deletes fold in as ONE
+DataFrame-native equality delete (doc_id keys never touch the driver),
+inserts as one rows-scaled clustered append; both O(changed docs).
+
+No counterpart in the reference (the 584-LoC pandas pipeline has no
+dedup at all); this extends SURVEY §2.9's LLM-pipeline dedup tier to
+its production shape.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+from ..operators.dedup import minhash_signatures
+from ..sources.snapshots import (
+    _read_text,
+    _write_text,
+    bloom_bits_for_rows,
+    commit_snapshot,
+    delete_snapshot_keys,
+    read_snapshot,
+    snapshot_files,
+)
+
+#: the single data layer under the group directory
+BUCKETS = "buckets"
+
+#: observability for tests: lookups that proved file pruning
+_PRUNE_STATS = {"pruned_lookups": 0}
+
+
+def _buckets_path(group: str) -> str:
+    return f"{group}/{BUCKETS}"
+
+
+
+
+def _params_path(group: str) -> str:
+    return f"{group}/PARAMS.json"
+
+
+def index_params(spark: SparkSession, group: str) -> dict:
+    """The build-pinned LSH parameters — every probe MUST hash under
+    these or it silently matches nothing."""
+    return json.loads(_read_text(spark, _params_path(group)))
+
+
+def banded_bucket_rows(
+    docs: DataFrame,
+    *,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(bkey, doc_id) LSH bucket rows for a docs delta: MinHash
+    signatures (column-wise min over seeded xxhash64 of pre-hashed
+    shingles — ``operators.dedup.minhash_signatures``, the exact
+    machinery the per-query operator uses, so index-served and
+    recomputed answers are bit-identical), banded r = k/b hashes per
+    band, band id folded into the 8-byte key.  One explode per doc —
+    ``bands`` rows each; docs with no shingles still row (the sentinel
+    shingle — short exact-dups must collide)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}"
+        )
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n
+    )
+    keys = [
+        F.xxhash64(
+            F.lit(bi), *[F.col(f"h{bi * rows + r}") for r in range(rows)]
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(*keys)).alias("bkey"),
+    ).select("bkey", "doc_id")
+
+
+def _append_docs(
+    spark: SparkSession,
+    group: str,
+    docs: DataFrame,
+    *,
+    first: bool,
+    target_rows_per_file: int,
+) -> None:
+    """One docs delta -> one rows-scaled, bkey-clustered bucket append.
+    Bucket rows per delta are EXACTLY ``docs x bands`` (metadata
+    arithmetic — one count, no second pass over the rows), so the file
+    count follows the delta instead of a constant: a backfill writes
+    proportionally many files, a micro-batch writes one."""
+    p = index_params(spark, group)
+    n_docs = docs.count()
+    if not n_docs and not first:
+        return
+    n_parts = max(
+        1,
+        math.ceil(n_docs * p["bands"] / max(1, int(target_rows_per_file))),
+    )
+    rows = banded_bucket_rows(
+        docs, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
+    )
+    commit_snapshot(
+        spark,
+        rows.repartitionByRange(n_parts, "bkey"),
+        _buckets_path(group),
+        mode="overwrite" if first else "append",
+        stats_cols=["bkey", "doc_id"],
+        bloom_col="bkey",
+        # layer-creating commit sizes the bloom to the file-size
+        # contract (m/n ~ 12 -> ~0.6% FP); appends inherit the pin.
+        # an under-sized bloom saturates and admits every file,
+        # silently turning the point lookup back into a layer scan
+        bloom_bits=bloom_bits_for_rows(target_rows_per_file)
+        if first
+        else None,
+    )
+
+
+def build_neardup_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    group: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    splits: int = 2,
+    target_rows_per_file: int = 100_000,
+) -> str:
+    """Bootstrap the index from a docs snapshot in ``splits``
+    incremental appends (doc_id pmod split — negative ids land in a
+    split, never vanish), exercising the same O(delta) path a change
+    feed drives.  Parameters pin FIRST (``_write_text`` refuses
+    overwrite — the layer can never hold rows hashed under two
+    parameter sets)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}"
+        )
+    _write_text(
+        spark,
+        _params_path(group),
+        json.dumps({"num_hashes": num_hashes, "bands": bands, "n": n}),
+    )
+    for i in range(max(1, splits)):
+        part = docs.filter(
+            F.pmod(F.col("doc_id"), F.lit(max(1, splits))) == i
+        )
+        _append_docs(
+            spark,
+            group,
+            part,
+            first=(i == 0),
+            target_rows_per_file=target_rows_per_file,
+        )
+    return group
+
+
+def refresh_neardup_index(
+    spark: SparkSession,
+    group: str,
+    changes: DataFrame,
+    *,
+    target_rows_per_file: int = 100_000,
+) -> dict:
+    """Fold a base-table KEYED CHANGE FEED into the index, O(delta):
+    ``changes`` is ``snapshot_changes_keyed(..., ["doc_id"],
+    include_values=True)`` output.  Deleted/updated doc_ids become ONE
+    equality delete (keys shipped as a DataFrame — zero driver hops);
+    inserted/updated docs' AFTER text becomes one clustered append.
+    Unchanged docs are never re-hashed, no existing file is
+    rewritten."""
+    changes = changes.persist()
+    try:
+        removed = changes.filter(
+            F.col("change_type").isin("delete", "update")
+        ).select("doc_id")
+        added = changes.filter(
+            F.col("change_type").isin("insert", "update")
+        ).select("doc_id", F.col("after.text").alias("text"))
+        n_removed = removed.limit(1).count()
+        if n_removed:
+            delete_snapshot_keys(
+                spark, _buckets_path(group), "doc_id", removed
+            )
+        if added.limit(1).count():
+            _append_docs(
+                spark,
+                group,
+                added,
+                first=False,
+                target_rows_per_file=target_rows_per_file,
+            )
+        return {"removed_docs": bool(n_removed)}
+    finally:
+        changes.unpersist()
+
+
+def _pruned_bucket_rows(
+    spark: SparkSession,
+    group: str,
+    bkeys: list[int],
+    *,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """The probe keys' bucket rows, reading ONLY the files whose Bloom
+    admits one of them (builder-asserted strict subset) — bkey is a
+    hash-scrambled key, exactly the shape the per-file Bloom index
+    exists for; range clustering keeps each file's slice narrow so the
+    admitted set tracks the probe count, not the layer size."""
+    path = _buckets_path(group)
+    probe = ("bkey", list(bkeys))
+    if assert_pruned:
+        n_all = len(snapshot_files(spark, path))
+        n_probe = len(snapshot_files(spark, path, prune_point=probe))
+        if n_probe >= n_all:
+            raise AssertionError(
+                f"neardup index did not prune: {n_probe} of {n_all} files"
+            )
+        _PRUNE_STATS["pruned_lookups"] += 1
+    return read_snapshot(spark, path, prune_point=probe).filter(
+        F.col("bkey").isin(*bkeys)
+    )
+
+
+def _verified_pairs(
+    cand: DataFrame,
+    query_docs: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram-Jaccard verification over CANDIDATE pairs only:
+    shingle sets join in point-wise (computed per candidate row, never
+    for the un-probed corpus), intersection sizes via JVM array
+    functions — the same verify stage ``minhash_lsh_pairs`` runs, so
+    index-served results match the recomputed operator exactly."""
+    # tokens materialize as a real column BEFORE shingling — feeding
+    # word_shingles the raw tokenizer expression re-runs it per element
+    # access (the measured-13x quadratic pitfall operators/dedup.py
+    # documents)
+    qsets = query_docs.select(
+        F.col("doc_id").alias("i"), tokens("text").alias("__tok")
+    ).select("i", word_shingles(F.col("__tok"), n).alias("__si"))
+    csets = corpus_docs.select(
+        F.col("doc_id").alias("j"), tokens("text").alias("__tok")
+    ).select("j", word_shingles(F.col("__tok"), n).alias("__sj"))
+    return (
+        cand.join(qsets, "i")
+        .join(csets, "j")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("__si", "__sj")).cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("__si") + F.size("__sj") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "n_common", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def indexed_neardup_lookup(
+    spark: SparkSession,
+    group: str,
+    query_docs: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    threshold: float = 0.8,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """ADMISSION CHECK / point lookup: which corpus documents are
+    near-duplicates of each query document?  The incoming-batch-vs-
+    corpus question every dedup-gated ingestion pipeline asks, served
+    WITHOUT touching the corpus: the query docs hash under the pinned
+    parameters (q x bands probe keys — metadata scale, the ANN probe-
+    cell discipline), the Bloom admits only the files that can hold a
+    probed bucket, candidates broadcast-join in, and the exact verify
+    reads just the candidate docs' text.  Emits (i = query doc_id,
+    j = corpus doc_id, n_common, jaccard) with i's own corpus row
+    excluded (i != j)."""
+    p = index_params(spark, group)
+    qrows = banded_bucket_rows(
+        query_docs, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
+    ).select(F.col("bkey"), F.col("doc_id").alias("i"))
+    # probe keys to the driver: O(q x bands) longs, the same metadata-
+    # scale hop the ANN probe cells and lexicon top-n make — never rows
+    bkeys = [r["bkey"] for r in qrows.select("bkey").distinct().collect()]
+    if not bkeys:
+        return spark.createDataFrame(
+            [], "i long, j long, n_common long, jaccard double"
+        )
+    hits = _pruned_bucket_rows(
+        spark, group, bkeys, assert_pruned=assert_pruned
+    )
+    cand = (
+        hits.join(F.broadcast(qrows), "bkey")
+        .filter(F.col("i") != F.col("doc_id"))
+        .select("i", F.col("doc_id").alias("j"))
+        .distinct()
+    )
+    return _verified_pairs(
+        cand, query_docs, corpus_docs, n=p["n"], threshold=threshold
+    )
+
+
+def indexed_neardup_pairs(
+    spark: SparkSession,
+    group: str,
+    corpus_docs: DataFrame,
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Corpus-wide near-dup PAIRS from the maintained index: the
+    ``minhash_lsh_pairs`` answer with the signature stage amortized —
+    tokenize/shingle/64-hashes never re-run at query time; the layer
+    read (merge-on-read deletes applied, so churn-deleted docs are
+    already gone) self-joins on bkey with singleton buckets dropped
+    before the join, then candidates exact-verify against the base
+    table.  Emits (i, j, n_common, jaccard) with i < j — identical to
+    the recomputed operator up to the banding miss bound."""
+    p = index_params(spark, group)
+    rows = read_snapshot(spark, _buckets_path(group))
+    sizes = rows.groupBy("bkey").agg(F.count(F.lit(1)).alias("__n"))
+    live = rows.join(
+        sizes.filter(F.col("__n") >= 2).select("bkey"), "bkey"
+    )
+    cand = (
+        live.alias("a")
+        .join(live.alias("b"), "bkey")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j")
+        )
+        .distinct()
+    )
+    return _verified_pairs(
+        cand, corpus_docs, corpus_docs, n=p["n"], threshold=threshold
+    )

@@ -456,6 +456,47 @@ def q_indexed_proximity_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "indexed_prefix_search",
+    _TOKENS_CTE
+    + """,
+ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+pre AS (
+  SELECT substr(token, 1, 2) AS p FROM (
+    SELECT token, SUM(tf) AS c FROM tf GROUP BY 1
+    ORDER BY c DESC, token LIMIT 1)
+),
+hits AS (
+  SELECT doc_id, SUM(tf) AS score, COUNT(DISTINCT token) AS n_terms
+  FROM tf, pre WHERE substr(token, 1, length(p)) = p GROUP BY 1)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+       CAST(n_terms AS BIGINT) AS n_terms
+FROM hits ORDER BY score DESC, doc_id LIMIT 20
+""",
+    "PREFIX (wildcard 'pre*') search through the range-clustered "
+    "postings — the query class where the layer's RANGE stats (not the "
+    "Bloom, which answers only exact probes) do the pruning: the probe "
+    "compiles to the EXACT interval [prefix, succ(prefix)) over the "
+    "per-file [min, max] token ranges, so term expansion plans "
+    "O(matching range) file scans (builder-asserted strict subset) "
+    "instead of a posting pass — Lucene's PrefixQuery over its sorted "
+    "term dictionary, re-expressed as manifest range skipping; docs "
+    "ranked by exact integer summed tf over ALL matching terms with "
+    "the distinct expanded-term count carried; the prefix is the "
+    "corpus top term's first two chars (lexicon-resolved, "
+    "metadata-scale) and the oracle replays derivation, expansion, "
+    "and ranking from the raw text",
+    tags=("text", "retrieval", "snapshots", "index", "pruning"),
+)
+def q_indexed_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    top1 = token_index.top_terms(spark, group, 1)[0]
+    return token_index.indexed_prefix_search(spark, group, top1[:2])
+
+
+@register(
     "doc_fingerprints",
     """
 SELECT doc_id,
@@ -553,6 +594,220 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         num_hashes=64,
         bands=32,
+    )
+
+
+_NEARDUP_INDEX_BUILT: set[str] = set()
+
+#: synthetic query-doc id for the lookup fixture: outside the corpus id
+#: range, so i != j holds trivially and the oracle can name it
+_NEARDUP_QID = 1_000_000
+
+
+def _neardup_index_group(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted MinHash-LSH near-dup index (``plans/neardup_index.py``)
+    over the documents corpus, bootstrapped in two incremental appends —
+    once per process.  FIXTURE SIZING: 250 bucket rows per file spreads
+    the 500-doc corpus's 16k bucket rows over ~64 files so the lookup's
+    Bloom pruning has real files to skip (the production default would
+    collapse each delta into one file)."""
+    from ..sources.snapshots import drop_snapshot_layer
+    from . import neardup_index
+    from .warehouse import _SCRATCH, _tag
+
+    group = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/neardup_index"
+    if group in _NEARDUP_INDEX_BUILT:
+        return group
+    drop_snapshot_layer(spark, group)
+    docs = load_star_table(spark, sf_dir, "documents")
+    # aim ~64 files across the layer regardless of corpus size (one
+    # scalar count, fixture scaffolding only — production passes the
+    # 100k default and gets the same layout from real volume)
+    n_docs = docs.count()
+    neardup_index.build_neardup_index(
+        spark,
+        docs,
+        group,
+        num_hashes=64,
+        bands=32,
+        n=3,
+        splits=2,
+        target_rows_per_file=max(250, n_docs * 32 // 64),
+    )
+    _NEARDUP_INDEX_BUILT.add(group)
+    return group
+
+
+@register(
+    "indexed_neardup_lookup",
+    f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+q AS (SELECT {_NEARDUP_QID} AS doc_id, text FROM base
+      WHERE doc_id = (SELECT MIN(doc_id) FROM base)),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM q)
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) >= 3
+         THEN list_transform(generate_series(1, len(ts) - 2),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         ELSE [coalesce(array_to_string(ts, ' '), '')] END)) AS s
+  FROM tok
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id >= {_NEARDUP_QID} AND b.doc_id < {_NEARDUP_QID}
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i, j, CAST(c AS BIGINT) AS n_common,
+         c / (sa.n + sb.n - c) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = i
+  JOIN sizes sb ON sb.doc_id = j
+)
+SELECT i, j, n_common, ROUND(jaccard, 4) AS jaccard
+FROM jac WHERE jaccard >= 0.8
+""",
+    "PERSISTED near-dup index, point-lookup shape (the admission check "
+    "a dedup-gated ingestion pipeline runs per incoming batch): MinHash "
+    "banded bucket rows live as a snapshot layer — bkey-range-clustered "
+    "with a bkey Bloom index, maintained O(delta) — and a NEW document "
+    "(here a copy of the min-doc_id corpus doc under a synthetic id) "
+    "probes with its q x bands bucket keys, reading ONLY the files "
+    "whose Bloom admits a probed key (builder-asserted strict subset): "
+    "the corpus is never re-shingled or re-hashed at query time, the "
+    "signature stage is paid once at index time.  Candidates exact-"
+    "verify by n-gram Jaccard (threshold 0.8; banding miss bound "
+    "~6e-15, so index-served equals the exact answer the oracle "
+    "recomputes from raw text)",
+    tags=("dedup", "lsh", "snapshots", "index", "pruning"),
+)
+def q_indexed_neardup_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from . import neardup_index
+
+    group = _neardup_index_group(spark, sf_dir)
+    docs = load_star_table(spark, sf_dir, "documents")
+    min_id = docs.agg(F.min("doc_id")).first()[0]
+    query_docs = docs.filter(F.col("doc_id") == min_id).select(
+        F.lit(_NEARDUP_QID).cast("long").alias("doc_id"), "text"
+    )
+    return neardup_index.indexed_neardup_lookup(
+        spark, group, query_docs, docs, threshold=0.8
+    )
+
+
+_NEARDUP_CHURN_BUILT: set[str] = set()
+
+
+def _neardup_churn_group(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Near-dup index maintained through CHURN: a docs snapshot layer
+    bootstraps with doc_id % 3 != 0, the index builds from that state,
+    then an insert commit (the % 3 == 0 docs) and an equality-delete
+    commit (doc_id % 10 == 0) each fold into the index via
+    ``refresh_neardup_index`` over the keyed change feed — O(changed
+    docs), no rebuild.  Returns (index group, docs layer path); final
+    docs state = documents WHERE doc_id % 10 != 0."""
+    from ..sources import snapshots as snap
+    from . import neardup_index
+    from .warehouse import _SCRATCH, _tag
+
+    root = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/neardup_churn"
+    grp, docs_path = f"{root}/index", f"{root}/docs"
+    if root in _NEARDUP_CHURN_BUILT:
+        return grp, docs_path
+    snap.drop_snapshot_layer(spark, root)
+    docs = load_star_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    # ~64-file layout at any corpus size (fixture scaffolding)
+    tgt = max(250, docs.count() * 32 // 64)
+    v1 = snap.commit_snapshot(
+        spark,
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs_path,
+        stats_cols=["doc_id"],
+        change_feed=True,
+    )
+    neardup_index.build_neardup_index(
+        spark,
+        snap.read_snapshot(spark, docs_path, v1),
+        grp,
+        num_hashes=64,
+        bands=32,
+        n=3,
+        splits=2,
+        target_rows_per_file=tgt,
+    )
+    v2 = snap.commit_snapshot(
+        spark,
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs_path,
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    neardup_index.refresh_neardup_index(
+        spark,
+        grp,
+        snap.snapshot_changes_keyed(
+            spark, docs_path, v1, v2, ["doc_id"], include_values=True
+        ),
+        target_rows_per_file=tgt,
+    )
+    v3 = snap.delete_snapshot_keys(
+        spark,
+        docs_path,
+        "doc_id",
+        docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"),
+    )["version"]
+    neardup_index.refresh_neardup_index(
+        spark,
+        grp,
+        snap.snapshot_changes_keyed(
+            spark, docs_path, v2, v3, ["doc_id"], include_values=True
+        ),
+        target_rows_per_file=tgt,
+    )
+    _NEARDUP_CHURN_BUILT.add(root)
+    return grp, docs_path
+
+
+@register(
+    "indexed_neardup_pairs",
+    _SHINGLES_CTE.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 10 <> 0", 1
+    )
+    + """
+SELECT i, j, n_common, ROUND(jaccard, 4) AS jaccard
+FROM jac WHERE jaccard >= 0.8
+""",
+    "corpus-wide near-dup pairs FROM the maintained index: the "
+    "minhash_lsh_neardup answer with the signature stage amortized "
+    "away — the persisted bucket layer (built on two-thirds of the "
+    "corpus, then an insert commit and an equality-delete commit each "
+    "folded in O(delta) from the docs layer's keyed change feed) "
+    "self-joins on bkey with singleton buckets dropped pre-join, "
+    "candidates exact-verify against the base table; merge-on-read "
+    "deletes mean churn-deleted docs are absent with NO index rebuild, "
+    "and the oracle recomputes exact Jaccard over the surviving docs "
+    "(doc_id % 10 != 0) from raw text",
+    tags=("dedup", "lsh", "snapshots", "index", "incremental"),
+)
+def q_indexed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+    from . import neardup_index
+
+    grp, docs_path = _neardup_churn_group(spark, sf_dir)
+    return neardup_index.indexed_neardup_pairs(
+        spark, grp, read_snapshot(spark, docs_path), threshold=0.8
     )
 
 

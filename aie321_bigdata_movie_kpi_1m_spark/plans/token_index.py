@@ -1061,3 +1061,96 @@ def maintain_token_index(
         _write_doclen_mirror(spark, group, pins)
         taken.setdefault(DOCLEN, []).append("mirror_refreshed")
     return taken
+
+
+def pruned_prefix_postings(
+    spark: SparkSession,
+    group: str,
+    prefix: str,
+    *,
+    assert_pruned: bool = True,
+    pins: dict | None = None,
+) -> DataFrame:
+    """Posting rows whose token starts with ``prefix``, read from ONLY
+    the files whose committed [min, max] token range intersects the
+    prefix interval ``[prefix, prefix + U+10FFFF)`` — the wildcard
+    (``pre*``) analog of ``pruned_postings``'s point lookup.
+
+    This is where the postings layer's RANGE clustering (not just the
+    Bloom) earns its keep: a Bloom filter answers only exact-match
+    probes, but because every delta is ``repartitionByRange``-clustered
+    on token, the per-file token ranges are narrow and near-disjoint,
+    so a prefix interval admits O(matching range) files out of the
+    whole layer — at 100 TB a leading-wildcard-free term query (the
+    Lucene ``PrefixQuery`` class) plans a few file scans, never a
+    posting pass.  The interval is EXACT: ``[prefix, succ(prefix))``
+    where ``succ`` increments the prefix's last code point (carrying
+    left past U+10FFFF), so it contains precisely the strings starting
+    with the prefix — no matching token can sort outside it and be
+    lost to pruning, and no range slack admits extra files."""
+    if not prefix:
+        raise ValueError("prefix search needs a non-empty prefix")
+    pins = pins or index_pins(spark, group)
+    path = _sub(group, POSTINGS)
+    v = pins[POSTINGS]
+    hi = _prefix_successor(prefix)
+    rng = ("token", prefix, hi) if hi is not None else None
+    if assert_pruned and rng is not None:
+        n_all = len(snapshot_files(spark, path, v))
+        n_probe = len(snapshot_files(spark, path, v, prune_range=rng))
+        if n_probe >= n_all:
+            raise AssertionError(
+                f"prefix '{prefix}' did not prune: {n_probe} of {n_all}"
+            )
+    return read_snapshot(spark, path, v, prune_range=rng).filter(
+        F.col("token").startswith(prefix)
+    )
+
+
+def _prefix_successor(prefix: str) -> str | None:
+    """The least string GREATER than every string with ``prefix``:
+    increment the last code point, carrying left past U+10FFFF (the
+    incremented position's suffix drops — anything it held is still
+    below the carried bound).  ``[prefix, succ)`` is then exactly the
+    prefix's match set under code-point ordering.  None when every
+    code point is U+10FFFF (no finite upper bound exists — the caller
+    skips range pruning; an all-U+10FFFF probe term is not a real
+    workload)."""
+    cps = [ord(c) for c in prefix]
+    while cps:
+        if cps[-1] < 0x10FFFF:
+            return "".join(map(chr, cps[:-1])) + chr(cps[-1] + 1)
+        cps.pop()
+    return None
+
+
+def indexed_prefix_search(
+    spark: SparkSession,
+    group: str,
+    prefix: str,
+    *,
+    limit: int = 20,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """PREFIX search (``pre*``) through the range-clustered postings:
+    docs containing ANY token with the prefix, ranked by exact integer
+    summed tf over matching tokens (doc_id tie-break), with the number
+    of distinct matching terms carried — the term-expansion query class
+    (stemming-free morphology, code identifiers, typeahead) that point
+    probes cannot express.  Reads only range-admitted files (builder-
+    asserted strict subset); the expansion itself never materializes a
+    term list — matching rows flow straight into one map-side-
+    combinable groupBy."""
+    post = pruned_prefix_postings(
+        spark, group, prefix, assert_pruned=assert_pruned
+    )
+    return (
+        post.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("score"),
+            F.count_distinct("token").cast("long").alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(limit)
+        .select("doc_id", "score", "n_terms")
+    )

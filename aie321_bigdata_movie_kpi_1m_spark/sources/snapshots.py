@@ -859,6 +859,21 @@ _BLOOM_BITS = 8192
 _BLOOM_HASHES = 4
 
 
+def bloom_bits_for_rows(target_rows_per_file: int) -> int:
+    """Bloom size honoring a layer's FILE-SIZE CONTRACT: ~12 bits per
+    expected distinct key per file (k=4 -> ~0.6% FP), rounded up to a
+    power of two, floored at the module default.  Pass the result as
+    ``commit_snapshot(bloom_bits=...)`` on the layer-creating commit:
+    the default 8192 bits saturate past ~1k distinct keys per file, and
+    a SATURATED bloom admits every file — the point lookup silently
+    degrades to a layer scan, which is exactly the failure mode a
+    100 TB index layer cannot have."""
+    m = _BLOOM_BITS
+    while m < 12 * max(1, int(target_rows_per_file)):
+        m <<= 1
+    return m
+
+
 def _file_blooms(
     spark: SparkSession,
     data_dir: str,
@@ -943,6 +958,7 @@ def commit_snapshot(
     stats_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     bloom_col: str | None = None,
+    bloom_bits: int | None = None,
     checks: dict[str, str] | None = None,
     expect_version: int | None = None,
     change_feed: bool | None = None,
@@ -1065,9 +1081,22 @@ def commit_snapshot(
     # time and used verbatim at probe time: an append extending a layer
     # whose blooms were built with different (m, k) than the current
     # module constants must keep the layer's recorded parameters, or the
-    # mixed bit sets would silently skip files that contain the value
-    bloom_m, bloom_k = _BLOOM_BITS, _BLOOM_HASHES
+    # mixed bit sets would silently skip files that contain the value.
+    # ``bloom_bits`` lets the LAYER-CREATING commit size the filter to
+    # its file-size contract (m/n >= ~10 for a useful FP rate — the
+    # default 8192 bits saturate past ~1k distinct keys per file, and a
+    # saturated bloom admits everything, silently voiding point-lookup
+    # pruning at production file sizes); appends inherit the pinned
+    # size, and passing a conflicting value on an append raises rather
+    # than corrupting the layer's recorded parameters
+    bloom_m, bloom_k = int(bloom_bits or _BLOOM_BITS), _BLOOM_HASHES
     if mode == "append" and head and prev.get("bloom_m"):
+        if bloom_bits is not None and int(bloom_bits) != int(prev["bloom_m"]):
+            raise ValueError(
+                f"bloom_bits={bloom_bits} conflicts with the layer's "
+                f"pinned bloom_m={prev['bloom_m']} — bloom size is a "
+                "layer property fixed at creation"
+            )
         bloom_m, bloom_k = int(prev["bloom_m"]), int(prev["bloom_k"])
     # the change-feed flag is a TABLE PROPERTY: explicit argument wins,
     # otherwise it survives every commit (Delta's table-property model)

@@ -2718,3 +2718,344 @@ def test_ann_readers_never_see_torn_state(spark, tmp_path):
     vx.publish_ann_pins(spark, group)
     after = search()
     assert 99999 in after  # cosine 1.0 clone: top neighbor once published
+
+
+class TestIndexedPrefixSearch:
+    """Prefix (wildcard) search through the range-clustered postings."""
+
+    def _group(self, spark, tmp_path, rows, **kw):
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        group = str(tmp_path / "ti")
+        ti.build_token_index(spark, docs, group, splits=1, **kw)
+        return group
+
+    def test_prefix_successor_is_exact(self):
+        from aie321_bigdata_movie_kpi_1m_spark.plans.token_index import (
+            _prefix_successor,
+        )
+
+        assert _prefix_successor("ab") == "ac"
+        assert _prefix_successor("a") == "b"
+        # carry past the max code point: the last position drops and
+        # the previous one increments
+        assert _prefix_successor("a" + chr(0x10FFFF)) == "b"
+        assert _prefix_successor(chr(0x10FFFF)) is None
+        # interval property on real strings: everything with the prefix
+        # sits in [p, succ), nothing else does
+        p, s = "pre", _prefix_successor("pre")
+        assert p <= "pre" < s and p <= "prezzz" < s
+        assert not (p <= "prd" < s) and not (p <= s < s)
+
+    def test_prefix_semantics_and_ranking(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        group = self._group(
+            spark,
+            tmp_path,
+            [
+                (1, "alpha alpine alto beta"),
+                (2, "alpha alpha gamma"),
+                (3, "beta gamma"),
+                (4, "al"),  # the bare prefix itself is a matching token
+            ],
+        )
+        got = {
+            r["doc_id"]: (r["score"], r["n_terms"])
+            for r in ti.indexed_prefix_search(
+                spark, group, "al", assert_pruned=False
+            ).collect()
+        }
+        # doc1: alpha+alpine+alto = 3 tokens, 3 distinct terms; doc2:
+        # alpha x2 = score 2, 1 term; doc3 no match; doc4 the literal
+        assert got == {1: (3, 3), 2: (2, 1), 4: (1, 1)}
+        import pytest
+
+        with pytest.raises(ValueError, match="non-empty"):
+            ti.indexed_prefix_search(spark, group, "")
+
+    def test_prefix_pruning_strict_subset(self, spark, tmp_path):
+        """Range stats admit only the files whose token slice meets the
+        EXACT prefix interval — and the pruned read equals the full
+        read's answer."""
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            snapshot_files,
+        )
+
+        # 26 prefix families spread the token range so range clustering
+        # yields many narrow files
+        rows = [
+            (i, " ".join(f"{chr(97 + i % 26)}tok{j}" for j in range(8)))
+            for i in range(80)
+        ]
+        group = self._group(spark, tmp_path, rows, target_rows_per_file=40)
+        pins = ti.index_pins(spark, group)
+        path = f"{group}/postings"
+        n_all = len(snapshot_files(spark, path, pins["postings"]))
+        assert n_all > 4
+        pruned = ti.indexed_prefix_search(spark, group, "m")  # asserts
+        full = ti.indexed_prefix_search(
+            spark, group, "m", assert_pruned=False
+        )
+        assert sorted(map(tuple, pruned.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_prefix_tracks_deletes(self, spark, tmp_path):
+        """Merge-on-read equality deletes drop a doc from prefix
+        results with no rebuild."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs_layer = str(tmp_path / "docs")
+        group = str(tmp_path / "ti")
+        v1 = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(1, "prefix prefab"), (2, "prefix other")],
+                "doc_id long, text string",
+            ),
+            docs_layer,
+            change_feed=True,
+        )
+        ti.build_token_index(
+            spark, snap.read_snapshot(spark, docs_layer), group, splits=1
+        )
+        hits = lambda: {  # noqa: E731
+            r["doc_id"]
+            for r in ti.indexed_prefix_search(
+                spark, group, "pre", assert_pruned=False
+            ).collect()
+        }
+        assert hits() == {1, 2}
+        v2 = snap.delete_snapshot_keys(spark, docs_layer, "doc_id", [1])[
+            "version"
+        ]
+        ti.refresh_token_index(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, docs_layer, v1, v2, ["doc_id"], include_values=True
+            ),
+        )
+        assert hits() == {2}
+
+
+class TestNeardupIndex:
+    """Persisted MinHash-LSH near-dup index: build / lookup / refresh /
+    pruning / parity with the recomputed operator."""
+
+    #: two ~0.87-jaccard families plus singletons — long enough that
+    #: one changed token keeps jaccard above the 0.8 threshold
+    ROWS = [
+        (1, " ".join(f"w{k}" for k in range(30))),
+        (2, " ".join(f"w{k}" for k in range(29)) + " zz"),
+        (3, " ".join(f"v{k}" for k in range(30))),
+        (4, " ".join(f"v{k}" for k in range(29)) + " yy"),
+        (5, "lonely document with no twin at all"),
+    ]
+
+    def _docs(self, spark, rows=None):
+        return spark.createDataFrame(
+            rows or self.ROWS, "doc_id long, text string"
+        )
+
+    def test_build_lookup_hit_and_miss(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.plans import neardup_index as ni
+
+        docs = self._docs(spark)
+        group = str(tmp_path / "nd")
+        ni.build_neardup_index(spark, docs, group, num_hashes=32, bands=16)
+        assert ni.index_params(spark, group) == {
+            "num_hashes": 32,
+            "bands": 16,
+            "n": 3,
+        }
+        q = spark.createDataFrame(
+            [(100, self.ROWS[0][1]), (200, "utterly unrelated text here")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["i"], r["j"]): r["jaccard"]
+            for r in ni.indexed_neardup_lookup(
+                spark, group, q, docs, assert_pruned=False
+            ).collect()
+        }
+        # the copy of doc 1 hits doc 1 exactly and its twin doc 2 above
+        # threshold; the unrelated query hits nothing
+        assert got[(100, 1)] == 1.0
+        assert (100, 2) in got and got[(100, 2)] >= 0.8
+        assert not any(i == 200 for i, _ in got)
+
+    def test_divisibility_and_param_pinning(self, spark, tmp_path):
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.plans import neardup_index as ni
+
+        with pytest.raises(ValueError, match="not divisible"):
+            ni.build_neardup_index(
+                spark, self._docs(spark), str(tmp_path / "x"), num_hashes=32,
+                bands=7,
+            )
+
+    def test_pairs_parity_with_recomputed_operator(self, spark, tmp_path):
+        """Index-served corpus pairs == minhash_lsh_pairs recomputed
+        from raw text (same hashes, same verify) — bit parity."""
+        from aie321_bigdata_movie_kpi_1m_spark.operators import dedup
+        from aie321_bigdata_movie_kpi_1m_spark.plans import neardup_index as ni
+
+        docs = self._docs(spark)
+        group = str(tmp_path / "nd")
+        ni.build_neardup_index(spark, docs, group, num_hashes=32, bands=16)
+        served = sorted(
+            map(tuple, ni.indexed_neardup_pairs(spark, group, docs).collect())
+        )
+        direct = sorted(
+            map(
+                tuple,
+                dedup.minhash_lsh_pairs(
+                    docs, num_hashes=32, bands=16, threshold=0.8
+                ).collect(),
+            )
+        )
+        assert served == direct and len(served) == 2
+
+    def test_refresh_insert_and_delete(self, spark, tmp_path):
+        """Change-feed refresh: an inserted twin appears, a deleted doc
+        vanishes — no rebuild, and the layer never re-hashes survivors."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import neardup_index as ni
+
+        docs_layer = str(tmp_path / "docs")
+        group = str(tmp_path / "nd")
+        v1 = snap.commit_snapshot(
+            spark, self._docs(spark), docs_layer, change_feed=True
+        )
+        ni.build_neardup_index(
+            spark,
+            snap.read_snapshot(spark, docs_layer),
+            group,
+            num_hashes=32,
+            bands=16,
+        )
+        pairs = lambda: {  # noqa: E731
+            (r["i"], r["j"])
+            for r in ni.indexed_neardup_pairs(
+                spark, group, snap.read_snapshot(spark, docs_layer)
+            ).collect()
+        }
+        assert pairs() == {(1, 2), (3, 4)}
+        # insert a second twin of the w-family, delete doc 3
+        v2 = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(6, " ".join(f"w{k}" for k in range(29)) + " qq")],
+                "doc_id long, text string",
+            ),
+            docs_layer,
+            mode="append",
+        )
+        v3 = snap.delete_snapshot_keys(spark, docs_layer, "doc_id", [3])[
+            "version"
+        ]
+        ni.refresh_neardup_index(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, docs_layer, v1, v3, ["doc_id"], include_values=True
+            ),
+        )
+        assert pairs() == {(1, 2), (1, 6), (2, 6)}
+
+    def test_lookup_prunes_files(self, spark, tmp_path):
+        """With the layer spread over many files, a one-doc probe's
+        Bloom admits a strict subset (builder-asserted) and the pruned
+        answer equals the unpruned one."""
+        from aie321_bigdata_movie_kpi_1m_spark.plans import neardup_index as ni
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            snapshot_files,
+        )
+
+        rows = [
+            (1000 + i, " ".join(f"t{i}x{j}" for j in range(12)))
+            for i in range(60)
+        ] + list(self.ROWS)
+        docs = self._docs(spark, rows)
+        group = str(tmp_path / "nd")
+        ni.build_neardup_index(
+            spark,
+            docs,
+            group,
+            num_hashes=32,
+            bands=16,
+            target_rows_per_file=64,
+        )
+        assert len(snapshot_files(spark, f"{group}/buckets")) > 8
+        q = spark.createDataFrame(
+            [(500, self.ROWS[0][1])], "doc_id long, text string"
+        )
+        before = ni._PRUNE_STATS["pruned_lookups"]
+        got = sorted(
+            map(
+                tuple,
+                ni.indexed_neardup_lookup(spark, group, q, docs).collect(),
+            )
+        )
+        assert ni._PRUNE_STATS["pruned_lookups"] == before + 1
+        full = sorted(
+            map(
+                tuple,
+                ni.indexed_neardup_lookup(
+                    spark, group, q, docs, assert_pruned=False
+                ).collect(),
+            )
+        )
+        assert got == full and {j for _, j, _, _ in got} == {1, 2}
+
+    def test_delta_files_scale_with_rows(self, spark, tmp_path):
+        """Bucket appends are rows-scaled: a big bootstrap delta writes
+        proportionally many files, a one-doc refresh writes one."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import neardup_index as ni
+
+        rows = [
+            (i, " ".join(f"d{i}y{j}" for j in range(8))) for i in range(40)
+        ]
+        group = str(tmp_path / "nd")
+        ni.build_neardup_index(
+            spark,
+            self._docs(spark, rows),
+            group,
+            num_hashes=32,
+            bands=16,
+            splits=1,
+            target_rows_per_file=80,
+        )
+        path = f"{group}/buckets"
+        v1 = snap.snapshot_versions(spark, path)[-1]
+        n_big = len(snap.snapshot_files(spark, path, v1))
+        assert n_big == 8  # ceil(40 docs x 16 bands / 80)
+        docs_layer = str(tmp_path / "docs")
+        va = snap.commit_snapshot(
+            spark, self._docs(spark, rows), docs_layer, change_feed=True
+        )
+        vb = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(99, "one new tiny document")], "doc_id long, text string"
+            ),
+            docs_layer,
+            mode="append",
+        )
+        ni.refresh_neardup_index(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, docs_layer, va, vb, ["doc_id"], include_values=True
+            ),
+            target_rows_per_file=80,
+        )
+        v2 = snap.snapshot_versions(spark, path)[-1]
+        assert len(snap.snapshot_files(spark, path, v2)) - n_big == 1

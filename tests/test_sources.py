@@ -5993,3 +5993,66 @@ class TestCatalogMaintenanceSweep:
         }
         assert ("t1", "compact_small_files") not in final
         assert ("t1", "fold_deletes") not in final
+
+
+class TestBloomSizing:
+    """bloom_bits: layer-pinned Bloom size honoring the file-size
+    contract (an under-sized bloom saturates and admits every file)."""
+
+    def test_helper_scales_and_floors(self):
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            bloom_bits_for_rows,
+        )
+
+        assert bloom_bits_for_rows(100) == 8192  # floored at default
+        assert bloom_bits_for_rows(1000) == 16384
+        assert bloom_bits_for_rows(100_000) == 2097152  # 2^21 >= 1.2M
+
+    def test_pinned_at_creation_inherited_conflict_raises(
+        self, spark, tmp_path
+    ):
+        import json
+
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            _manifest_raw,
+            commit_snapshot,
+            snapshot_files,
+        )
+
+        path = str(tmp_path / "layer")
+        df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+        commit_snapshot(
+            spark, df, path, stats_cols=["k"], bloom_col="k",
+            bloom_bits=32768,
+        )
+        m1 = _manifest_raw(spark, path, 1)
+        assert int(m1["bloom_m"]) == 32768
+        # append without bloom_bits inherits the pinned size
+        v2 = commit_snapshot(
+            spark,
+            spark.range(100, 200).selectExpr("id AS k", "id * 2 AS v"),
+            path,
+            mode="append",
+            stats_cols=["k"],
+            bloom_col="k",
+        )
+        assert int(_manifest_raw(spark, path, v2)["bloom_m"]) == 32768
+        # a conflicting append is a layer-property violation, not a
+        # silent mixed-parameter bit set
+        with pytest.raises(ValueError, match="pinned bloom_m"):
+            commit_snapshot(
+                spark,
+                spark.range(200, 210).selectExpr("id AS k", "id * 2 AS v"),
+                path,
+                mode="append",
+                bloom_col="k",
+                bloom_bits=8192,
+            )
+        # the sized bloom still prunes point probes correctly
+        n_all = len(snapshot_files(spark, path, v2))
+        n_probe = len(
+            snapshot_files(spark, path, v2, prune_point=("k", 150))
+        )
+        assert 0 < n_probe < n_all
