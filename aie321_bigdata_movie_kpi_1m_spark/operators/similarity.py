@@ -633,6 +633,77 @@ def pq_fit_codebooks(
             e.unpersist()
 
 
+def adc_distance_model(
+    q: DataFrame,
+    books: list[np.ndarray],
+    *,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query ADC distance tables as ONE literal broadcast relation.
+
+    Per subspace the table maps (query, code) -> ||c||^2 - 2 q_s.c
+    (||q_s||^2 is constant per query, so it cannot change the ranking).
+    Evaluated ONCE as sequential expression folds (bit-portable against
+    SQL oracles) and re-created as a literal relation: n_queries * m *
+    n_codes values — query-prep model state, like the fitted codebooks.
+    Joining the live lineage instead would re-execute the query-side
+    plan once per subspace join.
+
+    The relation is keyed on ``__code_0`` (the candidate x query fan-out
+    key): each row holds t0 for that (query, code0) pair plus the full
+    subspace-1..m-1 tables as a nested array, so the remaining m-1
+    lookups are expression-side element_at's instead of m-1 further
+    joins — same doubles, same fixed left-assoc add order (bit-portable
+    vs the SQL oracle), but 1 join stage where the sequential form paid
+    m.  ``q`` must carry (query_id_col, __qv array<double>).  Shared by
+    ``pq_topk`` (global ADC scan) and the IVFADC assignment-layer
+    search (``plans.vectors.ann_ivfadc_topk``) so both score
+    bit-identically."""
+    spark = q.sparkSession
+    m = len(books)
+    sub = int(np.asarray(books[0]).shape[1])
+    cb_all = spark.createDataFrame(
+        [
+            (s, int(c), [float(x) for x in books[s][c]])
+            for s in range(m)
+            for c in range(len(books[s]))
+        ],
+        "__s int, __code int, __cbv array<double>",
+    )
+    dt_rows = (
+        q.crossJoin(F.broadcast(cb_all))
+        .select(
+            query_id_col,
+            "__s",
+            "__code",
+            (
+                _dot(F.col("__cbv"), F.col("__cbv"))
+                - 2
+                * _dot(
+                    F.slice(
+                        F.col("__qv"), F.col("__s") * sub + 1, F.lit(sub)
+                    ),
+                    F.col("__cbv"),
+                )
+            ).alias("__t"),
+        )
+        .collect()
+    )
+    by_q: dict = {}
+    for r in dt_rows:
+        by_q.setdefault(r[query_id_col], {})[(r["__s"], r["__code"])] = r["__t"]
+    rows0 = []
+    for qid, t in by_q.items():
+        rest = [[t[(s, c)] for c in range(len(books[s]))] for s in range(1, m)]
+        for c in range(len(books[0])):
+            rows0.append((qid, c, t[(0, c)], rest))
+    return spark.createDataFrame(
+        rows0,
+        f"{query_id_col} long, __code_0 int, __t0 double, "
+        "__rest array<array<double>>",
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -683,7 +754,6 @@ def pq_topk(
             iters=iters,
         )
     )
-    spark = embeddings.sparkSession
 
     # encode: all m codes from ONE Arrow round-trip (one corpus pass)
     assign = _pq_assign_codes_udf(books)
@@ -698,61 +768,8 @@ def pq_topk(
         ],
     )
 
-    # per-subspace ADC tables: (query, code) -> ||c||^2 - 2 q_s.c
-    # (||q_s||^2 is constant per query, so it cannot change the ranking).
-    # Evaluated ONCE as sequential expression folds (bit-portable against
-    # SQL oracles) and re-created as literal relations: n_queries * m *
-    # n_codes values — query-prep model state, like the fitted codebooks.
-    # Joining the live lineage instead would re-execute the query-side
-    # plan once per subspace join.
     q = queries.select(F.col(query_id_col), _as_double(vec_col).alias("__qv"))
-    cb_all = spark.createDataFrame(
-        [
-            (s, int(c), [float(x) for x in books[s][c]])
-            for s in range(m)
-            for c in range(len(books[s]))
-        ],
-        "__s int, __code int, __cbv array<double>",
-    )
-    dt_rows = (
-        q.crossJoin(F.broadcast(cb_all))
-        .select(
-            query_id_col,
-            "__s",
-            "__code",
-            (
-                _dot(F.col("__cbv"), F.col("__cbv"))
-                - 2
-                * _dot(
-                    F.slice(
-                        F.col("__qv"), F.col("__s") * sub + 1, F.lit(sub)
-                    ),
-                    F.col("__cbv"),
-                )
-            ).alias("__t"),
-        )
-        .collect()
-    )
-    # ONE broadcast join carries the whole ADC model: keyed on __code_0
-    # (the candidate x query fan-out key), each row holds t0 for that
-    # (query, code0) pair plus the full subspace-1..m-1 tables as a
-    # nested array, so the remaining m-1 lookups are expression-side
-    # element_at's instead of m-1 further joins — same doubles, same
-    # fixed left-assoc add order (bit-portable vs the SQL oracle), but
-    # 1 join stage where the sequential form paid m
-    by_q: dict = {}
-    for r in dt_rows:
-        by_q.setdefault(r[query_id_col], {})[(r["__s"], r["__code"])] = r["__t"]
-    rows0 = []
-    for qid, t in by_q.items():
-        rest = [[t[(s, c)] for c in range(len(books[s]))] for s in range(1, m)]
-        for c in range(len(books[0])):
-            rows0.append((qid, c, t[(0, c)], rest))
-    dt0 = spark.createDataFrame(
-        rows0,
-        f"{query_id_col} long, __code_0 int, __t0 double, "
-        "__rest array<array<double>>",
-    )
+    dt0 = adc_distance_model(q, books, query_id_col=query_id_col)
     cand = codes.join(F.broadcast(dt0), "__code_0")
 
     adc = F.col("__t0")

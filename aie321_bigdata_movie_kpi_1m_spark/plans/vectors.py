@@ -357,14 +357,16 @@ _PQ_CAND = 40
 _PQ_INDEX_CACHE: dict = {}
 
 
-def _pq_oracle_sql(m: int = _PQ_M, n_codes: int = _PQ_CODES) -> str:
-    """DuckDB replay of operators.similarity.pq_topk: per subspace the
-    IVF fit (md5 seed order, 1 Lloyd step, empty cells keep seeds) on the
-    sliced vectors, corpus code assignment, per-query ADC tables, the
-    fixed-order ADC sum shortlist, exact rerank.  Same (dist, code) /
-    (adc, id) tie orders as the operator."""
+def _pq_subspace_blocks(
+    m: int = _PQ_M, n_codes: int = _PQ_CODES
+) -> list[str]:
+    """The per-subspace PQ CTE blocks shared by the pure-PQ oracle and
+    the IVFADC oracle: sub_s (sliced vectors), seeds_s/a0_s/means_s/
+    cents_s (the deterministic subspace k-means fit), codes_s (corpus
+    code assignment), dt_s (per-query ADC table).  All reference an
+    outer CTE ``e(vec_id, v)``."""
     sub = _DIMS // m
-    blocks, dt_joins, terms = [], [], []
+    blocks = []
     for s in range(m):
         lo, hi = s * sub + 1, (s + 1) * sub
         blocks.append(f"""
@@ -411,11 +413,23 @@ dt_{s} AS (
          list_inner_product(k.sv, k.sv) - 2 * list_inner_product(t.sv, k.sv) AS t
   FROM sub_{s} t, cents_{s} k WHERE t.vec_id < {_N_QUERIES}
 )""")
-        dt_joins.append(
-            f"JOIN dt_{s} d{s} ON d{s}.c = c{s}.c"
-            + ("" if s == 0 else f" AND d{s}.query_id = d0.query_id")
-        )
-        terms.append(f"d{s}.t")
+    return blocks
+
+
+def _pq_oracle_sql(m: int = _PQ_M, n_codes: int = _PQ_CODES) -> str:
+    """DuckDB replay of operators.similarity.pq_topk: per subspace the
+    IVF fit (md5 seed order, 1 Lloyd step, empty cells keep seeds) on the
+    sliced vectors, corpus code assignment, per-query ADC tables, the
+    fixed-order ADC sum shortlist, exact rerank.  Same (dist, code) /
+    (adc, id) tie orders as the operator.  Subspace CTEs come from
+    ``_pq_subspace_blocks`` (shared with the IVFADC oracle)."""
+    blocks = _pq_subspace_blocks(m, n_codes)
+    dt_joins = [
+        f"JOIN dt_{s} d{s} ON d{s}.c = c{s}.c"
+        + ("" if s == 0 else f" AND d{s}.query_id = d0.query_id")
+        for s in range(m)
+    ]
+    terms = [f"d{s}.t" for s in range(m)]
     adc_from = "codes_0 c0\n  " + "\n  ".join(
         f"JOIN codes_{s} c{s} ON c{s}.vec_id = c0.vec_id" for s in range(1, m)
     ) + "\n  " + "\n  ".join(dt_joins)
@@ -607,18 +621,36 @@ def save_ann_model(spark: SparkSession, layer: str, mats: dict, meta: dict) -> i
     return commit_snapshot(spark, df, layer, mode="overwrite")
 
 
+#: (layer path, version) -> (mats, meta): model versions are IMMUTABLE
+#: (a rebuild commits a NEW version), so the collected matrices cache
+#: per process — a search query re-run stops paying a Spark collect job
+#: per model load; refresh/rebuild invalidates naturally because the
+#: head version changes.  Read-only by convention (callers index, never
+#: mutate).
+_MODEL_CACHE: dict[tuple[str, int], tuple[dict, dict]] = {}
+
+
 def load_ann_model(
     spark: SparkSession, layer: str, version: int | None = None
 ) -> tuple[dict, dict]:
     """(mats, meta) from one persisted model version (default head) —
-    a k-row collect: model state, same contract as ml.KMeans."""
+    a k-row collect: model state, same contract as ml.KMeans.  Cached
+    per (layer, version); the head resolves via one manifest listing,
+    never a Spark job."""
     import json as _json
 
     import numpy as _np
 
-    from ..sources.snapshots import read_snapshot
+    from ..sources.snapshots import read_snapshot, snapshot_versions
 
-    rows = read_snapshot(spark, layer, version).collect()
+    v = int(
+        snapshot_versions(spark, layer)[-1] if version is None else version
+    )
+    cached = _MODEL_CACHE.get((layer, v))
+    if cached is not None:
+        return cached
+
+    rows = read_snapshot(spark, layer, v).collect()
     parts: dict = {}
     for r in rows:
         parts.setdefault(int(r["part"]), []).append(
@@ -631,6 +663,7 @@ def load_ann_model(
         for p, entries in parts.items()
     }
     meta = _json.loads(rows[0]["meta"]) if rows else {}
+    _MODEL_CACHE[(layer, v)] = (mats, meta)
     return mats, meta
 
 
@@ -1947,3 +1980,447 @@ def q_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_r6").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: inverted-file + product-quantization search over the
+# PERSISTED assignment layer (the FAISS IVFADC / IVFPQ shape — coarse
+# cells prune the files read, stored PQ codes bound the scan bandwidth,
+# exact rerank restores cosine precision on the shortlist)
+# ---------------------------------------------------------------------------
+
+
+def _assign_cells_with_codes(embeddings: DataFrame, cents, books) -> DataFrame:
+    """(vec_id, cell, embedding, code) rows: each vector labeled with
+    its nearest persisted-IVF cell AND its m-subspace PQ code word ids
+    (raw-vector encoding — FAISS IVFPQ with by_residual=false, which
+    keeps the ADC tables query-only state and the whole pipeline
+    SQL-replayable).  Same bit-stable argmin UDFs as every other
+    consumer of these models."""
+    from ..operators.similarity import (
+        _as_double,
+        _nearest_centroids_udf,
+        _pq_assign_codes_udf,
+    )
+
+    assign = _nearest_centroids_udf(cents, 1)
+    codes = _pq_assign_codes_udf(books)
+    return embeddings.select(
+        "vec_id",
+        F.element_at(assign(_as_double("embedding")), 1)
+        .cast("int")
+        .alias("cell"),
+        "embedding",
+        codes(_as_double("embedding")).alias("code"),
+    )
+
+
+def _publish_ivfadc_pins(
+    spark: SparkSession, group: str, model_layer: str, pq_layer: str
+) -> int:
+    """One catalog version pinning assign + BOTH model layers (coarse
+    quantizer and PQ codebooks): a reader must never pair codes with a
+    codebook version that did not encode them, nor assignments with a
+    quantizer that did not label them — the ann/token pin discipline
+    extended to the two-model case."""
+    from ..sources.snapshots import retry_commit, snapshot_versions
+    from ..sources.table_catalog import (
+        catalog_tables,
+        catalog_versions,
+        commit_catalog,
+    )
+
+    def swap() -> int:
+        pins = {
+            name: {
+                "path": path,
+                "version": snapshot_versions(spark, path)[-1],
+            }
+            for name, path in (
+                ("assign", f"{group}/assign"),
+                ("model", model_layer),
+                ("pq", pq_layer),
+            )
+        }
+        head = catalog_versions(spark, group)
+        if head and catalog_tables(spark, group) == pins:
+            return head[-1]
+        return commit_catalog(spark, group, pins)
+
+    return retry_commit(swap)
+
+
+def build_ann_ivfadc(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    group: str,
+    *,
+    model_layer: str | None = None,
+    pq_layer: str | None = None,
+    n_centroids: int = 16,
+    iters: int = 1,
+    m: int = _PQ_M,
+    n_codes: int = _PQ_CODES,
+    target_rows_per_file: int = 100_000,
+) -> str:
+    """Bootstrap an IVFADC group: fit-or-load BOTH persisted models
+    (coarse quantizer + PQ codebooks — re-runs never refit), label and
+    encode every vector, commit (vec_id, cell, embedding, code) as a
+    cell-clustered snapshot layer, publish the three-way pin set.
+
+    At 100 TB this is the production vector-index layout (FAISS
+    IVFADC, Jégou et al., TPAMI'11, re-expressed as a table): the
+    inverted lists ARE the cell-clustered files, the codes column is
+    the ~100x-smaller scan payload (column pruning means an ADC pass
+    never reads the embedding column), and the embedding column serves
+    only the shortlist rerank's point reads."""
+    import math as _math
+
+    from ..sources.snapshots import commit_snapshot
+
+    model_layer = model_layer or f"{group}/model"
+    pq_layer = pq_layer or f"{group}/pq"
+    cents = persisted_ivf_centroids(
+        spark, embeddings, model_layer, n_centroids=n_centroids, iters=iters
+    )
+    books = persisted_pq_codebooks(
+        spark, embeddings, pq_layer, m=m, n_codes=n_codes, iters=iters
+    )
+    n_parts = max(
+        1,
+        _math.ceil(embeddings.count() / max(1, int(target_rows_per_file))),
+    )
+    commit_snapshot(
+        spark,
+        _assign_cells_with_codes(embeddings, cents, books).repartitionByRange(
+            n_parts, "cell"
+        ),
+        f"{group}/assign",
+        mode="overwrite",
+        stats_cols=["cell", "vec_id"],
+        bloom_col="cell",
+    )
+    _publish_ivfadc_pins(spark, group, model_layer, pq_layer)
+    return group
+
+
+def refresh_ann_ivfadc(
+    spark: SparkSession,
+    group: str,
+    changes: DataFrame,
+    *,
+    target_rows_per_file: int = 100_000,
+) -> dict:
+    """Fold the embeddings KEYED CHANGE FEED into the IVFADC layer,
+    O(changed vectors): deletes/updates as ONE equality delete, inserts
+    labeled AND encoded by the PINNED models — loaded, never refit (the
+    fit counters stay flat; only a rebuild gate may commit new model
+    versions) — appended rows-scaled and cell-clustered."""
+    import math as _math
+
+    from ..sources.snapshots import commit_snapshot, delete_snapshot_keys
+
+    pins = ann_pins(spark, group)
+    model_layer = str(pins["model"]["path"])
+    pq_layer = str(pins["pq"]["path"])
+    changes = changes.persist()
+    try:
+        removed = changes.filter(
+            F.col("change_type").isin("delete", "update")
+        )
+        added = changes.filter(
+            F.col("change_type").isin("insert", "update")
+        ).select("vec_id", F.col("after.embedding").alias("embedding"))
+        n_removed = removed.limit(1).count()
+        if n_removed:
+            delete_snapshot_keys(
+                spark, f"{group}/assign", "vec_id", removed.select("vec_id")
+            )
+        n_added = added.count()
+        if n_added:
+            mats_c, _ = load_ann_model(
+                spark, model_layer, int(pins["model"]["version"])
+            )
+            mats_b, _ = load_ann_model(
+                spark, pq_layer, int(pins["pq"]["version"])
+            )
+            books = [mats_b[s] for s in sorted(mats_b)]
+            n_parts = max(
+                1, _math.ceil(n_added / max(1, int(target_rows_per_file)))
+            )
+            commit_snapshot(
+                spark,
+                _assign_cells_with_codes(
+                    added, mats_c[0], books
+                ).repartitionByRange(n_parts, "cell"),
+                f"{group}/assign",
+                mode="append",
+                stats_cols=["cell", "vec_id"],
+                bloom_col="cell",
+            )
+        catalog_version = _publish_ivfadc_pins(
+            spark, group, model_layer, pq_layer
+        )
+        return {
+            "removed": bool(n_removed),
+            "added": bool(n_added),
+            "catalog_version": catalog_version,
+        }
+    finally:
+        changes.unpersist()
+
+
+def ann_ivfadc_topk(
+    spark: SparkSession,
+    group: str,
+    queries: DataFrame,
+    *,
+    k: int = _TOP_K,
+    n_probe: int = 6,
+    n_candidates: int = _PQ_CAND,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """IVFADC top-k THROUGH the maintained layer: probe cells from the
+    pinned coarse quantizer prune the FILES read (builder-asserted
+    strict subset); within the probed cells candidates are scored by
+    ASYMMETRIC DISTANCE — their stored m-code words against the query's
+    per-subspace distance tables (``adc_distance_model``, the literal
+    relation ``pq_topk`` shares, so ADC sums are bit-identical) — and
+    only the per-query ADC shortlist is exact-cosine reranked from the
+    layer's embedding column.
+
+    The scan bandwidth story at 100 TB: the ADC pass reads (cell,
+    vec_id, code) — column pruning drops the 64-double embedding, so
+    the hot scan touches ~1/100th of the bytes an exact rerank of whole
+    cells would; the embedding column is read only for shortlist rows.
+    Both models load k-row cached; probe-cell collection is
+    N_queries x n_probe small ints, the metadata-scale discipline every
+    index probe here follows."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        _as_double,
+        _dot,
+        _nearest_centroids_udf,
+        adc_distance_model,
+    )
+    from ..sources.snapshots import read_snapshot, snapshot_files
+
+    pins = ann_pins(spark, group)
+    mats_c, _ = load_ann_model(
+        spark, str(pins["model"]["path"]), int(pins["model"]["version"])
+    )
+    mats_b, _ = load_ann_model(
+        spark, str(pins["pq"]["path"]), int(pins["pq"]["version"])
+    )
+    books = [mats_b[s] for s in sorted(mats_b)]
+    m = len(books)
+    assign_v = int(pins["assign"]["version"])
+
+    probe = _nearest_centroids_udf(mats_c[0], n_probe)
+    q = queries.select(
+        F.col("query_id"), _as_double("embedding").alias("__qv")
+    )
+    qcells = q.select(
+        "query_id", F.explode(probe(F.col("__qv"))).alias("cell")
+    )
+    cells = sorted(
+        int(r["cell"]) for r in qcells.select("cell").distinct().collect()
+    )
+    path = f"{group}/assign"
+    if assert_pruned:
+        n_all = len(snapshot_files(spark, path, assign_v))
+        n_kept = len(
+            snapshot_files(spark, path, assign_v, prune_point=("cell", cells))
+        )
+        if n_all > 1 and n_kept >= n_all:
+            raise AssertionError(
+                f"IVFADC layer did not prune: {n_kept} of {n_all} files"
+            )
+    rows = read_snapshot(
+        spark, path, assign_v, prune_point=("cell", cells)
+    ).filter(F.col("cell").isin(cells))
+    # per-query candidates: a stored row competes only for the queries
+    # that probed ITS cell (each vector has exactly one cell, so no
+    # duplicate pairs); the ADC scan's projection never touches the
+    # embedding column
+    cand = (
+        rows.select("vec_id", "cell", "code")
+        .join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            *[
+                F.element_at("code", s + 1).alias(f"__code_{s}")
+                for s in range(m)
+            ],
+        )
+    )
+    dt0 = adc_distance_model(q, books)
+    adc = F.col("__t0")
+    for s in range(1, m):  # fixed left-assoc order: portable
+        adc = adc + F.element_at(
+            F.element_at("__rest", s), F.col(f"__code_{s}") + 1
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id")
+    )
+    short = (
+        cand.join(F.broadcast(dt0), ["query_id", "__code_0"])
+        .withColumn("__adc", adc)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: candidate vectors POINT-READ from the layer's
+    # embedding column (vec_id-stats-pruned at real file counts), query
+    # vectors from the broadcast query side
+    ce = rows.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double("embedding").alias("__cv"),
+    )
+    ranked = (
+        short.join(ce, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "__sim",
+            _dot(F.col("__qv"), F.col("__cv"))
+            / F.sqrt(
+                _dot(F.col("__qv"), F.col("__qv"))
+                * _dot(F.col("__cv"), F.col("__cv"))
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+def _ivfadc_oracle_sql(
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    m: int = _PQ_M,
+    n_codes: int = _PQ_CODES,
+    n_cand: int = _PQ_CAND,
+) -> str:
+    """DuckDB replay of the FULL IVFADC pipeline: coarse fit + corpus
+    cell assignment + query probes (the _ivf_cells_prefix machinery),
+    per-subspace PQ fit / codes / ADC tables (_pq_subspace_blocks),
+    cell-restricted ADC shortlist, exact rerank.  Same tie orders as
+    the operators at every stage."""
+    blocks = _pq_subspace_blocks(m, n_codes)
+    codes_joins = "\n  ".join(
+        f"JOIN codes_{s} c{s} ON c{s}.vec_id = n.neighbor_id"
+        for s in range(m)
+    )
+    dt_joins = "\n  ".join(
+        f"JOIN dt_{s} d{s} ON d{s}.query_id = n.query_id AND d{s}.c = c{s}.c"
+        for s in range(m)
+    )
+    terms = " + ".join(f"d{s}.t" for s in range(m))
+    return f"""{_ivf_cells_prefix(n_centroids)},
+probes AS (
+  SELECT query_id, c FROM (
+    SELECT e.vec_id AS query_id, k.c,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_inner_product(k.v, k.v)
+                      - 2 * list_inner_product(e.v, k.v), k.c) AS rn
+    FROM e, cents k WHERE e.vec_id < {_N_QUERIES}
+  ) WHERE rn <= {n_probe}
+),{",".join(blocks)},
+cand0 AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id
+  FROM probes p
+  JOIN cells cl ON cl.c = p.c AND cl.vec_id <> p.query_id
+),
+adc AS (
+  SELECT n.query_id, n.neighbor_id, {terms} AS adc
+  FROM cand0 n
+  {codes_joins}
+  {dt_joins}
+),
+shortlist AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+  FROM adc
+),
+cand AS (SELECT query_id, neighbor_id FROM shortlist WHERE rn <= {n_cand}),
+{_RERANK_SQL}"""
+
+
+_IVFADC_BUILT: set[str] = set()
+
+
+def _ivfadc_group(spark: SparkSession, sf_dir: str) -> str:
+    """IVFADC group over the embeddings table, once per process —
+    SHARING the scratch coarse-quantizer and PQ-codebook model layers
+    the persisted-model queries already fit (fit-or-load means building
+    this group never refits anything).  Fixture file sizing: ~12
+    cell-clustered files so per-query pruning has files to skip."""
+    import os as _os
+
+    from ..session import scratch_dir
+    from ..sources.snapshots import drop_snapshot_layer
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    group = scratch_dir("snapshots", tag, "ivfadc")
+    if group in _IVFADC_BUILT:
+        return group
+    drop_snapshot_layer(spark, f"{group}/assign")
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    build_ann_ivfadc(
+        spark,
+        emb,
+        group,
+        model_layer=scratch_dir("snapshots", tag, "ivf_model"),
+        pq_layer=scratch_dir("snapshots", tag, "pq_model"),
+        target_rows_per_file=max(32, n // 12),
+    )
+    _IVFADC_BUILT.add(group)
+    return group
+
+
+@register(
+    "ann_ivfadc_topk",
+    _ivfadc_oracle_sql(),
+    "similarity search scale path #6 — IVFADC through the PERSISTED "
+    "index (the FAISS IVFADC/IVFPQ layout, the shape a 100 TB vector "
+    "index actually ships): the assignment layer stores (cell, vec_id, "
+    "code, embedding) cell-clustered, so a query (a) PRUNES to the "
+    "files its probed cells admit (coarse quantizer loaded from the "
+    "pinned model layer, never refit), (b) scores candidates by "
+    "ASYMMETRIC DISTANCE over the STORED m-subspace PQ codes — column "
+    "pruning keeps the hot scan on the ~100x-smaller code column, the "
+    "embedding column untouched — and (c) exact-cosine reranks only "
+    "the per-query ADC shortlist from the layer's embedding column; "
+    "a three-way pin set (assign + quantizer + codebooks) guarantees "
+    "codes are never paired with a codebook that did not encode them; "
+    "the oracle replays coarse fit, cell assignment, probes, PQ fit, "
+    "code assignment, ADC tables, cell-restricted shortlist, and "
+    "rerank in SQL — value-checked end to end",
+    tags=("similarity", "snapshots", "model", "index", "pruning"),
+)
+def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    group = _ivfadc_group(spark, sf_dir)
+    # assert_pruned=False for the same reason as ann_cdf_ivf_topk: a
+    # BATCH of uniform-random queries probes a cell union spanning most
+    # of the quantizer (8 x 6 over 16 cells), so batch-level file
+    # pruning is legitimately ~nil on this worst-case corpus; the
+    # per-QUERY contract is builder-asserted in TestAnnIvfadc
+    return ann_ivfadc_topk(spark, group, queries, assert_pruned=False)

@@ -3059,3 +3059,106 @@ class TestNeardupIndex:
         )
         v2 = snap.snapshot_versions(spark, path)[-1]
         assert len(snap.snapshot_files(spark, path, v2)) - n_big == 1
+
+
+class TestAnnIvfadc:
+    """IVFADC through the persisted assignment layer: per-query file
+    pruning, parity with the global PQ scan, O(delta) refresh."""
+
+    def _group(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        group = str(tmp_path / "ivfadc")
+        vx.build_ann_ivfadc(spark, emb, group, target_rows_per_file=40)
+        return group, emb
+
+    def test_single_query_prunes_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+
+        group, emb = self._group(spark, tmp_path)
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # n_probe=2 of 16 cells: the strict-subset assertion inside
+        # must hold (raises otherwise), and results are non-empty
+        got = vx.ann_ivfadc_topk(spark, group, q, n_probe=2).collect()
+        assert 0 < len(got) <= 10
+        assert all(r["neighbor_id"] != 0 for r in got)
+
+    def test_all_cells_probed_equals_global_pq(self, spark, tmp_path):
+        """With every cell probed the candidate set is the whole corpus
+        minus self — bit-identical to the global PQ/ADC scan using the
+        same persisted codebooks."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.operators import similarity
+        from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+
+        group, emb = self._group(spark, tmp_path)
+        q = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        served = sorted(
+            map(
+                tuple,
+                vx.ann_ivfadc_topk(
+                    spark, group, q, n_probe=16, assert_pruned=False
+                ).collect(),
+            )
+        )
+        mats_b, _ = vx.load_ann_model(spark, f"{group}/pq")
+        books = [mats_b[s] for s in sorted(mats_b)]
+        direct = sorted(
+            map(
+                tuple,
+                similarity.pq_topk(emb, q, codebooks=books).collect(),
+            )
+        )
+        assert served == direct and len(served) == 40
+
+    def test_refresh_insert_delete_no_refit(self, spark, tmp_path):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+
+        group, emb = self._group(spark, tmp_path)
+        fits_before = dict(vx._ANN_FIT_RUNS)
+        emb_layer = str(tmp_path / "emb")
+        v1 = snap.commit_snapshot(spark, emb, emb_layer, change_feed=True)
+        # clone of query vector 0 under a new id, plus delete vec 7
+        clone = emb.filter(F.col("vec_id") == 0).select(
+            F.lit(99999).cast("long").alias("vec_id"), "embedding"
+        )
+        v2 = snap.commit_snapshot(
+            spark, clone, emb_layer, mode="append"
+        )
+        v3 = snap.delete_snapshot_keys(spark, emb_layer, "vec_id", [7])[
+            "version"
+        ]
+        vx.refresh_ann_ivfadc(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, emb_layer, v1, v3, ["vec_id"], include_values=True
+            ),
+        )
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = {
+            r["neighbor_id"]: r["cosine_sim"]
+            for r in vx.ann_ivfadc_topk(
+                spark, group, q, n_probe=16, assert_pruned=False
+            ).collect()
+        }
+        # the cosine-1.0 clone shares vec 0's cell and codes: top hit
+        assert got.get(99999) == 1.0
+        assert 7 not in got
+        # both models were LOADED, never refit
+        assert dict(vx._ANN_FIT_RUNS) == fits_before
