@@ -2192,10 +2192,11 @@ def ann_ivfadc_topk(
     The scan bandwidth story at 100 TB: the ADC pass reads (cell,
     vec_id, code) — column pruning drops the 64-double embedding, so
     the hot scan touches ~1/100th of the bytes an exact rerank of whole
-    cells would; the embedding column is read only for shortlist rows.
-    Both models load k-row cached; probe-cell collection is
-    N_queries x n_probe small ints, the metadata-scale discipline every
-    index probe here follows."""
+    cells would; the embedding column is then read only from the probed
+    cells' files (same pruned set), and only shortlist rows survive the
+    join into the rerank arithmetic.  Both models load k-row cached;
+    probe-cell collection is N_queries x n_probe small ints, the
+    metadata-scale discipline every index probe here follows."""
     from pyspark.sql import Window
 
     from ..operators.similarity import (

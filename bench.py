@@ -112,6 +112,38 @@ def main() -> None:
         "queries": best,
         "sf": sf,
         "runs": len(runs),
+        # per-query drift attribution (the STRESS_SF1 precedent: name
+        # the cause in the artifact, don't leave a number unexplained)
+        "notes": {
+            "shared_suite_drift": (
+                "the r10/r11 shared-suite ratios vs r9's recorded "
+                "numbers (1.10x / 1.21x) are HOST drift, not plan "
+                "regressions — r11 controlled experiment on a quiet "
+                "host: (a) benching ONLY the 191 r9 queries reproduces "
+                "their full-run timings exactly (154.5s vs 153.6s), so "
+                "catalog growth is not the cause; (b) the ROUND-9 CODE "
+                "re-run on the same host measures 1.34x of its own "
+                "recorded r9 numbers (169.5s vs 126.4s over the 190 "
+                "shared queries), while the current code runs the same "
+                "queries at 0.91x of the r9 code (153.9s vs 169.5s). "
+                "Current code is FASTER than r9 code on equal "
+                "hardware; the r9 baseline was recorded on a faster "
+                "machine state"
+            ),
+            "ann_persisted_ivf_topk": (
+                "r10 0.83->1.16s: every run re-collected the persisted "
+                "model (one Spark job per load); fixed in r11 — "
+                "load_ann_model caches per (layer, version), model "
+                "versions being immutable; r11 quiet run 0.82s, at "
+                "parity with r9's number from the faster host"
+            ),
+            "streaming_dedup": (
+                "r10 1.50->2.21s tracks the host drift above (r9 CODE "
+                "on today's host: 1.85s); isolated r11 steady-state "
+                "1.7-1.9s — state-store setup noise dominates this "
+                "query's best-of-2"
+            ),
+        },
     }
     # scaling-stress evidence: stress_sf1.py measures the five heaviest
     # (quadratic-risk) queries at a 10x slice and records wall ratios;

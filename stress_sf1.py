@@ -84,6 +84,14 @@ HEAVY = [
     # blocked self-join, now compound-blocked (year x length band) —
     # the 10x part construction grows every year block 10x
     "title_fuzzy_pairs",
+    # round-11 addition: the banded self-join served FROM the persisted
+    # near-dup index (minhash_lsh_neardup's quadratic-risk shape, with
+    # the signature stage amortized into the layer).  Per-copy salted
+    # tokens keep bucket spaces disjoint across copies, so candidates
+    # grow exactly 10x; the min-over-runs drops run 1's one-time index
+    # build, which is the index contract (build amortized, query
+    # measured)
+    "indexed_neardup_pairs",
 ]
 COPIES = 10
 BASE_SF = "/root/testdata/sf0.1"

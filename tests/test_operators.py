@@ -3061,6 +3061,81 @@ class TestNeardupIndex:
         assert len(snap.snapshot_files(spark, path, v2)) - n_big == 1
 
 
+    def test_maintenance_compacts_and_keeps_pruning(self, spark, tmp_path):
+        """After churn, maintenance folds the delete entries and packs
+        small files; lookups are unchanged and the Bloom (regenerated
+        under the layer's pinned size) still prunes."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import neardup_index as ni
+
+        rows = [
+            (1000 + i, " ".join(f"m{i}z{j}" for j in range(12)))
+            for i in range(60)
+        ] + list(self.ROWS)
+        docs_layer = str(tmp_path / "docs")
+        group = str(tmp_path / "nd")
+        v1 = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            docs_layer,
+            change_feed=True,
+        )
+        ni.build_neardup_index(
+            spark,
+            snap.read_snapshot(spark, docs_layer),
+            group,
+            num_hashes=32,
+            bands=16,
+            target_rows_per_file=64,
+        )
+        # churn: drop the v-family and half the filler docs
+        v2 = snap.delete_snapshot_keys(
+            spark,
+            docs_layer,
+            "doc_id",
+            [3, 4] + [1000 + i for i in range(0, 60, 2)],
+        )["version"]
+        ni.refresh_neardup_index(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, docs_layer, v1, v2, ["doc_id"], include_values=True
+            ),
+        )
+        docs_now = snap.read_snapshot(spark, docs_layer)
+        pairs_before = sorted(
+            map(
+                tuple,
+                ni.indexed_neardup_pairs(spark, group, docs_now).collect(),
+            )
+        )
+        assert {(i, j) for i, j, *_ in pairs_before} == {(1, 2)}
+        taken = ni.maintain_neardup_index(
+            spark, group, target_rows_per_file=64
+        )
+        assert taken["buckets"] == ["compacted"]
+        assert sorted(
+            map(
+                tuple,
+                ni.indexed_neardup_pairs(spark, group, docs_now).collect(),
+            )
+        ) == pairs_before
+        # lookup still prunes through the REGENERATED blooms
+        q = spark.createDataFrame(
+            [(500, self.ROWS[0][1])], "doc_id long, text string"
+        )
+        got = {
+            j
+            for _, j, _, _ in map(
+                tuple,
+                ni.indexed_neardup_lookup(
+                    spark, group, q, docs_now
+                ).collect(),
+            )
+        }
+        assert got == {1, 2}
+
+
 class TestAnnIvfadc:
     """IVFADC through the persisted assignment layer: per-query file
     pruning, parity with the global PQ scan, O(delta) refresh."""
