@@ -811,6 +811,195 @@ def q_indexed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_NEARDUP_BUILT: set[str] = set()
+
+#: observability: maintenance runs fired by the stream governor
+#: (builder-asserted >= 1 — the loop must actually close mid-stream)
+_STREAM_NEARDUP_STATS = {"batches": 0, "maintenance_runs": 0}
+
+
+def _stream_neardup_group(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Near-dup index maintained ENTIRELY BY A STREAM — the dedup twin
+    of vectors._stream_ann_group: the docs layer's keyed CDF stream
+    (three bootstrap insert commits, then an equality-delete version's
+    executor-side pre-images) drives ``refresh_neardup_index`` per
+    micro-batch in ``_commit_version`` replay order; the bucket layer
+    starts EMPTY (parameters pinned up front) and every row it ever
+    holds arrives by stream.  A per-batch GOVERNOR (the
+    auto_maintenance_hook discipline, single-layer form) consults the
+    metadata-only advisor after each applied batch and runs
+    ``maintain_neardup_index`` when warranted — builder-asserted to
+    fire at least once, so the compaction/fold-deletes loop is proven
+    to close MID-STREAM, not in a separate offline pass.  Returns
+    (index group, docs layer path); final docs state =
+    documents WHERE doc_id % 9 != 4."""
+    import shutil
+
+    from ..sources import snapshots as snap
+    from ..sources.pyds import (
+        register_snapshot_stream,
+        snapshot_cdf_stream_schema,
+    )
+    from . import neardup_index
+    from .warehouse import _SCRATCH, _tag
+
+    root = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/stream_neardup"
+    grp, docs_path = f"{root}/index", f"{root}/docs"
+    if root in _STREAM_NEARDUP_BUILT:
+        return grp, docs_path
+    snap.drop_snapshot_layer(spark, root)
+    ckpt = f"{root}_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    docs = load_star_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    tgt = max(250, docs.count() * 32 // 64)
+    # three insert commits then one equality delete: four CDF versions
+    # for the stream to replay, enough small appends that the advisor
+    # has real work to warrant
+    snap.commit_snapshot(
+        spark,
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs_path,
+        stats_cols=["doc_id"],
+        change_feed=True,
+    )
+    for i in (1, 2):
+        snap.commit_snapshot(
+            spark,
+            docs.filter(F.col("doc_id") % 3 == i),
+            docs_path,
+            mode="append",
+            stats_cols=["doc_id"],
+        )
+    snap.delete_snapshot_keys(
+        spark,
+        docs_path,
+        "doc_id",
+        docs.filter(F.col("doc_id") % 9 == 4).select("doc_id"),
+    )
+    # empty bootstrap: parameters pin first, every bucket row arrives
+    # by stream
+    neardup_index.build_neardup_index(
+        spark,
+        docs.limit(0),
+        grp,
+        num_hashes=64,
+        bands=32,
+        n=3,
+        splits=1,
+        target_rows_per_file=tgt,
+    )
+
+    register_snapshot_stream(spark)
+    stream = (
+        spark.readStream.format("snapshot_stream")
+        .schema(snapshot_cdf_stream_schema(docs_path, "doc_id,text"))
+        .option("path", docs_path)
+        .option("cols", "doc_id,text")
+        .option("mode", "cdf")
+        .load()
+    )
+    stats = _STREAM_NEARDUP_STATS
+    stats["batches"] = stats["maintenance_runs"] = 0
+
+    def apply_batch(batch_df, _batch_id):
+        batch_df = batch_df.persist()
+        try:
+            versions = sorted(
+                r[0]
+                for r in batch_df.select("_commit_version")
+                .distinct()
+                .collect()
+            )
+            for v in versions:
+                changes = batch_df.filter(
+                    F.col("_commit_version") == v
+                ).select(
+                    "doc_id",
+                    "change_type",
+                    F.when(
+                        F.col("change_type") == "delete",
+                        F.struct(F.col("text").alias("text")),
+                    ).alias("before"),
+                    F.when(
+                        F.col("change_type") == "insert",
+                        F.struct(F.col("text").alias("text")),
+                    ).alias("after"),
+                )
+                neardup_index.refresh_neardup_index(
+                    spark, grp, changes, target_rows_per_file=tgt
+                )
+            stats["batches"] += 1
+            # governor: metadata-only advisor after every applied batch;
+            # maintenance executes only when warranted
+            taken = neardup_index.maintain_neardup_index(
+                spark, grp, target_rows_per_file=tgt
+            )
+            if any(taken.values()):
+                stats["maintenance_runs"] += 1
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .queryName("stream_neardup_maintenance")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    if not stats["maintenance_runs"]:
+        raise AssertionError(
+            "stream governor never ran maintenance: the fixture must "
+            "exercise the mid-stream compaction loop"
+        )
+    _STREAM_NEARDUP_BUILT.add(root)
+    return grp, docs_path
+
+
+@register(
+    "streaming_neardup_maintenance",
+    _SHINGLES_CTE.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 9 <> 4", 1
+    )
+    + """
+SELECT i, j, n_common, ROUND(jaccard, 4) AS jaccard
+FROM jac WHERE jaccard >= 0.8
+""",
+    "STREAM-MAINTAINED NEAR-DUP TIER, end to end (the dedup twin of "
+    "streaming_ann_maintenance, closing the index family: token, "
+    "vector, and near-dup tiers are all stream-maintainable): the docs "
+    "layer's CDF stream (three insert commits, then an equality-delete "
+    "version's executor-side pre-images) drives refresh_neardup_index "
+    "per micro-batch in _commit_version replay order — the bucket "
+    "layer starts EMPTY with parameters pinned, every row arrives by "
+    "stream, deletes fold O(delta) with zero driver key hops — and a "
+    "per-batch governor runs the metadata-only advisor after each "
+    "applied batch, executing maintain_neardup_index when warranted "
+    "(builder-asserted to fire mid-stream; compaction folds the "
+    "delete entries and regenerates the pinned-size Blooms); the "
+    "corpus-pairs query then reads the stream-built, mid-stream-"
+    "compacted layer and the oracle recomputes exact Jaccard over the "
+    "surviving docs (doc_id % 9 != 4) from raw text — a dropped "
+    "batch, unapplied delete, misordered replay, or lossy compaction "
+    "breaks the hash",
+    tags=("dedup", "lsh", "snapshots", "index", "streaming", "cdc"),
+)
+def q_streaming_neardup_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+    from . import neardup_index
+
+    grp, docs_path = _stream_neardup_group(spark, sf_dir)
+    return neardup_index.indexed_neardup_pairs(
+        spark, grp, read_snapshot(spark, docs_path), threshold=0.8
+    )
+
+
 @register(
     "dedup_clusters",
     _SHINGLES_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
