@@ -702,3 +702,42 @@ def test_indexed_bm25_doclen_side_is_exchange_free(spark):
         re.findall(r"Arguments: hashpartitioning\(doc_id", plan)
     )
     assert n_doc_id_exchanges == 1, plan
+
+
+def test_prefix_search_scan_skips_positions(spark):
+    """Prefix search aggregates tf only — the positional lists (the
+    widest postings column) must be pruned from its scan."""
+    plan = plan_of(spark, "indexed_prefix_search")
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "token" in line:
+            assert "positions" not in line, line
+
+
+def test_ivfadc_adc_scan_prunes_embedding_column(spark):
+    """The IVFADC bandwidth claim, pinned in the plan: the ADC
+    candidate scan reads (cell, vec_id, code) — the 64-double embedding
+    column must be absent from at least one assign-layer scan (the hot
+    ADC pass), while the rerank scan still reads it."""
+    plan = plan_of(spark, "ann_ivfadc_topk")
+    schemas = [
+        line for line in plan.splitlines()
+        if "ReadSchema" in line and "code" in line
+    ]
+    assert schemas, plan
+    adc_scans = [s for s in schemas if "embedding" not in s]
+    assert adc_scans, "no embedding-free ADC scan found:\n" + "\n".join(
+        schemas
+    )
+
+
+def test_neardup_lookup_broadcasts_probe_and_query_sides(spark):
+    """The admission-check lookup joins the pruned bucket rows against
+    the (tiny) probe relation and the shingle-verify sides as
+    broadcasts — no shuffle of the layer for a point lookup."""
+    plan = plan_of(spark, "indexed_neardup_lookup")
+    assert "BroadcastHashJoin" in plan
+    # the bucket-layer scan reads only (bkey, doc_id): no text, no
+    # signature columns persist in the layer
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "bkey" in line:
+            assert "text" not in line, line
