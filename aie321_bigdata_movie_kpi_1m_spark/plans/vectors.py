@@ -2425,3 +2425,67 @@ def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pruning is legitimately ~nil on this worst-case corpus; the
     # per-QUERY contract is builder-asserted in TestAnnIvfadc
     return ann_ivfadc_topk(spark, group, queries, assert_pruned=False)
+
+
+@register(
+    "ivfadc_recall_eval",
+    f"""
+WITH exact AS (SELECT * FROM ({_EXACT_TOPK_SQL}) t),
+approx AS (
+  SELECT query_id, neighbor_id, 1 AS hit
+  FROM ({_ivfadc_oracle_sql()}) t
+),
+per_q AS (
+  SELECT e.query_id, COUNT(a.hit) AS n_hit
+  FROM exact e
+  LEFT JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST({_TOP_K} AS BIGINT) AS k,
+       CAST(SUM(n_hit) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) * {_TOP_K} AS BIGINT) AS n_expected,
+       CAST(MIN(n_hit) AS BIGINT) AS min_hits,
+       CAST(MAX(n_hit) AS BIGINT) AS max_hits
+FROM per_q
+""",
+    "recall@k of the IVFADC tier against the exact brute-force "
+    "baseline — the eval every lossy index stage must ship with: "
+    "IVFADC compounds TWO approximations (cell pruning like IVF, plus "
+    "ADC code quantization in the shortlist), so its recall is the "
+    "figure a probe-budget or codebook-size decision actually gates "
+    "on; the approx side runs THROUGH the persisted index "
+    "(ann_ivfadc_topk — pruned cell reads, stored codes) and the "
+    "whole comparison — exact tier, index tier, per-query hit counts "
+    "— replays in the DuckDB oracle, so the recall figure itself is "
+    "value-checked",
+    tags=("similarity", "eval", "index"),
+)
+def q_ivfadc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=_TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    group = _ivfadc_group(spark, sf_dir)
+    approx = (
+        ann_ivfadc_topk(spark, group, queries, assert_pruned=False)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    per_q = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(_TOP_K).cast("long").alias("k"),
+        F.sum("n_hit").cast("long").alias("n_hits"),
+        (F.count(F.lit(1)) * _TOP_K).cast("long").alias("n_expected"),
+        F.min("n_hit").cast("long").alias("min_hits"),
+        F.max("n_hit").cast("long").alias("max_hits"),
+    )
