@@ -2489,3 +2489,90 @@ def q_ivfadc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_hit").cast("long").alias("min_hits"),
         F.max("n_hit").cast("long").alias("max_hits"),
     )
+
+
+def pq_rebuild_gate(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    layer: str,
+    *,
+    min_recall: float,
+    dims: int = _DIMS,
+    m: int = _PQ_M,
+    n_codes: int = _PQ_CODES,
+    n_candidates: int = _PQ_CAND,
+    iters: int = 1,
+    k: int = _TOP_K,
+    n_queries: int = _N_QUERIES,
+) -> dict:
+    """REBUILD GATE for the PQ codebooks — the codebook twin of
+    ``ivf_rebuild_gate``, completing the model-lifecycle symmetry for
+    the IVFADC tier's second model: measure recall@k of the PERSISTED
+    codebooks' ADC search against the exact baseline and re-fit +
+    commit a new codebook version ONLY when recall degrades below
+    ``min_recall`` (corpus churn can drift the data away from the
+    codewords just as it drifts away from the coarse centroids).  A
+    passing gate commits nothing.  Re-fits stay exclusively here: the
+    IVFADC refresh path loads, never fits.  Returns {"recall",
+    "rebuilt", "model_version"}."""
+    from ..sources.snapshots import snapshot_versions
+
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = persisted_pq_codebooks(
+        spark, embeddings, layer, dims=dims, m=m, n_codes=n_codes,
+        iters=iters,
+    )
+
+    def _recall(b) -> float:
+        exact = similarity.cosine_topk(embeddings, queries, k=k).select(
+            "query_id", "neighbor_id"
+        )
+        approx = (
+            similarity.pq_topk(
+                embeddings,
+                queries,
+                k=k,
+                dims=dims,
+                m=m,
+                n_codes=n_codes,
+                n_candidates=n_candidates,
+                codebooks=b,
+            )
+            .select("query_id", "neighbor_id")
+            .withColumn("__hit", F.lit(1))
+        )
+        row = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .agg(
+                (
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    / F.count(F.lit(1))
+                ).alias("r")
+            )
+            .first()
+        )
+        return float(row["r"])
+
+    recall = _recall(books)
+    rebuilt = False
+    if recall < min_recall:
+        _ANN_FIT_RUNS["pq"] += 1
+        books = similarity.pq_fit_codebooks(
+            embeddings, dims=dims, m=m, n_codes=n_codes, iters=iters
+        )
+        save_ann_model(
+            spark,
+            layer,
+            {s: b for s, b in enumerate(books)},
+            {"kind": "pq", "dims": dims, "m": m, "n_codes": n_codes,
+             "iters": iters},
+        )
+        rebuilt = True
+        recall = _recall(books)
+    return {
+        "recall": recall,
+        "rebuilt": rebuilt,
+        "model_version": snapshot_versions(spark, layer)[-1],
+    }
