@@ -281,20 +281,38 @@ def _verified_pairs(
     threshold: float,
 ) -> DataFrame:
     """Exact n-gram-Jaccard verification over CANDIDATE pairs only:
-    shingle sets join in point-wise (computed per candidate row, never
-    for the un-probed corpus), intersection sizes via JVM array
-    functions — the same verify stage ``minhash_lsh_pairs`` runs, so
-    index-served results match the recomputed operator exactly."""
+    each docs side is LEFT-SEMI-joined to the candidate ids BEFORE its
+    tokens/shingles are computed, so candidates-only shingling is an
+    explicit plan property (a filter above the shingle projection would
+    only skip non-candidates if codegen happened to defer the
+    expression — not a contract).  The candidate subplan is evaluated
+    once more per semi-join; that re-read is index-layer metadata scale,
+    while the shingling it avoids is corpus scale.  Intersection sizes
+    via JVM array functions — the same verify stage
+    ``minhash_lsh_pairs`` runs, so index-served results match the
+    recomputed operator exactly."""
     # tokens materialize as a real column BEFORE shingling — feeding
     # word_shingles the raw tokenizer expression re-runs it per element
     # access (the measured-13x quadratic pitfall operators/dedup.py
     # documents)
-    qsets = query_docs.select(
-        F.col("doc_id").alias("i"), tokens("text").alias("__tok")
-    ).select("i", word_shingles(F.col("__tok"), n).alias("__si"))
-    csets = corpus_docs.select(
-        F.col("doc_id").alias("j"), tokens("text").alias("__tok")
-    ).select("j", word_shingles(F.col("__tok"), n).alias("__sj"))
+    qsets = (
+        query_docs.join(
+            cand.select(F.col("i").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("i"), tokens("text").alias("__tok"))
+        .select("i", word_shingles(F.col("__tok"), n).alias("__si"))
+    )
+    csets = (
+        corpus_docs.join(
+            cand.select(F.col("j").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("j"), tokens("text").alias("__tok"))
+        .select("j", word_shingles(F.col("__tok"), n).alias("__sj"))
+    )
     return (
         cand.join(qsets, "i")
         .join(csets, "j")

@@ -625,9 +625,30 @@ def save_ann_model(spark: SparkSession, layer: str, mats: dict, meta: dict) -> i
 #: (a rebuild commits a NEW version), so the collected matrices cache
 #: per process — a search query re-run stops paying a Spark collect job
 #: per model load; refresh/rebuild invalidates naturally because the
-#: head version changes.  Read-only by convention (callers index, never
-#: mutate).
+#: head version changes.  Cached arrays are WRITE-PROTECTED (numpy
+#: writeable=False): a caller mutation would otherwise corrupt every
+#: later load of the same version.  ``drop_snapshot_layer`` evicts
+#: matching entries via the registered hook below, so a drop + recreate
+#: at the same path (versions restart at 1) can never serve the old
+#: layer's model.
 _MODEL_CACHE: dict[tuple[str, int], tuple[dict, dict]] = {}
+
+
+def _evict_model_cache(path: str) -> None:
+    pfx = path.rstrip("/") + "/"
+    for key in [
+        k for k in _MODEL_CACHE if k[0] == path or k[0].startswith(pfx)
+    ]:
+        del _MODEL_CACHE[key]
+
+
+def _register_model_cache_hook() -> None:
+    from ..sources.snapshots import register_drop_layer_hook
+
+    register_drop_layer_hook(_evict_model_cache)
+
+
+_register_model_cache_hook()
 
 
 def load_ann_model(
@@ -643,9 +664,15 @@ def load_ann_model(
 
     from ..sources.snapshots import read_snapshot, snapshot_versions
 
-    v = int(
-        snapshot_versions(spark, layer)[-1] if version is None else version
-    )
+    if version is None:
+        versions = snapshot_versions(spark, layer)
+        if not versions:
+            raise FileNotFoundError(
+                f"no committed ANN model snapshot under {layer}"
+            )
+        v = int(versions[-1])
+    else:
+        v = int(version)
     cached = _MODEL_CACHE.get((layer, v))
     if cached is not None:
         return cached
@@ -662,6 +689,8 @@ def load_ann_model(
         )
         for p, entries in parts.items()
     }
+    for m in mats.values():
+        m.setflags(write=False)
     meta = _json.loads(rows[0]["meta"]) if rows else {}
     _MODEL_CACHE[(layer, v)] = (mats, meta)
     return mats, meta
@@ -2121,6 +2150,11 @@ def refresh_ann_ivfadc(
     from ..sources.snapshots import commit_snapshot, delete_snapshot_keys
 
     pins = ann_pins(spark, group)
+    if pins is None:
+        raise FileNotFoundError(
+            f"IVFADC group {group} has no published pin set — "
+            "run build_ann_ivfadc first"
+        )
     model_layer = str(pins["model"]["path"])
     pq_layer = str(pins["pq"]["path"])
     changes = changes.persist()
@@ -2208,6 +2242,11 @@ def ann_ivfadc_topk(
     from ..sources.snapshots import read_snapshot, snapshot_files
 
     pins = ann_pins(spark, group)
+    if pins is None:
+        raise FileNotFoundError(
+            f"IVFADC group {group} has no published pin set — "
+            "run build_ann_ivfadc first"
+        )
     mats_c, _ = load_ann_model(
         spark, str(pins["model"]["path"]), int(pins["model"]["version"])
     )
@@ -2228,6 +2267,12 @@ def ann_ivfadc_topk(
     cells = sorted(
         int(r["cell"]) for r in qcells.select("cell").distinct().collect()
     )
+    if not cells:
+        # empty query batch probes nothing — a typed empty result, not
+        # an isin([]) analysis error downstream
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double"
+        )
     path = f"{group}/assign"
     if assert_pruned:
         n_all = len(snapshot_files(spark, path, assign_v))

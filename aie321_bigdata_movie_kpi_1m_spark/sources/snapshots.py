@@ -2873,10 +2873,28 @@ def snapshot_changes(
     )
 
 
+#: callables invoked with the dropped path by ``drop_snapshot_layer`` —
+#: process-local caches keyed on layer paths register here, because a
+#: drop + recreate at the SAME path restarts versions at 1 and a
+#: (path, version) cache would silently serve the old layer's state
+_DROP_LAYER_HOOKS: list = []
+
+
+def register_drop_layer_hook(fn) -> None:
+    """Register ``fn(path)`` to run after every ``drop_snapshot_layer``
+    (idempotent per function object)."""
+    if fn not in _DROP_LAYER_HOOKS:
+        _DROP_LAYER_HOOKS.append(fn)
+
+
 def drop_snapshot_layer(spark: SparkSession, path: str) -> None:
-    """Delete the whole layer (test/rebuild hygiene)."""
+    """Delete the whole layer (test/rebuild hygiene), then notify
+    registered cache-invalidation hooks — dropping a PARENT directory
+    drops every nested layer, so hooks match on path prefix."""
     jvm, fs = _fs(spark, path)
     fs.delete(_hpath(jvm, path), True)
+    for fn in _DROP_LAYER_HOOKS:
+        fn(path)
 
 
 def snapshot_changes_keyed(
