@@ -63,8 +63,10 @@ from ..sources.snapshots import (
 #: the single data layer under the group directory
 BUCKETS = "buckets"
 
-#: observability for tests: lookups that proved file pruning
-_PRUNE_STATS = {"pruned_lookups": 0}
+#: observability for tests: lookups that proved file pruning, and the
+#: probe-key volume each lookup path shipped to the driver (the
+#: DataFrame path pins at zero)
+_PRUNE_STATS = {"pruned_lookups": 0, "driver_probe_keys": 0}
 
 
 def _buckets_path(group: str) -> str:
@@ -244,7 +246,7 @@ def refresh_neardup_index(
 def _pruned_bucket_rows(
     spark: SparkSession,
     group: str,
-    bkeys: list[int],
+    bkeys: "list[int] | DataFrame",
     *,
     assert_pruned: bool = True,
 ) -> DataFrame:
@@ -252,9 +254,19 @@ def _pruned_bucket_rows(
     admits one of them (builder-asserted strict subset) — bkey is a
     hash-scrambled key, exactly the shape the per-file Bloom index
     exists for; range clustering keeps each file's slice narrow so the
-    admitted set tracks the probe count, not the layer size."""
+    admitted set tracks the probe count, not the layer size.
+
+    ``bkeys`` as a list is the interactive path (driver-computed
+    positions, ``isin`` row filter).  ``bkeys`` as a DataFrame of
+    ``bkey`` is the LARGE-BATCH path: bloom positions evaluate on the
+    executors (``snapshots._prune_files_probe_df``) and the row-level
+    filter is the caller's bkey join — zero probe keys ever cross to
+    the driver."""
     path = _buckets_path(group)
-    probe = ("bkey", list(bkeys))
+    df_probe = isinstance(bkeys, DataFrame)
+    probe = ("bkey", bkeys if df_probe else list(bkeys))
+    if not df_probe:
+        _PRUNE_STATS["driver_probe_keys"] += len(probe[1])
     if assert_pruned:
         n_all = len(snapshot_files(spark, path))
         # a 1-file layer (fully compacted small corpus) is legitimately
@@ -267,9 +279,12 @@ def _pruned_bucket_rows(
                 f"neardup index did not prune probe of {n_all} files"
             )
         _PRUNE_STATS["pruned_lookups"] += 1
-    return read_snapshot(spark, path, prune_point=probe).filter(
-        F.col("bkey").isin(*bkeys)
-    )
+    rows = read_snapshot(spark, path, prune_point=probe)
+    if df_probe:
+        # pruning is files-only for a DataFrame probe; the exact row
+        # restriction is the caller's equi-join on bkey
+        return rows
+    return rows.filter(F.col("bkey").isin(*probe[1]))
 
 
 def _verified_pairs(
@@ -338,21 +353,54 @@ def indexed_neardup_lookup(
     *,
     threshold: float = 0.8,
     assert_pruned: bool = True,
+    probe_mode: str = "driver",
 ) -> DataFrame:
     """ADMISSION CHECK / point lookup: which corpus documents are
     near-duplicates of each query document?  The incoming-batch-vs-
     corpus question every dedup-gated ingestion pipeline asks, served
     WITHOUT touching the corpus: the query docs hash under the pinned
-    parameters (q x bands probe keys — metadata scale, the ANN probe-
-    cell discipline), the Bloom admits only the files that can hold a
-    probed bucket, candidates broadcast-join in, and the exact verify
-    reads just the candidate docs' text.  Emits (i = query doc_id,
-    j = corpus doc_id, n_common, jaccard) with i's own corpus row
-    excluded (i != j)."""
+    parameters, the Bloom admits only the files that can hold a probed
+    bucket, candidates join in, and the exact verify reads just the
+    candidate docs' text.  Emits (i = query doc_id, j = corpus doc_id,
+    n_common, jaccard) with i's own corpus row excluded (i != j).
+
+    ``probe_mode`` picks the planning path:
+
+    - ``"driver"`` (interactive): the q x bands probe keys collect to
+      the driver — metadata scale for a small q, and the row filter is
+      a literal ``isin``.
+    - ``"dataframe"`` (batch admission — "dedup this incoming shard
+      against the corpus"): probe keys stay a DataFrame end to end —
+      bloom positions evaluate executor-side, the row filter is the
+      bkey equi-join (AQE picks the strategy by actual probe size), and
+      ZERO probe keys cross the driver (``_PRUNE_STATS
+      ["driver_probe_keys"]`` pins flat), so a 10M-doc shard plans
+      without a 320M-literal IN expression.  The probe batch's
+      signatures are evaluated once for planning and once for the
+      join — both executor-side, both O(probe); the corpus is never
+      re-hashed in either mode."""
+    if probe_mode not in ("driver", "dataframe"):
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
     p = index_params(spark, group)
     qrows = banded_bucket_rows(
         query_docs, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
     ).select(F.col("bkey"), F.col("doc_id").alias("i"))
+    if probe_mode == "dataframe":
+        hits = _pruned_bucket_rows(
+            spark,
+            group,
+            qrows.select("bkey").distinct(),
+            assert_pruned=assert_pruned,
+        )
+        cand = (
+            hits.join(qrows, "bkey")
+            .filter(F.col("i") != F.col("doc_id"))
+            .select("i", F.col("doc_id").alias("j"))
+            .distinct()
+        )
+        return _verified_pairs(
+            cand, query_docs, corpus_docs, n=p["n"], threshold=threshold
+        )
     # probe keys to the driver: O(q x bands) longs, the same metadata-
     # scale hop the ANN probe cells and lexicon top-n make — never rows
     bkeys = [r["bkey"] for r in qrows.select("bkey").distinct().collect()]

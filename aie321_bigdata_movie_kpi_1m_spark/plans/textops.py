@@ -811,6 +811,69 @@ def q_indexed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "indexed_neardup_batch_admission",
+    _SHINGLES_CTE.replace(
+        """common AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),""",
+        """common AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  WHERE b.doc_id % 10 <> 0
+  GROUP BY 1, 2
+),""",
+        1,
+    )
+    + """
+SELECT i, j, n_common, ROUND(jaccard, 4) AS jaccard
+FROM jac WHERE jaccard >= 0.8
+""",
+    "LARGE-BATCH dedup admission THROUGH the index — the shape the "
+    "point lookup could not serve before this round ('dedup this "
+    "incoming shard against the corpus'): the ENTIRE documents table "
+    "plays the incoming shard and probes the churn-maintained bucket "
+    "layer in probe_mode='dataframe' — probe bucket keys stay a "
+    "DataFrame end to end, bloom positions evaluate EXECUTOR-side "
+    "against the manifest's per-file bit sets (only admitted file "
+    "names reach the driver), and the row filter is a bkey equi-join "
+    "AQE sizes by the actual probe volume, so ZERO probe keys cross "
+    "the driver (counter-pinned in pytest) and no IN-literal ever "
+    "enters the planner; candidates exact-verify by n-gram Jaccard "
+    "against the corpus docs only (candidates-only shingling is a "
+    "semi-join plan property); the oracle recomputes every "
+    "(shard doc, surviving corpus doc) exact-Jaccard pair from raw "
+    "text — i ranges over the whole shard, j over the corpus "
+    "(doc_id % 10 != 0), i != j",
+    tags=("dedup", "lsh", "snapshots", "index", "incremental"),
+)
+def q_indexed_neardup_batch_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+    from . import neardup_index
+
+    grp, docs_path = _neardup_churn_group(spark, sf_dir)
+    shard = load_star_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    # a whole-table probe batch spans most buckets, so batch-level file
+    # pruning is legitimately ~nil (same rationale as the ANN batch
+    # queries); the strict-subset contract for a small DataFrame probe
+    # is builder-asserted in TestNeardupIndex
+    return neardup_index.indexed_neardup_lookup(
+        spark,
+        grp,
+        shard,
+        read_snapshot(spark, docs_path),
+        threshold=0.8,
+        assert_pruned=False,
+        probe_mode="dataframe",
+    )
+
+
 _STREAM_NEARDUP_BUILT: set[str] = set()
 
 #: observability: maintenance runs fired by the stream governor

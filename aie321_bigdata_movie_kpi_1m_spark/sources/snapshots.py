@@ -1310,7 +1310,18 @@ def snapshot_files(
     ``value`` may also be a list/tuple/set — the ``col IN (...)``
     planning shape: a file survives if ANY probe value might be present
     (per-value positions OR-ed at the keep decision, the same plan an
-    IN-list gets from Parquet bloom filters)."""
+    IN-list gets from Parquet bloom filters).
+
+    ``value`` may ALSO be a DataFrame of probe values (one column, or a
+    column named ``col``) — the LARGE-BATCH planning shape: probe bit
+    positions are computed on the EXECUTORS through Spark's own
+    xxhash64 (zero probe values ever cross to the driver — the
+    ``delete_snapshot_keys`` DataFrame-path discipline), matched
+    bit-level against the manifest's per-file blooms, and only the
+    admitted FILE NAMES return to the driver.  Keep semantics are
+    identical to the list path; the segment-level bloom-union skip is
+    bypassed (conservative keep) because it is a driver-side hex-string
+    check."""
     versions = snapshot_versions(spark, path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {path}")
@@ -1338,13 +1349,18 @@ def snapshot_files(
     # probe positions are computed ONCE per plan (one Spark job for the
     # whole IN list) and shared by the segment-union and per-file probes
     pos_list: list[list[int]] | None = None
+    probe_df: DataFrame | None = None
+    bloom_m = int(m.get("bloom_m") or _BLOOM_BITS)
+    bloom_k = int(m.get("bloom_k") or _BLOOM_HASHES)
     if prune_point is not None and m.get("bloom_col") == prune_point[0]:
-        pos_list = _bloom_positions_multi(
-            spark,
-            _point_values(prune_point[1]),
-            m=int(m.get("bloom_m") or _BLOOM_BITS),
-            k=int(m.get("bloom_k") or _BLOOM_HASHES),
-        )
+        if isinstance(prune_point[1], DataFrame):
+            probe_df = prune_point[1]
+        else:
+            values = _point_values(prune_point[1])
+            _POINT_PROBE_DRIVER_KEYS["n"] += len(values)
+            pos_list = _bloom_positions_multi(
+                spark, values, m=bloom_m, k=bloom_k
+            )
     if m.get("format", 1) >= 2:
         # segment-level skip FIRST: entries whose per-column [min, max]
         # cannot intersect the range are dropped before their segment
@@ -1415,7 +1431,101 @@ def snapshot_files(
                     if any(all(p in bitset for p in pos) for pos in pos_list):
                         kept.append(f)
             files = kept
+    if probe_df is not None and blooms:
+        files = _prune_files_probe_df(
+            spark,
+            files,
+            blooms,
+            prune_point[0],
+            probe_df,
+            m=bloom_m,
+            k=bloom_k,
+        )
     return files
+
+
+#: driver-side probe-key volume moved by LIST-form point probes — the
+#: DataFrame probe path ships zero; tests pin it
+_POINT_PROBE_DRIVER_KEYS = {"n": 0}
+
+
+def _prune_files_probe_df(
+    spark: SparkSession,
+    files: list[str],
+    blooms: dict,
+    col: str,
+    probe_df: DataFrame,
+    *,
+    m: int,
+    k: int,
+) -> list[str]:
+    """Executor-side bloom evaluation for a DATAFRAME of probe values.
+
+    The list-probe path collects every probe value to the driver to
+    compute bit positions — fine for an interactive lookup, fatal for a
+    "dedup this 10M-doc shard against the corpus" batch (q x bands
+    probe keys would build the planner's IN list).  Here the probe side
+    stays distributed end to end: per distinct value its k bit
+    positions come from the same ``xxhash64(value, seed) % m`` family
+    the commit used (through Spark, so commit and probe can never drift
+    on hash semantics), the manifest's per-file bloom bit sets —
+    metadata scale by construction — broadcast as (file, bit) rows, and
+    a value admits a file iff the bit-level join matches ALL of its
+    distinct positions (``count_distinct(bit) == k_distinct``), exactly
+    the list path's all-bits-present test.  Only admitted file NAMES
+    cross to the driver: O(admitted files), never O(probe keys).  Files
+    without a recorded bloom are conservatively kept; NULL probes set
+    no bits (point probes are NULL-rejecting)."""
+    named = [(f, f.rsplit("/", 1)[-1]) for f in files]
+    with_bloom = [
+        (base, blooms[base])
+        for _, base in named
+        if blooms.get(base) is not None
+    ]
+    if not with_bloom:
+        return files
+    bits_df = spark.createDataFrame(
+        [(base, [int(x) for x in bl]) for base, bl in with_bloom],
+        "__file string, __bits array<long>",
+    ).select("__file", F.explode("__bits").alias("__bit"))
+    pos = (
+        probe_df.select(F.col(col).cast("string").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+        .select(
+            "__v",
+            F.array_distinct(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("__v"), F.lit(i)), F.lit(m)
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("__pos"),
+        )
+        .select(
+            "__v",
+            F.size("__pos").alias("__kd"),
+            F.explode("__pos").alias("__bit"),
+        )
+    )
+    admitted = {
+        r["__file"]
+        for r in pos.join(F.broadcast(bits_df), "__bit")
+        .groupBy("__v", "__kd", "__file")
+        .agg(F.count_distinct("__bit").alias("__hit"))
+        .filter(F.col("__hit") == F.col("__kd"))
+        .select("__file")
+        .distinct()
+        .collect()
+    }
+    return [
+        f
+        for f, base in named
+        if base in admitted or blooms.get(base) is None
+    ]
 
 
 def _point_values(value: object) -> list:

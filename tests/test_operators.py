@@ -3014,6 +3014,88 @@ class TestNeardupIndex:
         )
         assert got == full and {j for _, j, _, _ in got} == {1, 2}
 
+    def test_dataframe_probe_path(self, spark, tmp_path):
+        """probe_mode='dataframe': zero probe keys cross the driver
+        (counter-pinned), file pruning still proves a strict subset for
+        a narrow probe, and both probe modes return identical rows —
+        for a one-doc probe AND a whole-table batch admission."""
+        from aie321_bigdata_movie_kpi_1m_spark.plans import neardup_index as ni
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            snapshot_files,
+        )
+
+        rows = [
+            (1000 + i, " ".join(f"p{i}q{j}" for j in range(12)))
+            for i in range(60)
+        ] + list(self.ROWS)
+        docs = self._docs(spark, rows)
+        group = str(tmp_path / "nd")
+        ni.build_neardup_index(
+            spark,
+            docs,
+            group,
+            num_hashes=32,
+            bands=16,
+            target_rows_per_file=64,
+        )
+        assert len(snapshot_files(spark, f"{group}/buckets")) > 8
+        q = spark.createDataFrame(
+            [(500, self.ROWS[0][1])], "doc_id long, text string"
+        )
+        keys_before = ni._PRUNE_STATS["driver_probe_keys"]
+        pruned_before = ni._PRUNE_STATS["pruned_lookups"]
+        df_mode = sorted(
+            map(
+                tuple,
+                ni.indexed_neardup_lookup(
+                    spark, group, q, docs, probe_mode="dataframe"
+                ).collect(),
+            )
+        )
+        # the strict-subset assertion ran AND no probe key hit the driver
+        assert ni._PRUNE_STATS["pruned_lookups"] == pruned_before + 1
+        assert ni._PRUNE_STATS["driver_probe_keys"] == keys_before
+        driver_mode = sorted(
+            map(
+                tuple,
+                ni.indexed_neardup_lookup(spark, group, q, docs).collect(),
+            )
+        )
+        assert ni._PRUNE_STATS["driver_probe_keys"] > keys_before
+        assert df_mode == driver_mode
+        assert {j for _, j, _, _ in df_mode} == {1, 2}
+        # whole-table batch admission: every doc probes at once; the
+        # answer must equal the driver path's (pruning legitimately ~nil
+        # for a batch spanning most buckets, so no strict-subset assert)
+        batch_df = sorted(
+            map(
+                tuple,
+                ni.indexed_neardup_lookup(
+                    spark,
+                    group,
+                    docs,
+                    docs,
+                    probe_mode="dataframe",
+                    assert_pruned=False,
+                ).collect(),
+            )
+        )
+        batch_driver = sorted(
+            map(
+                tuple,
+                ni.indexed_neardup_lookup(
+                    spark, group, docs, docs, assert_pruned=False
+                ).collect(),
+            )
+        )
+        assert batch_df == batch_driver
+        assert {(i, j) for i, j, _, _ in batch_df} == {
+            (1, 2),
+            (2, 1),
+            (3, 4),
+            (4, 3),
+        }
+
     def test_delta_files_scale_with_rows(self, spark, tmp_path):
         """Bucket appends are rows-scaled: a big bootstrap delta writes
         proportionally many files, a one-doc refresh writes one."""

@@ -1407,6 +1407,51 @@ class TestSnapshotBloom:
         )
         assert len(absent) <= 3
 
+    def test_bloom_dataframe_probe_matches_list_probe(self, spark, tmp_path):
+        """DataFrame-probe planning (``prune_point=(col, probe_df)``):
+        keeps EXACTLY the files the equivalent IN-list probe keeps
+        (same all-bits-present test, evaluated executor-side), ships
+        zero probe values through the driver-keys counter, and an
+        all-absent probe batch still prunes to (near) zero files."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources import snapshots as snap
+
+        path = str(tmp_path / "layer")
+        df = spark.range(0, 400).selectExpr("id AS k", "id * 3 AS v")
+        snap.commit_snapshot(
+            spark, df.repartition(8), path, stats_cols=["k"], bloom_col="k"
+        )
+        probes = [7, 123, 399]
+        in_list = set(
+            snap.snapshot_files(spark, path, prune_point=("k", probes))
+        )
+        before = snap._POINT_PROBE_DRIVER_KEYS["n"]
+        probe_df = spark.createDataFrame([(p,) for p in probes], "k long")
+        via_df = set(
+            snap.snapshot_files(spark, path, prune_point=("k", probe_df))
+        )
+        assert via_df == in_list
+        assert snap._POINT_PROBE_DRIVER_KEYS["n"] == before
+        # the pruned read (files-only pruning) + equi-join restriction
+        # finds every probed key
+        got = (
+            snap.read_snapshot(spark, path, prune_point=("k", probe_df))
+            .join(probe_df, "k")
+            .collect()
+        )
+        assert sorted((r["k"], r["v"]) for r in got) == [
+            (p, p * 3) for p in sorted(probes)
+        ]
+        # absent batch: near-zero files; empty batch: only bloom-less
+        # files (none here) survive
+        absent = spark.createDataFrame([(10**9,), (10**9 + 1,)], "k long")
+        assert len(
+            snap.snapshot_files(spark, path, prune_point=("k", absent))
+        ) <= 3
+        empty = spark.createDataFrame([], "k long")
+        assert (
+            snap.snapshot_files(spark, path, prune_point=("k", empty)) == []
+        )
+
     def test_bloom_entries_carry_through_append_and_merge(self, spark, tmp_path):
         from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
             _manifest,
