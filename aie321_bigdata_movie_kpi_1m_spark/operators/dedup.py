@@ -175,6 +175,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
@@ -183,6 +184,16 @@ def minhash_lsh_pairs(
     at ``threshold``.  With b=16, r=2 the probability of missing a pair at
     jaccard 0.8 is (1 - 0.8^2)^16 ≈ 9e-8, so the verified output equals
     the exact-Jaccard answer — which is what the oracle checks.
+
+    ``max_bucket`` optionally drops pathologically HOT buckets before
+    the candidate self-join — the same documented recall trade as
+    ``simhash_neardup_pairs(max_bucket=...)`` and the Jaccard blocker's
+    ``max_df``: a boilerplate bucket of B docs otherwise yields B²
+    candidate pairs, and on template-heavy corpora that quadratic term
+    IS the cost.  Pairs whose EVERY shared bucket is hot are lost
+    (recall trade, recorded here); near-dup pairs that also share any
+    normal bucket still surface.  Default None = exact banding
+    semantics, unchanged.
     """
     if num_hashes % bands:
         raise ValueError(
@@ -206,6 +217,14 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col(id_col).alias("__id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("__id", "bk.band", "bk.bucket")
+    if max_bucket is not None:
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(ok, ["band", "bucket"])
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "bucket"])

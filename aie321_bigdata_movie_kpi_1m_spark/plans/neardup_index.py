@@ -428,6 +428,7 @@ def indexed_neardup_pairs(
     corpus_docs: DataFrame,
     *,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Corpus-wide near-dup PAIRS from the maintained index: the
     ``minhash_lsh_pairs`` answer with the signature stage amortized —
@@ -436,13 +437,21 @@ def indexed_neardup_pairs(
     already gone) self-joins on bkey with singleton buckets dropped
     before the join, then candidates exact-verify against the base
     table.  Emits (i, j, n_common, jaccard) with i < j — identical to
-    the recomputed operator up to the banding miss bound."""
+    the recomputed operator up to the banding miss bound.
+
+    ``max_bucket`` additionally drops HOT buckets (a boilerplate
+    bucket of B docs yields B² candidates) — the same documented
+    recall trade ``minhash_lsh_pairs`` and ``simhash_neardup_pairs``
+    offer: pairs whose every shared bucket is hot are lost; pairs
+    sharing any normal bucket still surface.  Default None keeps
+    exact banding semantics."""
     p = index_params(spark, group)
     rows = read_snapshot(spark, _buckets_path(group))
     sizes = rows.groupBy("bkey").agg(F.count(F.lit(1)).alias("__n"))
-    live = rows.join(
-        sizes.filter(F.col("__n") >= 2).select("bkey"), "bkey"
-    )
+    keep = sizes.filter(F.col("__n") >= 2)
+    if max_bucket is not None:
+        keep = keep.filter(F.col("__n") <= max_bucket)
+    live = rows.join(keep.select("bkey"), "bkey")
     cand = (
         live.alias("a")
         .join(live.alias("b"), "bkey")

@@ -3014,6 +3014,44 @@ class TestNeardupIndex:
         )
         assert got == full and {j for _, j, _, _ in got} == {1, 2}
 
+    def test_hot_bucket_cap_parity(self, spark, tmp_path):
+        """max_bucket on BOTH MinHash tiers (recomputed operator and
+        persisted index): an engineered boilerplate family whose every
+        bucket is hot is dropped under the cap (the documented recall
+        trade simhash already offered), while twin pairs living in
+        normal buckets survive; uncapped keeps exact banding
+        semantics."""
+        from aie321_bigdata_movie_kpi_1m_spark.operators import dedup
+        from aie321_bigdata_movie_kpi_1m_spark.plans import neardup_index as ni
+
+        boiler = " ".join(f"b{k}" for k in range(30))
+        rows = list(self.ROWS) + [(100 + i, boiler) for i in range(8)]
+        docs = self._docs(spark, rows)
+        hot = {(i, j) for i in range(100, 108) for j in range(i + 1, 108)}
+
+        def pairset(df):
+            return {(r["i"], r["j"]) for r in df.collect()}
+
+        uncapped = pairset(
+            dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16)
+        )
+        capped = pairset(
+            dedup.minhash_lsh_pairs(
+                docs, num_hashes=32, bands=16, max_bucket=4
+            )
+        )
+        assert uncapped == {(1, 2), (3, 4)} | hot
+        assert capped == {(1, 2), (3, 4)}
+
+        group = str(tmp_path / "nd")
+        ni.build_neardup_index(spark, docs, group, num_hashes=32, bands=16)
+        assert pairset(ni.indexed_neardup_pairs(spark, group, docs)) == (
+            {(1, 2), (3, 4)} | hot
+        )
+        assert pairset(
+            ni.indexed_neardup_pairs(spark, group, docs, max_bucket=4)
+        ) == {(1, 2), (3, 4)}
+
     def test_dataframe_probe_path(self, spark, tmp_path):
         """probe_mode='dataframe': zero probe keys cross the driver
         (counter-pinned), file pruning still proves a strict subset for
