@@ -3358,6 +3358,81 @@ class TestAnnIvfadc:
         # both models were LOADED, never refit
         assert dict(vx._ANN_FIT_RUNS) == fits_before
 
+    def test_residual_recall_improves_on_clustered_corpus(
+        self, spark, tmp_path
+    ):
+        """Residual encoding's reason to exist, isolated from fixture
+        noise: on a corpus with REAL cluster structure (16 gaussian
+        clusters, center scale >> within-cluster noise) raw PQ codes
+        collapse to the cluster centers — every sibling gets the same
+        code and ADC cannot rank within a cluster — while residual
+        codes spend the whole (m, n_codes) budget on the within-cell
+        offsets.  All cells probed (no IVF effect) and a tight
+        shortlist so ADC precision is the binding constraint: residual
+        recall@10 must be STRICTLY higher.  Also pins that the two
+        groups share the coarse quantizer (same cells) and that the pq
+        meta kind drives the scoring branch."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.operators import similarity
+        from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(0.0, 10.0, size=(16, 64))
+        rows = [
+            (
+                i,
+                [
+                    float(x)
+                    for x in centers[i % 16] + rng.normal(0.0, 0.5, 64)
+                ],
+            )
+            for i in range(240)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        queries = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.cosine_topk(emb, queries, k=10).collect()
+        }
+        model_layer = str(tmp_path / "coarse")
+        raw_group = str(tmp_path / "raw")
+        res_group = str(tmp_path / "res")
+        vx.build_ann_ivfadc(
+            spark, emb, raw_group, model_layer=model_layer,
+            target_rows_per_file=40,
+        )
+        vx.build_ann_ivfadc(
+            spark, emb, res_group, model_layer=model_layer,
+            by_residual=True, target_rows_per_file=40,
+        )
+        _, meta_raw = vx.load_ann_model(spark, f"{raw_group}/pq")
+        _, meta_res = vx.load_ann_model(spark, f"{res_group}/pq")
+        assert meta_raw["kind"] == "pq"
+        assert meta_res["kind"] == "pq_residual"
+
+        def recall(group):
+            hits = {
+                (r["query_id"], r["neighbor_id"])
+                for r in vx.ann_ivfadc_topk(
+                    spark,
+                    group,
+                    queries,
+                    n_probe=16,
+                    n_candidates=12,
+                    assert_pruned=False,
+                ).collect()
+            }
+            return len(hits & exact)
+
+        r_raw, r_res = recall(raw_group), recall(res_group)
+        assert r_res > r_raw, (r_res, r_raw)
+
     def test_pq_rebuild_gate(self, spark, tmp_path):
         """Codebook twin of the IVF rebuild gate: a passing gate
         commits nothing; a forced degraded-recall branch refits and
