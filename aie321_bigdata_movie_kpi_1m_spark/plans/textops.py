@@ -964,6 +964,18 @@ def _stream_neardup_group(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .option("mode", "cdf")
         .load()
     )
+    from .maintenance import auto_maintenance_hook
+
+    # the SHARED tier-agnostic governor, single-layer form: no pin
+    # catalog here, so the sweep lists the bucket layer explicitly
+    on_batch, gov_stats = auto_maintenance_hook(
+        spark,
+        grp,
+        neardup_index.maintain_neardup_index,
+        plan_paths=[f"{grp}/buckets"],
+        every_n=1,
+        target_rows_per_file=tgt,
+    )
     stats = _STREAM_NEARDUP_STATS
     stats["batches"] = stats["maintenance_runs"] = 0
 
@@ -994,14 +1006,11 @@ def _stream_neardup_group(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 neardup_index.refresh_neardup_index(
                     spark, grp, changes, target_rows_per_file=tgt
                 )
-            stats["batches"] += 1
             # governor: metadata-only advisor after every applied batch;
             # maintenance executes only when warranted
-            taken = neardup_index.maintain_neardup_index(
-                spark, grp, target_rows_per_file=tgt
-            )
-            if any(taken.values()):
-                stats["maintenance_runs"] += 1
+            on_batch()
+            stats["batches"] = gov_stats["batches"]
+            stats["maintenance_runs"] = gov_stats["maintenance_runs"]
         finally:
             batch_df.unpersist()
 

@@ -911,34 +911,21 @@ def auto_maintenance_hook(
 
     ``stats`` (shared, mutated in place) counts batches, advisor
     sweeps, maintenance runs, and actions taken — the observability a
-    scheduler (and the pytest) pins on."""
-    from ..sources.table_catalog import catalog_maintenance_plan
+    scheduler (and the pytest) pins on.
 
-    stats = {"batches": 0, "sweeps": 0, "maintenance_runs": 0, "actions": 0}
+    Since r12 this is a thin binding of the TIER-AGNOSTIC governor
+    (``plans.maintenance.auto_maintenance_hook``) to
+    ``maintain_token_index`` — all three index families (token, ANN,
+    near-dup) share the one governor implementation."""
+    from .maintenance import auto_maintenance_hook as _hook
 
-    def on_batch() -> dict:
-        stats["batches"] += 1
-        if stats["batches"] % max(1, every_n):
-            return stats
-        stats["sweeps"] += 1
-        plan = catalog_maintenance_plan(
-            spark, group, target_rows_per_file=target_rows_per_file
-        ).collect()
-        warranted = {
-            (r["table_name"], r["action"])
-            for r in plan
-            if r["action"] in ("compact_small_files", "fold_deletes")
-        }
-        if not warranted:
-            return stats
-        taken = maintain_token_index(
-            spark, group, target_rows_per_file=target_rows_per_file
-        )
-        stats["maintenance_runs"] += 1
-        stats["actions"] += sum(len(v) for v in taken.values())
-        return stats
-
-    return on_batch, stats
+    return _hook(
+        spark,
+        group,
+        maintain_token_index,
+        every_n=every_n,
+        target_rows_per_file=target_rows_per_file,
+    )
 
 
 def maintain_token_index(

@@ -1624,18 +1624,31 @@ def q_ann_cdf_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_ANN_BUILT: set[str] = set()
 
+#: observability: governor activity on the ANN stream (builder-asserted
+#: >= 1 maintenance run — the loop must close MID-STREAM)
+_STREAM_ANN_STATS = {"batches": 0, "sweeps": 0, "maintenance_runs": 0,
+                     "actions": 0}
+
 
 def _stream_ann_group(spark: SparkSession, sf_dir: str) -> str:
     """Vector tier maintained ENTIRELY BY A STREAM — the ANN twin of
     textops._stream_maintained_index: the embeddings layer's keyed CDF
-    stream (bootstrap inserts, then an equality-delete version's
-    pre-images, ARRAY-typed columns end to end) drives
+    stream (three bootstrap insert commits, then an equality-delete
+    version's pre-images, ARRAY-typed columns end to end) drives
     ``refresh_ann_assignments`` per micro-batch, replaying multi-version
     batches in ``_commit_version`` order; the assignment layer starts
     EMPTY and every vector it ever holds arrives by stream.  The
     quantizer is the shared persisted fit (ensured first — fit is
-    deterministic, so whoever fits commits the same model).  Once per
-    process."""
+    deterministic, so whoever fits commits the same model).
+
+    The sink runs the SHARED tier-agnostic governor
+    (``plans.maintenance.auto_maintenance_hook`` bound to
+    ``maintain_ann_assignments``, catalog-sweep form — the pin set is
+    the group's table catalog): after each applied batch the
+    metadata-only advisor decides whether the stream's small appends /
+    delete entries warrant compaction, builder-asserted to fire at
+    least once so the compact/fold loop is proven to close MID-STREAM
+    for the vector tier too.  Once per process."""
     import os as _os
     import shutil
 
@@ -1661,9 +1674,25 @@ def _stream_ann_group(spark: SparkSession, sf_dir: str) -> str:
     )
     model_layer = scratch_dir("snapshots", tag, "ivf_model")
     persisted_ivf_centroids(spark, emb, model_layer, n_centroids=16, iters=1)
+    # three insert commits then one equality delete: four CDF versions
+    # for the stream to replay, enough small appends + live delete
+    # entries that the governor's advisor sweep has real work to
+    # warrant (final state unchanged: vec_id % 7 != 3)
     snap.commit_snapshot(
-        spark, emb, emb_layer, stats_cols=["vec_id"], change_feed=True
+        spark,
+        emb.filter(F.col("vec_id") % 3 == 0),
+        emb_layer,
+        stats_cols=["vec_id"],
+        change_feed=True,
     )
+    for i in (1, 2):
+        snap.commit_snapshot(
+            spark,
+            emb.filter(F.col("vec_id") % 3 == i),
+            emb_layer,
+            mode="append",
+            stats_cols=["vec_id"],
+        )
     snap.delete_snapshot_keys(
         spark,
         emb_layer,
@@ -1683,6 +1712,18 @@ def _stream_ann_group(spark: SparkSession, sf_dir: str) -> str:
         .option("cols", "vec_id,embedding")
         .option("mode", "cdf")
         .load()
+    )
+
+    from .maintenance import auto_maintenance_hook
+
+    on_batch, stats = auto_maintenance_hook(
+        spark,
+        group,
+        maintain_ann_assignments,
+        every_n=1,
+        # toy-scale target so the stream's small appends register as
+        # compactable; production would pass the layer's real target
+        target_rows_per_file=max(250, emb.count() * 2),
     )
 
     def apply_batch(batch_df, _batch_id):
@@ -1712,6 +1753,9 @@ def _stream_ann_group(spark: SparkSession, sf_dir: str) -> str:
                 refresh_ann_assignments(
                     spark, group, changes, model_layer=model_layer
                 )
+            # governor: advisor sweep after every applied batch;
+            # maintenance executes only when warranted
+            on_batch()
         finally:
             batch_df.unpersist()
 
@@ -1724,6 +1768,12 @@ def _stream_ann_group(spark: SparkSession, sf_dir: str) -> str:
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
+    _STREAM_ANN_STATS.update(stats)
+    if not stats["maintenance_runs"]:
+        raise AssertionError(
+            "ANN stream governor never ran maintenance: the fixture "
+            "must exercise the mid-stream compaction loop"
+        )
     _STREAM_ANN_BUILT.add(group)
     return group
 
@@ -1755,15 +1805,20 @@ ORDER BY cluster
     "STREAM-MAINTAINED VECTOR TIER, end to end (the ANN twin of "
     "streaming_index_maintenance): the embeddings layer's change-data-"
     "feed stream — ARRAY-typed columns through the Python stream "
-    "source, bootstrap inserts then an equality-delete version's "
-    "executor-side pre-image reconstruction — drives "
+    "source, three bootstrap insert commits then an equality-delete "
+    "version's executor-side pre-image reconstruction — drives "
     "refresh_ann_assignments per micro-batch with _commit_version "
     "replay ordering; the assignment layer starts EMPTY, every vector "
     "arrives by stream, deletes fold O(delta) with zero driver key "
-    "hops, the persisted quantizer is never re-fit; the mixture "
-    "weights then read the stream-built layer and the oracle replays "
+    "hops, the persisted quantizer is never re-fit; the sink runs the "
+    "SHARED tier-agnostic governor (one implementation across token/"
+    "vector/near-dup tiers, catalog-sweep form) — builder-asserted to "
+    "execute advisor-warranted compaction MID-STREAM, folding the "
+    "stream's delete entries; the mixture weights then read the "
+    "stream-built, mid-stream-compacted layer and the oracle replays "
     "fit + surviving-corpus assignment + weights in SQL — a dropped "
-    "batch, unapplied delete, or misordered replay breaks the hash",
+    "batch, unapplied delete, misordered replay, or lossy compaction "
+    "breaks the hash",
     tags=("similarity", "model", "snapshots", "streaming", "cdc"),
 )
 def q_streaming_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:

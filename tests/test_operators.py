@@ -2131,6 +2131,65 @@ class TestTokenIndexRound10:
         )
         assert any(d >= 1000000 for d in dl_docs)
 
+    def test_shared_governor_closes_loop_on_ann_stream(self, spark):
+        """r11 verdict item 4: ALL THREE tiers share one governor
+        implementation (plans.maintenance.auto_maintenance_hook) and
+        the vector stream — previously the only tier without a
+        mid-stream governor — now runs it: stats counters pin that the
+        advisor swept and warranted maintenance executed MID-STREAM,
+        and the stream-built assignment layer holds exactly the
+        surviving vectors afterwards (lossless compaction)."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.plans import (
+            token_index as ti,
+        )
+        from aie321_bigdata_movie_kpi_1m_spark.plans import (
+            maintenance,
+            textops,
+            vectors as vx,
+        )
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            read_snapshot,
+        )
+
+        group = vx._stream_ann_group(spark, "/root/testdata/sf0.001")
+        stats = vx._STREAM_ANN_STATS
+        assert stats["batches"] >= 1
+        assert stats["sweeps"] >= 1
+        assert stats["maintenance_runs"] >= 1
+        assert stats["actions"] >= 1
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        surv = {
+            r["vec_id"]
+            for r in emb.filter(F.col("vec_id") % 7 != 3)
+            .select("vec_id")
+            .collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in read_snapshot(spark, f"{group}/assign")
+            .select("vec_id")
+            .collect()
+        }
+        assert got == surv
+        # one shared implementation: the token-tier hook is a binding
+        # of the tier-agnostic governor, and the neardup stream passes
+        # it its maintainer too
+        import inspect
+
+        assert "maintenance.auto_maintenance_hook" in inspect.getsource(
+            ti.auto_maintenance_hook
+        ) or "from .maintenance import" in inspect.getsource(
+            ti.auto_maintenance_hook
+        )
+        assert "auto_maintenance_hook" in inspect.getsource(
+            textops._stream_neardup_group
+        )
+        assert callable(maintenance.auto_maintenance_hook)
+
     def test_lexicon_build_is_window_free(self, spark):
         """r10 verdict item 1: the lexicon delta's top-K + watermark
         compile to distributed TakeOrderedAndProject — NO Window node
