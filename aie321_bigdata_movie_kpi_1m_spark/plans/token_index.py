@@ -714,6 +714,76 @@ def indexed_bm25_topk(
     )
 
 
+def indexed_bm25_multi(
+    spark: SparkSession,
+    group: str,
+    query_terms: list[tuple[int, str]],
+    *,
+    limit: int = 20,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """BM25 top-k for a BATCH of queries through the index — the
+    serving shape a RAG stack actually runs (N requests per batch, not
+    one): ``query_terms`` is (query_id, term) pairs; the UNION term set
+    makes ONE pruned postings read (each file admitted once no matter
+    how many queries probe it), corpus df/stats are computed BEFORE the
+    query fan-out (df is a corpus property, identical for every query),
+    and the per-query fan-out is a broadcast join against the
+    metadata-scale (query_id, token) relation.  Ranking windows
+    partition by query_id END TO END, so per-query state never
+    converges on one task — the multi-query discipline the r11 verdict
+    asked of the hybrid fusion.  Per-term scores are the exact
+    ``indexed_bm25_topk`` expression tree, so a single-query batch
+    reproduces it bit-for-bit."""
+    from pyspark.sql import Window
+
+    terms = sorted({t for _, t in query_terms})
+    pins = index_pins(spark, group)
+    post = pruned_postings(
+        spark, group, terms, assert_pruned=assert_pruned, pins=pins
+    )
+    dfreq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = corpus_stats(spark, group, pins=pins)
+    dl = _doclen_df(spark, group, pins)
+    qrel = spark.createDataFrame(
+        list(query_terms), "query_id long, token string"
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sc = (
+        idf
+        * (F.col("tf") * F.lit(_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_K1)
+            * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        post.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qrel), "token")
+        .select("query_id", "doc_id", sc.alias("sc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_r4").desc(), "doc_id"
+    )
+    return (
+        scored.groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            F.round(F.sum("sc"), 4).alias("bm25_r4"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= limit)
+        .select("query_id", "doc_id", "n_terms", "bm25_r4")
+    )
+
+
 def indexed_keyword_search(
     spark: SparkSession,
     group: str,

@@ -2069,6 +2069,214 @@ def q_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the multi-request hybrid batch: (query_id, lexical terms); the dense
+#: tower uses the SAME ids as query vectors (vec_id 0..2)
+_HYBRID_MULTI_REQUESTS = (
+    (0, ("spark", "join", "window")),
+    (1, ("stream", "table", "agg")),
+    (2, ("vector", "query", "sort")),
+)
+
+
+def _hybrid_rrf_ann_multi_oracle() -> str:
+    """Per-query replay of the BATCHED hybrid pipeline: BM25 over each
+    request's term set (union-term tf, corpus df, the exact
+    _BM25_SCORED_CTE expression with token carried through), per-query
+    IVF probes + pruned-candidate cosine ranks, per-query RRF fusion —
+    every window PARTITIONED BY query_id, mirroring the operator."""
+    from .textops import _TOKENS_CTE
+
+    union_terms = sorted(
+        {t for _, ts in _HYBRID_MULTI_REQUESTS for t in ts}
+    )
+    union_sql = ", ".join(f"'{t}'" for t in union_terms)
+    qt_values = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _HYBRID_MULTI_REQUESTS for t in ts
+    )
+    n_q = len(_HYBRID_MULTI_REQUESTS)
+    bm25_body = _TOKENS_CTE.strip().removeprefix("WITH ")
+    return f"""{_ivf_cells_prefix()},
+{bm25_body},
+ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM ex) AS total
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM ex
+  WHERE token IN ({union_sql})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT t.doc_id, t.token,
+         ln(1 + (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                / (d.df + CAST(0.5 AS DOUBLE)))
+         * (t.tf * CAST(2.2 AS DOUBLE))
+         / (t.tf + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * l.dl / (s.total / s.n_docs)))
+           AS sc
+  FROM tf t
+  JOIN dfreq d USING (token)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+),
+qt(query_id, token) AS (SELECT * FROM (VALUES {qt_values})),
+lex AS (
+  SELECT q.query_id, s.doc_id, ROUND(SUM(s.sc), 4) AS bm25_r4
+  FROM scored s JOIN qt q USING (token)
+  GROUP BY 1, 2
+),
+lexr AS (
+  SELECT query_id, doc_id, lex_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY bm25_r4 DESC, doc_id) AS lex_rank
+    FROM lex
+  ) WHERE lex_rank <= 50
+),
+qv AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {n_q}),
+probes AS (
+  SELECT query_id, c FROM (
+    SELECT q.query_id, k.c,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_inner_product(k.v, k.v)
+                      - 2 * list_inner_product(q.v, k.v), k.c) AS rn
+    FROM qv q, cents k
+  ) WHERE rn <= 6
+),
+semsel AS (
+  SELECT p.query_id, cl.vec_id AS doc_id,
+         list_inner_product(ce.v, q.v)
+           / sqrt(list_inner_product(ce.v, ce.v)
+                  * list_inner_product(q.v, q.v)) AS sim
+  FROM probes p
+  JOIN cells cl ON cl.c = p.c
+  JOIN e ce ON ce.vec_id = cl.vec_id
+  JOIN qv q ON q.query_id = p.query_id
+  WHERE cl.vec_id <> p.query_id
+),
+semr AS (
+  SELECT query_id, doc_id, sem_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, doc_id) AS sem_rank
+    FROM semsel
+  ) WHERE sem_rank <= 50
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(s.sem_rank, 0) AS sem_rank,
+         ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
+               + COALESCE(1.0 / (60 + s.sem_rank), 0), 6) AS rrf_r6
+  FROM lexr l
+  FULL OUTER JOIN semr s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+),
+final_ranked AS (
+  SELECT query_id, doc_id, lex_rank, sem_rank, rrf_r6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_r6 DESC, doc_id) AS rn
+  FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank,
+       rrf_r6
+FROM final_ranked WHERE rn <= 20
+"""
+
+
+@register(
+    "hybrid_rrf_ann_multi",
+    _hybrid_rrf_ann_multi_oracle(),
+    "MULTI-QUERY hybrid retrieval, both towers index-served (r11 "
+    "verdict item 5 — the serving shape a RAG stack runs: a BATCH of "
+    "requests, not one): three (term-set, query-vector) requests share "
+    "ONE pruned postings read (union term set — each posting file "
+    "admitted once however many queries probe it) with corpus df/stats "
+    "computed before the per-query fan-out, and one pruned assignment-"
+    "layer read for the dense tower; EVERY ranking window — BM25 "
+    "top-50, cosine top-50, RRF top-20 — partitions by query_id end to "
+    "end, so per-query state never converges on a single task (the "
+    "single-query variant's bounded global windows disappear); fused "
+    "by 1/(60+rank) per query; the oracle replays per-query BM25, "
+    "probes, pruned-candidate ranks, and fusion from the raw tables "
+    "with every window partitioned identically",
+    tags=("text", "retrieval", "similarity", "index", "pruning", "model"),
+)
+def q_hybrid_rrf_ann_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from . import token_index
+    from .textops import _token_index_group
+
+    ti_group = _token_index_group(spark, sf_dir)
+    qterms = [
+        (qid, t) for qid, ts in _HYBRID_MULTI_REQUESTS for t in ts
+    ]
+    lex = token_index.indexed_bm25_multi(
+        spark, ti_group, qterms, limit=50
+    )
+    lexr = lex.select(
+        "query_id",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("bm25_r4").desc(), "doc_id"
+            )
+        )
+        .alias("lex_rank"),
+    )
+    ann_group = _plain_ann_group(spark, sf_dir)
+    queries = (
+        load_star_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < len(_HYBRID_MULTI_REQUESTS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    sem = ann_assign_topk(
+        spark, ann_group, queries, k=50, n_probe=6, with_rank=True
+    )
+    semr = sem.select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(60) + F.col("sem_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    fused = lexr.join(semr, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("lex_rank"), F.lit(0))
+        .cast("long")
+        .alias("lex_rank"),
+        F.coalesce(F.col("sem_rank"), F.lit(0))
+        .cast("long")
+        .alias("sem_rank"),
+        rrf.alias("rrf_r6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_r6").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 20)
+        .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf_r6")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVFADC: inverted-file + product-quantization search over the
 # PERSISTED assignment layer (the FAISS IVFADC / IVFPQ shape — coarse
