@@ -58,6 +58,19 @@ from ..sources.snapshots import (
 
 #: sub-layer names under the index group directory
 POSTINGS, DOCLEN, STATS = "postings", "doclen", "stats"
+#: PERMUTERM term layer (Garfield rotated-term index, the Lucene/
+#: Solr answer to leading-wildcard and infix term queries): one
+#: (rot, token) row per cyclic rotation of ``token + TERMINATOR``,
+#: range-clustered on rot — every wildcard class (``X*``, ``*X``,
+#: ``*X*``, ``X*Y``) becomes ONE exact prefix interval over rot, so
+#: the vocabulary is never scanned.  O(vocabulary x avg token length)
+#: rows — term-dictionary scale, tiny next to the postings.
+PERMUTERM = "permuterm"
+
+#: rotation terminator: must sort below every real code point and never
+#: appear inside a token (tokens containing it are excluded at build —
+#: whitespace tokenization of real text never produces NUL)
+_PERM_TERM = "\x00"
 #: term-dictionary sideband (Lucene's term dictionary / collection
 #: frequencies, as a signed ledger): per maintenance commit, the
 #: delta's top-K (token, tf-sum) rows plus one NULL-token WATERMARK row
@@ -260,6 +273,21 @@ def build_token_index(
             target_rows_per_file=target_rows_per_file,
         )
         publish_index_pins(spark, group)  # readers see whole cycles only
+    # permuterm term layer: rotations of the pinned postings' DISTINCT
+    # tokens (term-dictionary scale; the postings read column-prunes to
+    # the token column)
+    _permuterm_delta(
+        spark,
+        group,
+        read_snapshot(
+            spark, _sub(group, POSTINGS), index_pins(spark, group)[POSTINGS]
+        )
+        .select("token")
+        .distinct(),
+        first=True,
+        target_rows_per_file=target_rows_per_file,
+    )
+    publish_index_pins(spark, group)
     _write_doclen_mirror(spark, group, index_pins(spark, group))
     return group
 
@@ -334,6 +362,15 @@ def refresh_token_index(
                 first=False,
                 target_rows_per_file=target_rows_per_file,
             )
+        # permuterm vocabulary delta — AFTER the postings fold, so the
+        # dead-token probe sees the live postings state
+        _refresh_permuterm(
+            spark,
+            group,
+            added,
+            removed.select("doc_id", F.col("before.text").alias("text")),
+            target_rows_per_file=target_rows_per_file,
+        )
         catalog_version = publish_index_pins(spark, group)
         return {
             "removed_docs": bool(n_removed),
@@ -366,9 +403,9 @@ def publish_index_pins(spark: SparkSession, group: str) -> int:
                 "path": _sub(group, t),
                 "version": snapshot_versions(spark, _sub(group, t))[-1],
             }
-            for t in (POSTINGS, DOCLEN, STATS, LEXICON)
-            # lexicon tolerated absent: groups built before the sideband
-            # (or mid-bootstrap) pin the three core layers only
+            for t in (POSTINGS, DOCLEN, STATS, LEXICON, PERMUTERM)
+            # lexicon/permuterm tolerated absent: groups built before
+            # those sidebands (or mid-bootstrap) pin the core layers only
             if snapshot_versions(spark, _sub(group, t))
         }
         head = catalog_versions(spark, group)
@@ -1161,6 +1198,235 @@ def pruned_prefix_postings(
             )
     return read_snapshot(spark, path, v, prune_range=rng).filter(
         F.col("token").startswith(prefix)
+    )
+
+
+def _permuterm_rows(tokens_df: DataFrame) -> DataFrame:
+    """(rot, token) rotation rows for a DISTINCT-token delta: one row
+    per cyclic rotation of ``token + NUL`` (len+1 rotations), built
+    with JVM expressions (sequence/transform/substr — no Python in the
+    loop).  Tokens containing the terminator are excluded (documented
+    boundary: unservable by rotation algebra, and absent from real
+    tokenized text)."""
+    tr = F.concat(F.col("token"), F.lit(_PERM_TERM))
+    return (
+        tokens_df.filter(~F.col("token").contains(_PERM_TERM))
+        .select("token", tr.alias("__tr"))
+        .select(
+            "token",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, length(__tr) - 1), "
+                    "i -> concat(substr(__tr, i + 1), substr(__tr, 1, i)))"
+                )
+            ).alias("rot"),
+        )
+        .select("rot", "token")
+    )
+
+
+def _permuterm_delta(
+    spark: SparkSession,
+    group: str,
+    tokens_df: DataFrame,
+    *,
+    first: bool,
+    target_rows_per_file: int = 100_000,
+) -> None:
+    """Commit one distinct-token delta's rotations, rot-range-clustered
+    with [min, max] rot stats — the same disjoint-range discipline the
+    postings layer keeps on token, so a rotation prefix interval admits
+    O(matching range) files."""
+    rows = _permuterm_rows(tokens_df)
+    n = rows.count()
+    if not n and not first:
+        return
+    n_parts = max(1, math.ceil(n / max(1, int(target_rows_per_file))))
+    commit_snapshot(
+        spark,
+        rows.repartitionByRange(n_parts, "rot"),
+        _sub(group, PERMUTERM),
+        mode="overwrite" if first else "append",
+        stats_cols=["rot"],
+    )
+
+
+def _refresh_permuterm(
+    spark: SparkSession,
+    group: str,
+    added_docs: DataFrame,
+    removed_docs: DataFrame,
+    *,
+    target_rows_per_file: int = 100_000,
+) -> None:
+    """Fold the docs delta into the permuterm layer, O(delta):
+
+    - candidate NEW tokens = distinct tokens of the ADDED docs (delta
+      scale), anti-joined against the layer's token column (term-
+      dictionary scale — never the corpus) -> one clustered rotation
+      append for the truly-new ones;
+    - candidate DEAD tokens = distinct tokens of the REMOVED docs'
+      pre-image text; each is probed against the LIVE postings through
+      the bloom-pruned DataFrame-probe path (zero driver key hops) and
+      only tokens with no surviving posting row become ONE equality
+      delete.  Unchanged vocabulary is never touched."""
+    if not snapshot_versions(spark, _sub(group, PERMUTERM)):
+        return
+    layer = _sub(group, PERMUTERM)
+    layer_tokens = read_snapshot(spark, layer).select("token").distinct()
+    add_tok = (
+        postings_of(added_docs)
+        .select("token")
+        .distinct()
+        .join(layer_tokens, "token", "left_anti")
+    )
+    _permuterm_delta(
+        spark,
+        group,
+        add_tok,
+        first=False,
+        target_rows_per_file=target_rows_per_file,
+    )
+    cand_dead = (
+        postings_of(removed_docs).select("token").distinct()
+    )
+    if cand_dead.limit(1).count():
+        live = read_snapshot(
+            spark,
+            _sub(group, POSTINGS),
+            prune_point=("token", cand_dead),
+        ).join(cand_dead, "token", "left_semi")
+        dead = cand_dead.join(
+            live.select("token").distinct(), "token", "left_anti"
+        )
+        if dead.limit(1).count():
+            delete_snapshot_keys(spark, layer, "token", dead)
+
+
+def _pruned_permuterm_tokens(
+    spark: SparkSession,
+    group: str,
+    rot_prefix: str,
+    *,
+    assert_pruned: bool = True,
+    pins: dict | None = None,
+) -> DataFrame:
+    """Distinct tokens whose rotation set contains a string starting
+    with ``rot_prefix``, read from ONLY the files whose committed
+    [min, max] rot range intersects the EXACT interval
+    ``[rot_prefix, succ(rot_prefix))`` — the permuterm probe every
+    wildcard class compiles to."""
+    pins = pins or index_pins(spark, group)
+    path = _sub(group, PERMUTERM)
+    v = pins.get(PERMUTERM)
+    if v is None:
+        raise FileNotFoundError(
+            f"index group {group} has no permuterm layer — rebuild with "
+            "build_token_index (r12+) to serve wildcard queries"
+        )
+    hi = _prefix_successor(rot_prefix)
+    rng = ("rot", rot_prefix, hi) if hi is not None else None
+    if assert_pruned and rng is not None:
+        n_all = len(snapshot_files(spark, path, v))
+        n_probe = len(snapshot_files(spark, path, v, prune_range=rng))
+        # a 1-file layer (tiny vocabulary) is legitimately unprunable —
+        # the assertion indicts a MULTI-file plan reading everything
+        if n_all > 1 and n_probe >= n_all:
+            raise AssertionError(
+                f"permuterm probe {rot_prefix!r} did not prune: "
+                f"{n_probe} of {n_all}"
+            )
+    return (
+        read_snapshot(spark, path, v, prune_range=rng)
+        .filter(F.col("rot").startswith(rot_prefix))
+        .select("token")
+        .distinct()
+    )
+
+
+def indexed_wildcard_search(
+    spark: SparkSession,
+    group: str,
+    pattern: str,
+    *,
+    limit: int = 20,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """WILDCARD term search (``X*`` / ``*X`` / ``*X*`` / ``X*Y``)
+    through the permuterm layer — the Lucene term-query classes a
+    prefix interval alone cannot serve (leading-wildcard ``*fix``,
+    infix ``*mid*``).  The pattern rotates so its wildcard lands at
+    the end (Garfield's permuterm trick):
+
+    - ``X*``  -> rot prefix ``NUL + X``
+    - ``*X``  -> rot prefix ``X + NUL``
+    - ``*X*`` -> rot prefix ``X``
+    - ``X*Y`` -> rot prefix ``Y + NUL + X``
+
+    ONE exact range probe over the rot-clustered layer (builder-
+    asserted strict subset) yields the matching terms; a final exact
+    LIKE-semantics filter on the token makes rotation false positives
+    impossible (incl. the overlap case ``ab`` vs ``ab*b``, which the
+    independent starts/ends rotation test would wrongly admit).  The
+    matched terms — vocabulary-selective, metadata scale, same class
+    as the lexicon's top-n hop — then probe the postings through the
+    bloom-pruned point path, and docs rank by exact summed tf with
+    doc_id tie-break, mirroring ``indexed_prefix_search``."""
+    stars = pattern.count("*")
+    if not stars or not pattern.strip("*"):
+        raise ValueError(f"pattern {pattern!r} needs literal text + *")
+    if stars == 1 and pattern.endswith("*"):
+        x = pattern[:-1]
+        rot_prefix, match = _PERM_TERM + x, F.col("token").startswith(x)
+    elif stars == 1 and pattern.startswith("*"):
+        x = pattern[1:]
+        rot_prefix, match = x + _PERM_TERM, F.col("token").endswith(x)
+    elif stars == 2 and pattern.startswith("*") and pattern.endswith("*"):
+        x = pattern[1:-1]
+        if "*" in x:
+            raise ValueError(f"unsupported pattern {pattern!r}")
+        rot_prefix, match = x, F.col("token").contains(x)
+    elif stars == 1:
+        x, y = pattern.split("*")
+        rot_prefix = y + _PERM_TERM + x
+        match = (
+            F.col("token").startswith(x)
+            & F.col("token").endswith(y)
+            & (F.length("token") >= len(x) + len(y))
+        )
+    else:
+        raise ValueError(f"unsupported pattern {pattern!r}")
+    pins = index_pins(spark, group)
+    terms = [
+        r["token"]
+        for r in _pruned_permuterm_tokens(
+            spark, group, rot_prefix, assert_pruned=assert_pruned,
+            pins=pins,
+        )
+        .filter(match)
+        .collect()
+    ]
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id long, score long, n_terms long"
+        )
+    # the wildcard's builder-asserted plan property is the ROTATION
+    # interval probe above; the expanded term set may legitimately span
+    # the whole token range (e.g. a suffix class hitting one term per
+    # leading letter), so the postings stage prunes best-effort —
+    # bloom/range skipping still applies per file, just unasserted
+    post = pruned_postings(
+        spark, group, sorted(terms), assert_pruned=False, pins=pins
+    )
+    return (
+        post.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("score"),
+            F.count_distinct("token").cast("long").alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(limit)
+        .select("doc_id", "score", "n_terms")
     )
 
 

@@ -2902,6 +2902,152 @@ class TestIndexedPrefixSearch:
         assert hits() == {2}
 
 
+class TestIndexedWildcardSearch:
+    """Permuterm layer: wildcard classes, LIKE-exact filtering,
+    pruning, and O(delta) vocabulary maintenance."""
+
+    def test_wildcard_classes_and_overlap_exactness(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs = spark.createDataFrame(
+            [
+                (1, "window shadow stream"),
+                (2, "order border ab"),
+                (3, "seam steam window window"),
+            ],
+            "doc_id long, text string",
+        )
+        group = str(tmp_path / "ti")
+        ti.build_token_index(spark, docs, group, splits=1)
+
+        def hits(pat):
+            return {
+                r["doc_id"]: (r["score"], r["n_terms"])
+                for r in ti.indexed_wildcard_search(
+                    spark, group, pat, assert_pruned=False
+                ).collect()
+            }
+
+        # suffix: *dow -> window, shadow
+        assert hits("*dow") == {1: (2, 2), 3: (2, 1)}
+        # infix: *rde* -> order, border
+        assert hits("*rde*") == {2: (2, 2)}
+        # anchored X*Y: s*eam -> seam, steam, stream (LIKE allows empty %)
+        assert hits("s*eam") == {1: (1, 1), 3: (2, 2)}
+        # overlap exactness: ab*b must NOT match the 2-char token "ab"
+        # (starts with ab AND ends with b, but LIKE 'ab%b' needs >= 3)
+        assert hits("ab*b") == {}
+        # prefix class through the same layer: wi*
+        assert hits("wi*") == {1: (1, 1), 3: (2, 1)}
+        import pytest
+
+        with pytest.raises(ValueError, match="needs literal"):
+            ti.indexed_wildcard_search(spark, group, "*")
+        with pytest.raises(ValueError, match="unsupported"):
+            ti.indexed_wildcard_search(spark, group, "a*b*c")
+
+    def test_wildcard_pruning_strict_subset(self, spark, tmp_path):
+        """The rot-range probe admits a strict subset of a multi-file
+        permuterm layer (the in-function assertion raises otherwise)
+        and equals the unpruned answer."""
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            snapshot_files,
+        )
+
+        rows = [
+            (i, " ".join(f"{chr(97 + i % 26)}mid{j}x" for j in range(8)))
+            for i in range(80)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        group = str(tmp_path / "ti")
+        ti.build_token_index(
+            spark, docs, group, splits=1, target_rows_per_file=120
+        )
+        pins = ti.index_pins(spark, group)
+        assert len(snapshot_files(spark, f"{group}/permuterm",
+                                  pins[ti.PERMUTERM])) > 4
+        pruned = sorted(
+            map(
+                tuple,
+                ti.indexed_wildcard_search(spark, group, "*d0x").collect(),
+            )
+        )
+        full = sorted(
+            map(
+                tuple,
+                ti.indexed_wildcard_search(
+                    spark, group, "*d0x", assert_pruned=False
+                ).collect(),
+            )
+        )
+        assert pruned == full and pruned
+
+    def test_wildcard_tracks_vocabulary_churn(self, spark, tmp_path):
+        """Refresh folds the vocabulary delta O(delta): a new token
+        becomes wildcard-servable, a token whose last posting vanishes
+        leaves the layer (dead probe through the live postings), and a
+        token still held by a surviving doc stays."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs_layer = str(tmp_path / "docs")
+        group = str(tmp_path / "ti")
+        v1 = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(1, "unique window"), (2, "window keeper")],
+                "doc_id long, text string",
+            ),
+            docs_layer,
+            change_feed=True,
+        )
+        ti.build_token_index(
+            spark, snap.read_snapshot(spark, docs_layer), group, splits=1
+        )
+
+        def toks():
+            return {
+                r["token"]
+                for r in snap.read_snapshot(spark, f"{group}/permuterm")
+                .select("token")
+                .distinct()
+                .collect()
+            }
+
+        assert toks() == {"unique", "window", "keeper"}
+        # delete doc 1 (kills 'unique', 'window' survives via doc 2),
+        # insert doc 3 with a brand-new token
+        v2 = snap.delete_snapshot_keys(spark, docs_layer, "doc_id", [1])[
+            "version"
+        ]
+        v3 = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(3, "novel window")], "doc_id long, text string"
+            ),
+            docs_layer,
+            mode="append",
+        )
+        ti.refresh_token_index(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, docs_layer, v1, v3, ["doc_id"], include_values=True
+            ),
+        )
+        assert toks() == {"window", "keeper", "novel"}
+        assert {
+            r["doc_id"]
+            for r in ti.indexed_wildcard_search(
+                spark, group, "*vel", assert_pruned=False
+            ).collect()
+        } == {3}
+        assert not ti.indexed_wildcard_search(
+            spark, group, "*ique", assert_pruned=False
+        ).collect()
+
+
 class TestNeardupIndex:
     """Persisted MinHash-LSH near-dup index: build / lookup / refresh /
     pruning / parity with the recomputed operator."""
