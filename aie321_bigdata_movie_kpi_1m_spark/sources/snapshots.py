@@ -380,18 +380,54 @@ _SEGMENT_MAX_FILES = 256
 _SEGMENT_READS = {"n": 0}
 
 
+#: (file path) -> ((mtime, length), parsed dict): manifest and segment
+#: files are WRITE-ONCE at a path (``_write_text`` refuses overwrite),
+#: so a parsed copy validated against the file's (mtime, length)
+#: signature is safe to reuse — one getFileStatus py4j call replaces
+#: the open/read/close round-trips plus the JSON parse.  A vacuumed
+#: file fails the status call (natural miss — reads of vacuumed
+#: versions still fail, the pyds refuse-on-vacuumed contract); a
+#: drop + recreate at the same path changes the signature AND the
+#: drop-layer hook purges eagerly.  Entries are deep-copied out
+#: because ``_manifest`` materializes segment maps INTO the dict it
+#: gets back.
+_JSON_FILE_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
+
+
+def _read_json_cached(spark: SparkSession, path: str) -> dict:
+    import copy
+
+    jvm, fs = _fs(spark, path)
+    st = fs.getFileStatus(_hpath(jvm, path))
+    sig = (int(st.getModificationTime()), int(st.getLen()))
+    hit = _JSON_FILE_CACHE.get(path)
+    if hit is None or hit[0] != sig:
+        _JSON_FILE_CACHE[path] = (sig, json.loads(_read_text(spark, path)))
+    return copy.deepcopy(_JSON_FILE_CACHE[path][1])
+
+
+def _evict_json_cache(path: str) -> None:
+    pfx = path.rstrip("/") + "/"
+    for key in [
+        k for k in _JSON_FILE_CACHE if k == path or k.startswith(pfx)
+    ]:
+        del _JSON_FILE_CACHE[key]
+
+
 def _manifest_raw(spark: SparkSession, path: str, version: int) -> dict:
     """The version manifest EXACTLY as written — for format 2 the
     per-file maps live in segment files and are NOT loaded.  Planning
     paths work from this plus only the segments they need."""
-    return json.loads(
-        _read_text(spark, f"{path}/{_MANIFEST_DIR}/v{version}.json")
+    return _read_json_cached(
+        spark, f"{path}/{_MANIFEST_DIR}/v{version}.json"
     )
 
 
 def _read_segment(spark: SparkSession, seg_path: str) -> dict:
+    # counts segments CONSULTED (the plan-cost pin tests rely on), not
+    # physical reads — the signature-validated cache may serve the bytes
     _SEGMENT_READS["n"] += 1
-    return json.loads(_read_text(spark, seg_path))
+    return _read_json_cached(spark, seg_path)
 
 
 def _manifest(spark: SparkSession, path: str, version: int) -> dict:
@@ -3003,6 +3039,7 @@ def drop_snapshot_layer(spark: SparkSession, path: str) -> None:
     drops every nested layer, so hooks match on path prefix."""
     jvm, fs = _fs(spark, path)
     fs.delete(_hpath(jvm, path), True)
+    _evict_json_cache(path)
     for fn in _DROP_LAYER_HOOKS:
         fn(path)
 
@@ -4044,6 +4081,35 @@ def snapshot_maintenance_plan(
     sort by action name.  Uses the materialized manifest view
     (``_manifest``) — the documented maintenance-job path, O(files)
     metadata."""
+    return spark.createDataFrame(
+        _maintenance_plan_rows(
+            spark,
+            path,
+            target_rows_per_file=target_rows_per_file,
+            small_file_rows=small_file_rows,
+            overlap_threshold=overlap_threshold,
+            version=version,
+        ),
+        "action string, col string, n_files long, n_rows long, "
+        "predicted_files long, overlap_files long",
+    )
+
+
+def _maintenance_plan_rows(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_rows_per_file: int,
+    small_file_rows: int | None = None,
+    overlap_threshold: float = 0.5,
+    version: int | None = None,
+) -> list[tuple]:
+    """``snapshot_maintenance_plan``'s rows as plain Python tuples —
+    the whole advisor is manifest-JSON arithmetic, so callers sweeping
+    MANY layers (``catalog_maintenance_plan``, the stream governors)
+    batch these into ONE local relation instead of paying a
+    DataFrame-construction + union + sort Spark job per layer (the
+    measured 4s-warm-sweep cause the r11 verdict flagged)."""
     versions = snapshot_versions(spark, path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {path}")
@@ -4176,8 +4242,4 @@ def snapshot_maintenance_plan(
             )
 
     rows.sort(key=lambda r: (r[0], r[1] or ""))
-    return spark.createDataFrame(
-        rows,
-        "action string, col string, n_files long, n_rows long, "
-        "predicted_files long, overlap_files long",
-    )
+    return rows

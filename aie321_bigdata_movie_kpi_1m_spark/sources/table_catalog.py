@@ -309,29 +309,34 @@ def catalog_maintenance_plan(
 
     Returns one DataFrame: (table_name, action, col, n_files, n_rows,
     predicted_files, overlap_files), ordered by (table_name, action).
-    Tables whose layers need nothing contribute no rows."""
-    from pyspark.sql import functions as F
+    Tables whose layers need nothing contribute no rows.
 
-    from .snapshots import snapshot_maintenance_plan
+    The per-layer advisor is pure manifest-JSON arithmetic
+    (``snapshots._maintenance_plan_rows``), so the whole sweep builds
+    ONE local relation — no per-layer DataFrame construction, no
+    union chain, no sort shuffle: a metadata-only plan over N tables
+    costs N manifest reads plus one local-relation collect (the r11
+    verdict's 4s-warm-sweep fix)."""
+    from .snapshots import _maintenance_plan_rows
 
     tables = catalog_tables(spark, cat_path, catalog_version)
-    out: DataFrame | None = None
-    for name in sorted(tables):
-        plan = snapshot_maintenance_plan(
+    rows = [
+        (name, *r)
+        for name in sorted(tables)
+        for r in _maintenance_plan_rows(
             spark,
             str(tables[name]["path"]),
             target_rows_per_file=target_rows_per_file,
             small_file_rows=small_file_rows,
             overlap_threshold=overlap_threshold,
-        ).select(F.lit(name).alias("table_name"), "*")
-        out = plan if out is None else out.unionByName(plan)
-    if out is None:
-        return spark.createDataFrame(
-            [],
-            "table_name string, action string, col string, n_files long, "
-            "n_rows long, predicted_files long, overlap_files long",
         )
-    return out.orderBy("table_name", "action", "col")
+    ]
+    rows.sort(key=lambda r: (r[0], r[1], r[2] or ""))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, action string, col string, n_files long, "
+        "n_rows long, predicted_files long, overlap_files long",
+    )
 
 
 def register_catalog_views(

@@ -104,6 +104,19 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         runs.append(timings)
     best = {name: min(r[name] for r in runs) for name in runs[0]}
+    # explicit fixture-build vs serving split (r11 verdict item 6): for
+    # queries that build per-process cached state (snapshot layers,
+    # bucketed mirrors, persisted models) run 1 pays the build and the
+    # later runs measure serving — the run1 - best spread IS the build
+    # cost, recorded per query so the artifact separates the two instead
+    # of leaving the reader to infer it from runs_raw
+    split = {
+        name: {
+            "build_s": round(max(0.0, runs[0][name] - best[name]), 3),
+            "serve_s": best[name],
+        }
+        for name in best
+    }
 
     payload = {
         "metric": "catalog_query_wall_seconds_total",
@@ -166,7 +179,12 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
         "w",
     ) as fh:
-        json.dump({**payload, "runs_raw": runs}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {**payload, "split": split, "runs_raw": runs},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     print(json.dumps(payload))
 
 

@@ -92,6 +92,18 @@ HEAVY = [
     # build, which is the index contract (build amortized, query
     # measured)
     "indexed_neardup_pairs",
+    # round-12 additions (VERDICT r11 next-round #9): the index tiers
+    # whose POINT-LOOKUP property is the thing worth recording at 10x.
+    # indexed_neardup_lookup probes ONE doc against the 10x corpus —
+    # bloom-pruned bucket files + candidates bounded by the probe's own
+    # bucket co-members (salted copies keep bucket spaces disjoint), so
+    # the wall should be ~FLAT, not 10x.  ann_ivfadc_topk's probe still
+    # prunes to 6/16 of the (now 10x) files; its ADC scan is linear in
+    # probed-cell rows by design, so its ratio tracks scan volume with
+    # the fixed job overhead amortizing — both min-over-runs, dropping
+    # run 1's one-time index/model build (the index contract)
+    "indexed_neardup_lookup",
+    "ann_ivfadc_topk",
 ]
 COPIES = 10
 BASE_SF = "/root/testdata/sf0.1"
@@ -112,11 +124,29 @@ def _build(spark: SparkSession, out_dir: str) -> None:
         "customer",
         "supplier",
         "orders",
-        "embeddings",
     ):
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copy(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+
+    # embeddings: 10 copies, vec_id offset, vectors verbatim — the ANN
+    # corpus grows 10x while the query set (vec_id < 8, copy 0) stays
+    # fixed, so the index queries measure a fixed probe batch against
+    # 10x data (duplicate vectors are realistic corpus content and
+    # rerank exactly)
+    emb = load_star_table(spark, BASE_SF, "embeddings")
+    v_span = emb.agg(F.max("vec_id")).first()[0] + 1
+    emb_copies = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * v_span))
+        .select(*emb.columns)
+        for i in range(COPIES)
+    ]
+    out = emb_copies[0]
+    for d in emb_copies[1:]:
+        out = out.unionByName(d)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
 
     part = load_star_table(spark, BASE_SF, "part")
     pk_span = part.agg(F.max("p_partkey")).first()[0] + 1
@@ -231,8 +261,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # marker names the construction version: bumping it invalidates a
     # cached build from an earlier round (r8 added the 10x part table;
-    # r9 made lineitem item spaces disjoint per copy)
-    marker = os.path.join(out_dir, "_construction_v3")
+    # r9 made lineitem item spaces disjoint per copy; r12 made
+    # embeddings a real 10x copy-construction for the ANN index tiers)
+    marker = os.path.join(out_dir, "_construction_v4")
     if not os.path.exists(marker):
         t0 = time.perf_counter()
         _build(spark, out_dir)
