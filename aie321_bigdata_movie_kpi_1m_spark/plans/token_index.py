@@ -1058,7 +1058,16 @@ def maintain_token_index(
     )
 
     taken: dict = {}
-    for layer in (POSTINGS, DOCLEN):
+    layers = [POSTINGS, DOCLEN]
+    if snapshot_versions(spark, _sub(group, PERMUTERM)):
+        layers.append(PERMUTERM)
+    stats_for = {
+        POSTINGS: ["token", "doc_id"],
+        DOCLEN: ["doc_id"],
+        # rot range stats are what the wildcard interval prunes on
+        PERMUTERM: ["rot"],
+    }
+    for layer in layers:
         path = _sub(group, layer)
         plan = {
             r["action"]
@@ -1068,9 +1077,7 @@ def maintain_token_index(
         }
         actions = []
         if {"compact_small_files", "fold_deletes"} & plan:
-            stats = (
-                ["token", "doc_id"] if layer == POSTINGS else ["doc_id"]
-            )
+            stats = stats_for[layer]
             # rows-based advisor, bytes-based packer: small-file rows
             # at the advisor's threshold are well under this byte cut.
             # fold_deletes forces the delete-TOUCHED files into the

@@ -3046,6 +3046,17 @@ class TestIndexedWildcardSearch:
         assert not ti.indexed_wildcard_search(
             spark, group, "*ique", assert_pruned=False
         ).collect()
+        # maintenance sweeps the permuterm layer too (folds its delete
+        # entries / packs small rotation files) and must be lossless
+        taken = ti.maintain_token_index(spark, group)
+        assert ti.PERMUTERM in taken
+        assert toks() == {"window", "keeper", "novel"}
+        assert {
+            r["doc_id"]
+            for r in ti.indexed_wildcard_search(
+                spark, group, "*dow", assert_pruned=False
+            ).collect()
+        } == {2, 3}
 
 
 class TestNeardupIndex:
