@@ -3574,6 +3574,52 @@ class TestAnnIvfadc:
         # both models were LOADED, never refit
         assert dict(vx._ANN_FIT_RUNS) == fits_before
 
+    def test_residual_refresh_encodes_under_pinned_kind(
+        self, spark, tmp_path
+    ):
+        """O(delta) refresh on a RESIDUAL group: appended vectors are
+        encoded under the pinned codebooks' kind (residual), never the
+        raw family — a cosine-1.0 clone of a query vector lands in the
+        same cell with the same residual codes and surfaces as the top
+        hit; fit counters stay flat (models loaded, never refit)."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        group = str(tmp_path / "ivfadc_res")
+        vx.build_ann_ivfadc(
+            spark, emb, group, by_residual=True, target_rows_per_file=40
+        )
+        fits_before = dict(vx._ANN_FIT_RUNS)
+        emb_layer = str(tmp_path / "emb")
+        v1 = snap.commit_snapshot(spark, emb, emb_layer, change_feed=True)
+        clone = emb.filter(F.col("vec_id") == 0).select(
+            F.lit(77777).cast("long").alias("vec_id"), "embedding"
+        )
+        v2 = snap.commit_snapshot(spark, clone, emb_layer, mode="append")
+        vx.refresh_ann_ivfadc(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, emb_layer, v1, v2, ["vec_id"], include_values=True
+            ),
+        )
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = {
+            r["neighbor_id"]: r["cosine_sim"]
+            for r in vx.ann_ivfadc_topk(
+                spark, group, q, n_probe=16, assert_pruned=False
+            ).collect()
+        }
+        assert got.get(77777) == 1.0
+        assert dict(vx._ANN_FIT_RUNS) == fits_before
+
     def test_residual_recall_improves_on_clustered_corpus(
         self, spark, tmp_path
     ):
