@@ -3104,6 +3104,242 @@ def q_ivfadc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def maintain_ann_ivfadc(
+    spark: SparkSession,
+    group: str,
+    *,
+    target_rows_per_file: int = 100_000,
+) -> dict:
+    """Steady-state MAINTENANCE for the IVFADC assign layer — the
+    IVFADC twin of ``maintain_ann_assignments``: advisor-warranted
+    compaction packs the stream's small cell-clustered appends and
+    folds live delete entries (the cell Bloom regenerates under the
+    pinned parameters), then the three-way pin set re-publishes so
+    readers switch atomically.  Model re-fits stay exclusively with
+    the rebuild gates.  Returns {"assign": actions}."""
+    from ..sources.snapshots import (
+        compact_small_files,
+        snapshot_maintenance_plan,
+    )
+
+    path = f"{group}/assign"
+    plan = {
+        r["action"]
+        for r in snapshot_maintenance_plan(
+            spark, path, target_rows_per_file=target_rows_per_file
+        ).collect()
+    }
+    actions = []
+    if {"compact_small_files", "fold_deletes"} & plan:
+        compact_small_files(
+            spark,
+            path,
+            small_file_bytes=32 << 20,
+            stats_cols=["cell", "vec_id"],
+            fold_deletes="fold_deletes" in plan,
+        )
+        actions.append("compacted")
+        pins = ann_pins(spark, group)
+        _publish_ivfadc_pins(
+            spark,
+            group,
+            str(pins["model"]["path"]),
+            str(pins["pq"]["path"]),
+        )
+    return {"assign": actions}
+
+
+_STREAM_IVFADC_BUILT: set[str] = set()
+
+#: observability: governor activity on the IVFADC stream
+#: (builder-asserted >= 1 maintenance run)
+_STREAM_IVFADC_STATS = {"batches": 0, "sweeps": 0, "maintenance_runs": 0,
+                        "actions": 0}
+
+
+def _stream_ivfadc_group(spark: SparkSession, sf_dir: str) -> str:
+    """IVFADC tier maintained ENTIRELY BY A STREAM — the fourth and
+    final index family through the CDF-stream + shared-governor loop
+    (token postings, ANN assignments, near-dup buckets, now IVFADC):
+    BOTH models (coarse quantizer + PQ codebooks) persist from the full
+    corpus first (fit-or-load — whoever fits commits the same
+    deterministic models), the assign layer bootstraps EMPTY, and the
+    embeddings layer's keyed CDF stream (three insert commits, then an
+    equality-delete version's pre-images) drives ``refresh_ann_ivfadc``
+    per micro-batch in ``_commit_version`` order — every stored code
+    arrives by stream, encoded under the PINNED codebooks.  The shared
+    governor (bound to ``maintain_ann_ivfadc``) compacts mid-stream,
+    builder-asserted.  Final corpus state: vec_id % 7 != 3."""
+    import os as _os
+    import shutil
+
+    from ..session import scratch_dir
+    from ..sources import snapshots as snap
+    from ..sources.pyds import (
+        register_snapshot_stream,
+        snapshot_cdf_stream_schema,
+    )
+    from .maintenance import auto_maintenance_hook
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    group = scratch_dir("snapshots", tag, "stream_ivfadc")
+    if group in _STREAM_IVFADC_BUILT:
+        return group
+    emb_layer = f"{group}/embeddings"
+    ckpt = f"{group}_ckpt"
+    for p in (emb_layer, f"{group}/assign"):
+        snap.drop_snapshot_layer(spark, p)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    emb = load_star_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    model_layer = scratch_dir("snapshots", tag, "ivf_model")
+    pq_layer = scratch_dir("snapshots", tag, "pq_model")
+    persisted_ivf_centroids(spark, emb, model_layer, n_centroids=16, iters=1)
+    persisted_pq_codebooks(spark, emb, pq_layer)
+    snap.commit_snapshot(
+        spark,
+        emb.filter(F.col("vec_id") % 3 == 0),
+        emb_layer,
+        stats_cols=["vec_id"],
+        change_feed=True,
+    )
+    for i in (1, 2):
+        snap.commit_snapshot(
+            spark,
+            emb.filter(F.col("vec_id") % 3 == i),
+            emb_layer,
+            mode="append",
+            stats_cols=["vec_id"],
+        )
+    snap.delete_snapshot_keys(
+        spark,
+        emb_layer,
+        "vec_id",
+        emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    # empty bootstrap: both models load (never refit), every code
+    # arrives by stream
+    build_ann_ivfadc(
+        spark,
+        emb.limit(0),
+        group,
+        model_layer=model_layer,
+        pq_layer=pq_layer,
+    )
+
+    register_snapshot_stream(spark)
+    stream = (
+        spark.readStream.format("snapshot_stream")
+        .schema(snapshot_cdf_stream_schema(emb_layer, "vec_id,embedding"))
+        .option("path", emb_layer)
+        .option("cols", "vec_id,embedding")
+        .option("mode", "cdf")
+        .load()
+    )
+    on_batch, stats = auto_maintenance_hook(
+        spark,
+        group,
+        maintain_ann_ivfadc,
+        every_n=1,
+        target_rows_per_file=max(250, emb.count() * 2),
+    )
+
+    def apply_batch(batch_df, _batch_id):
+        batch_df = batch_df.persist()
+        try:
+            versions = sorted(
+                r[0]
+                for r in batch_df.select("_commit_version")
+                .distinct()
+                .collect()
+            )
+            for v in versions:
+                changes = batch_df.filter(
+                    F.col("_commit_version") == v
+                ).select(
+                    "vec_id",
+                    "change_type",
+                    F.when(
+                        F.col("change_type") == "delete",
+                        F.struct(F.col("embedding").alias("embedding")),
+                    ).alias("before"),
+                    F.when(
+                        F.col("change_type") == "insert",
+                        F.struct(F.col("embedding").alias("embedding")),
+                    ).alias("after"),
+                )
+                refresh_ann_ivfadc(spark, group, changes)
+            on_batch()
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .queryName("stream_ivfadc_maintenance")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    _STREAM_IVFADC_STATS.update(stats)
+    if not stats["maintenance_runs"]:
+        raise AssertionError(
+            "IVFADC stream governor never ran maintenance: the fixture "
+            "must exercise the mid-stream compaction loop"
+        )
+    _STREAM_IVFADC_BUILT.add(group)
+    return group
+
+
+@register(
+    "streaming_ivfadc_maintenance",
+    _ivfadc_oracle_sql().replace(
+        """cand0 AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id
+  FROM probes p
+  JOIN cells cl ON cl.c = p.c AND cl.vec_id <> p.query_id
+),""",
+        """cand0 AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id
+  FROM probes p
+  JOIN cells cl ON cl.c = p.c AND cl.vec_id <> p.query_id
+  WHERE cl.vec_id % 7 <> 3
+),""",
+        1,
+    ),
+    "STREAM-MAINTAINED IVFADC TIER, end to end — the fourth and final "
+    "index family through the CDF-stream + shared-governor loop "
+    "(token, vector-assignment, near-dup, and now IVFADC are all "
+    "stream-maintainable): both models persist from the full corpus "
+    "and are only ever LOADED; the assign layer bootstraps EMPTY and "
+    "every (cell, code, embedding) row arrives by stream (three insert "
+    "commits then an equality-delete version's pre-images, replayed in "
+    "_commit_version order, codes encoded under the pinned codebooks); "
+    "the shared tier-agnostic governor runs maintain_ann_ivfadc after "
+    "each applied batch — advisor-warranted compaction folds the "
+    "delete entries MID-STREAM (builder-asserted) and re-publishes the "
+    "three-way pin set; the search then runs THROUGH the stream-built, "
+    "mid-stream-compacted layer and the oracle replays fit + codes + "
+    "probes + survivor-restricted ADC + rerank in SQL — a dropped "
+    "batch, unapplied delete, misordered replay, wrong-family encode, "
+    "or lossy compaction breaks the hash",
+    tags=("similarity", "model", "snapshots", "streaming", "cdc",
+          "index"),
+)
+def q_streaming_ivfadc_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    group = _stream_ivfadc_group(spark, sf_dir)
+    return ann_ivfadc_topk(spark, group, queries, assert_pruned=False)
+
+
 _IVFADC_RES_BUILT: set[str] = set()
 
 
