@@ -386,6 +386,14 @@ def indexed_neardup_lookup(
         query_docs, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
     ).select(F.col("bkey"), F.col("doc_id").alias("i"))
     if probe_mode == "dataframe":
+        # the probe batch's signatures and the candidate pairs are each
+        # consumed by SEVERAL downstream subplans (bloom planning, the
+        # bkey join, and the two candidates-only semi-joins in the
+        # verify stage); local-checkpoint them so the 64-hash signature
+        # stage runs ONCE per admission call instead of once per
+        # consumer — blocks are executor-local and reclaimed by Spark's
+        # ContextCleaner when the returned plan is garbage collected
+        qrows = qrows.localCheckpoint(eager=False)
         hits = _pruned_bucket_rows(
             spark,
             group,
@@ -397,6 +405,7 @@ def indexed_neardup_lookup(
             .filter(F.col("i") != F.col("doc_id"))
             .select("i", F.col("doc_id").alias("j"))
             .distinct()
+            .localCheckpoint(eager=False)
         )
         return _verified_pairs(
             cand, query_docs, corpus_docs, n=p["n"], threshold=threshold

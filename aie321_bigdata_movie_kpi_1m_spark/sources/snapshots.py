@@ -1520,38 +1520,48 @@ def _prune_files_probe_df(
     ]
     if not with_bloom:
         return files
+    values = (
+        probe_df.select(F.col(col).cast("string").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+    )
+    # SATURATION short-circuit: with n distinct probe values setting up
+    # to n*k of the m bloom bits, a batch at n >= m/k covers
+    # (probabilistically) every bit, so the per-file all-bits test
+    # admits ~every file anyway — skip the probe join entirely and keep
+    # all files (pruning is an optimization; keep-all is always sound).
+    # This is the huge-shard admission shape: ONE count replaces a
+    # probes x file-bits join that cannot prune.
+    n_values = values.count()
+    if n_values * k >= m:
+        return files
+    pos = values.select(
+        "__v",
+        F.array_distinct(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("__v"), F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ]
+            )
+        ).alias("__pos"),
+    ).select(
+        "__v",
+        F.size("__pos").alias("__kd"),
+        F.explode("__pos").alias("__bit"),
+    )
     bits_df = spark.createDataFrame(
         [(base, [int(x) for x in bl]) for base, bl in with_bloom],
         "__file string, __bits array<long>",
     ).select("__file", F.explode("__bits").alias("__bit"))
-    pos = (
-        probe_df.select(F.col(col).cast("string").alias("__v"))
-        .filter(F.col("__v").isNotNull())
-        .distinct()
-        .select(
-            "__v",
-            F.array_distinct(
-                F.array(
-                    *[
-                        F.pmod(
-                            F.xxhash64(F.col("__v"), F.lit(i)), F.lit(m)
-                        )
-                        for i in range(k)
-                    ]
-                )
-            ).alias("__pos"),
-        )
-        .select(
-            "__v",
-            F.size("__pos").alias("__kd"),
-            F.explode("__pos").alias("__bit"),
-        )
-    )
+    # (v, file, bit) triples are already DISTINCT — a value's positions
+    # are array_distinct'd and a file's bloom bits are a set — so a
+    # plain count equals count_distinct without the expand
     admitted = {
         r["__file"]
         for r in pos.join(F.broadcast(bits_df), "__bit")
         .groupBy("__v", "__kd", "__file")
-        .agg(F.count_distinct("__bit").alias("__hit"))
+        .agg(F.count(F.lit(1)).alias("__hit"))
         .filter(F.col("__hit") == F.col("__kd"))
         .select("__file")
         .distinct()
