@@ -61,20 +61,25 @@ def auto_maintenance_hook(
         if plan_paths is None:
             from ..sources.table_catalog import catalog_maintenance_plan
 
-            rows = catalog_maintenance_plan(
-                spark, group, target_rows_per_file=target_rows_per_file
-            ).collect()
-        else:
-            from ..sources.snapshots import snapshot_maintenance_plan
-
-            rows = [
-                r
-                for p in plan_paths
-                for r in snapshot_maintenance_plan(
-                    spark, p, target_rows_per_file=target_rows_per_file
+            actions = {
+                r["action"]
+                for r in catalog_maintenance_plan(
+                    spark, group, target_rows_per_file=target_rows_per_file
                 ).collect()
-            ]
-        if not any(r["action"] in _WARRANTING for r in rows):
+            }
+        else:
+            # pure-Python advisor rows (tuples lead with the action):
+            # a per-batch sweep must not pay a Spark job per layer
+            from ..sources.snapshots import _maintenance_plan_rows
+
+            actions = {
+                r[0]
+                for p in plan_paths
+                for r in _maintenance_plan_rows(
+                    spark, p, target_rows_per_file=target_rows_per_file
+                )
+            }
+        if not actions & set(_WARRANTING):
             return stats
         taken = maintainer(
             spark, group, target_rows_per_file=target_rows_per_file

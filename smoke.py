@@ -66,6 +66,11 @@ ALWAYS = [
     # lexicon-sideband probe derivation
     "ann_cdf_mixture_weights",
     "indexed_keyword_search",
+    # r12 state machines: the DataFrame-probe admission path, the
+    # permuterm wildcard layer, and the stream-governed IVFADC tier
+    "indexed_neardup_batch_admission",
+    "indexed_wildcard_search",
+    "streaming_ivfadc_maintenance",
 ]
 SLICE = 10
 
