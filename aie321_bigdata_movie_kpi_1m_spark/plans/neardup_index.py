@@ -420,11 +420,15 @@ def indexed_neardup_lookup(
     hits = _pruned_bucket_rows(
         spark, group, bkeys, assert_pruned=assert_pruned
     )
+    # candidates are consumed three times by the verify stage (final
+    # join + two candidates-only semi-joins); checkpoint so the pruned
+    # layer read runs once per lookup
     cand = (
         hits.join(F.broadcast(qrows), "bkey")
         .filter(F.col("i") != F.col("doc_id"))
         .select("i", F.col("doc_id").alias("j"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     return _verified_pairs(
         cand, query_docs, corpus_docs, n=p["n"], threshold=threshold
@@ -469,6 +473,9 @@ def indexed_neardup_pairs(
             F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j")
         )
         .distinct()
+        # consumed three times by the verify stage; checkpoint so the
+        # banded self-join runs once per call
+        .localCheckpoint(eager=False)
     )
     return _verified_pairs(
         cand, corpus_docs, corpus_docs, n=p["n"], threshold=threshold
