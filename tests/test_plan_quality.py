@@ -730,6 +730,23 @@ def test_ivfadc_adc_scan_prunes_embedding_column(spark):
     )
 
 
+def test_ivfadc_residual_adc_scan_prunes_embedding_column(spark):
+    """The residual tier keeps the raw tier's bandwidth contract: its
+    ADC pass scores stored codes against the per-(query, cell) residual
+    tables, so at least one assign-layer scan must carry code but NOT
+    the 64-double embedding column."""
+    plan = plan_of(spark, "ann_ivfadc_residual_topk")
+    schemas = [
+        line for line in plan.splitlines()
+        if "ReadSchema" in line and "code" in line
+    ]
+    assert schemas, plan
+    adc_scans = [s for s in schemas if "embedding" not in s]
+    assert adc_scans, "no embedding-free ADC scan found:\n" + "\n".join(
+        schemas
+    )
+
+
 def test_neardup_lookup_broadcasts_probe_and_query_sides(spark):
     """The admission-check lookup joins the pruned bucket rows against
     the (tiny) probe relation and the shingle-verify sides as
