@@ -156,6 +156,27 @@ def main() -> None:
                 "1.7-1.9s — state-store setup noise dominates this "
                 "query's best-of-2"
             ),
+            "r12_shared_suite": (
+                "r12 code runs the 207 shared queries at 0.93x of "
+                "r11's recorded numbers on the same host — a real "
+                "improvement, driven by the pure-Python catalog sweep "
+                "(catalog_maintenance_plan 4.14 -> ~1.2s), the "
+                "signature-validated manifest/segment JSON cache "
+                "(every snapshot read pays fewer py4j round-trips: "
+                "ann_cdf_ivf_topk 3.71 -> ~2.9s, ann_ivfadc_topk "
+                "2.74 -> ~2.0s), and candidate checkpointing in the "
+                "near-dup verify stage"
+            ),
+            "indexed_neardup_batch_admission": (
+                "r12 first cut served at 34.9s: DataFrame-probe bloom "
+                "planning paid a probes x file-bits join twice plus a "
+                "count_distinct expand, and the 64-hash signature "
+                "stage re-ran per consumer; fixed by the probe "
+                "SATURATION short-circuit (n*k >= m admits every file "
+                "anyway — one count instead of the join), plain count "
+                "over the already-distinct join triples, and local-"
+                "checkpointing signatures/candidates — serve ~5.5s"
+            ),
         },
     }
     # scaling-stress evidence: stress_sf1.py measures the five heaviest
