@@ -29,6 +29,61 @@ from pyspark.sql import SparkSession
 _WARRANTING = ("compact_small_files", "fold_deletes")
 
 
+def recluster_if_dull(
+    spark: SparkSession,
+    path: str,
+    serving_col: str,
+    *,
+    stats_cols: list[str],
+    target_rows_per_file: int = 100_000,
+) -> bool:
+    """ACT on the advisor's layout signal for one index layer: when the
+    layer's SERVING column (the one its probes range-prune on — token /
+    rot / bkey / cell) appears in a ``cluster`` or ``zorder``
+    recommendation, rewrite the layer range-clustered on it
+    (``rewrite_snapshot(cluster_by=...)`` — per-file [min, max]
+    narrows, blooms regenerate under the pinned parameters).
+
+    Interleaved O(delta) appends are each internally clustered but
+    straddle EACH OTHER, so after enough churn every interval probe
+    admits every file — compaction alone packs bytes without restoring
+    the layout.  The serving column is fixed per layer by its query
+    shape, so a multi-dimensional ``zorder`` recommendation still
+    re-clusters on the serving column here (restoring the probes the
+    layer exists for) and leaves the Morton rewrite as an operator
+    decision.  Returns True when a rewrite ran."""
+    from ..sources.snapshots import (
+        _maintenance_plan_rows,
+        rewrite_snapshot,
+    )
+
+    dull: set[str] = set()
+    total_rows = 0
+    for r in _maintenance_plan_rows(
+        spark, path, target_rows_per_file=target_rows_per_file
+    ):
+        if r[0] == "cluster" and r[1]:
+            dull.add(str(r[1]))
+            total_rows = max(total_rows, int(r[3] or 0))
+        elif r[0] == "zorder" and r[1]:
+            dull.update(str(r[1]).split(","))
+            total_rows = max(total_rows, int(r[3] or 0))
+    if serving_col not in dull:
+        return False
+    # rows-scaled output sizing, the same file-size contract the
+    # layer's appends follow (the advisor row carries the live total)
+    rewrite_snapshot(
+        spark,
+        path,
+        cluster_by=serving_col,
+        stats_cols=stats_cols,
+        n_files=max(
+            1, -(-total_rows // max(1, int(target_rows_per_file)))
+        ),
+    )
+    return True
+
+
 def auto_maintenance_hook(
     spark: SparkSession,
     group: str,

@@ -487,6 +487,7 @@ def maintain_neardup_index(
     group: str,
     *,
     target_rows_per_file: int = 100_000,
+    recluster: bool = False,
 ) -> dict:
     """Steady-state MAINTENANCE for the bucket layer — the dedup twin
     of ``token_index.maintain_token_index`` / ``vectors.
@@ -520,4 +521,17 @@ def maintain_neardup_index(
             fold_deletes="fold_deletes" in plan,
         )
         actions.append("compacted")
+    if recluster:
+        from .maintenance import recluster_if_dull
+
+        # bkey is the serving column the point lookup's bloom AND the
+        # pair sweep's self-join key cluster on
+        if recluster_if_dull(
+            spark,
+            path,
+            "bkey",
+            stats_cols=["bkey", "doc_id"],
+            target_rows_per_file=target_rows_per_file,
+        ):
+            actions.append("reclustered")
     return {BUCKETS: actions}

@@ -1040,6 +1040,7 @@ def maintain_token_index(
     group: str,
     *,
     target_rows_per_file: int = 100_000,
+    recluster: bool = False,
 ) -> dict:
     """Steady-state MAINTENANCE cycle for the index group, closing the
     loop the other round-9 pieces open: a stream of refreshes leaves
@@ -1051,11 +1052,21 @@ def maintain_token_index(
     the maintained versions atomically.  Old pinned versions stay
     readable until catalog retention retires them (``vacuum_catalog``'s
     per-path ``min_pinned`` floors size each layer's own vacuum).
+
+    ``recluster=True`` additionally ACTS on the advisor's layout
+    signal (``maintenance.recluster_if_dull``): when a layer's SERVING
+    column — token for postings, rot for permuterm, doc_id for doclen —
+    is overlap-dull (interleaved deltas each cluster internally but
+    straddle each other, so interval probes admit every file), the
+    layer rewrites range-clustered on that column, restoring the
+    data-skipping sharpness the term/wildcard probes price in.  A full
+    rewrite, so opt-in: the compaction default stays O(small files).
     Returns {layer: actions_taken}."""
     from ..sources.snapshots import (
         compact_small_files,
         snapshot_maintenance_plan,
     )
+    from .maintenance import recluster_if_dull
 
     taken: dict = {}
     layers = [POSTINGS, DOCLEN]
@@ -1067,6 +1078,7 @@ def maintain_token_index(
         # rot range stats are what the wildcard interval prunes on
         PERMUTERM: ["rot"],
     }
+    serving_col = {POSTINGS: "token", DOCLEN: "doc_id", PERMUTERM: "rot"}
     for layer in layers:
         path = _sub(group, layer)
         plan = {
@@ -1093,6 +1105,14 @@ def maintain_token_index(
                 fold_deletes="fold_deletes" in plan,
             )
             actions.append("compacted")
+        if recluster and recluster_if_dull(
+            spark,
+            path,
+            serving_col[layer],
+            stats_cols=stats_for[layer],
+            target_rows_per_file=target_rows_per_file,
+        ):
+            actions.append("reclustered")
         taken[layer] = actions
     # ledger compaction: the signed-delta rows net into ONE row once
     # the maintenance history grows (an overwrite commit — old versions

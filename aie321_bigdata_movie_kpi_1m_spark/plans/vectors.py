@@ -1852,6 +1852,7 @@ def maintain_ann_assignments(
     group: str,
     *,
     target_rows_per_file: int = 100_000,
+    recluster: bool = False,
 ) -> dict:
     """Steady-state MAINTENANCE for the assignment layer — the vector
     twin of ``token_index.maintain_token_index``: a stream of refreshes
@@ -1893,6 +1894,24 @@ def maintain_ann_assignments(
             group,
             model_layer=str(pins["model"]["path"]) if pins else None,
         )
+    if recluster:
+        from .maintenance import recluster_if_dull
+
+        # cell is the serving column probe-cell pruning ranges on
+        if recluster_if_dull(
+            spark,
+            path,
+            "cell",
+            stats_cols=["cell", "vec_id"],
+            target_rows_per_file=target_rows_per_file,
+        ):
+            actions.append("reclustered")
+            pins = ann_pins(spark, group)
+            publish_ann_pins(
+                spark,
+                group,
+                model_layer=str(pins["model"]["path"]) if pins else None,
+            )
     return {"assign": actions}
 
 
@@ -3109,6 +3128,7 @@ def maintain_ann_ivfadc(
     group: str,
     *,
     target_rows_per_file: int = 100_000,
+    recluster: bool = False,
 ) -> dict:
     """Steady-state MAINTENANCE for the IVFADC assign layer — the
     IVFADC twin of ``maintain_ann_assignments``: advisor-warranted
@@ -3146,6 +3166,24 @@ def maintain_ann_ivfadc(
             str(pins["model"]["path"]),
             str(pins["pq"]["path"]),
         )
+    if recluster:
+        from .maintenance import recluster_if_dull
+
+        if recluster_if_dull(
+            spark,
+            path,
+            "cell",
+            stats_cols=["cell", "vec_id"],
+            target_rows_per_file=target_rows_per_file,
+        ):
+            actions.append("reclustered")
+            pins = ann_pins(spark, group)
+            _publish_ivfadc_pins(
+                spark,
+                group,
+                str(pins["model"]["path"]),
+                str(pins["pq"]["path"]),
+            )
     return {"assign": actions}
 
 

@@ -2902,6 +2902,104 @@ class TestIndexedPrefixSearch:
         assert hits() == {2}
 
 
+class TestReclusterMaintenance:
+    """Opt-in layout restoration: maintenance ACTS on the advisor's
+    cluster/zorder signal by re-range-clustering a layer on its SERVING
+    column, restoring interval-probe sharpness interleaved deltas
+    dulled."""
+
+    def test_token_index_recluster_restores_prefix_pruning(
+        self, spark, tmp_path
+    ):
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            snapshot_files,
+        )
+
+        # 4 interleaved appends, each internally clustered over the
+        # same a-z token range -> per-file ranges straddle each other
+        rows = [
+            (i, " ".join(f"{chr(97 + (i + j) % 26)}w{j}" for j in range(8)))
+            for i in range(120)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        group = str(tmp_path / "ti")
+        ti.build_token_index(
+            spark, docs, group, splits=4, target_rows_per_file=120
+        )
+        path = f"{group}/postings"
+        before = sorted(
+            map(
+                tuple,
+                ti.indexed_prefix_search(
+                    spark, group, "m", assert_pruned=False
+                ).collect(),
+            )
+        )
+        taken = ti.maintain_token_index(
+            spark, group, target_rows_per_file=120, recluster=True
+        )
+        assert "reclustered" in taken[ti.POSTINGS]
+        v = ti.index_pins(spark, group)[ti.POSTINGS]
+        n_all = len(snapshot_files(spark, path, v))
+        assert n_all > 2
+        hi = ti._prefix_successor("m")
+        n_probe = len(
+            snapshot_files(
+                spark, path, v, prune_range=("token", "m", hi)
+            )
+        )
+        # the reclustered layout admits a strict minority of files
+        assert n_probe <= n_all // 2
+        # lossless: results identical, and the in-function strict-subset
+        # assertion passes on the reclustered layer
+        after = sorted(
+            map(
+                tuple,
+                ti.indexed_prefix_search(spark, group, "m").collect(),
+            )
+        )
+        assert after == before and after
+
+    def test_neardup_recluster_keeps_lookup_exact(self, spark, tmp_path):
+        from aie321_bigdata_movie_kpi_1m_spark.plans import neardup_index as ni
+
+        rows = [
+            (1000 + i, " ".join(f"r{i}s{j}" for j in range(12)))
+            for i in range(60)
+        ] + [
+            (1, " ".join(f"w{k}" for k in range(30))),
+            (2, " ".join(f"w{k}" for k in range(29)) + " zz"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        group = str(tmp_path / "nd")
+        # many interleaved splits dull the bkey ranges across deltas
+        ni.build_neardup_index(
+            spark,
+            docs,
+            group,
+            num_hashes=32,
+            bands=16,
+            splits=6,
+            target_rows_per_file=64,
+        )
+        taken = ni.maintain_neardup_index(
+            spark, group, target_rows_per_file=64, recluster=True
+        )
+        assert "reclustered" in taken["buckets"]
+        q = spark.createDataFrame(
+            [(500, rows[-2][1])], "doc_id long, text string"
+        )
+        got = {
+            j
+            for _, j, _, _ in map(
+                tuple,
+                ni.indexed_neardup_lookup(spark, group, q, docs).collect(),
+            )
+        }
+        assert got == {1, 2}
+
+
 class TestIndexedWildcardSearch:
     """Permuterm layer: wildcard classes, LIKE-exact filtering,
     pruning, and O(delta) vocabulary maintenance."""
