@@ -562,6 +562,79 @@ def q_indexed_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "indexed_fuzzy_search",
+    _TOKENS_CTE
+    + """,
+ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+top1 AS (
+  SELECT token AS t FROM (
+    SELECT token, SUM(tf) AS c FROM tf GROUP BY 1
+    ORDER BY c DESC, token LIMIT 1)
+),
+probes AS (
+  SELECT 'delete' AS probe, substr(t, 1, 1) || substr(t, 3) AS q FROM top1
+  UNION ALL SELECT 'substitute', 'z' || substr(t, 2) FROM top1
+  UNION ALL SELECT 'insert', t || 'x' FROM top1
+),
+vocab AS (SELECT DISTINCT token FROM tf),
+m AS (
+  SELECT p.probe, v.token
+  FROM probes p JOIN vocab v ON levenshtein(v.token, p.q) <= 1),
+hits AS (
+  SELECT m.probe, t.doc_id, SUM(t.tf) AS score,
+         COUNT(DISTINCT t.token) AS n_terms
+  FROM tf t JOIN m ON t.token = m.token
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT probe, doc_id, score, n_terms,
+         row_number() OVER (PARTITION BY probe
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM hits)
+SELECT probe, doc_id, CAST(score AS BIGINT) AS score,
+       CAST(n_terms AS BIGINT) AS n_terms
+FROM ranked WHERE rn <= 20
+""",
+    "FUZZY term search (edit distance <= 1 — Lucene FuzzyQuery, the "
+    "typo-tolerance term-query class left after exact/prefix/wildcard) "
+    "through a FastSS/SymSpell DELETION-NEIGHBORHOOD sideband of the "
+    "token index: one (var, token) row per <=max_edits-deletion variant "
+    "of each vocabulary token, var-range-clustered AND var-Bloom'd, "
+    "folded O(delta) on refresh with dead tokens equality-deleted; a "
+    "query term's own deletion variants (O(len^d) strings) probe the "
+    "layer through the Bloom point path (builder-asserted strict "
+    "subset), candidates are COMPLETE by the FastSS theorem "
+    "(lev(q,t)<=d implies a shared <=d-deletion variant) and one "
+    "built-in levenshtein filter removes collision false positives — "
+    "so the vocabulary is never scanned; three deterministic typo "
+    "probes of the corpus top term (char deleted / substituted / "
+    "appended), docs ranked per probe by exact summed tf over the "
+    "matched terms; the oracle replays probe derivation, the full "
+    "vocabulary edit-distance match, and ranking from the raw text",
+    tags=("text", "retrieval", "snapshots", "index", "pruning"),
+)
+def q_indexed_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    t = token_index.top_terms(spark, group, 1)[0]
+    probes = (
+        ("delete", t[:1] + t[2:]),
+        ("substitute", "z" + t[1:]),
+        ("insert", t + "x"),
+    )
+    parts = [
+        token_index.indexed_fuzzy_search(spark, group, q).select(
+            F.lit(label).alias("probe"), "doc_id", "score", "n_terms"
+        )
+        for label, q in probes
+    ]
+    return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+@register(
     "doc_fingerprints",
     """
 SELECT doc_id,

@@ -66,6 +66,21 @@ POSTINGS, DOCLEN, STATS = "postings", "doclen", "stats"
 #: the vocabulary is never scanned.  O(vocabulary x avg token length)
 #: rows — term-dictionary scale, tiny next to the postings.
 PERMUTERM = "permuterm"
+#: FUZZY term layer (FastSS / SymSpell deletion-neighborhood index, the
+#: Lucene FuzzyQuery answer without a Levenshtein automaton): one
+#: (var, token) row per DELETION VARIANT of the token — every string
+#: obtainable by deleting up to ``max_edits`` characters, the token
+#: itself included — range-clustered AND Bloom-indexed on var.  The
+#: FastSS theorem (Bocek/Hunt 2007): lev(q, t) <= d implies
+#: del(q, <=d) ∩ del(t, <=d) != ∅, so an edit-distance-d term query
+#: compiles to an EXACT point-probe set (the query's own <=d deletion
+#: variants, O(len^d) strings) over the var Bloom — candidate terms
+#: come back from O(probe) files, and one built-in ``levenshtein``
+#: filter removes the theorem's false positives (collision does not
+#: imply distance).  O(vocabulary x len^max_edits) rows —
+#: term-dictionary scale at the default max_edits=1, same class as the
+#: permuterm rotations.
+FUZZY = "fuzzy"
 
 #: rotation terminator: must sort below every real code point and never
 #: appear inside a token (tokens containing it are excluded at build —
@@ -254,6 +269,7 @@ def build_token_index(
     *,
     splits: int = 2,
     target_rows_per_file: int = 100_000,
+    fuzzy_edits: int = 1,
 ) -> str:
     """Bootstrap the index group from a docs snapshot, in ``splits``
     incremental appends (split by doc_id modulus — ``pmod``, so a
@@ -273,20 +289,36 @@ def build_token_index(
             target_rows_per_file=target_rows_per_file,
         )
         publish_index_pins(spark, group)  # readers see whole cycles only
-    # permuterm term layer: rotations of the pinned postings' DISTINCT
+    # vocabulary sidebands (permuterm rotations + fuzzy deletion
+    # neighborhood): both derive from the pinned postings' DISTINCT
     # tokens (term-dictionary scale; the postings read column-prunes to
-    # the token column)
-    _permuterm_delta(
-        spark,
-        group,
+    # the token column), computed ONCE
+    vocab = (
         read_snapshot(
             spark, _sub(group, POSTINGS), index_pins(spark, group)[POSTINGS]
         )
         .select("token")
-        .distinct(),
-        first=True,
-        target_rows_per_file=target_rows_per_file,
+        .distinct()
+        .persist()
     )
+    try:
+        _permuterm_delta(
+            spark,
+            group,
+            vocab,
+            first=True,
+            target_rows_per_file=target_rows_per_file,
+        )
+        _fuzzy_delta(
+            spark,
+            group,
+            vocab,
+            first=True,
+            max_edits=fuzzy_edits,
+            target_rows_per_file=target_rows_per_file,
+        )
+    finally:
+        vocab.unpersist()
     publish_index_pins(spark, group)
     _write_doclen_mirror(spark, group, index_pins(spark, group))
     return group
@@ -362,9 +394,10 @@ def refresh_token_index(
                 first=False,
                 target_rows_per_file=target_rows_per_file,
             )
-        # permuterm vocabulary delta — AFTER the postings fold, so the
-        # dead-token probe sees the live postings state
-        _refresh_permuterm(
+        # vocabulary sideband deltas (permuterm + fuzzy) — AFTER the
+        # postings fold, so the dead-token probe sees the live postings
+        # state; added/dead token sets computed ONCE and shared
+        _refresh_vocab_sidebands(
             spark,
             group,
             added,
@@ -403,9 +436,10 @@ def publish_index_pins(spark: SparkSession, group: str) -> int:
                 "path": _sub(group, t),
                 "version": snapshot_versions(spark, _sub(group, t))[-1],
             }
-            for t in (POSTINGS, DOCLEN, STATS, LEXICON, PERMUTERM)
-            # lexicon/permuterm tolerated absent: groups built before
-            # those sidebands (or mid-bootstrap) pin the core layers only
+            for t in (POSTINGS, DOCLEN, STATS, LEXICON, PERMUTERM, FUZZY)
+            # lexicon/permuterm/fuzzy tolerated absent: groups built
+            # before those sidebands (or mid-bootstrap) pin the core
+            # layers only
             if snapshot_versions(spark, _sub(group, t))
         }
         head = catalog_versions(spark, group)
@@ -1070,15 +1104,24 @@ def maintain_token_index(
 
     taken: dict = {}
     layers = [POSTINGS, DOCLEN]
-    if snapshot_versions(spark, _sub(group, PERMUTERM)):
-        layers.append(PERMUTERM)
+    for sideband in (PERMUTERM, FUZZY):
+        if snapshot_versions(spark, _sub(group, sideband)):
+            layers.append(sideband)
     stats_for = {
         POSTINGS: ["token", "doc_id"],
         DOCLEN: ["doc_id"],
         # rot range stats are what the wildcard interval prunes on
         PERMUTERM: ["rot"],
+        # var stats + bloom are what the deletion-variant point probes
+        # prune on
+        FUZZY: ["var"],
     }
-    serving_col = {POSTINGS: "token", DOCLEN: "doc_id", PERMUTERM: "rot"}
+    serving_col = {
+        POSTINGS: "token",
+        DOCLEN: "doc_id",
+        PERMUTERM: "rot",
+        FUZZY: "var",
+    }
     for layer in layers:
         path = _sub(group, layer)
         plan = {
@@ -1278,7 +1321,7 @@ def _permuterm_delta(
     )
 
 
-def _refresh_permuterm(
+def _refresh_vocab_sidebands(
     spark: SparkSession,
     group: str,
     added_docs: DataFrame,
@@ -1286,48 +1329,263 @@ def _refresh_permuterm(
     *,
     target_rows_per_file: int = 100_000,
 ) -> None:
-    """Fold the docs delta into the permuterm layer, O(delta):
+    """Fold the docs delta into the VOCABULARY sidebands (permuterm
+    rotations + fuzzy deletion neighborhood), O(delta), computing the
+    added-token set and the dead-token probe ONCE and sharing them:
 
     - candidate NEW tokens = distinct tokens of the ADDED docs (delta
-      scale), anti-joined against the layer's token column (term-
-      dictionary scale — never the corpus) -> one clustered rotation
-      append for the truly-new ones;
+      scale), anti-joined against each layer's token column (term-
+      dictionary scale — never the corpus) -> one clustered append per
+      layer for the truly-new ones;
     - candidate DEAD tokens = distinct tokens of the REMOVED docs'
       pre-image text; each is probed against the LIVE postings through
       the bloom-pruned DataFrame-probe path (zero driver key hops) and
       only tokens with no surviving posting row become ONE equality
-      delete.  Unchanged vocabulary is never touched."""
-    if not snapshot_versions(spark, _sub(group, PERMUTERM)):
+      delete per layer.  Unchanged vocabulary is never touched."""
+    live_layers = [
+        (name, delta_fn)
+        for name, delta_fn in (
+            (PERMUTERM, _permuterm_delta),
+            (FUZZY, _fuzzy_delta),
+        )
+        if snapshot_versions(spark, _sub(group, name))
+    ]
+    if not live_layers:
         return
-    layer = _sub(group, PERMUTERM)
-    layer_tokens = read_snapshot(spark, layer).select("token").distinct()
-    add_tok = (
-        postings_of(added_docs)
+    added_tok = (
+        postings_of(added_docs).select("token").distinct().persist()
+    )
+    try:
+        for name, delta_fn in live_layers:
+            layer_tokens = (
+                read_snapshot(spark, _sub(group, name))
+                .select("token")
+                .distinct()
+            )
+            delta_fn(
+                spark,
+                group,
+                added_tok.join(layer_tokens, "token", "left_anti"),
+                first=False,
+                target_rows_per_file=target_rows_per_file,
+            )
+        cand_dead = (
+            postings_of(removed_docs).select("token").distinct().persist()
+        )
+        try:
+            if cand_dead.limit(1).count():
+                live = read_snapshot(
+                    spark,
+                    _sub(group, POSTINGS),
+                    prune_point=("token", cand_dead),
+                ).join(cand_dead, "token", "left_semi")
+                dead = cand_dead.join(
+                    live.select("token").distinct(), "token", "left_anti"
+                ).persist()
+                try:
+                    if dead.limit(1).count():
+                        for name, _ in live_layers:
+                            delete_snapshot_keys(
+                                spark, _sub(group, name), "token", dead
+                            )
+                finally:
+                    dead.unpersist()
+        finally:
+            cand_dead.unpersist()
+    finally:
+        added_tok.unpersist()
+
+
+def _fuzzy_params_path(group: str) -> str:
+    return f"{group}/FUZZY_PARAMS.json"
+
+
+def fuzzy_max_edits(spark: SparkSession, group: str) -> int:
+    """The deletion depth the fuzzy layer was built with — the upper
+    bound on servable query ``max_dist`` (FastSS needs BOTH sides'
+    variants at depth d)."""
+    import json
+
+    return int(json.loads(_read_text(spark, _fuzzy_params_path(group)))[
+        "max_edits"
+    ])
+
+
+def _fuzzy_rows(tokens_df: DataFrame, max_edits: int) -> DataFrame:
+    """(var, token) deletion-variant rows for a DISTINCT-token delta:
+    every string obtainable from the token by deleting up to
+    ``max_edits`` characters (depth 0 — the token itself — included),
+    built with JVM expressions (sequence/transform/substr — no Python
+    in the loop) by exploding one deletion level at a time and
+    de-duplicating once at the end."""
+    rows = tokens_df.select("token", F.col("token").alias("var"))
+    frontier = rows
+    for _ in range(max(0, int(max_edits))):
+        frontier = frontier.filter(F.length("var") >= 1).select(
+            "token",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(var)), "
+                    "i -> concat(substr(var, 1, i - 1), substr(var, i + 1)))"
+                )
+            ).alias("var"),
+        )
+        rows = rows.unionByName(frontier)
+    return rows.select("var", "token").distinct()
+
+
+def _fuzzy_delta(
+    spark: SparkSession,
+    group: str,
+    tokens_df: DataFrame,
+    *,
+    first: bool,
+    max_edits: int | None = None,
+    target_rows_per_file: int = 100_000,
+) -> None:
+    """Commit one distinct-token delta's deletion variants,
+    var-range-clustered with [min, max] var stats AND a var Bloom —
+    unlike the permuterm layer (probed by rotation INTERVALS, range
+    stats only), the fuzzy probe is a pure point-set lookup, exactly
+    the Bloom's query class.  The deletion depth pins at build
+    (``FUZZY_PARAMS.json``): rows generated under two different depths
+    must never share a layer, or completeness would silently break for
+    the deeper queries."""
+    import json
+
+    if first:
+        if max_edits is None or max_edits < 1:
+            raise ValueError(f"fuzzy layer needs max_edits >= 1, got {max_edits}")
+        from ..sources.snapshots import _fs, _hpath
+
+        jvm, fs = _fs(spark, _fuzzy_params_path(group))
+        p = _hpath(jvm, _fuzzy_params_path(group))
+        if fs.exists(p):  # rebuild over a dropped/overwritten group
+            fs.delete(p, False)
+        _write_text(
+            spark,
+            _fuzzy_params_path(group),
+            json.dumps({"max_edits": int(max_edits)}),
+        )
+    else:
+        max_edits = fuzzy_max_edits(spark, group)
+    rows = _fuzzy_rows(tokens_df, max_edits)
+    n = rows.count()
+    if not n and not first:
+        return
+    n_parts = max(1, math.ceil(n / max(1, int(target_rows_per_file))))
+    commit_snapshot(
+        spark,
+        rows.repartitionByRange(n_parts, "var"),
+        _sub(group, FUZZY),
+        mode="overwrite" if first else "append",
+        stats_cols=["var"],
+        bloom_col="var",
+    )
+
+
+def _deletion_variants(term: str, depth: int) -> list[str]:
+    """All strings obtainable from ``term`` by deleting up to ``depth``
+    characters (term itself included) — the query-side half of the
+    FastSS probe.  O(len^depth) strings: for the interactive depths
+    (1-2) a handful, computed driver-side like every other probe-term
+    derivation."""
+    out = {term}
+    frontier = {term}
+    for _ in range(max(0, int(depth))):
+        frontier = {
+            v[:i] + v[i + 1:] for v in frontier for i in range(len(v))
+        }
+        out |= frontier
+    return sorted(out)
+
+
+def indexed_fuzzy_search(
+    spark: SparkSession,
+    group: str,
+    term: str,
+    *,
+    max_dist: int = 1,
+    limit: int = 20,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """FUZZY term search (edit distance <= ``max_dist``) through the
+    deletion-neighborhood layer — Lucene's FuzzyQuery, the term-query
+    class left after exact/prefix/wildcard: typo-tolerant retrieval
+    ("strem" finds "stream") without scanning the vocabulary.
+
+    The FastSS/SymSpell shape: the query term's own <=max_dist deletion
+    variants (O(len^d), generated driver-side) probe the var-clustered
+    layer through the Bloom point path (builder-asserted strict
+    subset); candidate tokens sharing any variant come back from
+    O(probe) files — COMPLETE by the FastSS theorem whenever the layer
+    was built with ``max_edits >= max_dist`` (enforced) — and one
+    built-in ``levenshtein`` filter removes the collision false
+    positives (e.g. depth-1 variants of "abcd" and "bcda" collide at
+    distance 2).  The verified terms — vocabulary-selective, metadata
+    scale — then probe the postings through the bloom point path, and
+    docs rank by exact summed tf with doc_id tie-break, mirroring
+    ``indexed_prefix_search`` / ``indexed_wildcard_search``."""
+    if not term:
+        raise ValueError("fuzzy search needs a non-empty term")
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    built = fuzzy_max_edits(spark, group)
+    if max_dist > built:
+        raise ValueError(
+            f"fuzzy layer was built with max_edits={built}; "
+            f"max_dist={max_dist} queries need a deeper build "
+            "(FastSS completeness requires variants at depth d on "
+            "BOTH sides)"
+        )
+    pins = index_pins(spark, group)
+    path = _sub(group, FUZZY)
+    v = pins.get(FUZZY)
+    if v is None:
+        raise FileNotFoundError(
+            f"index group {group} has no fuzzy layer — rebuild with "
+            "build_token_index (r13+) to serve fuzzy queries"
+        )
+    variants = _deletion_variants(term, max_dist)
+    if assert_pruned:
+        n_all = len(snapshot_files(spark, path, v))
+        n_probe = len(
+            snapshot_files(
+                spark, path, v, prune_point=("var", variants)
+            )
+        )
+        # a 1-file layer (tiny vocabulary) is legitimately unprunable —
+        # the assertion indicts a MULTI-file plan reading everything
+        if n_all > 1 and n_probe >= n_all:
+            raise AssertionError(
+                f"fuzzy probe {term!r} did not prune: "
+                f"{n_probe} of {n_all}"
+            )
+    matched = (
+        read_snapshot(spark, path, v, prune_point=("var", variants))
+        .filter(F.col("var").isin(*variants))
         .select("token")
         .distinct()
-        .join(layer_tokens, "token", "left_anti")
+        .filter(F.levenshtein(F.col("token"), F.lit(term)) <= max_dist)
     )
-    _permuterm_delta(
-        spark,
-        group,
-        add_tok,
-        first=False,
-        target_rows_per_file=target_rows_per_file,
-    )
-    cand_dead = (
-        postings_of(removed_docs).select("token").distinct()
-    )
-    if cand_dead.limit(1).count():
-        live = read_snapshot(
-            spark,
-            _sub(group, POSTINGS),
-            prune_point=("token", cand_dead),
-        ).join(cand_dead, "token", "left_semi")
-        dead = cand_dead.join(
-            live.select("token").distinct(), "token", "left_anti"
+    terms = sorted(r["token"] for r in matched.collect())
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id long, score long, n_terms long"
         )
-        if dead.limit(1).count():
-            delete_snapshot_keys(spark, layer, "token", dead)
+    post = pruned_postings(
+        spark, group, terms, assert_pruned=False, pins=pins
+    )
+    return (
+        post.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("score"),
+            F.count_distinct("token").cast("long").alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(limit)
+        .select("doc_id", "score", "n_terms")
+    )
 
 
 def _pruned_permuterm_tokens(

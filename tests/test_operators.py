@@ -2629,6 +2629,74 @@ class TestAnnAssignTopk:
             snap.snapshot_files(spark, path, prune_point=("cell", cells))
         ) < len(snap.snapshot_files(spark, path))
 
+    def test_batch_knn_join_non_broadcast_path(self, spark, tmp_path):
+        """The BATCH kNN-join shape: a table-scale query side with the
+        broadcast hint OFF produces bit-identical results to the
+        interactive broadcast path, and under autoBroadcastJoinThreshold
+        =-1 the candidate ⋈ query pairing really is NOT a broadcast
+        join (the plan a 10M-row shard needs — shipping the shard to
+        every executor is the failure mode the flag exists to avoid)."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+
+        group = str(tmp_path / "ann")
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        vx.build_ann_assignments(
+            spark, emb, group, target_rows_per_file=125
+        )
+        shard = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        def run(broadcast):
+            return sorted(
+                (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+                for r in vx.ann_assign_topk(
+                    spark,
+                    group,
+                    shard,
+                    k=3,
+                    n_probe=2,
+                    assert_pruned=False,
+                    broadcast_queries=broadcast,
+                ).collect()
+            )
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            batch_df = vx.ann_assign_topk(
+                spark,
+                group,
+                shard,
+                k=3,
+                n_probe=2,
+                assert_pruned=False,
+                broadcast_queries=False,
+            )
+            plan = batch_df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan
+            batch = run(False)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert batch == run(True) and batch
+        # the decontamination wrapper flags exactly the threshold
+        # clearers: a negated shard against an un-churned corpus has no
+        # mirrored twins, so nothing clears 0.9
+        decon = vx.ann_semantic_decontaminate(
+            spark,
+            group,
+            shard.select(
+                "query_id",
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            ),
+        ).collect()
+        assert decon and all(not r["contaminated"] for r in decon)
+        assert all(r["best_sim"] < 0.9 for r in decon)
+
 
 def test_maintain_ann_assignments_folds_and_keeps_blooms(spark, tmp_path):
     """The vector tier's maintenance loop: refresh churn leaves small
@@ -3153,6 +3221,172 @@ class TestIndexedWildcardSearch:
             r["doc_id"]
             for r in ti.indexed_wildcard_search(
                 spark, group, "*dow", assert_pruned=False
+            ).collect()
+        } == {2, 3}
+
+
+class TestIndexedFuzzySearch:
+    """Fuzzy (deletion-neighborhood / FastSS) layer: edit-distance
+    semantics, verify-filter exactness, depth pinning, pruning, and
+    O(delta) vocabulary maintenance."""
+
+    def test_fuzzy_semantics_and_depth_guard(self, spark, tmp_path):
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs = spark.createDataFrame(
+            [
+                (1, "stream of data stream"),
+                (2, "strem typo steam"),
+                (3, "dream team"),
+            ],
+            "doc_id long, text string",
+        )
+        group = str(tmp_path / "ti")
+        ti.build_token_index(spark, docs, group, splits=1)
+        assert ti.fuzzy_max_edits(spark, group) == 1
+
+        def hits(term, d):
+            return {
+                r["doc_id"]: (r["score"], r["n_terms"])
+                for r in ti.indexed_fuzzy_search(
+                    spark, group, term, max_dist=d, assert_pruned=False
+                ).collect()
+            }
+
+        # d=1: stream itself (doc 1 x2) + strem/steam (doc 2, lev 1
+        # each); dream is lev 2 — the levenshtein verify must reject
+        # the FastSS collision class
+        assert hits("stream", 1) == {1: (2, 1), 2: (2, 2)}
+        # d=0 degenerates to exact term search
+        assert hits("stream", 0) == {1: (2, 1)}
+        # a query deeper than the build is REFUSED (completeness needs
+        # both sides' variants at depth d), never silently partial
+        with pytest.raises(ValueError, match="max_edits=1"):
+            ti.indexed_fuzzy_search(
+                spark, group, "stream", max_dist=2, assert_pruned=False
+            )
+        with pytest.raises(ValueError, match="non-empty"):
+            ti.indexed_fuzzy_search(spark, group, "")
+        # a depth-2 build serves d=2: dream (del r, sub d->t is 2 subs?
+        # lev(stream,dream)=2) and team (2 deletions) join the match set
+        group2 = str(tmp_path / "ti2")
+        ti.build_token_index(spark, docs, group2, splits=1, fuzzy_edits=2)
+        assert {
+            r["doc_id"]
+            for r in ti.indexed_fuzzy_search(
+                spark, group2, "stream", max_dist=2, assert_pruned=False
+            ).collect()
+        } == {1, 2, 3}
+
+    def test_fuzzy_pruning_strict_subset(self, spark, tmp_path):
+        """The deletion-variant Bloom/range probe admits a strict
+        subset of a multi-file fuzzy layer (the in-function assertion
+        raises otherwise) and equals the unpruned answer."""
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            snapshot_files,
+        )
+
+        rows = [
+            (i, " ".join(f"{chr(97 + i % 26)}mid{j}x" for j in range(8)))
+            for i in range(80)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        group = str(tmp_path / "ti")
+        ti.build_token_index(
+            spark, docs, group, splits=1, target_rows_per_file=120
+        )
+        pins = ti.index_pins(spark, group)
+        assert len(
+            snapshot_files(spark, f"{group}/fuzzy", pins[ti.FUZZY])
+        ) > 4
+        pruned = sorted(
+            map(
+                tuple,
+                ti.indexed_fuzzy_search(spark, group, "amid0x").collect(),
+            )
+        )
+        full = sorted(
+            map(
+                tuple,
+                ti.indexed_fuzzy_search(
+                    spark, group, "amid0x", assert_pruned=False
+                ).collect(),
+            )
+        )
+        assert pruned == full and pruned
+
+    def test_fuzzy_tracks_vocabulary_churn(self, spark, tmp_path):
+        """Refresh folds the vocabulary delta O(delta) into the fuzzy
+        layer alongside the permuterm one: a new token becomes
+        fuzzy-servable, a dead token leaves, survivors stay; the
+        maintenance sweep covers the layer and stays lossless."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs_layer = str(tmp_path / "docs")
+        group = str(tmp_path / "ti")
+        v1 = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(1, "unique stream"), (2, "stream keeper")],
+                "doc_id long, text string",
+            ),
+            docs_layer,
+            change_feed=True,
+        )
+        ti.build_token_index(
+            spark, snap.read_snapshot(spark, docs_layer), group, splits=1
+        )
+
+        def toks():
+            return {
+                r["token"]
+                for r in snap.read_snapshot(spark, f"{group}/fuzzy")
+                .select("token")
+                .distinct()
+                .collect()
+            }
+
+        assert toks() == {"unique", "stream", "keeper"}
+        snap.delete_snapshot_keys(spark, docs_layer, "doc_id", [1])
+        v3 = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(3, "novel strem")], "doc_id long, text string"
+            ),
+            docs_layer,
+            mode="append",
+            change_feed=True,
+        )
+        ti.refresh_token_index(
+            spark,
+            group,
+            snap.snapshot_changes_keyed(
+                spark, docs_layer, v1, v3, ["doc_id"], include_values=True
+            ),
+        )
+        assert toks() == {"stream", "keeper", "novel", "strem"}
+        # the typo'd new doc is served, the dead token is not
+        assert {
+            r["doc_id"]
+            for r in ti.indexed_fuzzy_search(
+                spark, group, "stream", assert_pruned=False
+            ).collect()
+        } == {2, 3}
+        assert not ti.indexed_fuzzy_search(
+            spark, group, "unique", assert_pruned=False
+        ).collect()
+        # maintenance sweeps the fuzzy layer too and must be lossless
+        taken = ti.maintain_token_index(spark, group)
+        assert ti.FUZZY in taken
+        assert toks() == {"stream", "keeper", "novel", "strem"}
+        assert {
+            r["doc_id"]
+            for r in ti.indexed_fuzzy_search(
+                spark, group, "stream", assert_pruned=False
             ).collect()
         } == {2, 3}
 
