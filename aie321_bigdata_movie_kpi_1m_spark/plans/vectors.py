@@ -1423,6 +1423,7 @@ def ann_assign_topk(
     model_layer: str | None = None,
     assert_pruned: bool = True,
     with_rank: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF top-k THROUGH the maintained assignment layer: probe cells
     come from the PERSISTED quantizer (k-row model load, no corpus
@@ -1436,7 +1437,15 @@ def ann_assign_topk(
 
     The probed-cell union is N_queries x n_probe small ints — model-
     scale driver values, same class as the centroids.  Scoring is the
-    exact-cosine rerank ``ivf_topk``/the oracle pin, bit-identical."""
+    exact-cosine rerank ``ivf_topk``/the oracle pin, bit-identical.
+
+    ``broadcast_queries`` pins the join strategy for the candidate ⋈
+    query pairing: True (the interactive default) broadcasts the
+    query side — right whenever the request batch is request-scale.
+    False drops the hint for the BATCH KNN-JOIN shape (a 10M-row eval
+    shard joined against the corpus): both sides then shuffle on cell
+    and the planner sizes the join itself — a broadcast hint there
+    would ship the whole shard to every executor."""
     from pyspark.sql import Window
 
     from ..operators.similarity import (
@@ -1487,7 +1496,7 @@ def ann_assign_topk(
         )
     )
     paired = (
-        cand.join(F.broadcast(qv), "__cell")
+        cand.join(F.broadcast(qv) if broadcast_queries else qv, "__cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "__sim",
@@ -1619,6 +1628,153 @@ def q_ann_cdf_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries,
         model_layer=scratch_dir("snapshots", tag, "ivf_model"),
         assert_pruned=False,
+    )
+
+
+def ann_semantic_decontaminate(
+    spark: SparkSession,
+    group: str,
+    queries: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_probe: int = 6,
+    model_layer: str | None = None,
+    broadcast_queries: bool = False,
+    assert_pruned: bool = False,
+) -> DataFrame:
+    """EMBEDDING-LEVEL DECONTAMINATION as a batch kNN join: for every
+    vector of an eval/benchmark shard, its best corpus match through
+    the maintained assignment layer, flagged ``contaminated`` when the
+    best cosine clears ``threshold`` — the semantic sibling of
+    ``decontaminate_ngram_overlap`` (surface n-grams miss a paraphrased
+    or re-embedded benchmark item; the vector tier catches it).
+
+    The join IS ``ann_assign_topk`` with a TABLE-scale query side:
+    ``broadcast_queries`` defaults False here (the shard may be 10M
+    rows — the batch shape, both sides shuffle on cell), k=1, and the
+    per-query top-1 window.  Queries whose probed cells hold no
+    candidate drop out (nothing to flag against).  At 100 TB the cost
+    is one pruned layer read + one cell-keyed shuffle of the shard —
+    never an exact all-pairs pass."""
+    best = ann_assign_topk(
+        spark,
+        group,
+        queries,
+        k=1,
+        n_probe=n_probe,
+        model_layer=model_layer,
+        assert_pruned=assert_pruned,
+        broadcast_queries=broadcast_queries,
+    )
+    return best.select(
+        "query_id",
+        F.col("neighbor_id").alias("best_neighbor"),
+        F.col("cosine_sim").alias("best_sim"),
+        (F.col("cosine_sim") >= threshold).alias("contaminated"),
+    )
+
+
+def _ann_decontaminate_oracle() -> str:
+    """Fit on the ORIGINAL corpus, churned survivors, negated-shard
+    queries, per-query best match + threshold flag — the full replay."""
+    return (
+        _ivf_cells_prefix()
+        + """
+, surv AS (
+  SELECT vec_id, v FROM e WHERE vec_id % 7 <> 3
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> -x) AS v
+  FROM e WHERE vec_id % 11 = 5
+),
+cells2 AS (
+  SELECT vec_id, c FROM (
+    SELECT s2.vec_id, k.c,
+           row_number() OVER (
+             PARTITION BY s2.vec_id
+             ORDER BY list_inner_product(k.v, k.v)
+                      - 2 * list_inner_product(s2.v, k.v), k.c) AS rn
+    FROM surv s2, cents k
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, list_transform(v, x -> -x) AS qv
+  FROM surv WHERE vec_id % 5 = 2
+),
+probes AS (
+  SELECT query_id, c FROM (
+    SELECT q.query_id, k.c,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_inner_product(k.v, k.v)
+                      - 2 * list_inner_product(q.qv, k.v), k.c) AS rn
+    FROM q, cents k
+  ) WHERE rn <= 6
+),
+cand AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id
+  FROM probes p
+  JOIN cells2 cl ON cl.c = p.c AND cl.vec_id <> p.query_id
+),
+pairs AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_inner_product(q.qv, s.v)
+           / sqrt(list_inner_product(q.qv, q.qv)
+                  * list_inner_product(s.v, s.v)) AS sim
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN surv s ON s.vec_id = c.neighbor_id
+),
+best AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id AS best_neighbor,
+       ROUND(sim, 6) AS best_sim,
+       ROUND(sim, 6) >= 0.9 AS contaminated
+FROM best WHERE rn = 1
+"""
+    )
+
+
+@register(
+    "ann_decontaminate_semantic",
+    _ann_decontaminate_oracle(),
+    "EMBEDDING-LEVEL DECONTAMINATION as a BATCH KNN JOIN through the "
+    "maintained assignment layer: a TABLE-scale eval shard (every 5th "
+    "corpus vector, negated — so shard members whose mirrored twin "
+    "landed in the churned corpus surface at cosine exactly 1.0, the "
+    "engineered contamination) joins the corpus on probed cells with "
+    "the broadcast hint OFF (the 10M-row-shard shape: both sides "
+    "shuffle on cell, the planner sizes the join), k=1 per query, and "
+    "each query flags contaminated when its best match clears 0.9 — "
+    "the semantic sibling of decontaminate_ngram_overlap (paraphrase/"
+    "re-embedding leaks n-grams miss); the oracle replays fit, churn, "
+    "shard negation, probes, best-match, and flag fully in SQL",
+    tags=("similarity", "model", "snapshots", "corpus", "pruning"),
+)
+def q_ann_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..session import scratch_dir
+    from ..sources.snapshots import read_snapshot
+
+    group = _ann_cdf_group(spark, sf_dir)
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    shard = (
+        read_snapshot(spark, f"{group}/embeddings")
+        .filter(F.pmod(F.col("vec_id"), F.lit(5)) == 2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+    return ann_semantic_decontaminate(
+        spark,
+        group,
+        shard,
+        model_layer=scratch_dir("snapshots", tag, "ivf_model"),
     )
 
 
