@@ -2324,6 +2324,125 @@ def q_snapshot_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return level(1).unionByName(level(2))
 
 
+_WAP_BUILT: set[str] = set()
+
+
+def _wap_store(spark: SparkSession, sf_dir: str) -> str:
+    """WRITE-AUDIT-PUBLISH fixture: documents published at catalog v1,
+    then a WAP branch (zero-copy clone of the pinned state) takes an
+    append (every 3rd doc mirrored at doc_id + 100000) AND a
+    merge-on-read DELETE (doc_id % 10 = 7) in ISOLATION — the builder
+    asserts catalog readers still see the untouched v1 content
+    mid-branch — then an audited atomic repoint publishes the branch
+    head as catalog v2.  Once per process."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        delete_snapshot,
+        drop_snapshot_layer,
+    )
+    from ..sources.table_catalog import (
+        commit_catalog,
+        read_catalog_table,
+        wap_branch,
+        wap_publish,
+    )
+
+    cat = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/wap_catalog"
+    if cat in _WAP_BUILT:
+        return cat
+    docs_layer, branch = f"{cat}_docs", f"{cat}_audit"
+    for p in (cat, docs_layer, branch):
+        drop_snapshot_layer(spark, p)
+    base = load_star_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    v1 = commit_snapshot(spark, base, docs_layer, stats_cols=["doc_id"])
+    commit_catalog(spark, cat, {"docs": {"path": docs_layer, "version": v1}})
+    n_base = base.count()
+    wap_branch(spark, cat, "docs", branch, audit_id="ingest-batch-1")
+    commit_snapshot(
+        spark,
+        base.filter(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+        ),
+        branch,
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    delete_snapshot(spark, branch, "doc_id % 10 = 7")
+    # WAP's whole point, asserted: the branch's append AND delete are
+    # invisible through the catalog until the publish swap
+    n_mid = read_catalog_table(spark, cat, "docs").count()
+    if n_mid != n_base:
+        raise AssertionError(
+            f"WAP isolation broken: catalog readers saw {n_mid} rows "
+            f"mid-branch, expected the published {n_base}"
+        )
+    wap_publish(
+        spark, cat, branch, checks={"ids_present": "doc_id IS NOT NULL"}
+    )
+    _WAP_BUILT.add(cat)
+    return cat
+
+
+@register(
+    "snapshot_wap_publish",
+    """
+WITH base AS (SELECT doc_id, source, text FROM documents),
+aug AS (
+  SELECT doc_id, source, text FROM base
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source, text
+  FROM base WHERE doc_id % 3 = 1
+),
+pub AS (SELECT * FROM aug WHERE doc_id % 10 <> 7)
+SELECT CAST(1 AS BIGINT) AS catalog_version, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+FROM base GROUP BY 2
+UNION ALL
+SELECT CAST(2 AS BIGINT), source, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(length(coalesce(text, ''))) AS BIGINT)
+FROM pub GROUP BY 2
+""",
+    "WRITE-AUDIT-PUBLISH via catalog-level branching (the Iceberg WAP / "
+    "Nessie / LakeFS pattern, composed from the repo's own primitives): "
+    "a BRANCH is a zero-copy shallow clone of the exact (path, version) "
+    "the catalog pins — so the full layer API (here: an append AND a "
+    "merge-on-read DELETE) works on it unchanged and in isolation, "
+    "builder-asserted invisible to catalog readers mid-branch; audit "
+    "checks run over the branch head (MoR-aware, one aggregate scan) "
+    "and gate the PUBLISH, not the write — bad data may land on the "
+    "branch, it never reaches readers; the publish is one CAS catalog "
+    "repoint with a stale-source lost-update guard (pytest: audit "
+    "failure keeps serving v1, concurrent publish refused, forced "
+    "last-writer-wins recorded in history); the query reads per-source "
+    "doc/char rollups THROUGH the catalog at BOTH versions — a torn or "
+    "leaked publish breaks the hash",
+    tags=("snapshots", "catalog", "transactions"),
+)
+def q_snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.table_catalog import read_catalog_table
+
+    cat = _wap_store(spark, sf_dir)
+
+    def level(cv: int) -> DataFrame:
+        docs = read_catalog_table(spark, cat, "docs", catalog_version=cv)
+        return docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))))
+            .cast("long")
+            .alias("n_chars"),
+        ).select(
+            F.lit(cv).cast("long").alias("catalog_version"),
+            "source",
+            "n_docs",
+            "n_chars",
+        )
+
+    return level(1).unionByName(level(2))
+
+
 _MERGE_CDF_BUILT: set[str] = set()
 
 

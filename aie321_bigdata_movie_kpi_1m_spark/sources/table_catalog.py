@@ -40,6 +40,7 @@ import json
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .snapshots import (
     _hpath,
@@ -370,3 +371,179 @@ def register_catalog_views(
         )
         names.append(name)
     return names
+
+
+# ---------------------------------------------------------------------------
+# WRITE-AUDIT-PUBLISH: catalog-level branching
+# ---------------------------------------------------------------------------
+#
+# The Iceberg WAP / Nessie / LakeFS pattern, composed from primitives the
+# repo already trusts: a BRANCH is a zero-copy SHALLOW CLONE of the exact
+# (layer path, version) the catalog currently pins for a table, so EVERY
+# existing mutator — append, copy-on-write MERGE, merge-on-read DELETE,
+# compaction, CDF — works on the branch unchanged and in isolation; the
+# PUBLISH is one compare-and-swap catalog repoint, so readers resolving
+# through the catalog flip from the old state to the audited branch head
+# atomically, or keep the old state forever if the audit fails.  Bad data
+# can land on the branch (that is the point of WAP — the audit gates the
+# PUBLISH, not the write), and a crashed/abandoned branch is invisible
+# garbage reclaimed by its own vacuum.
+
+_WAP_FILE = "WAP.json"
+
+
+def wap_branch(
+    spark: SparkSession,
+    cat_path: str,
+    table: str,
+    branch_path: str,
+    *,
+    audit_id: str | None = None,
+) -> dict:
+    """WRITE-AUDIT-PUBLISH stage 1: fork ``table``'s CURRENT published
+    state into an isolated branch layer at ``branch_path`` — a
+    zero-copy shallow clone of the exact (path, version) the catalog
+    head pins, plus a provenance record (``WAP.json``: source pin +
+    catalog version + audit_id) that ``wap_publish`` later validates.
+
+    The branch evolves with the FULL layer API (append / MERGE /
+    DELETE / compaction / time travel), none of it visible through the
+    catalog until the publish swap.  Zero bytes copied at fork time,
+    however large the table; the clone-vacuum caveat applies (retention
+    on the SOURCE layer must cover live branches — same contract as
+    ``clone_snapshot``).  Returns the provenance record."""
+    from .snapshots import clone_snapshot
+
+    tables = catalog_tables(spark, cat_path)
+    if table not in tables:
+        raise KeyError(
+            f"table {table!r} not in catalog {sorted(tables)} at {cat_path}"
+        )
+    t = tables[table]
+    cat_v = catalog_versions(spark, cat_path)[-1]
+    clone_snapshot(
+        spark, str(t["path"]), branch_path, version=int(t["version"])
+    )
+    record = {
+        "table": table,
+        "catalog": str(cat_path),
+        "source_path": str(t["path"]),
+        "source_version": int(t["version"]),
+        "catalog_version": int(cat_v),
+        "audit_id": audit_id,
+        "created_at": time.time(),
+    }
+    # written AFTER the clone: a crash in between leaves a clone with no
+    # provenance, which wap_publish refuses — safe, vacuumable garbage
+    _write_text(spark, f"{branch_path}/{_WAP_FILE}", json.dumps(record))
+    return record
+
+
+def wap_provenance(spark: SparkSession, branch_path: str) -> dict:
+    """The branch's provenance record, or a loud error for a layer that
+    was never forked by ``wap_branch`` (publishing an arbitrary layer
+    over a table would bypass the lost-update guard)."""
+    jvm, fs = _fs(spark, branch_path)
+    p = _hpath(jvm, f"{branch_path}/{_WAP_FILE}")
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"{branch_path} has no {_WAP_FILE} — not a WAP branch "
+            "(fork with wap_branch; publishing arbitrary layers would "
+            "bypass the stale-source guard)"
+        )
+    return json.loads(_read_text(spark, f"{branch_path}/{_WAP_FILE}"))
+
+
+def wap_audit(
+    spark: SparkSession, branch_path: str, checks: dict[str, str]
+) -> dict:
+    """WRITE-AUDIT-PUBLISH stage 2: evaluate audit predicates over the
+    branch HEAD (merge-on-read aware — deletes staged on the branch are
+    applied, exactly what readers would see post-publish) in ONE
+    aggregate scan.  Returns {check name -> violation row count}; SQL
+    CHECK semantics (a NULL predicate result is not a violation).
+
+    Unlike commit-time CHECK constraints (which REJECT the delta before
+    it lands), the audit runs over data that already landed on the
+    branch — WAP's contract is that bad data may be written and
+    examined, it just never reaches readers."""
+    if not checks:
+        return {}
+    head = read_snapshot(spark, branch_path)
+    aggs = [
+        F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(name)
+        for name, pred in checks.items()
+    ]
+    row = head.agg(*aggs).first()
+    return {name: int(row[name] or 0) for name in checks}
+
+
+def wap_publish(
+    spark: SparkSession,
+    cat_path: str,
+    branch_path: str,
+    *,
+    checks: dict[str, str] | None = None,
+    expect_unchanged: bool = True,
+    attempts: int = 5,
+) -> int:
+    """WRITE-AUDIT-PUBLISH stage 3: atomically repoint the table at the
+    audited branch head.
+
+    - ``checks`` (optional) run as ``wap_audit`` first; ANY violation
+      refuses the publish with the per-check counts — the branch stays
+      on disk for inspection/repair, the catalog keeps serving the old
+      state (nothing to roll back: nothing was published);
+    - the LOST-UPDATE guard: with ``expect_unchanged`` (default) the
+      publish refuses when the catalog no longer pins the exact
+      (path, version) the branch forked from — someone published this
+      table since the fork, and silently repointing would erase their
+      update.  ``expect_unchanged=False`` forces last-writer-wins (the
+      catalog history still records both);
+    - the swap itself is the same CAS + rebase loop as
+      ``multi_table_commit``: concurrent publishes of OTHER tables
+      land untouched.
+
+    Returns the new catalog version."""
+    rec = wap_provenance(spark, branch_path)
+    if checks:
+        bad = {n: c for n, c in wap_audit(spark, branch_path, checks).items() if c}
+        if bad:
+            raise ValueError(
+                "WAP audit failed, publish refused (branch kept for "
+                "inspection): "
+                + ", ".join(
+                    f"{n!r} ({c} rows fail: {checks[n]})"
+                    for n, c in sorted(bad.items())
+                )
+            )
+    from .snapshots import snapshot_versions
+
+    branch_head = snapshot_versions(spark, branch_path)[-1]
+    table = str(rec["table"])
+
+    def swap() -> int:
+        head = catalog_versions(spark, cat_path)[-1]
+        base = _catalog_manifest(spark, cat_path, head)["tables"]
+        cur = base.get(table)
+        if cur == {"path": branch_path, "version": int(branch_head)}:
+            return head  # replayed publish: already pinned
+        if expect_unchanged and cur != {
+            "path": rec["source_path"],
+            "version": int(rec["source_version"]),
+        }:
+            raise RuntimeError(
+                f"WAP publish refused: {table!r} moved since the fork "
+                f"(branch forked from {rec['source_path']} "
+                f"v{rec['source_version']}, catalog now pins {cur}) — "
+                "re-fork and re-apply, or pass expect_unchanged=False "
+                "to force last-writer-wins"
+            )
+        return commit_catalog(
+            spark,
+            cat_path,
+            {**base, table: {"path": branch_path, "version": int(branch_head)}},
+            expect_version=head + 1,
+        )
+
+    return retry_commit(swap, attempts=attempts)

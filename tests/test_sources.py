@@ -5288,6 +5288,146 @@ class TestTableCatalog:
         assert row["n"] == 15 and row["tiers"] == 1
 
 
+class TestWriteAuditPublish:
+    """Catalog-level WAP branching: fork isolation, audit gating,
+    atomic repoint, stale-source refusal, provenance guard."""
+
+    def _published(self, spark, tmp_path, tc, snap):
+        cat = str(tmp_path / "cat")
+        docs = str(tmp_path / "docs")
+        v = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(i, f"text {i}") for i in range(20)],
+                "doc_id long, text string",
+            ),
+            docs,
+            stats_cols=["doc_id"],
+        )
+        tc.commit_catalog(spark, cat, {"docs": {"path": docs, "version": v}})
+        return cat, docs
+
+    def test_branch_isolated_then_published_atomically(
+        self, spark, tmp_path
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat, docs = self._published(spark, tmp_path, tc, snap)
+        br = str(tmp_path / "audit1")
+        rec = tc.wap_branch(spark, cat, "docs", br, audit_id="b1")
+        assert rec["source_version"] == 1 and rec["table"] == "docs"
+        # the full layer API on the branch: append + MoR delete
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(100 + i, f"new {i}") for i in range(5)],
+                "doc_id long, text string",
+            ),
+            br,
+            mode="append",
+            stats_cols=["doc_id"],
+        )
+        snap.delete_snapshot(spark, br, "doc_id % 10 = 7")
+        # isolation: the catalog keeps serving the published 20 rows
+        assert tc.read_catalog_table(spark, cat, "docs").count() == 20
+        assert tc.wap_audit(
+            spark, br, {"ids": "doc_id IS NOT NULL"}
+        ) == {"ids": 0}
+        cv = tc.wap_publish(
+            spark, cat, br, checks={"ids": "doc_id IS NOT NULL"}
+        )
+        after = tc.read_catalog_table(spark, cat, "docs")
+        # 20 + 5 - deleted {7, 17} (none of 100-104 hits % 10 = 7)
+        assert after.count() == 23
+        assert tc.catalog_tables(spark, cat)["docs"]["path"] == br
+        # a replayed publish is a catalog no-op, not version churn
+        assert tc.wap_publish(spark, cat, br) == cv
+        # history records the repoint
+        hist = {
+            (r["catalog_version"], r["layer_version"])
+            for r in tc.catalog_history(spark, cat).collect()
+        }
+        # branch lineage: clone v1 -> append v2 -> MoR delete v3
+        assert (1, 1) in hist and (cv, 3) in hist
+
+    def test_audit_failure_blocks_publish_and_branch_is_fixable(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat, docs = self._published(spark, tmp_path, tc, snap)
+        br = str(tmp_path / "audit1")
+        tc.wap_branch(spark, cat, "docs", br)
+        # bad batch lands ON THE BRANCH (WAP allows that: the audit
+        # gates the publish, not the write)
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(None, "orphan"), (200, "fine")],
+                "doc_id long, text string",
+            ),
+            br,
+            mode="append",
+        )
+        with pytest.raises(ValueError, match="audit failed"):
+            tc.wap_publish(
+                spark, cat, br, checks={"ids": "doc_id IS NOT NULL"}
+            )
+        # nothing published — readers still see the old 20 rows
+        assert tc.read_catalog_table(spark, cat, "docs").count() == 20
+        # repair the branch (delete the orphan row), then publish
+        snap.delete_snapshot(spark, br, "doc_id IS NULL")
+        tc.wap_publish(spark, cat, br, checks={"ids": "doc_id IS NOT NULL"})
+        assert tc.read_catalog_table(spark, cat, "docs").count() == 21
+
+    def test_stale_source_publish_refused_then_forced(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat, docs = self._published(spark, tmp_path, tc, snap)
+        br1, br2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+        tc.wap_branch(spark, cat, "docs", br1)
+        tc.wap_branch(spark, cat, "docs", br2)
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(300, "x")], "doc_id long, text string"),
+            br1,
+            mode="append",
+        )
+        tc.wap_publish(spark, cat, br1)
+        # br2 forked from the now-stale pin: refuse (lost-update guard)
+        with pytest.raises(RuntimeError, match="moved since the fork"):
+            tc.wap_publish(spark, cat, br2)
+        assert tc.read_catalog_table(spark, cat, "docs").count() == 21
+        # forced last-writer-wins is explicit and recorded in history
+        tc.wap_publish(spark, cat, br2, expect_unchanged=False)
+        assert tc.read_catalog_table(spark, cat, "docs").count() == 20
+
+    def test_non_branch_layer_refused(self, spark, tmp_path):
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat, docs = self._published(spark, tmp_path, tc, snap)
+        plain = str(tmp_path / "plain")
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(1, "y")], "doc_id long, text string"),
+            plain,
+        )
+        with pytest.raises(FileNotFoundError, match="not a WAP branch"):
+            tc.wap_publish(spark, cat, plain)
+
+
 class TestStreamReaderSubstrateGuard:
     """The Python stream source reads manifests with plain file IO and
     is file://-only by design; a remote scheme must raise at
