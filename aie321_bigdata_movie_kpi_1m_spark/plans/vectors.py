@@ -1470,9 +1470,16 @@ def ann_assign_topk(
     model_layer = model_layer or f"{group}/model"
     mats, _meta = load_ann_model(spark, model_layer, model_v)
     probe = _nearest_centroids_udf(mats[0], n_probe)
-    qv = queries.select(
-        F.col("query_id"), _as_double("embedding").alias("__qv")
-    ).withColumn("__cell", F.explode(probe(F.col("__qv"))))
+    # the SQUARED query norm is hoisted out of the pair join (computed
+    # once per query row, not once per candidate pair); sim stays
+    # sqrt(qq * cc) — the exact expression tree the oracles replay
+    qv = (
+        queries.select(
+            F.col("query_id"), _as_double("embedding").alias("__qv")
+        )
+        .withColumn("__qq", _dot(F.col("__qv"), F.col("__qv")))
+        .withColumn("__cell", F.explode(probe(F.col("__qv"))))
+    )
     cells = sorted(
         int(r["__cell"]) for r in qv.select("__cell").distinct().collect()
     )
@@ -1494,6 +1501,7 @@ def ann_assign_topk(
             F.col("cell").alias("__cell"),
             _as_double("embedding").alias("__cv"),
         )
+        .withColumn("__cc", _dot(F.col("__cv"), F.col("__cv")))
     )
     paired = (
         cand.join(F.broadcast(qv) if broadcast_queries else qv, "__cell")
@@ -1501,10 +1509,7 @@ def ann_assign_topk(
         .withColumn(
             "__sim",
             _dot(F.col("__qv"), F.col("__cv"))
-            / F.sqrt(
-                _dot(F.col("__qv"), F.col("__qv"))
-                * _dot(F.col("__cv"), F.col("__cv"))
-            ),
+            / F.sqrt(F.col("__qq") * F.col("__cc")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
