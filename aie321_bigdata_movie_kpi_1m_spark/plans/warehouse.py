@@ -2193,6 +2193,107 @@ def q_snapshot_hidden_partition_prune(
     )
 
 
+_EVOLVED_PART_BUILT: set[str] = set()
+
+
+def _evolved_partition_layer(spark: SparkSession, sf_dir: str) -> str:
+    """PARTITION-SPEC EVOLUTION fixture: the even-key half of customer
+    committed under ``bucket(4, c_custkey)``, the odd-key half APPENDED
+    under a NEW ``bucket(8, c_custkey)`` spec — Iceberg spec evolution,
+    where each file carries the derived stats of the spec it was
+    written under and the manifest accumulates the spec history
+    (``partition_specs_all``) so the pushdown reader probes BOTH
+    generations sharply.  The builder asserts a point probe on an
+    old-generation key plans <= 2 of the files (one bucket-file per
+    generation; probing only the head's active spec would keep every
+    old file).  Built once per process."""
+    import json as _json
+
+    from ..sources.snapshot_batch import read_snapshot_pushdown
+    from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
+
+    path = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/evolved_partition_layer"
+    if path in _EVOLVED_PART_BUILT:
+        return path
+    drop_snapshot_layer(spark, path)
+    cust = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    commit_snapshot(
+        spark,
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        path,
+        stats_cols=["c_custkey"],
+        partition_spec=[
+            {"transform": "bucket", "n": 4, "source": "c_custkey"}
+        ],
+        cluster=True,
+    )
+    commit_snapshot(
+        spark,
+        cust.filter(F.col("c_custkey") % 2 == 1),
+        path,
+        mode="append",
+        stats_cols=["c_custkey"],
+        partition_spec=[
+            {"transform": "bucket", "n": 8, "source": "c_custkey"}
+        ],
+        cluster=True,
+    )
+    log_path = f"{path}_probe_log"
+    probe = read_snapshot_pushdown(spark, path, plan_log=log_path).filter(
+        F.col("c_custkey") == 42  # old-generation (even) key
+    )
+    n = probe.count()
+    log = _json.load(open(log_path.removeprefix("file:")))
+    if n != 1 or not (0 < log["n_files_planned"] <= 2 < log["n_files_total"]):
+        raise AssertionError(
+            f"evolved-spec probe did not prune both generations: "
+            f"rows={n}, plan={log}"
+        )
+    _EVOLVED_PART_BUILT.add(path)
+    return path
+
+
+@register(
+    "snapshot_partition_evolution",
+    """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer
+WHERE c_custkey IN (11, 42, 57, 124)
+GROUP BY 1
+""",
+    "PARTITION-SPEC EVOLUTION (Iceberg spec-id semantics): a layer's "
+    "hidden-partitioning spec may change on a later commit — here "
+    "bucket(4, key) for the even-key generation, bucket(8, key) "
+    "declared on the odd-key append — and the manifest accumulates "
+    "EVERY spec the layer wrote under (partition_specs_all), so the "
+    "pushdown reader maps a predicate through all of them and each "
+    "file prunes via the stats of the spec it was actually written "
+    "under (builder-asserted: an old-generation point probe plans <=2 "
+    "of the files, where probing only the head's active spec would "
+    "keep the whole old generation); files lacking a probed stat are "
+    "conservatively kept, so stale specs are never wrong, only less "
+    "sharp; an IN probe spanning both generations feeds a segment "
+    "rollup the oracle recomputes from the raw table",
+    tags=("snapshots", "pruning", "pushdown"),
+)
+def q_snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshot_batch import read_snapshot_pushdown
+
+    path = _evolved_partition_layer(spark, sf_dir)
+    return (
+        read_snapshot_pushdown(spark, path)
+        .filter(F.col("c_custkey").isin([11, 42, 57, 124]))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
 _CATALOG_TXN_BUILT: set[str] = set()
 
 

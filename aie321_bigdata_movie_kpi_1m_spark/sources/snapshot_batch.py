@@ -313,7 +313,16 @@ def _derive_partition_preds(m: dict, preds: list[_Pred]) -> list[_Pred]:
     import datetime
 
     out: list[_Pred] = []
-    for spec in m.get("partition_spec") or []:
+    # PARTITION-SPEC EVOLUTION: probe EVERY spec the layer has written
+    # under (``partition_specs_all``), not just the head's active one —
+    # files written before an evolution carry only their own spec's
+    # derived stats, so probing the historical stat names is what keeps
+    # pruning sharp on the old region; a file lacking a probed stat is
+    # conservatively kept (``_range_keeps(None) -> True``), so stale
+    # specs are never wrong, and every derived pred independently
+    # over-approximates the source predicate, so ANDing old- and
+    # new-spec preds stays sound on every file
+    for spec in m.get("partition_specs_all") or m.get("partition_spec") or []:
         t, src = spec["transform"], spec["source"]
         if t == "bucket":
             name = f"_pt_bucket_{int(spec['n'])}_{src}"

@@ -1150,6 +1150,28 @@ def commit_snapshot(
         if partition_spec is not None
         else (prev.get("partition_spec") if mode == "append" and head else None)
     ) or None
+    # PARTITION-SPEC EVOLUTION (Iceberg spec-id semantics): the ACTIVE
+    # spec above governs write-time clustering + stat derivation for
+    # THIS delta's files; ``partition_specs_all`` accumulates every
+    # spec the layer has ever written under, so the pushdown reader can
+    # probe OLD files through the stats they actually carry after the
+    # spec changes (files lacking a probed stat are conservatively
+    # kept — pruning is an optimization, never the correctness
+    # boundary, so an evolved layer is never wrong, only as sharp as
+    # each file's own spec allows).  Overwrites reset the history: the
+    # new content carries only its own spec (older VERSIONS keep their
+    # own manifests for time travel).
+    if mode == "append" and head:
+        specs_all = list(
+            prev.get("partition_specs_all") or prev.get("partition_spec") or []
+        )
+    else:
+        specs_all = []
+    _seen_specs = {partition_stat_name(s) for s in specs_all}
+    for s in effective_spec or []:
+        if partition_stat_name(s) not in _seen_specs:
+            specs_all.append(s)
+            _seen_specs.add(partition_stat_name(s))
     derived_exprs = (
         _transform_exprs(df.schema, effective_spec) if effective_spec else {}
     )
@@ -1252,6 +1274,7 @@ def commit_snapshot(
                 "stat_doms": stat_doms,
                 "cdf": effective_cdf,
                 "partition_spec": effective_spec,
+                "partition_specs_all": specs_all or None,
                 "txn": txn_map,
             },
             default=str,
@@ -2001,6 +2024,8 @@ def delete_snapshot(
                 "stat_doms": m.get("stat_doms"),
                 "cdf": bool(m.get("cdf")),
                 "partition_spec": m.get("partition_spec"),
+                "partition_specs_all": m.get("partition_specs_all")
+                or m.get("partition_spec"),
                 "changes": cdf_entry,
                 "txn": txn_map,
             },
@@ -2222,6 +2247,8 @@ def delete_snapshot_keys(
                 "stat_doms": m.get("stat_doms"),
                 "cdf": bool(m.get("cdf")),
                 "partition_spec": m.get("partition_spec"),
+                "partition_specs_all": m.get("partition_specs_all")
+                or m.get("partition_spec"),
                 "changes": cdf_entry,
                 "txn": txn_map,
             },
@@ -2690,6 +2717,8 @@ def restore_snapshot(spark: SparkSession, path: str, version: int) -> int:
                 "stat_doms": old_raw.get("stat_doms"),
                 "cdf": bool(old.get("cdf")),
                 "partition_spec": old_raw.get("partition_spec"),
+                "partition_specs_all": old_raw.get("partition_specs_all")
+                or old_raw.get("partition_spec"),
                 "txn": cur.get("txn", {}),  # never roll back idempotence
             },
             default=str,
@@ -2756,6 +2785,8 @@ def clone_snapshot(
                 "stat_doms": m.get("stat_doms"),
                 "cdf": bool(m.get("cdf")),
                 "partition_spec": m.get("partition_spec"),
+                "partition_specs_all": m.get("partition_specs_all")
+                or m.get("partition_spec"),
                 "txn": {},
             },
             default=str,
@@ -3482,6 +3513,8 @@ def merge_snapshot(
                 "stat_doms": merge_stat_doms,
                 "cdf": bool(m.get("cdf")),
                 "partition_spec": m.get("partition_spec"),
+                "partition_specs_all": m.get("partition_specs_all")
+                or m.get("partition_spec"),
                 "changes": cdf_entry,
                 "txn": txn_map,  # carry writer high-water marks
             },
@@ -3716,6 +3749,8 @@ def compact_small_files(
                 "stat_doms": compact_stat_doms,
                 "cdf": bool(m.get("cdf")),
                 "partition_spec": m.get("partition_spec"),
+                "partition_specs_all": m.get("partition_specs_all")
+                or m.get("partition_spec"),
                 "txn": m.get("txn", {}),
             },
             default=str,

@@ -3293,6 +3293,85 @@ class TestHiddenPartitioning:
         assert len(rows) == 2000
         assert log_all["n_files_planned"] == log_all["n_files_total"]
 
+    def test_partition_spec_evolution_prunes_both_generations(
+        self, spark, tmp_path
+    ):
+        """PARTITION-SPEC EVOLUTION (Iceberg spec-id semantics): an
+        append may declare a NEW spec; the manifest accumulates every
+        spec the layer ever wrote under (``partition_specs_all``), and
+        the pushdown reader probes ALL of them — so a point lookup
+        prunes the old generation through its bucket(4) stats AND the
+        new generation through its bucket(8) stats, where probing only
+        the head's active spec would conservatively keep every
+        old-generation file."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        path = str(tmp_path / "layer")
+        snap.commit_snapshot(
+            spark,
+            spark.range(1000).selectExpr("id AS k"),
+            path,
+            stats_cols=["k"],
+            partition_spec=[{"transform": "bucket", "n": 4, "source": "k"}],
+            cluster=True,
+        )
+        snap.commit_snapshot(
+            spark,
+            spark.range(1000, 2000).selectExpr("id AS k"),
+            path,
+            mode="append",
+            stats_cols=["k"],
+            partition_spec=[{"transform": "bucket", "n": 8, "source": "k"}],
+            cluster=True,
+        )
+        m = snap._manifest_raw(spark, path, 2)
+        assert m["partition_spec"] == [
+            {"transform": "bucket", "n": 8, "source": "k"}
+        ]
+        assert m["partition_specs_all"] == [
+            {"transform": "bucket", "n": 4, "source": "k"},
+            {"transform": "bucket", "n": 8, "source": "k"},
+        ]
+        # old-generation probe: the bucket(4) stats prune the 4 old
+        # files to 1 and the bucket(8) stats prune the 8 new files to
+        # 1 — without the spec history every old file would be kept
+        rows, log = self._plan(spark, path, F.col("k") == 57, tmp_path, "old")
+        assert [r["k"] for r in rows] == [57]
+        assert log["n_files_planned"] <= 2 < log["n_files_total"]
+        # new-generation probe prunes the same way
+        rows, log = self._plan(
+            spark, path, F.col("k") == 1500, tmp_path, "new"
+        )
+        assert [r["k"] for r in rows] == [1500]
+        assert log["n_files_planned"] <= 2
+        # evolution never loses rows
+        rows, log_all = self._plan(spark, path, None, tmp_path, "evo_all")
+        assert len(rows) == 2000
+        assert log_all["n_files_planned"] == log_all["n_files_total"]
+        # the history survives a MERGE (carried like the active spec)
+        snap.merge_snapshot(
+            spark,
+            spark.createDataFrame([(57,)], "k long"),
+            path,
+            "k",
+            stats_cols=["k"],
+        )
+        m3 = snap._manifest_raw(spark, path, 3)
+        assert len(m3["partition_specs_all"]) == 2
+        # an OVERWRITE resets the history to its own spec: every file
+        # of the new content is written under it, stale specs retire
+        snap.commit_snapshot(
+            spark,
+            spark.range(50).selectExpr("id AS k"),
+            path,
+            partition_spec=[{"transform": "bucket", "n": 2, "source": "k"}],
+            cluster=True,
+        )
+        m4 = snap._manifest_raw(spark, path, 4)
+        assert m4["partition_specs_all"] == [
+            {"transform": "bucket", "n": 2, "source": "k"}
+        ]
+
     def test_truncate_and_day_mapping(self, spark, tmp_path):
         """truncate is monotone (eq + range bounds map); day maps DATE
         probes; unmappable values contribute nothing."""
@@ -5426,6 +5505,85 @@ class TestWriteAuditPublish:
         )
         with pytest.raises(FileNotFoundError, match="not a WAP branch"):
             tc.wap_publish(spark, cat, plain)
+
+    def test_multi_table_wap_all_or_nothing(self, spark, tmp_path):
+        """Cross-table WAP: facts and dims branch independently, ONE
+        swap publishes both; a failed audit on either branch publishes
+        NEITHER."""
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat = str(tmp_path / "cat")
+        pf, pd = str(tmp_path / "facts"), str(tmp_path / "dims")
+        vf = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(i, i % 3) for i in range(12)], "k long, g long"
+            ),
+            pf,
+        )
+        vd = snap.commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(0, "a"), (1, "b"), (2, "c")], "g long, label string"
+            ),
+            pd,
+        )
+        tc.commit_catalog(
+            spark,
+            cat,
+            {
+                "facts": {"path": pf, "version": vf},
+                "dims": {"path": pd, "version": vd},
+            },
+        )
+        bf, bd = str(tmp_path / "bf"), str(tmp_path / "bd")
+        tc.wap_branch(spark, cat, "facts", bf)
+        tc.wap_branch(spark, cat, "dims", bd)
+        # facts gain a row of a NEW group; dims gain its label — only a
+        # joint publish keeps the join invariant (no orphan group)
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(100, 3)], "k long, g long"),
+            bf,
+            mode="append",
+        )
+        # dims branch FIRST gets a bad batch (NULL label) — the audit
+        # must refuse the WHOLE transaction
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(3, None)], "g long, label string"),
+            bd,
+            mode="append",
+        )
+        cks = {bd: {"labeled": "label IS NOT NULL"}}
+        with pytest.raises(ValueError, match="NOTHING published"):
+            tc.wap_publish_many(spark, cat, [bf, bd], checks=cks)
+        assert tc.read_catalog_table(spark, cat, "facts").count() == 12
+        assert tc.read_catalog_table(spark, cat, "dims").count() == 3
+        # repair dims, publish both in ONE swap
+        snap.delete_snapshot(spark, bd, "label IS NULL")
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(3, "d")], "g long, label string"),
+            bd,
+            mode="append",
+        )
+        before = tc.catalog_versions(spark, cat)[-1]
+        cv = tc.wap_publish_many(spark, cat, [bf, bd], checks=cks)
+        assert cv == before + 1  # one atomic swap, not one per table
+        facts = tc.read_catalog_table(spark, cat, "facts")
+        dims = tc.read_catalog_table(spark, cat, "dims")
+        assert facts.count() == 13 and dims.count() == 4
+        # the join invariant the joint publish protected
+        assert (
+            facts.join(dims, "g", "left_anti").count() == 0
+        )
+        # duplicate-table branches refused
+        with pytest.raises(ValueError, match="same table"):
+            tc.wap_publish_many(spark, cat, [bf, bf])
 
 
 class TestStreamReaderSubstrateGuard:
