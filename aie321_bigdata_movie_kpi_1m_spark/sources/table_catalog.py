@@ -547,3 +547,86 @@ def wap_publish(
         )
 
     return retry_commit(swap, attempts=attempts)
+
+
+def wap_publish_many(
+    spark: SparkSession,
+    cat_path: str,
+    branch_paths: list[str],
+    *,
+    checks: dict[str, dict[str, str]] | None = None,
+    expect_unchanged: bool = True,
+    attempts: int = 5,
+) -> int:
+    """MULTI-TABLE Write-Audit-Publish: repoint SEVERAL tables at their
+    audited branch heads in ONE catalog swap — the cross-table branch
+    commit Nessie/LakeFS give over per-table Iceberg WAP ("load the
+    fact AND its dims on branches, audit the JOIN invariants, then
+    publish both at once, so no reader ever joins new facts against old
+    dims").  All audits run BEFORE anything publishes: one failed check
+    refuses the whole transaction and every table keeps serving its old
+    state.  ``checks`` maps branch path -> {check name -> predicate}.
+    Each branch's stale-source guard applies as in ``wap_publish``;
+    the swap is one CAS + rebase, so catalog readers see all of the
+    publish or none of it.  Returns the new catalog version."""
+    branch_paths = list(branch_paths)
+    recs = {bp: wap_provenance(spark, bp) for bp in set(branch_paths)}
+    tables = [str(recs[bp]["table"]) for bp in branch_paths]
+    if len(set(tables)) != len(tables) or len(set(branch_paths)) != len(
+        branch_paths
+    ):
+        raise ValueError(
+            f"two branches publish the same table: {sorted(tables)}"
+        )
+    branch_paths = list(recs)
+    for bp in branch_paths:
+        cs = (checks or {}).get(bp)
+        if cs:
+            bad = {n: c for n, c in wap_audit(spark, bp, cs).items() if c}
+            if bad:
+                raise ValueError(
+                    f"WAP audit failed on {bp}, NOTHING published: "
+                    + ", ".join(
+                        f"{n!r} ({c} rows fail: {cs[n]})"
+                        for n, c in sorted(bad.items())
+                    )
+                )
+    from .snapshots import snapshot_versions
+
+    heads = {
+        bp: snapshot_versions(spark, bp)[-1] for bp in branch_paths
+    }
+
+    def swap() -> int:
+        head = catalog_versions(spark, cat_path)[-1]
+        base = _catalog_manifest(spark, cat_path, head)["tables"]
+        pins = {
+            str(recs[bp]["table"]): {
+                "path": bp, "version": int(heads[bp])
+            }
+            for bp in branch_paths
+        }
+        if all(base.get(t) == pins[t] for t in pins):
+            return head  # replayed publish: already pinned
+        if expect_unchanged:
+            for bp in branch_paths:
+                rec = recs[bp]
+                t = str(rec["table"])
+                cur = base.get(t)
+                if cur == pins[t]:
+                    continue
+                if cur != {
+                    "path": rec["source_path"],
+                    "version": int(rec["source_version"]),
+                }:
+                    raise RuntimeError(
+                        f"WAP publish refused: {t!r} moved since the "
+                        f"fork (branch {bp} forked from "
+                        f"{rec['source_path']} v{rec['source_version']}, "
+                        f"catalog now pins {cur}) — nothing published"
+                    )
+        return commit_catalog(
+            spark, cat_path, {**base, **pins}, expect_version=head + 1
+        )
+
+    return retry_commit(swap, attempts=attempts)
