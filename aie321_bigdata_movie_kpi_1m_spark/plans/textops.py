@@ -2249,6 +2249,87 @@ def q_indexed_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the typo'd query terms for fuzzy BM25: each true term with its
+#: second character deleted (lev 1 from the intended term)
+_BM25_FUZZY_PROBES = tuple(t[:1] + t[2:] for t in _BM25_TERMS)
+
+
+@register(
+    "indexed_bm25_fuzzy",
+    _TOKENS_CTE
+    + f""",
+ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM ex) AS total
+),
+vocab AS (SELECT DISTINCT token FROM ex),
+probes(q) AS (
+  SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _BM25_FUZZY_PROBES)})
+),
+expanded AS (
+  SELECT DISTINCT v.token FROM vocab v
+  JOIN probes p ON levenshtein(v.token, p.q) <= 1
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM ex
+  WHERE token IN (SELECT token FROM expanded)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT t.doc_id,
+         ln(1 + (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                / (d.df + CAST(0.5 AS DOUBLE)))
+         * (t.tf * CAST(2.2 AS DOUBLE))
+         / (t.tf + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * l.dl / (s.total / s.n_docs)))
+           AS sc
+  FROM tf t
+  JOIN dfreq d USING (token)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+       ROUND(SUM(sc), 4) AS bm25_r4
+FROM scored GROUP BY doc_id
+ORDER BY bm25_r4 DESC, doc_id
+LIMIT 20
+""",
+    "TYPO-TOLERANT RANKED RETRIEVAL (Elasticsearch match+fuzziness, "
+    "Lucene FuzzyQuery scoring shape): each typo'd query term — the "
+    "BM25 demo terms with their second character deleted — expands "
+    "through the fuzzy deletion-neighborhood layer "
+    "(fuzzy_expand_term: Bloom point probes + levenshtein verify, "
+    "vocabulary never scanned), and the UNION of matched vocabulary "
+    "terms feeds the SAME index-backed BM25 as indexed_bm25_topk (tf "
+    "from pruned posting files, df from those rows, n_docs/avgdl from "
+    "the stats ledger, dl via the bucketed doclen mirror) — each "
+    "expanded term scores as itself, Lucene's fuzzy-expansion "
+    "semantics; the oracle replays expansion (full-vocabulary "
+    "levenshtein) and every BM25 operand from the raw text",
+    tags=("text", "retrieval", "snapshots", "index", "pruning"),
+)
+def q_indexed_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    expanded: set[str] = set()
+    for probe in _BM25_FUZZY_PROBES:
+        expanded.update(
+            token_index.fuzzy_expand_term(
+                spark, group, probe, assert_pruned=False
+            )
+        )
+    if not expanded:
+        return spark.createDataFrame(
+            [], "doc_id long, n_terms int, bm25_r4 double"
+        )
+    return token_index.indexed_bm25_topk(spark, group, sorted(expanded))
+
+
 @register(
     "udtf_token_runs",
     """

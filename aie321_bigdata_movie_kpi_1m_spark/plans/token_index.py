@@ -1500,32 +1500,22 @@ def _deletion_variants(term: str, depth: int) -> list[str]:
     return sorted(out)
 
 
-def indexed_fuzzy_search(
+def fuzzy_expand_term(
     spark: SparkSession,
     group: str,
     term: str,
     *,
     max_dist: int = 1,
-    limit: int = 20,
     assert_pruned: bool = True,
-) -> DataFrame:
-    """FUZZY term search (edit distance <= ``max_dist``) through the
-    deletion-neighborhood layer — Lucene's FuzzyQuery, the term-query
-    class left after exact/prefix/wildcard: typo-tolerant retrieval
-    ("strem" finds "stream") without scanning the vocabulary.
-
-    The FastSS/SymSpell shape: the query term's own <=max_dist deletion
-    variants (O(len^d), generated driver-side) probe the var-clustered
-    layer through the Bloom point path (builder-asserted strict
-    subset); candidate tokens sharing any variant come back from
-    O(probe) files — COMPLETE by the FastSS theorem whenever the layer
-    was built with ``max_edits >= max_dist`` (enforced) — and one
-    built-in ``levenshtein`` filter removes the collision false
-    positives (e.g. depth-1 variants of "abcd" and "bcda" collide at
-    distance 2).  The verified terms — vocabulary-selective, metadata
-    scale — then probe the postings through the bloom point path, and
-    docs rank by exact summed tf with doc_id tie-break, mirroring
-    ``indexed_prefix_search`` / ``indexed_wildcard_search``."""
+    pins: dict | None = None,
+) -> list[str]:
+    """Expand one (possibly typo'd) term to every vocabulary token
+    within edit distance ``max_dist`` — the FastSS probe half of
+    ``indexed_fuzzy_search``, exposed so OTHER index consumers (fuzzy
+    BM25, typo-tolerant phrase queries) can reuse the expansion:
+    deletion variants as a Bloom point-probe set (builder-asserted
+    strict subset), levenshtein verify, sorted matched terms back —
+    vocabulary-selective, metadata scale."""
     if not term:
         raise ValueError("fuzzy search needs a non-empty term")
     if max_dist < 0:
@@ -1538,7 +1528,7 @@ def indexed_fuzzy_search(
             "(FastSS completeness requires variants at depth d on "
             "BOTH sides)"
         )
-    pins = index_pins(spark, group)
+    pins = pins or index_pins(spark, group)
     path = _sub(group, FUZZY)
     v = pins.get(FUZZY)
     if v is None:
@@ -1568,7 +1558,44 @@ def indexed_fuzzy_search(
         .distinct()
         .filter(F.levenshtein(F.col("token"), F.lit(term)) <= max_dist)
     )
-    terms = sorted(r["token"] for r in matched.collect())
+    return sorted(r["token"] for r in matched.collect())
+
+
+def indexed_fuzzy_search(
+    spark: SparkSession,
+    group: str,
+    term: str,
+    *,
+    max_dist: int = 1,
+    limit: int = 20,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """FUZZY term search (edit distance <= ``max_dist``) through the
+    deletion-neighborhood layer — Lucene's FuzzyQuery, the term-query
+    class left after exact/prefix/wildcard: typo-tolerant retrieval
+    ("strem" finds "stream") without scanning the vocabulary.
+
+    The FastSS/SymSpell shape: the query term's own <=max_dist deletion
+    variants (O(len^d), generated driver-side) probe the var-clustered
+    layer through the Bloom point path (builder-asserted strict
+    subset); candidate tokens sharing any variant come back from
+    O(probe) files — COMPLETE by the FastSS theorem whenever the layer
+    was built with ``max_edits >= max_dist`` (enforced) — and one
+    built-in ``levenshtein`` filter removes the collision false
+    positives (e.g. depth-1 variants of "abcd" and "bcda" collide at
+    distance 2).  The verified terms — vocabulary-selective, metadata
+    scale — then probe the postings through the bloom point path, and
+    docs rank by exact summed tf with doc_id tie-break, mirroring
+    ``indexed_prefix_search`` / ``indexed_wildcard_search``."""
+    pins = index_pins(spark, group)
+    terms = fuzzy_expand_term(
+        spark,
+        group,
+        term,
+        max_dist=max_dist,
+        assert_pruned=assert_pruned,
+        pins=pins,
+    )
     if not terms:
         return spark.createDataFrame(
             [], "doc_id long, score long, n_terms long"

@@ -1660,7 +1660,11 @@ def ann_semantic_decontaminate(
     per-query top-1 window.  Queries whose probed cells hold no
     candidate drop out (nothing to flag against).  At 100 TB the cost
     is one pruned layer read + one cell-keyed shuffle of the shard —
-    never an exact all-pairs pass."""
+    never an exact all-pairs pass.  The pair count is
+    O(shard x n_probe x corpus / n_centroids): at a fixed quantizer a
+    10x corpus AND 10x shard grow it 100x, which is why production
+    sizes n_centroids ~ sqrt(corpus) (the FAISS rule) — the rebuild
+    gate (`ivf_rebuild_gate`) is where that re-fit hangs."""
     best = ann_assign_topk(
         spark,
         group,

@@ -104,6 +104,12 @@ HEAVY = [
     # run 1's one-time index/model build (the index contract)
     "indexed_neardup_lookup",
     "ann_ivfadc_topk",
+    # round-13 addition: fuzzy term search is a POINT LOOKUP through
+    # the deletion-variant Bloom — O(len^d) probe variants against a
+    # 10x vocabulary admit O(probe) files, candidates bounded by the
+    # probed variants' co-bucket terms, so the wall should be ~flat
+    # (min-over-runs drops the one-time index build, as above)
+    "indexed_fuzzy_search",
 ]
 COPIES = 10
 BASE_SF = "/root/testdata/sf0.1"
