@@ -421,6 +421,7 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     k: int = 10,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share a hyperplane-sign bucket
     with the query in any of ``n_tables`` independent tables; exact cosine
@@ -429,6 +430,14 @@ def lsh_topk(
     At 100 TB the bucket join replaces the full cross product; recall is
     tuned by ``n_planes`` (bucket width) and ``n_tables`` (independent
     chances to collide).  Output schema matches ``cosine_topk``.
+
+    ``multiprobe=True`` additionally probes, per table, every signature
+    at HAMMING DISTANCE 1 from the query's (each of the n_planes sign
+    bits flipped once) — the multi-probe LSH idea (Lv et al., VLDB'07):
+    a true neighbor that lands just across ONE separating hyperplane is
+    recovered from the adjacent bucket, buying the recall of ~n_planes
+    extra tables for zero extra index state; the candidate set grows
+    ~(1 + n_planes)x per table, the QUERY side of the bucket join only.
     """
     sig_udf = hyperplane_signatures_vec(dims, n_planes, n_tables)
 
@@ -444,9 +453,24 @@ def lsh_topk(
     cv = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
     )
+    qb = buckets(qv, query_id_col, "__qv")
+    if multiprobe:
+        # per (table, signature): the signature itself plus each
+        # single-bit flip — pure JVM bit expressions, no extra UDF pass
+        qb = qb.select(
+            query_id_col,
+            "__tbl",
+            F.explode(
+                F.expr(
+                    "array_union(array(__sig), "
+                    f"transform(sequence(0, {n_planes - 1}), "
+                    "i -> __sig ^ shiftleft(CAST(1 AS BIGINT), i)))"
+                )
+            ).alias("__sig"),
+        )
     cand = (
         buckets(cv, "neighbor_id", "__cv")
-        .join(F.broadcast(buckets(qv, query_id_col, "__qv")), ["__tbl", "__sig"])
+        .join(F.broadcast(qb), ["__tbl", "__sig"])
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select("neighbor_id", query_id_col)
         .distinct()

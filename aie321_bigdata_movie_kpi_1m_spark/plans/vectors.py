@@ -276,6 +276,67 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, n_planes=8, k=_TOP_K)
 
 
+def _lsh_multiprobe_oracle_sql(n_planes: int = 8, n_tables: int = 4) -> str:
+    """The LSH replay with the query side additionally probing every
+    single-bit-flipped signature per table (multi-probe)."""
+    per_table = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            "(CASE WHEN list_inner_product(v, ["
+            + ", ".join(str(x) for x in similarity._plane(t, p, _DIMS))
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        per_table.append(f"  SELECT vec_id, {t} AS tbl, {terms} AS sig FROM e")
+    sigs = "\n  UNION ALL\n".join(per_table)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sigs AS (
+{sigs}
+),
+qprobe AS (
+  SELECT vec_id, tbl, sig FROM sigs WHERE vec_id < {_N_QUERIES}
+  UNION
+  SELECT s.vec_id, s.tbl, xor(s.sig, CAST(1 << t.i AS BIGINT)) AS sig
+  FROM sigs s, range({n_planes}) t(i) WHERE s.vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qprobe q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+  WHERE c.vec_id <> q.vec_id
+),
+{_RERANK_SQL}"""
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    _lsh_multiprobe_oracle_sql(),
+    "MULTI-PROBE LSH (Lv et al., VLDB'07): the query probes, per "
+    "table, its own bucket PLUS every signature at Hamming distance 1 "
+    "(each hyperplane sign bit flipped once, pure JVM bit expressions "
+    "on the query side only) — a true neighbor that landed just across "
+    "one separating hyperplane is recovered from the adjacent bucket, "
+    "buying ~n_planes extra tables' recall with ZERO extra index "
+    "state; candidates grow ~(1+n_planes)x but only on the bucket "
+    "join's broadcast side; exact rerank unchanged; the oracle replays "
+    "signatures, bit-flip probe expansion, buckets, and rerank in SQL "
+    "with the deterministic planes as literals (pytest pins the recall "
+    "win over single-probe on the same fixture)",
+    tags=("similarity", "lsh"),
+)
+def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(
+        emb, queries, n_planes=8, k=_TOP_K, multiprobe=True
+    )
+
+
 @register(
     "embedding_quantize_int8",
     """
