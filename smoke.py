@@ -71,6 +71,10 @@ ALWAYS = [
     "indexed_neardup_batch_admission",
     "indexed_wildcard_search",
     "streaming_ivfadc_maintenance",
+    # r13 state machines: the fuzzy deletion-neighborhood layer (and
+    # its BM25 composition) and the WAP branch-audit-publish flow
+    "indexed_bm25_fuzzy",
+    "snapshot_wap_publish",
 ]
 SLICE = 10
 
