@@ -3876,6 +3876,7 @@ def vacuum_snapshots(
     *,
     keep_last: int = 2,
     orphan_grace_seconds: float = 24 * 3600,
+    retain_seconds: float | None = None,
     dry_run: bool = False,
 ) -> dict:
     """Retention + orphan GC (the maintenance job every versioned layer
@@ -3884,6 +3885,14 @@ def vacuum_snapshots(
     including dirs staged by crashed commits that never reached their
     manifest write (whole-dir recursive delete, so ``_SUCCESS`` markers
     and CRC sidecars go too, never just the ``*.parquet`` files).
+
+    ``retain_seconds`` adds AGE-BASED retention (Delta's ``VACUUM ...
+    RETAIN N HOURS``): a version younger than the cutoff is kept even
+    when it falls outside ``keep_last`` — retention by age composes
+    with retention by count as a UNION (age can only keep MORE, so
+    catalog pin floors sized in versions stay safe).  A version whose
+    manifest cannot be read re-checks as KEPT (never guess about
+    history).  Count-only remains the default.
 
     Writer safety — two rules keep vacuum from racing an IN-FLIGHT
     commit (staged data, manifest not yet renamed in), which would
@@ -3913,8 +3922,22 @@ def vacuum_snapshots(
     """
     versions = snapshot_versions(spark, path)
     head = versions[-1] if versions else 0
-    keep = versions[-keep_last:] if keep_last > 0 else []
-    dropped = [v for v in versions if v not in keep]
+    keep_set = set(versions[-keep_last:]) if keep_last > 0 else set()
+    if retain_seconds is not None:
+        cutoff = time.time() - float(retain_seconds)
+        for v in versions:
+            if v in keep_set:
+                continue
+            try:
+                committed = float(
+                    _manifest_raw(spark, path, v).get("committed_at") or 0.0
+                )
+            except Exception:
+                committed = float("inf")  # unreadable: keep, never guess
+            if committed >= cutoff:
+                keep_set.add(v)
+    keep = sorted(keep_set)
+    dropped = [v for v in versions if v not in keep_set]
     jvm, fs = _fs(spark, path)
     if not dry_run:
         for v in dropped:

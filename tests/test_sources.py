@@ -913,6 +913,56 @@ class TestSnapshotLayer:
 
         assert not os.path.exists(f"{path}/data/v99-deadbeef")
 
+    def test_vacuum_age_based_retention(self, spark, tmp_path):
+        """RETAIN-N-HOURS semantics: retain_seconds keeps versions
+        younger than the cutoff even outside keep_last (a UNION — age
+        can only keep MORE); backdated versions outside keep_last drop;
+        an unreadable committed_at keeps the version."""
+        import json
+        import os
+        import time as _time
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
+            commit_snapshot,
+            snapshot_versions,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "layer")
+        for i in range(4):
+            commit_snapshot(
+                spark,
+                spark.createDataFrame([(i, "x")], "k long, seg string"),
+                path,
+                mode="append" if i else "overwrite",
+            )
+        # backdate v1 and v2 two hours (plain-JSON manifests; the
+        # signature-validated cache invalidates on the rewrite)
+        for v in (1, 2):
+            mp = os.path.join(path, "_manifests", f"v{v}.json")
+            m = json.load(open(mp))
+            m["committed_at"] = _time.time() - 7200
+            json.dump(m, open(mp, "w"))
+            # the direct rewrite invalidates Hadoop's local CRC sidecar
+            crc = os.path.join(path, "_manifests", f".v{v}.json.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+        # within a generous window everything survives, keep_last=1
+        # notwithstanding (dry run first — it must agree)
+        dry = vacuum_snapshots(
+            spark, path, keep_last=1, retain_seconds=10**9, dry_run=True
+        )
+        assert dry["dropped_versions"] == []
+        vacuum_snapshots(spark, path, keep_last=1, retain_seconds=10**9)
+        assert snapshot_versions(spark, path) == [1, 2, 3, 4]
+        # a 1-hour window drops the two backdated versions only: v4 via
+        # keep_last, v3 via age
+        report = vacuum_snapshots(
+            spark, path, keep_last=1, retain_seconds=3600
+        )
+        assert report["dropped_versions"] == [1, 2]
+        assert snapshot_versions(spark, path) == [3, 4]
+
     def test_manifest_data_skipping(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
