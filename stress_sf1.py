@@ -315,6 +315,14 @@ def main() -> None:
                 "fixed-overhead floor (~1.7s for a 4-job pipeline on "
                 "tiny data) under a compute-bound sf1 numerator."
             ),
+            "indexed_fuzzy_search": (
+                "r13: the fuzzy point-lookup property on record — the "
+                "probes' O(len^d) deletion variants Bloom-admit O(probe) "
+                "files of the 10x-vocabulary layer and candidates are "
+                "bounded by the variants' co-bucket terms, so the wall "
+                "is ~flat (1.3x); the residual is manifest planning "
+                "over more files plus the matched terms' postings serve"
+            ),
             "indexed_neardup_lookup": (
                 "r12: the point-lookup property on record — a one-doc "
                 "probe against 10x data is ~FLAT (1.4-1.5x), because "
