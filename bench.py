@@ -206,7 +206,19 @@ def main() -> None:
             indent=1,
             sort_keys=True,
         )
-    print(json.dumps(payload))
+    # the PRINTED line stays at the driver-contract shape only
+    # ({metric, value, unit, queries, sf} + run count): r12's driver
+    # record shows its stdout capture truncating a long line's HEAD
+    # ("parsed": null) — notes/sf1_ratio live in BENCH_FULL.json, the
+    # durable artifact, not in the line the driver must parse
+    print(
+        json.dumps(
+            {
+                k: payload[k]
+                for k in ("metric", "value", "unit", "queries", "sf", "runs")
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
