@@ -223,6 +223,59 @@ def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_quality_topp",
+    _TOKENS_CTE
+    + """,
+ex AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+w AS (SELECT i AS bucket,
+             CAST((i * 2654435761) % 2001 - 1000 AS BIGINT) AS weight_milli
+      FROM generate_series(0, 1023) AS g(i)),
+feats AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1024 AS bucket
+  FROM ex),
+agg AS (
+  SELECT f.doc_id, CAST(SUM(w.weight_milli) AS BIGINT) AS w_sum
+  FROM feats f JOIN w USING (bucket) GROUP BY 1),
+sc AS (
+  SELECT d.doc_id, CAST(COALESCE(a.w_sum, 0) AS BIGINT) AS score_milli_sum
+  FROM documents d LEFT JOIN agg a USING (doc_id)),
+thr AS (SELECT quantile_cont(score_milli_sum, 0.8) AS t FROM sc)
+SELECT sc.doc_id, sc.score_milli_sum,
+       ROUND(thr.t, 4) AS threshold_r4,
+       sc.score_milli_sum >= thr.t AS admitted
+FROM sc, thr
+""",
+    "CORPUS-ADAPTIVE quality gate (FineWeb keeps the top X% by "
+    "classifier score, not a fixed cutoff — a sign/threshold gate "
+    "breaks silently when score calibration drifts across crawls, "
+    "while a percentile gate self-calibrates per corpus slice): the "
+    "same hashed-linear-model scores as doc_model_quality_filter, "
+    "admission = score >= the corpus's interpolated 80th percentile "
+    "(one 1-row broadcast back onto the score table); scores stay "
+    "exact integers and both engines interpolate the threshold from "
+    "the same sorted integers, so the gate replays bit-for-bit; at "
+    "100 TB the exact percentile swaps for the mergeable KLL sketch "
+    "(the kll_quantile_rollup pattern) — the toy pins exact semantics",
+    tags=("text", "corpus", "model"),
+)
+def q_doc_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weights = text_analysis.hashed_feature_weights(spark)
+    scores = text_analysis.linear_model_scores(
+        load_star_table(spark, sf_dir, "documents"), weights
+    ).select("doc_id", "score_milli_sum")
+    thr = scores.agg(
+        F.expr("percentile(score_milli_sum, 0.8)").alias("__t")
+    )
+    return scores.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "score_milli_sum",
+        F.round(F.col("__t"), 4).alias("threshold_r4"),
+        (F.col("score_milli_sum") >= F.col("__t")).alias("admitted"),
+    )
+
+
 _TOKEN_INDEX_BUILT: set[str] = set()
 
 
