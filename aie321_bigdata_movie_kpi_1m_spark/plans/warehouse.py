@@ -2294,6 +2294,159 @@ def q_snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_WAP_STAR_BUILT: set[str] = set()
+
+
+def _wap_star_store(spark: SparkSession, sf_dir: str) -> str:
+    """MULTI-TABLE WAP fixture: facts (orders with o_orderkey % 4 = 0)
+    + dims (customer segments) published at catalog v1; a facts branch
+    APPENDS the % 4 = 1 slice while a dims branch OVERWRITES with
+    'W_'-prefixed labels — the correlated change only a JOINT publish
+    keeps consistent (new facts against old labels, or vice versa,
+    breaks the oracle) — then ONE ``wap_publish_many`` swap lands both
+    with audits.  The builder asserts mid-branch isolation on BOTH
+    tables.  Once per process."""
+    from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
+    from ..sources.table_catalog import (
+        commit_catalog,
+        read_catalog_table,
+        wap_branch,
+        wap_publish_many,
+    )
+
+    cat = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/wap_star"
+    if cat in _WAP_STAR_BUILT:
+        return cat
+    pf, pd = f"{cat}_facts", f"{cat}_dims"
+    bf, bd = f"{cat}_bfacts", f"{cat}_bdims"
+    for p in (cat, pf, pd, bf, bd):
+        drop_snapshot_layer(spark, p)
+    orders = load_star_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    vf = commit_snapshot(
+        spark,
+        orders.filter(F.col("o_orderkey") % 4 == 0),
+        pf,
+        stats_cols=["o_orderkey"],
+    )
+    vd = commit_snapshot(spark, cust, pd)
+    commit_catalog(
+        spark,
+        cat,
+        {
+            "facts": {"path": pf, "version": vf},
+            "dims": {"path": pd, "version": vd},
+        },
+    )
+    n_f = read_catalog_table(spark, cat, "facts").count()
+    wap_branch(spark, cat, "facts", bf, audit_id="load-w2")
+    wap_branch(spark, cat, "dims", bd, audit_id="load-w2")
+    commit_snapshot(
+        spark,
+        orders.filter(F.col("o_orderkey") % 4 == 1),
+        bf,
+        mode="append",
+        stats_cols=["o_orderkey"],
+    )
+    commit_snapshot(
+        spark,
+        cust.select(
+            "c_custkey",
+            F.concat(F.lit("W_"), F.col("c_mktsegment")).alias(
+                "c_mktsegment"
+            ),
+        ),
+        bd,
+    )
+    # isolation on BOTH tables until the joint swap
+    if (
+        read_catalog_table(spark, cat, "facts").count() != n_f
+        or read_catalog_table(spark, cat, "dims")
+        .filter(F.col("c_mktsegment").startswith("W_"))
+        .count()
+        != 0
+    ):
+        raise AssertionError("multi-table WAP isolation broken mid-branch")
+    wap_publish_many(
+        spark,
+        cat,
+        [bf, bd],
+        checks={
+            bf: {"keyed": "o_orderkey IS NOT NULL"},
+            bd: {"labeled": "c_mktsegment IS NOT NULL"},
+        },
+    )
+    _WAP_STAR_BUILT.add(cat)
+    return cat
+
+
+@register(
+    "snapshot_wap_publish_many",
+    """
+SELECT CAST(1 AS BIGINT) AS catalog_version,
+       c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 4 = 0
+GROUP BY 2
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       'W_' || c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 4 IN (0, 1)
+GROUP BY 2
+""",
+    "MULTI-TABLE Write-Audit-Publish (the cross-table branch commit "
+    "Nessie/LakeFS give over per-table Iceberg WAP): facts and dims "
+    "branch independently as zero-copy clones, take CORRELATED changes "
+    "(appended facts + re-labeled dims — the pair only a joint publish "
+    "keeps consistent), pass per-branch audits, and land in ONE CAS "
+    "catalog swap — catalog readers see all of the publish or none "
+    "(builder-asserted isolated mid-branch on BOTH tables; pytest "
+    "proves a failed audit on either branch publishes NEITHER); the "
+    "query joins facts to dims THROUGH the catalog at both versions, "
+    "so a torn or half-published swap breaks the oracle hash",
+    tags=("snapshots", "catalog", "transactions"),
+)
+def q_snapshot_wap_publish_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.table_catalog import read_catalog_table
+
+    cat = _wap_star_store(spark, sf_dir)
+
+    def level(cv: int) -> DataFrame:
+        facts = read_catalog_table(spark, cat, "facts", catalog_version=cv)
+        dims = read_catalog_table(spark, cat, "dims", catalog_version=cv)
+        return (
+            facts.join(
+                F.broadcast(dims),
+                facts["o_custkey"] == dims["c_custkey"],
+            )
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(_cents(F.col("o_totalprice")))
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+            .select(
+                F.lit(cv).cast("long").alias("catalog_version"),
+                "segment",
+                "n_orders",
+                "revenue_cents",
+            )
+        )
+
+    return level(1).unionByName(level(2))
+
+
 _CATALOG_TXN_BUILT: set[str] = set()
 
 
