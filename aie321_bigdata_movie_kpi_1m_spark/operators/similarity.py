@@ -435,9 +435,14 @@ def sq8_topk(
     ORIGINAL vectors.
 
     At 100 TB the approximate scan reads the byte-packed code arrays
-    (~4-8x less IO/memory bandwidth than float64) and only the
-    shortlist — O(queries x k x factor) rows — ever touches the full-
-    precision embeddings.  Output schema matches ``cosine_topk``."""
+    (~4-8x less IO/memory bandwidth than float64).  The rerank joins the
+    O(queries x k x factor)-row shortlist against the full-precision
+    embeddings as the BROADCAST side of a hash join, so the corpus is
+    STREAMED once with no shuffle and only shortlist rows survive the
+    probe; the scan itself still reads the vector column (id-level file
+    pruning needs a persisted layer's Bloom point-probe path — see
+    ``pruned_postings`` — not a bare DataFrame).  Output schema matches
+    ``cosine_topk``."""
     from pyspark.sql import Window
 
     v = F.col("__v")
@@ -493,9 +498,14 @@ def sq8_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__cv"),
     ).withColumn("__cn", _dot(F.col("__cv"), F.col("__cv")))
+    # shortlist side BROADCAST: the corpus-side vector scan streams
+    # through a broadcast hash join (no corpus shuffle, no corpus-wide
+    # sort) and only the O(queries x k x factor) shortlist rows survive
     rer = (
-        shortlist.join(F.broadcast(q), query_id_col)
-        .join(cv, "neighbor_id")
+        cv.join(
+            F.broadcast(shortlist.join(F.broadcast(q), query_id_col)),
+            "neighbor_id",
+        )
         .withColumn(
             "__sim",
             F.when(

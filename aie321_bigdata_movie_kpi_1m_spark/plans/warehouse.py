@@ -2320,7 +2320,9 @@ def _wap_star_store(spark: SparkSession, sf_dir: str) -> str:
     pf, pd = f"{cat}_facts", f"{cat}_dims"
     bf, bd = f"{cat}_bfacts", f"{cat}_bdims"
     for p in (cat, pf, pd, bf, bd):
-        drop_snapshot_layer(spark, p)
+        # rebuild hygiene drops sources AND their WAP branches together,
+        # so the branch-pin drop guard is intentionally overridden
+        drop_snapshot_layer(spark, p, force=True)
     orders = load_star_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -2606,7 +2608,9 @@ def _wap_store(spark: SparkSession, sf_dir: str) -> str:
         return cat
     docs_layer, branch = f"{cat}_docs", f"{cat}_audit"
     for p in (cat, docs_layer, branch):
-        drop_snapshot_layer(spark, p)
+        # rebuild hygiene drops sources AND their WAP branches together,
+        # so the branch-pin drop guard is intentionally overridden
+        drop_snapshot_layer(spark, p, force=True)
     base = load_star_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )

@@ -2795,6 +2795,72 @@ def clone_snapshot(
     return 1
 
 
+_PIN_DIR = f"{_MANIFEST_DIR}/pins"
+
+
+def _pin_file(ref: str) -> str:
+    import hashlib
+
+    return hashlib.md5(ref.encode()).hexdigest() + ".json"
+
+
+def pin_snapshot_version(
+    spark: SparkSession, path: str, version: int, *, ref: str
+) -> dict:
+    """Record a BACK-REFERENCE on this layer: some other layer (``ref``,
+    typically a shallow clone / WAP branch path) references version
+    ``version``'s data files in place, so retention GC must keep that
+    version alive until the pin is released.  ``vacuum_snapshots``
+    consults pins (a pinned version joins the keep set) and
+    ``drop_snapshot_layer`` refuses to delete a pinned layer without
+    ``force=True`` — without this record, a published WAP branch's
+    dependency on its retired source is invisible and a routine vacuum
+    silently corrupts the published table.
+
+    Idempotent per ``ref`` (deterministic filename — a re-pin from the
+    same clone overwrites its own record).  Returns the pin record."""
+    versions = snapshot_versions(spark, path)
+    if int(version) not in versions:
+        raise FileNotFoundError(
+            f"cannot pin version {version}: not in {versions} at {path}"
+        )
+    rec = {"version": int(version), "ref": str(ref), "created_at": time.time()}
+    # _write_text's rename-no-overwrite lock is for version manifests;
+    # a pin is keyed BY ref, so the same ref re-pinning (clone rebuilt
+    # against a newer source version) replaces its own record
+    jvm, fs = _fs(spark, path)
+    fs.delete(_hpath(jvm, f"{path}/{_PIN_DIR}/{_pin_file(ref)}"), False)
+    _write_text(spark, f"{path}/{_PIN_DIR}/{_pin_file(ref)}", json.dumps(rec))
+    return rec
+
+
+def snapshot_pins(spark: SparkSession, path: str) -> list[dict]:
+    """All live back-reference pins on this layer (empty when none)."""
+    jvm, fs = _fs(spark, path)
+    d = _hpath(jvm, f"{path}/{_PIN_DIR}")
+    if not fs.exists(d):
+        return []
+    out = []
+    for status in fs.listStatus(d):
+        name = status.getPath().getName()
+        if name.endswith(".json") and ".tmp-" not in name:
+            out.append(
+                json.loads(_read_text(spark, f"{path}/{_PIN_DIR}/{name}"))
+            )
+    return sorted(out, key=lambda r: (r["version"], r["ref"]))
+
+
+def unpin_snapshot_version(spark: SparkSession, path: str, *, ref: str) -> bool:
+    """Release ``ref``'s pin (the clone was retired/rewritten to own its
+    files).  Returns True if a pin existed."""
+    jvm, fs = _fs(spark, path)
+    p = _hpath(jvm, f"{path}/{_PIN_DIR}/{_pin_file(ref)}")
+    if not fs.exists(p):
+        return False
+    fs.delete(p, False)
+    return True
+
+
 def snapshot_minmax(
     spark: SparkSession, path: str, col: str, version: int | None = None
 ) -> tuple | None:
@@ -3074,11 +3140,30 @@ def register_drop_layer_hook(fn) -> None:
         _DROP_LAYER_HOOKS.append(fn)
 
 
-def drop_snapshot_layer(spark: SparkSession, path: str) -> None:
+def drop_snapshot_layer(
+    spark: SparkSession, path: str, *, force: bool = False
+) -> None:
     """Delete the whole layer (test/rebuild hygiene), then notify
     registered cache-invalidation hooks — dropping a PARENT directory
-    drops every nested layer, so hooks match on path prefix."""
+    drops every nested layer, so hooks match on path prefix.
+
+    A layer carrying back-reference pins (live shallow clones / WAP
+    branches referencing its files in place — see
+    ``pin_snapshot_version``) refuses to drop unless ``force=True``:
+    deleting it would silently corrupt the dependents."""
     jvm, fs = _fs(spark, path)
+    if not force:
+        try:
+            pins = snapshot_pins(spark, path)
+        except Exception:
+            pins = []
+        if pins:
+            raise RuntimeError(
+                f"drop refused: {path} is pinned by live dependents "
+                f"{[p['ref'] for p in pins]} (shallow clones referencing "
+                "its data files in place) — unpin_snapshot_version them "
+                "first or pass force=True"
+            )
     fs.delete(_hpath(jvm, path), True)
     _evict_json_cache(path)
     for fn in _DROP_LAYER_HOOKS:
@@ -3936,6 +4021,16 @@ def vacuum_snapshots(
                 committed = float("inf")  # unreadable: keep, never guess
             if committed >= cutoff:
                 keep_set.add(v)
+    # back-reference pins (shallow clones / published WAP branches that
+    # reference this layer's files in place): a pinned version joins the
+    # keep set regardless of count/age retention — GC-ing it would
+    # silently corrupt the dependent table.  Union semantics, like age.
+    pinned_kept: list[int] = []
+    for pin in snapshot_pins(spark, path):
+        pv = int(pin["version"])
+        if pv in versions and pv not in keep_set:
+            keep_set.add(pv)
+            pinned_kept.append(pv)
     keep = sorted(keep_set)
     dropped = [v for v in versions if v not in keep_set]
     jvm, fs = _fs(spark, path)
@@ -4069,6 +4164,7 @@ def vacuum_snapshots(
             "deleted_files": deleted,
             "deleted_segments": deleted_segments,
             "skipped_in_flight": skipped,
+            "pinned_versions_kept": pinned_kept,
             "dry_run": dry_run,
         }
     for status in fs.listStatus(ddir):
@@ -4097,6 +4193,7 @@ def vacuum_snapshots(
         "deleted_files": deleted,
         "deleted_segments": deleted_segments,
         "skipped_in_flight": skipped,
+        "pinned_versions_kept": pinned_kept,
         "dry_run": dry_run,
     }
 

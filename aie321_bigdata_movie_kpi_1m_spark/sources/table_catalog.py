@@ -409,10 +409,13 @@ def wap_branch(
     The branch evolves with the FULL layer API (append / MERGE /
     DELETE / compaction / time travel), none of it visible through the
     catalog until the publish swap.  Zero bytes copied at fork time,
-    however large the table; the clone-vacuum caveat applies (retention
-    on the SOURCE layer must cover live branches — same contract as
-    ``clone_snapshot``).  Returns the provenance record."""
-    from .snapshots import clone_snapshot
+    however large the table.  The fork also writes a BACK-REFERENCE PIN
+    on the source layer (``pin_snapshot_version``): the branch references
+    the source version's data files in place — forever, if published —
+    so the source's vacuum keeps that version alive and its drop refuses
+    while the pin exists.  Retiring a branch should release the pin
+    (``wap_retire_branch``).  Returns the provenance record."""
+    from .snapshots import clone_snapshot, pin_snapshot_version
 
     tables = catalog_tables(spark, cat_path)
     if table not in tables:
@@ -423,6 +426,12 @@ def wap_branch(
     cat_v = catalog_versions(spark, cat_path)[-1]
     clone_snapshot(
         spark, str(t["path"]), branch_path, version=int(t["version"])
+    )
+    # back-reference: the branch references the source version's files in
+    # place (permanently, once published) — record the dependency where
+    # the source's vacuum/drop will consult it (ADVICE r13)
+    pin_snapshot_version(
+        spark, str(t["path"]), int(t["version"]), ref=branch_path
     )
     record = {
         "table": table,
@@ -454,8 +463,35 @@ def wap_provenance(spark: SparkSession, branch_path: str) -> dict:
     return json.loads(_read_text(spark, f"{branch_path}/{_WAP_FILE}"))
 
 
+def wap_retire_branch(
+    spark: SparkSession, cat_path: str, branch_path: str
+) -> None:
+    """Retire an UNPUBLISHED (abandoned or audit-failed) branch: release
+    its back-reference pin on the source layer, then delete the branch
+    directory.  Refuses loudly when the catalog currently pins the
+    branch — a published branch IS the table now, and its source pin is
+    a permanent dependency (rewrite/compact the branch to own its files
+    before retiring the source)."""
+    from .snapshots import drop_snapshot_layer, unpin_snapshot_version
+
+    rec = wap_provenance(spark, branch_path)
+    t = catalog_tables(spark, cat_path).get(str(rec["table"]))
+    if t is not None and str(t["path"]) == str(branch_path):
+        raise RuntimeError(
+            f"retire refused: catalog pins {branch_path} as table "
+            f"{rec['table']!r} — this branch is published, deleting it "
+            "deletes the table"
+        )
+    unpin_snapshot_version(spark, str(rec["source_path"]), ref=branch_path)
+    drop_snapshot_layer(spark, branch_path)
+
+
 def wap_audit(
-    spark: SparkSession, branch_path: str, checks: dict[str, str]
+    spark: SparkSession,
+    branch_path: str,
+    checks: dict[str, str],
+    *,
+    version: int | None = None,
 ) -> dict:
     """WRITE-AUDIT-PUBLISH stage 2: evaluate audit predicates over the
     branch HEAD (merge-on-read aware — deletes staged on the branch are
@@ -463,13 +499,18 @@ def wap_audit(
     aggregate scan.  Returns {check name -> violation row count}; SQL
     CHECK semantics (a NULL predicate result is not a violation).
 
+    ``version`` pins the audit to an exact branch version — the publish
+    path uses it to close the audit→publish TOCTOU window (a commit
+    landing on the branch between the audit scan and the version listing
+    must not get published unaudited).
+
     Unlike commit-time CHECK constraints (which REJECT the delta before
     it lands), the audit runs over data that already landed on the
     branch — WAP's contract is that bad data may be written and
     examined, it just never reaches readers."""
     if not checks:
         return {}
-    head = read_snapshot(spark, branch_path)
+    head = read_snapshot(spark, branch_path, version=version)
     aggs = [
         F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(name)
         for name, pred in checks.items()
@@ -506,8 +547,22 @@ def wap_publish(
 
     Returns the new catalog version."""
     rec = wap_provenance(spark, branch_path)
+    from .snapshots import snapshot_versions
+
+    # pin the branch head BEFORE the audit and publish exactly that
+    # version: capturing it after would open a TOCTOU window where a
+    # commit landing on the branch between the audit scan and the version
+    # listing gets published unaudited — the audited version and the
+    # published version must be the same pin by construction
+    branch_head = snapshot_versions(spark, branch_path)[-1]
     if checks:
-        bad = {n: c for n, c in wap_audit(spark, branch_path, checks).items() if c}
+        bad = {
+            n: c
+            for n, c in wap_audit(
+                spark, branch_path, checks, version=int(branch_head)
+            ).items()
+            if c
+        }
         if bad:
             raise ValueError(
                 "WAP audit failed, publish refused (branch kept for "
@@ -517,9 +572,6 @@ def wap_publish(
                     for n, c in sorted(bad.items())
                 )
             )
-    from .snapshots import snapshot_versions
-
-    branch_head = snapshot_versions(spark, branch_path)[-1]
     table = str(rec["table"])
 
     def swap() -> int:
@@ -569,20 +621,51 @@ def wap_publish_many(
     Each branch's stale-source guard applies as in ``wap_publish``;
     the swap is one CAS + rebase, so catalog readers see all of the
     publish or none of it.  Returns the new catalog version."""
+    import collections
+
     branch_paths = list(branch_paths)
-    recs = {bp: wap_provenance(spark, bp) for bp in set(branch_paths)}
-    tables = [str(recs[bp]["table"]) for bp in branch_paths]
-    if len(set(tables)) != len(tables) or len(set(branch_paths)) != len(
-        branch_paths
-    ):
+    # two distinct failure modes, each named precisely: a branch path
+    # listed twice (caller bug, harmless to dedupe but refused loudly so
+    # the intent is explicit), vs two DIFFERENT branches targeting the
+    # same table (a genuine conflict the swap cannot serialize)
+    dup_paths = [
+        p for p, c in collections.Counter(branch_paths).items() if c > 1
+    ]
+    if dup_paths:
         raise ValueError(
-            f"two branches publish the same table: {sorted(tables)}"
+            f"branch path(s) listed more than once: {sorted(dup_paths)}"
         )
-    branch_paths = list(recs)
+    recs = {bp: wap_provenance(spark, bp) for bp in branch_paths}
+    by_table: dict[str, list[str]] = {}
+    for bp in branch_paths:
+        by_table.setdefault(str(recs[bp]["table"]), []).append(bp)
+    dup_tables = {t: bps for t, bps in by_table.items() if len(bps) > 1}
+    if dup_tables:
+        raise ValueError(
+            "two branches publish the same table: "
+            + "; ".join(
+                f"{t!r} <- {sorted(bps)}"
+                for t, bps in sorted(dup_tables.items())
+            )
+        )
+    from .snapshots import snapshot_versions
+
+    # pin every branch head BEFORE any audit (same TOCTOU closure as
+    # wap_publish): each audit runs against its pinned version and the
+    # swap publishes exactly those versions
+    heads = {
+        bp: snapshot_versions(spark, bp)[-1] for bp in branch_paths
+    }
     for bp in branch_paths:
         cs = (checks or {}).get(bp)
         if cs:
-            bad = {n: c for n, c in wap_audit(spark, bp, cs).items() if c}
+            bad = {
+                n: c
+                for n, c in wap_audit(
+                    spark, bp, cs, version=int(heads[bp])
+                ).items()
+                if c
+            }
             if bad:
                 raise ValueError(
                     f"WAP audit failed on {bp}, NOTHING published: "
@@ -591,11 +674,6 @@ def wap_publish_many(
                         for n, c in sorted(bad.items())
                     )
                 )
-    from .snapshots import snapshot_versions
-
-    heads = {
-        bp: snapshot_versions(spark, bp)[-1] for bp in branch_paths
-    }
 
     def swap() -> int:
         head = catalog_versions(spark, cat_path)[-1]

@@ -206,19 +206,42 @@ def main() -> None:
             indent=1,
             sort_keys=True,
         )
-    # the PRINTED line stays at the driver-contract shape only
-    # ({metric, value, unit, queries, sf} + run count): r12's driver
-    # record shows its stdout capture truncating a long line's HEAD
-    # ("parsed": null) — notes/sf1_ratio live in BENCH_FULL.json, the
-    # durable artifact, not in the line the driver must parse
-    print(
-        json.dumps(
-            {
-                k: payload[k]
-                for k in ("metric", "value", "unit", "queries", "sf", "runs")
-            }
-        )
-    )
+    # the PRINTED line must fit the driver's stdout capture: BENCH_r11/12/13
+    # all recorded "parsed": null because the capture keeps only the LAST
+    # 2000 chars of stdout and the 222-entry per-query map pushed the line
+    # to ~8 KB, truncating its head (the "{"metric":..." prefix).  Print the
+    # contract shape with a HEADLINE-ONLY queries map (the flagship/KPI
+    # family), hard-capped so the whole line stays under 1900 chars; the
+    # full 222-query map lives in BENCH_FULL.json, the durable artifact.
+    headline = [
+        "movie_facts",
+        "movie_genre_fact",
+        "genre_avg_revenue",
+        "bq2_budget_revenue_corr",
+        "bq3_films_per_year",
+        "bq4_country_popularity",
+        "bq5_runtime_rating",
+        "dedup_exact",
+        "minhash_lsh_neardup",
+        "ann_ivf_topk",
+        "indexed_bm25_search",
+        "doc_quality_chain",
+    ]
+    line_payload = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": {q: best[q] for q in headline if q in best},
+        "sf": payload["sf"],
+        "runs": payload["runs"],
+        "n_queries": len(best),
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(line_payload)
+    while len(line) > 1900 and line_payload["queries"]:
+        line_payload["queries"].popitem()
+        line = json.dumps(line_payload)
+    print(line)
 
 
 if __name__ == "__main__":

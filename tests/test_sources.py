@@ -5631,9 +5631,171 @@ class TestWriteAuditPublish:
         assert (
             facts.join(dims, "g", "left_anti").count() == 0
         )
-        # duplicate-table branches refused
-        with pytest.raises(ValueError, match="same table"):
+        # a merely-duplicated branch path and two DIFFERENT branches of
+        # the same table are distinct failures, each named precisely
+        # (ADVICE r13): the duplicate path names the path, the genuine
+        # conflict names the table and both branches
+        with pytest.raises(ValueError, match="listed more than once"):
             tc.wap_publish_many(spark, cat, [bf, bf])
+        bf2 = str(tmp_path / "bf2")
+        tc.wap_branch(spark, cat, "facts", bf2)
+        with pytest.raises(ValueError, match="'facts'"):
+            tc.wap_publish_many(spark, cat, [bf, bf2])
+
+
+class TestSnapshotPins:
+    """Back-reference pins (ADVICE r13): a shallow clone / WAP branch
+    references the source version's data files IN PLACE, so the source's
+    vacuum must keep that version and its drop must refuse while the
+    dependency lives — otherwise a routine retention job silently
+    corrupts the published table."""
+
+    def _layer(self, spark, tmp_path, n=3):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        p = str(tmp_path / "src")
+        for i in range(n):
+            snap.commit_snapshot(
+                spark,
+                spark.createDataFrame([(i, i * 10)], "k long, v long"),
+                p,
+                mode="append" if i else "overwrite",
+            )
+        return p
+
+    def test_vacuum_keeps_pinned_version_and_its_files(
+        self, spark, tmp_path
+    ):
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        p = self._layer(spark, tmp_path, n=4)
+        snap.pin_snapshot_version(spark, p, 2, ref="clone://dep")
+        rep = snap.vacuum_snapshots(
+            spark, p, keep_last=1, orphan_grace_seconds=0
+        )
+        assert rep["pinned_versions_kept"] == [2]
+        assert 2 not in rep["dropped_versions"]
+        # the pinned version still READS — its manifest and data files
+        # all survived the GC pass
+        assert snap.read_snapshot(spark, p, version=2).count() == 2
+        # release the pin: the next vacuum reclaims it
+        assert snap.unpin_snapshot_version(spark, p, ref="clone://dep")
+        rep2 = snap.vacuum_snapshots(
+            spark, p, keep_last=1, orphan_grace_seconds=0
+        )
+        assert 2 in rep2["dropped_versions"]
+        assert rep2["pinned_versions_kept"] == []
+
+    def test_pin_is_idempotent_per_ref_and_validates_version(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        p = self._layer(spark, tmp_path, n=2)
+        snap.pin_snapshot_version(spark, p, 1, ref="a")
+        snap.pin_snapshot_version(spark, p, 2, ref="a")  # re-pin: moves
+        snap.pin_snapshot_version(spark, p, 1, ref="b")
+        pins = snap.snapshot_pins(spark, p)
+        assert [(r["version"], r["ref"]) for r in pins] == [(1, "b"), (2, "a")]
+        with pytest.raises(FileNotFoundError, match="cannot pin"):
+            snap.pin_snapshot_version(spark, p, 99, ref="c")
+        assert not snap.unpin_snapshot_version(spark, p, ref="never")
+
+    def test_drop_refuses_pinned_layer_unless_forced(self, spark, tmp_path):
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+
+        p = self._layer(spark, tmp_path, n=1)
+        snap.pin_snapshot_version(spark, p, 1, ref="clone://dep")
+        with pytest.raises(RuntimeError, match="drop refused"):
+            snap.drop_snapshot_layer(spark, p)
+        assert snap.snapshot_versions(spark, p) == [1]
+        snap.drop_snapshot_layer(spark, p, force=True)
+        assert snap.snapshot_versions(spark, p) == []
+
+    def test_wap_branch_pins_source_and_retire_releases(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat, p, br = (
+            str(tmp_path / "cat"),
+            str(tmp_path / "docs"),
+            str(tmp_path / "br"),
+        )
+        v = snap.commit_snapshot(
+            spark, spark.createDataFrame([(1, "x")], "k long, t string"), p
+        )
+        tc.commit_catalog(spark, cat, {"docs": {"path": p, "version": v}})
+        tc.wap_branch(spark, cat, "docs", br)
+        # the fork recorded the dependency where the source's GC looks
+        assert [(r["version"], r["ref"]) for r in snap.snapshot_pins(
+            spark, p
+        )] == [(v, br)]
+        with pytest.raises(RuntimeError, match="drop refused"):
+            snap.drop_snapshot_layer(spark, p)
+        # an abandoned branch retires cleanly: pin released, branch gone
+        tc.wap_retire_branch(spark, cat, br)
+        assert snap.snapshot_pins(spark, p) == []
+        assert snap.snapshot_versions(spark, br) == []
+        # a PUBLISHED branch refuses to retire — it IS the table now
+        br2 = str(tmp_path / "br2")
+        tc.wap_branch(spark, cat, "docs", br2)
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(2, "y")], "k long, t string"),
+            br2,
+            mode="append",
+        )
+        tc.wap_publish(spark, cat, br2)
+        with pytest.raises(RuntimeError, match="retire refused"):
+            tc.wap_retire_branch(spark, cat, br2)
+
+    def test_audit_pins_branch_version_against_races(self, spark, tmp_path):
+        """The TOCTOU closure: wap_publish audits and publishes the SAME
+        pinned branch version, so a commit landing after the pin is NOT
+        published (and therefore needs no audit)."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat, p, br = (
+            str(tmp_path / "cat"),
+            str(tmp_path / "docs"),
+            str(tmp_path / "br"),
+        )
+        v = snap.commit_snapshot(
+            spark, spark.createDataFrame([(1, "x")], "k long, t string"), p
+        )
+        tc.commit_catalog(spark, cat, {"docs": {"path": p, "version": v}})
+        tc.wap_branch(spark, cat, "docs", br)
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(2, "y")], "k long, t string"),
+            br,
+            mode="append",
+        )
+        good_head = snap.snapshot_versions(spark, br)[-1]
+        # a BAD commit races in; audited at the pinned version it is
+        # invisible, and the publish pins exactly the audited version
+        snap.commit_snapshot(
+            spark,
+            spark.createDataFrame([(3, None)], "k long, t string"),
+            br,
+            mode="append",
+        )
+        assert tc.wap_audit(
+            spark, br, {"t_set": "t IS NOT NULL"}, version=good_head
+        ) == {"t_set": 0}
+        # full-head audit DOES see the bad row — the pin is what changed
+        assert tc.wap_audit(spark, br, {"t_set": "t IS NOT NULL"}) == {
+            "t_set": 1
+        }
 
 
 class TestStreamReaderSubstrateGuard:
