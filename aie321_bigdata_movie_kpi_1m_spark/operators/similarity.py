@@ -776,6 +776,13 @@ def pq_fit_codebooks(
             e.unpersist()
 
 
+#: observability counter: ADC distance-table rows built ON THE DRIVER
+#: (collect + literal relation).  Request-scale serving pays this by
+#: design; the BATCH kNN path (plans.vectors.ann_ivfadc_batch_topk)
+#: must never — its pytest pins this counter flat across a batch run.
+_ADC_DRIVER_MODEL_ROWS = {"n": 0}
+
+
 def adc_distance_model(
     q: DataFrame,
     books: list[np.ndarray],
@@ -840,6 +847,7 @@ def adc_distance_model(
         rest = [[t[(s, c)] for c in range(len(books[s]))] for s in range(1, m)]
         for c in range(len(books[0])):
             rows0.append((qid, c, t[(0, c)], rest))
+    _ADC_DRIVER_MODEL_ROWS["n"] += len(rows0)
     return spark.createDataFrame(
         rows0,
         f"{query_id_col} long, __code_0 int, __t0 double, "

@@ -2974,6 +2974,9 @@ def _adc_residual_model(
         ]
         for c in range(len(books[0])):
             rows0.append((qid, int(cell), c, t[(0, c)], rest, q2[(qid, cell)]))
+    from ..operators.similarity import _ADC_DRIVER_MODEL_ROWS
+
+    _ADC_DRIVER_MODEL_ROWS["n"] += len(rows0)
     return spark.createDataFrame(
         rows0,
         "query_id long, cell int, __code_0 int, __t0 double, "
@@ -3141,6 +3144,223 @@ def ann_ivfadc_topk(
     )
 
 
+def ann_ivfadc_batch_topk(
+    spark: SparkSession,
+    group: str,
+    queries: DataFrame,
+    *,
+    k: int = _TOP_K,
+    n_probe: int = 6,
+    n_candidates: int = _PQ_CAND,
+    assert_pruned: bool = False,
+) -> DataFrame:
+    """IVFADC top-k for a TABLE-SCALE query shard — the batch kNN-join
+    shape of ``ann_ivfadc_topk``, with ALL per-query ADC state built
+    EXECUTOR-SIDE (r13 verdict item #1: the interactive path's
+    ``_adc_residual_model`` collects per-(query, probed-cell) distance
+    tables to the driver and ships them as a literal relation — right
+    for request-scale serving, O(n_queries x n_probe x n_codes) rows
+    through the driver for a 10M-row eval shard).
+
+    Executor-side construction: the query shard joins the BROADCAST
+    model relations only — the k-row centroid relation (residual
+    projection via ``zip_with``) and a ONE-row nested codebook relation
+    — and each (query, probed-cell) row computes its own m x n_codes
+    distance table as a nested ``transform`` over the codebook array:
+    ``t[s][c] = ||cb[s][c]||² - 2 <rq_s, cb[s][c]>`` with the same
+    ``_dot`` fold the oracle replays, so ADC sums stay bit-identical to
+    the driver-built tables.  Zero ``collect`` of anything query-scale
+    (``_ADC_DRIVER_MODEL_ROWS`` stays flat — counter-pinned in pytest).
+
+    Join shape: candidates pair with the query side on ``cell`` with NO
+    broadcast hint — both sides shuffle on cell and the planner sizes
+    the join (the ``ann_assign_topk(broadcast_queries=False)`` shape,
+    extended to the compressed tier).  The hot candidate scan still
+    reads only (vec_id, cell, code) from the probed cells' files; the
+    rerank reads the embedding column for shortlist rows only.
+
+    Handles BOTH code families through the pinned pq layer's meta kind:
+    residual codes get per-(query, cell) tables carrying the
+    ``||q - centroid||²`` cross-cell constant; raw codes one table per
+    query (duplicated per probed cell — 64 doubles, the size of the
+    query vector the exact batch tier already ships)."""
+    import numpy as _np
+
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        _as_double,
+        _dot,
+        _nearest_centroids_udf,
+    )
+    from ..sources.snapshots import read_snapshot, snapshot_files
+
+    pins = ann_pins(spark, group)
+    if pins is None:
+        raise FileNotFoundError(
+            f"IVFADC group {group} has no published pin set — "
+            "run build_ann_ivfadc first"
+        )
+    mats_c, _ = load_ann_model(
+        spark, str(pins["model"]["path"]), int(pins["model"]["version"])
+    )
+    mats_b, meta_b = load_ann_model(
+        spark, str(pins["pq"]["path"]), int(pins["pq"]["version"])
+    )
+    books = [mats_b[s] for s in sorted(mats_b)]
+    m = len(books)
+    sub = int(_np.asarray(books[0]).shape[1])
+    residual = meta_b.get("kind") == "pq_residual"
+    assign_v = int(pins["assign"]["version"])
+
+    probe = _nearest_centroids_udf(mats_c[0], n_probe)
+    q = queries.select(
+        F.col("query_id"), _as_double("embedding").alias("__qv")
+    )
+    qcells = q.withColumn("cell", F.explode(probe(F.col("__qv"))))
+    # the distinct probed-cell union is bounded by n_centroids (model
+    # scale, NOT query scale) — the only driver hop in the whole plan
+    cells = sorted(
+        int(r["cell"]) for r in qcells.select("cell").distinct().collect()
+    )
+    if not cells:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double"
+        )
+    path = f"{group}/assign"
+    if assert_pruned:
+        n_all = len(snapshot_files(spark, path, assign_v))
+        n_kept = len(
+            snapshot_files(spark, path, assign_v, prune_point=("cell", cells))
+        )
+        if n_all > 1 and n_kept >= n_all:
+            raise AssertionError(
+                f"IVFADC layer did not prune: {n_kept} of {n_all} files"
+            )
+    rows = read_snapshot(
+        spark, path, assign_v, prune_point=("cell", cells)
+    ).filter(F.col("cell").isin(cells))
+
+    # ONE-row broadcast codebook relation (m x n_codes x sub doubles of
+    # MODEL state — the literal-relation discipline, but joined instead
+    # of collected per query)
+    cb_nested = spark.createDataFrame(
+        [
+            (
+                [
+                    [
+                        [float(x) for x in books[s][c]]
+                        for c in range(len(books[s]))
+                    ]
+                    for s in range(m)
+                ],
+            )
+        ],
+        "__cb array<array<array<double>>>",
+    )
+    if residual:
+        crel = _cents_relation(spark, mats_c[0])
+        qsrc = (
+            qcells.join(F.broadcast(crel), "cell")
+            .withColumn(
+                "__rqv",
+                F.zip_with(
+                    F.col("__qv"), F.col("__cv"), lambda x, y: x - y
+                ),
+            )
+            .drop("__cv")
+        )
+    else:
+        qsrc = qcells.withColumn("__rqv", F.col("__qv"))
+    # per (query, probed cell): the full ADC table as a nested array —
+    # t[s][c] in the exact arithmetic _adc_residual_model used, just
+    # evaluated where the row lives instead of on the driver
+    tables = F.transform(
+        F.col("__cb"),
+        lambda book, s: F.transform(
+            book,
+            lambda cbv: _dot(cbv, cbv)
+            - 2
+            * _dot(
+                F.slice(F.col("__rqv"), s * sub + 1, F.lit(sub)), cbv
+            ),
+        ),
+    )
+    prep_cols = [
+        "query_id",
+        "cell",
+        "__qv",
+        tables.alias("__tables"),
+    ]
+    if residual:
+        prep_cols.append(
+            _dot(F.col("__rqv"), F.col("__rqv")).alias("__qr2")
+        )
+    qprep = (
+        qsrc.crossJoin(F.broadcast(cb_nested))
+        .select(*prep_cols)
+        .withColumn("__qq", _dot(F.col("__qv"), F.col("__qv")))
+    )
+
+    # batch pairing: NO broadcast hint — both sides shuffle on cell,
+    # the planner sizes the join (a broadcast hint here would ship the
+    # whole shard's tables to every executor)
+    cand = rows.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        *[
+            F.element_at("code", s + 1).alias(f"__code_{s}")
+            for s in range(m)
+        ],
+    )
+    pairs = cand.join(qprep, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    # same fixed left-assoc add order as ann_ivfadc_topk / the oracle
+    terms = [
+        F.element_at(
+            F.element_at("__tables", s + 1), F.col(f"__code_{s}") + 1
+        )
+        for s in range(m)
+    ]
+    adc = F.col("__qr2") if residual else None
+    for t in terms:
+        adc = t if adc is None else adc + t
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id")
+    )
+    short = (
+        pairs.withColumn("__adc", adc)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_candidates)
+        .select("query_id", "neighbor_id", "__qv", "__qq")
+    )
+    # exact rerank: shortlist rows only touch the embedding column;
+    # query vectors ride along from the shard side (no re-join, no
+    # broadcast of a table-scale relation)
+    ce = rows.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double("embedding").alias("__cv"),
+    ).withColumn("__cc", _dot(F.col("__cv"), F.col("__cv")))
+    ranked = short.join(ce, "neighbor_id").withColumn(
+        "__sim",
+        _dot(F.col("__qv"), F.col("__cv"))
+        / F.sqrt(F.col("__qq") * F.col("__cc")),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
 def _ivfadc_oracle_sql(
     n_centroids: int = 16,
     n_probe: int = 6,
@@ -3200,6 +3420,7 @@ def _ivfadc_residual_oracle_sql(
     m: int = _PQ_M,
     n_codes: int = _PQ_CODES,
     n_cand: int = _PQ_CAND,
+    query_pred: str = f"e.vec_id < {_N_QUERIES}",
 ) -> str:
     """DuckDB replay of the RESIDUAL IVFADC pipeline: coarse fit +
     corpus cells (shared prefix), residual vectors er = v - cent(cell),
@@ -3244,7 +3465,7 @@ probes AS (
              PARTITION BY e.vec_id
              ORDER BY list_inner_product(k.v, k.v)
                       - 2 * list_inner_product(e.v, k.v), k.c) AS rn
-    FROM e, cents k WHERE e.vec_id < {_N_QUERIES}
+    FROM e, cents k WHERE {query_pred}
   ) WHERE rn <= {n_probe}
 ),
 rq AS (
@@ -3724,6 +3945,36 @@ def q_ann_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_ann_ivfadc_topk); per-query pruning is builder-asserted in
     # TestAnnIvfadc
     return ann_ivfadc_topk(spark, group, queries, assert_pruned=False)
+
+
+@register(
+    "ann_ivfadc_batch_topk",
+    _ivfadc_residual_oracle_sql(query_pred="e.vec_id % 5 = 2"),
+    "BATCH kNN JOIN on the COMPRESSED tier (r13 verdict item #1): a "
+    "TABLE-scale eval shard (every 5th corpus vector) kNN-joins the "
+    "residual-encoded IVFADC index with every piece of per-query ADC "
+    "state built EXECUTOR-SIDE — the shard joins only the broadcast "
+    "k-row centroid relation (residual projection via zip_with) and a "
+    "ONE-row nested codebook relation, and each (query, probed-cell) "
+    "row computes its own m x n_codes distance table as a nested "
+    "transform expression, bit-identical arithmetic to the driver-"
+    "built tables of the interactive path; the candidate pairing "
+    "carries NO broadcast hint (both sides shuffle on cell, the "
+    "planner sizes the join — the ann_assign_topk(broadcast_queries="
+    "False) shape extended to compressed codes); pytest pins "
+    "_ADC_DRIVER_MODEL_ROWS flat across the run (ZERO per-query rows "
+    "through the driver) and bit-parity with the interactive tier; "
+    "the oracle replays residual fit, encode, probes, per-cell ADC, "
+    "shortlist, and rerank for the whole shard in SQL",
+    tags=("similarity", "snapshots", "model", "index", "corpus"),
+)
+def q_ann_ivfadc_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    shard = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    group = _ivfadc_residual_group(spark, sf_dir)
+    return ann_ivfadc_batch_topk(spark, group, shard)
 
 
 @register(

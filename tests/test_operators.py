@@ -2757,7 +2757,78 @@ class TestAnnAssignTopk:
         assert batch == run(True) and batch
         # the decontamination wrapper flags exactly the threshold
         # clearers: a negated shard against an un-churned corpus has no
-        # mirrored twins, so nothing clears 0.9
+        # mirrored twins, so nothing clears 0.9 (see below)
+        self._check_decontaminate(spark, group, shard)
+
+    def test_batch_adc_executor_side_no_driver_model_rows(
+        self, spark, tmp_path
+    ):
+        """The COMPRESSED-tier batch shape (r13 verdict item #1):
+        ann_ivfadc_batch_topk is bit-identical to the interactive
+        ann_ivfadc_topk on BOTH code families, builds ZERO per-query
+        ADC rows on the driver (counter pin — the interactive path
+        increments it, the batch path must not), and pairs candidates
+        with the query side WITHOUT a broadcast hint (under
+        autoBroadcastJoinThreshold=-1 the cell join is a shuffle join;
+        the only BroadcastHashJoin left is the k-row centroid relation
+        of the residual family)."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.operators.similarity import (
+            _ADC_DRIVER_MODEL_ROWS,
+        )
+        from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        shard = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        for by_residual, max_bhj in ((False, 0), (True, 1)):
+            group = str(tmp_path / f"adc_{int(by_residual)}")
+            vx.build_ann_ivfadc(
+                spark,
+                emb,
+                group,
+                by_residual=by_residual,
+                target_rows_per_file=125,
+            )
+            inter = sorted(
+                map(
+                    tuple,
+                    vx.ann_ivfadc_topk(
+                        spark, group, shard, assert_pruned=False
+                    ).collect(),
+                )
+            )
+            n0 = _ADC_DRIVER_MODEL_ROWS["n"]
+            assert n0 > 0  # the interactive path DID pay driver rows
+            batch_df = vx.ann_ivfadc_batch_topk(spark, group, shard)
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                plan = (
+                    vx.ann_ivfadc_batch_topk(spark, group, shard)
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+                assert plan.count("BroadcastHashJoin") <= max_bhj
+                assert "SortMergeJoin" in plan
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", old
+                )
+            batch = sorted(map(tuple, batch_df.collect()))
+            assert _ADC_DRIVER_MODEL_ROWS["n"] == n0  # ZERO driver rows
+            assert batch == inter and batch
+
+    def _check_decontaminate(self, spark, group, shard):
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.plans import vectors as vx
+
         decon = vx.ann_semantic_decontaminate(
             spark,
             group,
