@@ -687,6 +687,107 @@ def q_indexed_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionAll(b), parts)
 
 
+#: typo'd forms of _PHRASE for the typo-tolerant positional queries:
+#: a deletion ('table' -> 'tabl') and an insertion ('part' -> 'partt'),
+#: each within edit distance 1 of its intended term
+_FUZZY_PHRASE = ("tabl", "partt")
+
+#: shared oracle CTEs: per-slot fuzzy expansion of the typo'd phrase
+#: against the corpus vocabulary (levenshtein <= 1 — replays
+#: fuzzy_expand_term's FastSS probe + verify), plus the expansion of
+#: slot 1 as ONE list scalar for lambda-side membership tests
+_FUZZY_EXPANSION_CTES = f""",
+ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+vocab AS (SELECT DISTINCT token FROM ex),
+e0 AS (SELECT token FROM vocab WHERE levenshtein(token, '{_FUZZY_PHRASE[0]}') <= 1),
+e1 AS (SELECT token FROM vocab WHERE levenshtein(token, '{_FUZZY_PHRASE[1]}') <= 1),
+e1l AS (SELECT list(token) AS l FROM e1)
+"""
+
+
+@register(
+    "indexed_fuzzy_phrase",
+    _TOKENS_CTE
+    + _FUZZY_EXPANSION_CTES
+    + """,
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS p, ts
+  FROM tok WHERE len(ts) >= 2
+),
+m AS (
+  SELECT doc_id FROM pos
+  WHERE ts[p] IN (SELECT token FROM e0)
+    AND ts[p + 1] IN (SELECT token FROM e1)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM m GROUP BY doc_id
+ORDER BY n_matches DESC, doc_id
+LIMIT 20
+""",
+    "TYPO-TOLERANT PHRASE search (r13 verdict item #2 — Lucene "
+    "FuzzyQuery composed into MultiPhraseQuery): each slot of the "
+    "typo'd phrase ('tabl partt' for 'table part') expands through "
+    "the FastSS deletion-neighborhood layer to every vocabulary token "
+    "within edit distance 1 (Bloom point-probes, levenshtein verify), "
+    "and adjacency runs over the per-slot UNION position arrays — a "
+    "position p matches when SOME expansion of slot 0 sits at p and "
+    "some expansion of slot i at p+i, exactly 'adjacency per "
+    "expansion combination' evaluated in one pass; per-slot "
+    "max_expansions bounds the fan-out (pytest pins the refusal); "
+    "the oracle replays expansion against the raw vocabulary AND "
+    "adjacency over the raw token lists",
+    tags=("text", "retrieval", "snapshots", "index", "pruning"),
+)
+def q_indexed_fuzzy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    return token_index.indexed_fuzzy_phrase_search(
+        spark, group, list(_FUZZY_PHRASE)
+    )
+
+
+@register(
+    "indexed_fuzzy_proximity",
+    _TOKENS_CTE
+    + _FUZZY_EXPANSION_CTES
+    + f""",
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts))) AS p, ts
+  FROM tok WHERE len(ts) >= 1
+),
+m AS (
+  SELECT doc_id FROM pos, e1l
+  WHERE ts[p] IN (SELECT token FROM e0)
+    AND len(list_filter(
+          ts[greatest(1, p - {_PROX_SLOP}):least(len(ts), p + {_PROX_SLOP})],
+          x -> list_contains(e1l.l, x))) > 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM m GROUP BY doc_id
+ORDER BY n_matches DESC, doc_id
+LIMIT 20
+""",
+    "TYPO-TOLERANT PROXIMITY search (sloppy phrase over fuzzy-expanded "
+    f"slots): the typo'd pair 'tabl'/'partt' expands through the "
+    "deletion-neighborhood layer and docs match where some expansion "
+    f"of the second slot occurs within {_PROX_SLOP} positions of an "
+    "anchor occurrence of the first slot's expansion union — "
+    "indexed_proximity_search's symmetric window semantics with the "
+    "union position arrays of indexed_fuzzy_phrase; ranked by anchor "
+    "count with doc_id tie-break; the oracle replays expansion and "
+    "the window predicate over the raw token lists",
+    tags=("text", "retrieval", "snapshots", "index", "pruning"),
+)
+def q_indexed_fuzzy_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    return token_index.indexed_fuzzy_proximity_search(
+        spark, group, list(_FUZZY_PHRASE), slop=_PROX_SLOP
+    )
+
+
 @register(
     "doc_fingerprints",
     """

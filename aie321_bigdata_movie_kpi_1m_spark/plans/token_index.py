@@ -1615,6 +1615,198 @@ def indexed_fuzzy_search(
     )
 
 
+def _fuzzy_slot_postings(
+    spark: SparkSession,
+    group: str,
+    terms: list[str],
+    *,
+    max_dist: int,
+    max_expansions: int,
+    assert_pruned: bool,
+) -> tuple[DataFrame | None, list[list[str]]]:
+    """Shared front half of the typo-tolerant positional queries: each
+    slot's term expands through the fuzzy layer (``fuzzy_expand_term``
+    — Bloom point-probes, levenshtein verify), the whole expansion
+    union loads in ONE pruned postings read, and per (slot, doc) the
+    position lists of the slot's expanded tokens FLATTEN into a single
+    array (tokens occupy disjoint positions, so the flatten is already
+    a set) — Lucene MultiPhraseQuery's union-of-terms-per-position,
+    which is exactly \"some expansion combination matches\".
+
+    ``max_expansions`` bounds the per-slot fan-out (Lucene FuzzyQuery's
+    maxExpansions): a short term at depth 2 can expand to hundreds of
+    vocabulary tokens, and the k-way doc_id join's input grows with the
+    PRODUCT of slot posting sizes — refuse loudly instead of planning
+    a blow-up.  Returns (joined df with __p0..__p{k-1}, expansions);
+    joined is None when any slot expanded to nothing (no doc can
+    match)."""
+    if max_expansions < 1:
+        raise ValueError(f"max_expansions must be >= 1, got {max_expansions}")
+    pins = index_pins(spark, group)
+    expansions: list[list[str]] = []
+    for t in terms:
+        e = fuzzy_expand_term(
+            spark,
+            group,
+            t,
+            max_dist=max_dist,
+            assert_pruned=assert_pruned,
+            pins=pins,
+        )
+        if len(e) > max_expansions:
+            raise ValueError(
+                f"fuzzy expansion of {t!r} matched {len(e)} vocabulary "
+                f"terms (> max_expansions={max_expansions}) — tighten "
+                "max_dist or raise the bound explicitly"
+            )
+        expansions.append(e)
+    if any(not e for e in expansions):
+        return None, expansions
+    all_terms = sorted(set().union(*expansions))
+    post = pruned_postings(
+        spark, group, all_terms, assert_pruned=False, pins=pins
+    )
+    joined = None
+    for i, e in enumerate(expansions):
+        side = (
+            post.filter(F.col("token").isin(e))
+            .groupBy("doc_id")
+            .agg(F.flatten(F.collect_list("positions")).alias(f"__p{i}"))
+        )
+        joined = side if joined is None else joined.join(side, "doc_id")
+    return joined, expansions
+
+
+def indexed_fuzzy_phrase_search(
+    spark: SparkSession,
+    group: str,
+    phrase: list[str],
+    *,
+    max_dist: int = 1,
+    max_expansions: int = 50,
+    limit: int = 20,
+    assert_pruned: bool = True,
+) -> DataFrame:
+    """TYPO-TOLERANT PHRASE search (Lucene FuzzyQuery composed into
+    MultiPhraseQuery): each phrase slot expands through the fuzzy layer
+    to every vocabulary token within edit distance ``max_dist``, and a
+    position p matches when SOME expansion of slot 0 sits at p and some
+    expansion of slot i sits at p+i for every later slot — adjacency
+    per expansion combination, evaluated once over the per-slot UNION
+    position arrays (equivalent, and it keeps the join count at k-1
+    doc_id equi-joins instead of one per combination).
+
+    Same plan shape as ``indexed_phrase_search``: pruned per-term
+    reads, per-slot flatten, JVM array filter for adjacency —
+    r13-verdict item #2."""
+    if len(phrase) < 2:
+        raise ValueError("phrase search needs at least two tokens")
+    joined, _ = _fuzzy_slot_postings(
+        spark,
+        group,
+        phrase,
+        max_dist=max_dist,
+        max_expansions=max_expansions,
+        assert_pruned=assert_pruned,
+    )
+    if joined is None:
+        return spark.createDataFrame([], "doc_id long, n_matches long")
+    starts = F.filter(
+        F.col("__p0"),
+        lambda p: reduce(
+            Column.__and__,
+            [
+                F.array_contains(F.col(f"__p{i}"), p + i)
+                for i in range(1, len(phrase))
+            ],
+        ),
+    )
+    return (
+        joined.select("doc_id", F.size(starts).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.col("n_matches").desc(), "doc_id")
+        .limit(limit)
+        .select(
+            "doc_id", F.col("n_matches").cast("long").alias("n_matches")
+        )
+    )
+
+
+def indexed_fuzzy_proximity_search(
+    spark: SparkSession,
+    group: str,
+    terms: list[str],
+    *,
+    slop: int,
+    max_dist: int = 1,
+    max_expansions: int = 50,
+    limit: int = 20,
+    assert_pruned: bool = True,
+    ordered: bool = False,
+) -> DataFrame:
+    """TYPO-TOLERANT PROXIMITY search: ``indexed_proximity_search``'s
+    symmetric and ordered sloppy-phrase semantics with every slot
+    expanded through the fuzzy layer (union position arrays per slot,
+    as in ``indexed_fuzzy_phrase_search``).  An anchor is any position
+    of ANY expansion of slot 0; later slots test their union arrays
+    under the same window/chain predicates as the exact operator."""
+    if len(terms) < 2:
+        raise ValueError("proximity search needs at least two tokens")
+    if slop < (0 if ordered else 1):
+        raise ValueError("slop must be >= 1 (>= 0 when ordered)")
+    joined, _ = _fuzzy_slot_postings(
+        spark,
+        group,
+        terms,
+        max_dist=max_dist,
+        max_expansions=max_expansions,
+        assert_pruned=assert_pruned,
+    )
+    if joined is None:
+        return spark.createDataFrame([], "doc_id long, n_matches long")
+
+    if ordered:
+        def _chain(i: int, prev: Column, anchor: Column) -> Column:
+            if i == len(terms):
+                return F.lit(True)
+
+            def pred(q: Column) -> Column:
+                return (
+                    (q > prev)
+                    & (q <= anchor + F.lit(slop + i))
+                    & _chain(i + 1, q, anchor)
+                )
+
+            return F.exists(F.col(f"__p{i}"), pred)
+
+        def _window_pred(p: Column) -> Column:
+            return _chain(1, p, p)
+
+    else:
+        def _window_pred(p: Column) -> Column:
+            return reduce(
+                Column.__and__,
+                [
+                    F.exists(
+                        F.col(f"__p{i}"),
+                        lambda q: F.abs(q - p) <= F.lit(slop),
+                    )
+                    for i in range(1, len(terms))
+                ],
+            )
+
+    anchors = F.filter(F.col("__p0"), _window_pred)
+    return (
+        joined.select("doc_id", F.size(anchors).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.col("n_matches").desc(), "doc_id")
+        .limit(limit)
+        .select(
+            "doc_id", F.col("n_matches").cast("long").alias("n_matches")
+        )
+    )
+
+
 def _pruned_permuterm_tokens(
     spark: SparkSession,
     group: str,

@@ -3423,6 +3423,77 @@ class TestIndexedFuzzySearch:
             ).collect()
         } == {1, 2, 3}
 
+    def test_fuzzy_phrase_and_proximity_semantics(self, spark, tmp_path):
+        """Typo-tolerant positional queries (r13 verdict item #2):
+        each slot expands through the fuzzy layer, adjacency/window
+        predicates run over the per-slot union position arrays —
+        equivalent to testing every expansion combination; the
+        max_expansions bound refuses fan-out blow-ups loudly."""
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs = spark.createDataFrame(
+            [
+                # 'stream table' adjacent twice; typo'd query must find it
+                (1, "stream table x stream table"),
+                # expansion variants adjacent once ('strem' lev-0 of
+                # the typo'd query itself, 'tabel' lev-1 of 'tabl')
+                (2, "strem tabel end"),
+                # both slots match but NOT adjacent (gap 2): phrase
+                # misses, proximity slop>=3 catches
+                (3, "stream a b table"),
+                # reversed order at distance 1: phrase+ordered miss,
+                # symmetric proximity catches
+                (4, "table stream"),
+                (5, "dream beam"),
+            ],
+            "doc_id long, text string",
+        )
+        group = str(tmp_path / "tifp")
+        ti.build_token_index(spark, docs, group, splits=1)
+
+        def phrase(terms, **kw):
+            return {
+                r["doc_id"]: r["n_matches"]
+                for r in ti.indexed_fuzzy_phrase_search(
+                    spark, group, terms, assert_pruned=False, **kw
+                ).collect()
+            }
+
+        def prox(terms, **kw):
+            return {
+                r["doc_id"]: r["n_matches"]
+                for r in ti.indexed_fuzzy_proximity_search(
+                    spark, group, terms, assert_pruned=False, **kw
+                ).collect()
+            }
+
+        # typo'd both slots: 'strem'~{stream,strem}, 'tabl'~{table,
+        # tabel}; doc1 two adjacent anchors, doc2 one (strem+tabel)
+        assert phrase(["strem", "tabl"]) == {1: 2, 2: 1}
+        # symmetric slop=3 additionally admits doc3 (gap 3 within
+        # window) and doc4 (reversed at distance 1)
+        assert prox(["strem", "tabl"], slop=3) == {1: 2, 2: 1, 3: 1, 4: 1}
+        # ORDERED chain keeps doc3 (forward within slop+1) but never
+        # the reversed doc4
+        assert prox(["strem", "tabl"], slop=3, ordered=True) == {
+            1: 2,
+            2: 1,
+            3: 1,
+        }
+        # ordered slop=0 degenerates to the phrase query exactly
+        assert prox(["strem", "tabl"], slop=0, ordered=True) == phrase(
+            ["strem", "tabl"]
+        )
+        # a slot with an empty expansion -> typed empty result
+        assert phrase(["zzzzzz", "tabl"]) == {}
+        # the fan-out bound refuses instead of planning a blow-up
+        with pytest.raises(ValueError, match="max_expansions"):
+            phrase(["strem", "tabl"], max_expansions=1)
+        with pytest.raises(ValueError, match="at least two"):
+            phrase(["strem"])
+
     def test_fuzzy_pruning_strict_subset(self, spark, tmp_path):
         """The deletion-variant Bloom/range probe admits a strict
         subset of a multi-file fuzzy layer (the in-function assertion
