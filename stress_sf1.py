@@ -110,6 +110,26 @@ HEAVY = [
     # probed variants' co-bucket terms, so the wall should be ~flat
     # (min-over-runs drops the one-time index build, as above)
     "indexed_fuzzy_search",
+    # round-14 additions (VERDICT r13 next-round #4): the r13/r14 batch
+    # shapes.  ann_decontaminate_semantic is the shard x corpus kNN
+    # join: the 10x construction grows BOTH sides 10x at a FIXED
+    # 16-cell quantizer, so the pair count grows ~100x by design —
+    # the docstring's O(shard x n_probe x corpus / n_centroids)
+    # contract, which is exactly why production sizes n_centroids ~
+    # sqrt(corpus) (the re-fit hangs off ivf_rebuild_gate); the
+    # recorded ratio documents that law rather than pretending the
+    # join is linear.  indexed_bm25_fuzzy fans each query term into
+    # its deletion variants against the 10x vocabulary, then scores
+    # BM25 over the matched terms' postings — expansion is Bloom
+    # point-probed (O(probe) files), so the wall should track the
+    # matched postings' volume, not the vocabulary.
+    "ann_decontaminate_semantic",
+    "indexed_bm25_fuzzy",
+    # round-14: the compressed-tier batch kNN join (executor-side ADC
+    # tables) — same 100x pair-growth law as the exact decontaminate
+    # join above, but each pair is m table lookups instead of a
+    # 64-dim dot product, so the slope should be visibly shallower
+    "ann_ivfadc_batch_topk",
 ]
 COPIES = 10
 BASE_SF = "/root/testdata/sf0.1"
@@ -330,6 +350,28 @@ def main() -> None:
                 "candidates are bounded by the probe's own bucket "
                 "co-members; the residual ratio is manifest planning "
                 "over 10x more files, metadata not data"
+            ),
+            "ann_decontaminate_semantic": (
+                "r14: shard AND corpus both grow 10x at the fixed "
+                "16-cell quantizer, so candidate pairs grow ~100x by "
+                "the operator's own O(shard x n_probe x corpus / "
+                "n_centroids) law — the recorded ratio documents that "
+                "quadratic-at-fixed-quantizer regime; production keeps "
+                "the slope linear by re-fitting n_centroids ~ "
+                "sqrt(corpus) through ivf_rebuild_gate"
+            ),
+            "ann_ivfadc_batch_topk": (
+                "r14: same 100x pair-growth law as the exact "
+                "decontaminate join (both sides 10x, fixed quantizer), "
+                "but each pair costs m=4 ADC table lookups instead of "
+                "a 64-dim dot — the compressed tier's shallower slope "
+                "is the point of the comparison"
+            ),
+            "indexed_bm25_fuzzy": (
+                "r14: the typo'd terms' deletion variants Bloom-admit "
+                "O(probe) files of the 10x vocabulary layer; the BM25 "
+                "serve then scales with the MATCHED terms' posting "
+                "volume (10x docs), not with vocabulary size"
             ),
             "ann_ivfadc_topk": (
                 "r12: probe cells prune to 6/16 of the (10x) files and "
