@@ -2373,6 +2373,140 @@ def q_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rerank_feature_weights(spark: SparkSession) -> DataFrame:
+    """Stand-in TRAINED WEIGHTS for the learned (L2) reranker: one row
+    per feature, weight_milli(i) = (i * 2654435761) % 2001 - 1000 —
+    the same Knuth-scramble stand-in as
+    ``text_analysis.hashed_feature_weights``, deterministic and exactly
+    SQL-replayable.  Feature ids: 1=lex_rank, 2=sem_rank,
+    3=doc quality score_milli_sum, 4=doc token count.  A real
+    deployment loads the LTR model's linear head here; it is KB-scale,
+    hence always broadcast."""
+    return spark.range(1, 5).select(
+        F.col("id").cast("int").alias("feature_id"),
+        (F.pmod(F.col("id") * F.lit(2654435761), F.lit(2001)) - F.lit(1000))
+        .cast("long")
+        .alias("weight_milli"),
+    )
+
+
+def _hybrid_learned_rerank_oracle() -> str:
+    """The hybrid_rrf_ann oracle nested as a CTE, joined to the
+    model-quality replay (md5 feature hash + Knuth weights — the
+    doc_model_quality_filter oracle verbatim, mq_-prefixed to avoid
+    shadowing the hybrid body's own tok/ex names), scored by the 4-row
+    feature-weight formula in exact integer arithmetic."""
+    return f"""
+WITH mq_tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+mq_ex AS (SELECT doc_id, unnest(ts) AS t FROM mq_tok),
+mq_w AS (SELECT i AS bucket,
+             CAST((i * 2654435761) % 2001 - 1000 AS BIGINT) AS weight_milli
+      FROM generate_series(0, 1023) AS g(i)),
+mq_feats AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1024 AS bucket
+  FROM mq_ex),
+mq_agg AS (
+  SELECT f.doc_id,
+         CAST(SUM(w.weight_milli) AS BIGINT) AS w_sum,
+         COUNT(*) AS n_tok
+  FROM mq_feats f JOIN mq_w w USING (bucket) GROUP BY 1),
+hybrid AS ({_hybrid_rrf_ann_oracle()}),
+fw AS (SELECT i AS feature_id,
+              CAST((i * 2654435761) % 2001 - 1000 AS BIGINT) AS wm
+       FROM generate_series(1, 4) AS g(i)),
+feats AS (
+  SELECT h.doc_id, h.lex_rank, h.sem_rank, h.rrf_r6,
+         COALESCE(a.w_sum, 0) AS f_q,
+         COALESCE(a.n_tok, 0) AS f_len
+  FROM hybrid h LEFT JOIN mq_agg a ON a.doc_id = h.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_r6,
+       CAST(lex_rank * (SELECT wm FROM fw WHERE feature_id = 1)
+          + sem_rank * (SELECT wm FROM fw WHERE feature_id = 2)
+          + f_q      * (SELECT wm FROM fw WHERE feature_id = 3)
+          + f_len    * (SELECT wm FROM fw WHERE feature_id = 4)
+         AS BIGINT) AS rerank_milli
+FROM feats
+ORDER BY rerank_milli DESC, doc_id
+"""
+
+
+@register(
+    "hybrid_learned_rerank",
+    _hybrid_learned_rerank_oracle(),
+    "LEARNED RERANKER (L2) over hybrid retrieval (r13 verdict item "
+    "#5): the RRF-fused top-20 from hybrid_rrf_ann (both towers "
+    "index-served) rescores under a BROADCAST linear model over per-"
+    "candidate features — lexical-tower rank, dense-tower rank, the "
+    "hashed-linear doc-quality score (score_milli_sum), and document "
+    "token count; rank features stand in for the towers' raw scores "
+    "(standard LTR practice, and it keeps the whole L2 stage EXACT "
+    "INTEGER arithmetic: rerank_milli is a weighted integer sum, no "
+    "double tolerance anywhere); the dot product is the unpivot ⋈ "
+    "broadcast-weights ⋈ groupBy shape doc_model_quality_filter "
+    "established — the weights relation rides the broadcast exactly "
+    "as a trained LTR head deploys; the oracle nests the full hybrid "
+    "replay, the md5-hashed quality model, and the Knuth-scramble "
+    "weight formula, value-checked end to end",
+    tags=("text", "retrieval", "similarity", "index", "model"),
+)
+def q_hybrid_learned_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_analysis
+
+    fused = q_hybrid_rrf_ann(spark, sf_dir)
+    quality = text_analysis.linear_model_scores(
+        load_star_table(spark, sf_dir, "documents"),
+        text_analysis.hashed_feature_weights(spark),
+    ).select("doc_id", "n_tokens", "score_milli_sum")
+    feats = fused.join(quality, "doc_id", "left").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        "rrf_r6",
+        F.coalesce("score_milli_sum", F.lit(0)).cast("long").alias("__f_q"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("__f_len"),
+    )
+    # the L2 dot product as unpivot ⋈ broadcast weights ⋈ groupBy —
+    # the doc_model_quality_filter shape: features explode to
+    # (feature_id, value) rows, the KB-scale model relation broadcasts
+    long = feats.select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        "rrf_r6",
+        F.posexplode(
+            F.array(
+                F.col("lex_rank").cast("long"),
+                F.col("sem_rank").cast("long"),
+                F.col("__f_q"),
+                F.col("__f_len"),
+            )
+        ).alias("__i", "__v"),
+    )
+    w = rerank_feature_weights(spark)
+    return (
+        long.join(
+            F.broadcast(w), (F.col("__i") + 1) == F.col("feature_id")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min("lex_rank").cast("long").alias("lex_rank"),
+            F.min("sem_rank").cast("long").alias("sem_rank"),
+            F.min("rrf_r6").alias("rrf_r6"),
+            F.sum(F.col("__v") * F.col("weight_milli"))
+            .cast("long")
+            .alias("rerank_milli"),
+        )
+        .orderBy(F.col("rerank_milli").desc(), "doc_id")
+    )
+
+
 #: the multi-request hybrid batch: (query_id, lexical terms); the dense
 #: tower uses the SAME ids as query vectors (vec_id 0..2)
 _HYBRID_MULTI_REQUESTS = (
