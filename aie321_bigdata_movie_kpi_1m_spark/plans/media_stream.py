@@ -1551,6 +1551,137 @@ def q_streaming_catalog_publish(
     )
 
 
+_STREAM_WAP_BUILT: set[str] = set()
+
+
+def _stream_wap_store(spark: SparkSession, sf_dir: str) -> str:
+    """STREAMING WRITE-AUDIT-PUBLISH fixture: the docs table seeds the
+    catalog EMPTY at v1, then documents stream in 4 scale-stable
+    micro-batches and every batch lands on a per-batch WAP branch,
+    passes its audit against the pinned branch head, and publishes in
+    one CAS swap — catalog versions 2..5 are the four audited
+    transactions.  Once per process."""
+    import shutil
+
+    from ..sources.pyds import register_replay_parquet, replay_schema_ddl
+    from ..sources.snapshots import commit_snapshot, drop_snapshot_layer
+    from ..sources.table_catalog import commit_catalog
+    from ..streaming.snapshot_sink import wap_stream_to_catalog
+
+    cat = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/stream_wap"
+    if cat in _STREAM_WAP_BUILT:
+        return cat
+    docs_layer = f"{cat}_docs"
+    for p in (cat, docs_layer):
+        # rebuild hygiene drops the seed layer AND its WAP branches
+        # (children of cat's directory), so the pin guard is overridden
+        drop_snapshot_layer(spark, p, force=True)
+    ckpt = f"{cat}_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    src = f"{sf_dir}/documents.parquet"
+    seed = (
+        spark.read.parquet(src).select("doc_id", "source", "n_chars").limit(0)
+    )
+    v = commit_snapshot(spark, seed, docs_layer, stats_cols=["doc_id"])
+    commit_catalog(spark, cat, {"docs": {"path": docs_layer, "version": v}})
+    register_replay_parquet(spark)
+    stream = (
+        spark.readStream.format("replay_parquet")
+        .schema(replay_schema_ddl(src, "doc_id,source,n_chars"))
+        .option("path", src)
+        .option("cols", "doc_id,source,n_chars")
+        .option("n_batches", "4")
+        .option("reader_mode", "simple")
+        .load()
+    )
+
+    def plan(batch_df):
+        return [("docs", batch_df, {"stats_cols": ["doc_id"]})]
+
+    # simple Python sources serve one batch per trigger: drain with
+    # processAllAvailable (see _catalog_publish_store)
+    from ..streaming.snapshot_sink import wap_publish_writer
+
+    q = (
+        stream.writeStream.foreachBatch(
+            wap_publish_writer(
+                cat,
+                plan,
+                branch_root=f"{cat}_branches",
+                checks={
+                    "docs": {
+                        "ids_present": "doc_id IS NOT NULL",
+                        "chars_nonneg": "n_chars >= 0",
+                    }
+                },
+                app_id="stream_wap",
+            )
+        )
+        .queryName("stream_wap_build")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    _STREAM_WAP_BUILT.add(cat)
+    return cat
+
+
+@register(
+    "streaming_wap_publish",
+    """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+b AS (SELECT CAST((total + 3) // 4 AS BIGINT) AS bsz, total FROM t),
+c AS (SELECT n_chars,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM documents),
+v AS (SELECT CAST(i AS BIGINT) AS catalog_version,
+             LEAST(CAST(i - 1 AS BIGINT) * bsz, total) AS cum
+      FROM generate_series(1, 5) g(i), b)
+SELECT catalog_version,
+       CAST(cum AS BIGINT) AS n_docs,
+       CAST(COALESCE((SELECT SUM(n_chars) FROM c WHERE rn <= cum), 0)
+            AS BIGINT) AS chars_sum
+FROM v
+""",
+    "STREAMING WRITE-AUDIT-PUBLISH (r13 verdict item #6, streaming/"
+    "snapshot_sink.py::wap_publish_writer composing wap_branch + "
+    "wap_publish_many into foreachBatch): every micro-batch lands on "
+    "a per-batch zero-copy WAP branch of the catalog's current pin, "
+    "audit predicates run against the PINNED branch head (the TOCTOU-"
+    "closed path), and one CAS swap publishes the batch — an audit "
+    "violation publishes NOTHING and fails the stream with the batch "
+    "preserved on its branches (pytest pins the catalog untouched "
+    "mid-stream and the repaired restart completing); exactly-once "
+    "composes across fork (batch-keyed branch paths, crash remnants "
+    "re-forked), append ((app, batch) txn no-op), and swap (already-"
+    "pinned skip); the query reads doc/char rollups THROUGH the "
+    "catalog at all 5 versions (empty seed + 4 audited transactions) "
+    "and the oracle replays the deterministic batch prefix structure",
+    tags=("streaming", "snapshots", "catalog", "transactions",
+          "exactly-once"),
+)
+def q_streaming_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.table_catalog import catalog_versions, read_catalog_table
+
+    cat = _stream_wap_store(spark, sf_dir)
+    rows = []
+    for cv in catalog_versions(spark, cat):
+        d = (
+            read_catalog_table(spark, cat, "docs", catalog_version=cv)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"),
+            )
+            .first()
+        )
+        rows.append((cv, int(d["n"]), int(d["c"])))
+    return spark.createDataFrame(
+        rows, "catalog_version long, n_docs long, chars_sum long"
+    )
+
+
 @register(
     "streaming_catalog_tail",
     """

@@ -436,6 +436,120 @@ def catalog_publish_writer(
     return write_batch
 
 
+def wap_publish_writer(
+    cat_path: str,
+    plan_fn: Callable[[DataFrame], list],
+    *,
+    branch_root: str,
+    checks: dict[str, dict[str, str]] | None = None,
+    app_id: str = "stream_wap",
+    attempts: int = 20,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function for STREAMING WRITE-AUDIT-PUBLISH
+    (r13 verdict item #6): every micro-batch lands on per-table WAP
+    BRANCHES (zero-copy forks of the catalog's current pins under
+    ``branch_root``), the batch's audits run against the pinned branch
+    heads, and ONE ``wap_publish_many`` CAS swap publishes every table
+    — or, on ANY audit violation, NOTHING publishes: the batch's bad
+    data sits on its branches for inspection, catalog readers keep the
+    last good version, and the failed stream can be repaired and
+    restarted.
+
+    ``plan_fn(batch_df)`` returns ``[(table, df, commit kwargs)]``;
+    each ``table`` must already be in the catalog (WAP forks published
+    state — seed the catalog first).  ``checks`` maps table ->
+    {check name -> SQL predicate} (audit semantics of ``wap_audit``).
+
+    Exactly-once composes across all three levels: the branch append
+    carries ``txn=(app_id, batch_id)`` (a checkpoint-replayed batch's
+    append no-ops), the branch FORK is keyed by batch id (an existing
+    provenance-complete branch is reused, a half-forked crash remnant
+    — clone without WAP.json — is dropped and re-forked), and the
+    publish swap detects already-pinned branches and skips.  Branch
+    paths are ``{branch_root}/{table}_b{batch_id}``: reuse the same
+    ``branch_root`` ONLY with the same checkpoint (a fresh checkpoint
+    restarts batch ids at 0 and would collide with retired branches)."""
+    from ..sources.snapshots import drop_snapshot_layer, snapshot_versions
+    from ..sources.table_catalog import (
+        wap_branch,
+        wap_provenance,
+        wap_publish_many,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        branch_checks: dict[str, dict[str, str]] = {}
+        branches: list[str] = []
+        for table, df, kwargs in plan_fn(batch_df):
+            bp = f"{branch_root}/{table}_b{int(batch_id)}"
+            if snapshot_versions(spark, bp):
+                try:
+                    wap_provenance(spark, bp)
+                except FileNotFoundError:
+                    # crashed between clone and provenance write: safe
+                    # garbage by the wap_branch contract — re-fork
+                    drop_snapshot_layer(spark, bp, force=True)
+            if not snapshot_versions(spark, bp):
+                wap_branch(
+                    spark,
+                    cat_path,
+                    table,
+                    bp,
+                    audit_id=f"{app_id}/b{int(batch_id)}",
+                )
+            kw = dict(kwargs or {})
+            kw.setdefault("txn", (app_id, int(batch_id)))
+            kw.setdefault("mode", "append")
+            commit_snapshot(spark, df, bp, **kw)
+            branches.append(bp)
+            cks = (checks or {}).get(str(table))
+            if cks:
+                branch_checks[bp] = cks
+        wap_publish_many(
+            spark,
+            cat_path,
+            branches,
+            checks=branch_checks or None,
+            attempts=attempts,
+        )
+
+    return write_batch
+
+
+def wap_stream_to_catalog(
+    stream: DataFrame,
+    cat_path: str,
+    plan_fn: Callable[[DataFrame], list],
+    *,
+    branch_root: str,
+    checks: dict[str, dict[str, str]] | None = None,
+    checkpoint_dir: str,
+    query_name: str = "stream_wap",
+    app_id: str = "stream_wap",
+):
+    """Run ``stream`` to completion as audited WAP transactions; see
+    ``wap_publish_writer``.  An audit violation fails the stream with
+    the per-check counts (the batch stays on its branches, the catalog
+    keeps serving the last published state)."""
+    q = (
+        stream.writeStream.foreachBatch(
+            wap_publish_writer(
+                cat_path,
+                plan_fn,
+                branch_root=branch_root,
+                checks=checks,
+                app_id=app_id,
+            )
+        )
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def publish_stream_to_catalog(
     stream: DataFrame,
     cat_path: str,
