@@ -1814,6 +1814,180 @@ def _cdf_tail_layer(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_CATALOG_CDF_BUILT: set[str] = set()
+
+
+def _catalog_cdf_store(spark: SparkSession, sf_dir: str) -> str:
+    """CATALOG-PINNED twin of ``_cdf_tail_layer`` (r13 verdict item
+    #7): the same 5-step CDC lifecycle on a change-feed customer
+    layer, but after EVERY layer commit a catalog version pins the new
+    layer head — so catalog versions 1..5 map to layer versions 1..5
+    and a catalog-routed CDF tail consumes each transaction's changes
+    only when its swap lands.  Once per process."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        delete_snapshot,
+        delete_snapshot_keys,
+        drop_snapshot_layer,
+        merge_snapshot,
+        snapshot_versions,
+    )
+    from ..sources.table_catalog import commit_catalog
+
+    cat = f"{_SCRATCH}/snapshots/{_tag(sf_dir)}/catalog_cdf"
+    if cat in _CATALOG_CDF_BUILT:
+        return cat
+    path = f"{cat}_cust"
+    for p in (cat, path):
+        drop_snapshot_layer(spark, p)
+
+    def pin() -> None:
+        commit_catalog(
+            spark,
+            cat,
+            {"cust": {"path": path, "version": snapshot_versions(spark, path)[-1]}},
+        )
+
+    base = load_star_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    commit_snapshot(
+        spark,
+        base.filter(F.col("c_custkey") % 2 == 0).repartitionByRange(
+            4, "c_custkey"
+        ),
+        path,
+        stats_cols=["c_custkey"],
+        change_feed=True,
+    )
+    pin()
+    upd = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("SEG_X").alias("c_mktsegment")
+    )
+    ins = base.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 20000000).alias("c_custkey"),
+        F.lit("SEG_X").alias("c_mktsegment"),
+    )
+    merge_snapshot(
+        spark, upd.unionByName(ins), path, "c_custkey",
+        stats_cols=["c_custkey"],
+    )
+    pin()
+    commit_snapshot(
+        spark,
+        base.filter(F.col("c_custkey") % 2 == 1).coalesce(2),
+        path,
+        mode="append",
+        stats_cols=["c_custkey"],
+    )
+    pin()
+    delete_snapshot(spark, path, "c_mktsegment = 'SEG_X'")
+    pin()
+    delete_snapshot_keys(
+        spark,
+        path,
+        "c_custkey",
+        base.filter(
+            (F.col("c_custkey") % 2 == 1) & (F.col("c_custkey") % 7 == 0)
+        ).select("c_custkey"),
+    )
+    pin()
+    _CATALOG_CDF_BUILT.add(cat)
+    return cat
+
+
+@register(
+    "streaming_catalog_cdf_tail",
+    """
+WITH ev AS (SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey % 2 = 0),
+od AS (SELECT c_custkey, c_mktsegment FROM customer
+       WHERE c_custkey % 2 = 1),
+upd AS (SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % 10 = 0),
+ins2 AS (SELECT c_custkey + 20000000 AS c_custkey FROM customer
+         WHERE c_custkey % 100 = 0),
+feed AS (
+  SELECT 'insert' AS change_type, c_custkey, c_mktsegment, 1 AS v FROM ev
+  UNION ALL SELECT 'delete', c_custkey, c_mktsegment, 2 FROM upd
+  UNION ALL SELECT 'insert', c_custkey, 'SEG_X', 2 FROM upd
+  UNION ALL SELECT 'insert', c_custkey, 'SEG_X', 2 FROM ins2
+  UNION ALL SELECT 'insert', c_custkey, c_mktsegment, 3 FROM od
+  UNION ALL SELECT 'delete', c_custkey, 'SEG_X', 4 FROM upd
+  UNION ALL SELECT 'delete', c_custkey, 'SEG_X', 4 FROM ins2
+  UNION ALL SELECT 'delete', c_custkey, c_mktsegment, 5 FROM od
+            WHERE c_custkey % 7 = 0
+)
+SELECT change_type, c_mktsegment,
+       CAST(v AS BIGINT) AS _commit_version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM feed GROUP BY change_type, c_mktsegment, v
+""",
+    "the CHANGE DATA FEED tailed THROUGH THE VERSIONED TABLE CATALOG "
+    "(r13 verdict item #7 — catalog_stream mode=cdf delegation): "
+    "offsets are CATALOG versions, each micro-batch is the pinned "
+    "table's CDF delta between the layer versions consecutive catalog "
+    "versions pin — so a transaction's upserts/deletes are consumed "
+    "all-or-nothing when its swap lands and a staged-but-unswapped "
+    "layer commit contributes zero change rows (pytest-pinned, "
+    "including the equality-key delete change source); the full CDC "
+    "lifecycle of streaming_snapshot_cdf_tail replays catalog-routed "
+    "(bootstrap, MERGE delete+insert pairs, append, predicate DELETE, "
+    "equality-key delete) with rows carrying change_type AND "
+    "_commit_version, aggregated per (type, segment, version) so a "
+    "change row surfacing under the wrong transaction breaks the "
+    "hash; the oracle recomputes the exact versioned feed from the "
+    "raw table",
+    tags=("streaming", "snapshots", "catalog", "cdc", "sources"),
+)
+def q_streaming_catalog_cdf_tail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..sources.pyds import (
+        catalog_stream_schema,
+        register_catalog_stream,
+    )
+
+    register_catalog_stream(spark)
+    cat = _catalog_cdf_store(spark, sf_dir)
+    ckpt = f"{cat}_tail_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.format("catalog_stream")
+        .schema(
+            catalog_stream_schema(
+                cat, "cust", "c_custkey,c_mktsegment", mode="cdf"
+            )
+        )
+        .option("path", cat)
+        .option("table", "cust")
+        .option("cols", "c_custkey,c_mktsegment")
+        .option("mode", "cdf")
+        .load()
+    )
+    out = _run_to_memory_sink(
+        spark,
+        stream.groupBy(
+            "change_type", "c_mktsegment", "_commit_version"
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+        ),
+        name="catalog_cdf_tail",
+        output_mode="complete",
+    )
+    return out.select(
+        "change_type",
+        "c_mktsegment",
+        F.col("_commit_version").cast("long").alias("_commit_version"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("key_sum").cast("long").alias("key_sum"),
+    )
+
+
 @register(
     "streaming_snapshot_cdf_tail",
     """

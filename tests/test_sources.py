@@ -6126,6 +6126,85 @@ class TestCatalogStream:
         )
         assert self._drain(spark, cat, ckpt, "cat_half_c") == [5, 6, 7]
 
+    def _drain_cdf(self, spark, cat, ckpt, name):
+        """CDF-mode twin of ``_drain``: returns (change_type, doc_id,
+        _commit_version) triples THIS run consumed."""
+        from aie321_bigdata_movie_kpi_1m_spark.sources.pyds import (
+            catalog_stream_schema,
+            register_catalog_stream,
+        )
+
+        register_catalog_stream(spark)
+        stream = (
+            spark.readStream.format("catalog_stream")
+            .schema(catalog_stream_schema(cat, "docs", "doc_id", mode="cdf"))
+            .option("path", cat)
+            .option("table", "docs")
+            .option("cols", "doc_id")
+            .option("mode", "cdf")
+            .load()
+        )
+        got: list = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _eid: got.extend(
+                    (r["change_type"], r["doc_id"], r["_commit_version"])
+                    for r in df.collect()
+                )
+            )
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        return sorted(got)
+
+    def test_staged_but_unswapped_commit_invisible_to_cdf_tail(
+        self, spark, tmp_path
+    ):
+        """The all-or-nothing property EXTENDED TO CDF BATCHES (r13
+        verdict item #7): a transaction that staged its layer commit
+        (here an equality-key DELETE, the hardest change source) but
+        crashed before the catalog swap must contribute NO change rows
+        to a mode=cdf catalog tail; when the swap lands, the whole
+        transaction's changes arrive in one batch with change_type and
+        _commit_version."""
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat = str(tmp_path / "cat")
+        layer = str(tmp_path / "docs")
+        ckpt = str(tmp_path / "ckpt")
+        tc.multi_table_commit(
+            spark,
+            cat,
+            [(
+                "docs",
+                spark.range(5).selectExpr("id AS doc_id"),
+                layer,
+                {"stats_cols": ["doc_id"], "change_feed": True},
+            )],
+        )
+        assert self._drain_cdf(spark, cat, ckpt, "cdf_half_a") == [
+            ("insert", i, 1) for i in range(5)
+        ]
+        # crashed transaction: the delete lands on the LAYER, the
+        # catalog swap never does — zero change rows may surface
+        staged_v = snap.delete_snapshot_keys(
+            spark, layer, "doc_id", [1, 3]
+        )["version"]
+        assert self._drain_cdf(spark, cat, ckpt, "cdf_half_b") == []
+        # the swap lands -> the delete's changes arrive at once
+        tc.commit_catalog(
+            spark, cat, {"docs": {"path": layer, "version": staged_v}}
+        )
+        assert self._drain_cdf(spark, cat, ckpt, "cdf_half_c") == [
+            ("delete", 1, 2),
+            ("delete", 3, 2),
+        ]
+
     def test_repoint_and_rewind_raise(self, spark, tmp_path):
         import pytest
 
