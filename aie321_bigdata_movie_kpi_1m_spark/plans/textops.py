@@ -789,6 +789,54 @@ def q_indexed_fuzzy_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "indexed_fuzzy_proximity_ordered",
+    _TOKENS_CTE
+    + _FUZZY_EXPANSION_CTES
+    + f""",
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts))) AS p, ts
+  FROM tok WHERE len(ts) >= 1
+),
+m AS (
+  SELECT doc_id FROM pos, e1l
+  WHERE ts[p] IN (SELECT token FROM e0)
+    AND len(list_filter(
+          ts[p + 1:least(len(ts), p + {_PROX_ORD_SLOP} + 1)],
+          x -> list_contains(e1l.l, x))) > 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM m GROUP BY doc_id
+ORDER BY n_matches DESC, doc_id
+LIMIT 20
+""",
+    "ORDERED typo-tolerant proximity (fuzzy-expanded sloppy phrase "
+    "with monotone-chain semantics): the typo'd pair 'tabl'/'partt' "
+    "expands through the deletion-neighborhood layer, and a doc "
+    "matches where some expansion of the SECOND slot occurs strictly "
+    f"AFTER an anchor of the first within the slop+displacement "
+    f"window (p, p + {_PROX_ORD_SLOP} + 1] — 'table .. partt' matches, "
+    "the reversed order never does (the symmetric fuzzy variant "
+    "admits both); same union position arrays and pruned reads; the "
+    "oracle replays expansion and the forward-window slice over raw "
+    "token lists",
+    tags=("text", "retrieval", "snapshots", "index", "pruning"),
+)
+def q_indexed_fuzzy_proximity_ordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    return token_index.indexed_fuzzy_proximity_search(
+        spark,
+        group,
+        list(_FUZZY_PHRASE),
+        slop=_PROX_ORD_SLOP,
+        ordered=True,
+    )
+
+
+@register(
     "doc_fingerprints",
     """
 SELECT doc_id,

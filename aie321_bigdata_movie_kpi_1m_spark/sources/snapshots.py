@@ -2850,6 +2850,38 @@ def snapshot_pins(spark: SparkSession, path: str) -> list[dict]:
     return sorted(out, key=lambda r: (r["version"], r["ref"]))
 
 
+def snapshot_external_refs(spark: SparkSession, path: str) -> list[str]:
+    """Data/delete/segment file paths referenced by ANY surviving
+    manifest of this layer that live OUTSIDE the layer's own directory
+    — non-empty exactly while the layer is (still) a shallow clone
+    depending on another layer's files.  The release gate for a
+    back-reference pin: a clone that rewrote its head but keeps
+    pre-rewrite history is NOT yet independent (time travel still
+    resolves the source's files)."""
+    import os
+
+    base = os.path.normpath(
+        str(path).removeprefix("file://").removeprefix("file:")
+    )
+    out: set[str] = set()
+    for v in snapshot_versions(spark, path):
+        raw = _manifest_raw(spark, path, v)
+        m = _manifest(spark, path, v)
+        refs = list(m.get("files") or [])
+        refs += [e["path"] for e in m.get("delete_files") or []]
+        refs += [e["path"] for e in raw.get("segments") or []]
+        ch = m.get("changes")
+        if ch:
+            refs.append(ch["path"])
+        for f in refs:
+            fp = os.path.normpath(
+                str(f).removeprefix("file://").removeprefix("file:")
+            )
+            if not fp.startswith(base + os.sep):
+                out.add(str(f))
+    return sorted(out)
+
+
 def unpin_snapshot_version(spark: SparkSession, path: str, *, ref: str) -> bool:
     """Release ``ref``'s pin (the clone was retired/rewritten to own its
     files).  Returns True if a pin existed."""

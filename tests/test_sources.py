@@ -5824,6 +5824,66 @@ class TestSnapshotPins:
         with pytest.raises(RuntimeError, match="retire refused"):
             tc.wap_retire_branch(spark, cat, br2)
 
+    def test_materialize_branch_owns_files_and_releases_pin(
+        self, spark, tmp_path
+    ):
+        """ADVICE r13 resolution #2: a published shallow branch
+        rewrites into its own directories, the catalog repoints at the
+        rewritten version, and the source pin releases ONLY once no
+        surviving branch version references the source's files — after
+        which the retired source can be dropped outright and the
+        published table still reads in full."""
+        import pytest
+
+        import aie321_bigdata_movie_kpi_1m_spark.sources.snapshots as snap
+        import aie321_bigdata_movie_kpi_1m_spark.sources.table_catalog as tc
+
+        cat, src, br = (
+            str(tmp_path / "cat"),
+            str(tmp_path / "docs"),
+            str(tmp_path / "br"),
+        )
+        v = snap.commit_snapshot(
+            spark,
+            spark.range(20).selectExpr("id AS doc_id", "id * 2 AS x"),
+            src,
+            stats_cols=["doc_id"],
+        )
+        tc.commit_catalog(spark, cat, {"docs": {"path": src, "version": v}})
+        tc.wap_branch(spark, cat, "docs", br)
+        # an UNPUBLISHED branch refuses to materialize
+        with pytest.raises(RuntimeError, match="materialize refused"):
+            tc.wap_materialize_branch(spark, cat, br)
+        snap.commit_snapshot(
+            spark,
+            spark.range(20, 25).selectExpr("id AS doc_id", "id * 2 AS x"),
+            br,
+            mode="append",
+        )
+        tc.wap_publish(spark, cat, br)
+        # without branch retention the pre-rewrite history still
+        # references the source -> the pin must STAY
+        r1 = tc.wap_materialize_branch(spark, cat, br)
+        assert not r1["pin_released"] and r1["external_refs"] > 0
+        assert snap.snapshot_pins(spark, src)
+        # catalog already repointed at the rewritten version
+        assert tc.catalog_tables(spark, cat)["docs"]["version"] == r1[
+            "rewritten_version"
+        ]
+        # retire the pre-rewrite history -> the next materialize
+        # completes the release
+        r2 = tc.wap_materialize_branch(
+            spark, cat, br, vacuum_keep_last=1, orphan_grace_seconds=0
+        )
+        assert r2["pin_released"] and r2["external_refs"] == 0
+        assert snap.snapshot_pins(spark, src) == []
+        # the source can now be dropped outright; the published table
+        # reads in full from its OWN files
+        snap.drop_snapshot_layer(spark, src)
+        got = tc.read_catalog_table(spark, cat, "docs")
+        assert got.count() == 25
+        assert got.agg(F.sum("x")).first()[0] == sum(i * 2 for i in range(25))
+
     def test_audit_pins_branch_version_against_races(self, spark, tmp_path):
         """The TOCTOU closure: wap_publish audits and publishes the SAME
         pinned branch version, so a commit landing after the pin is NOT
