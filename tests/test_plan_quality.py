@@ -758,3 +758,38 @@ def test_neardup_lookup_broadcasts_probe_and_query_sides(spark):
     for line in plan.splitlines():
         if "ReadSchema" in line and "bkey" in line:
             assert "text" not in line, line
+
+
+def test_sq8_rerank_corpus_side_never_shuffles(spark):
+    """ADVICE r13: sq8_topk's exact rerank joins the shortlist against
+    the full-precision embeddings as the BROADCAST side, so the corpus
+    is STREAMED once through a broadcast hash join — no corpus-side
+    exchange/sort for the rerank, and the plan must show the hinted
+    broadcast surviving even though the shortlist derives from a
+    window (statistics-opaque to the planner)."""
+    plan = plan_of(spark, "ann_sq8_topk")
+    assert "BroadcastHashJoin" in plan
+    # a SortMergeJoin anywhere in this query would mean a corpus-scale
+    # relation got shuffled (both joins here are hinted broadcasts)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_batch_adc_tables_are_executor_side_expressions(spark):
+    """r13 verdict item #1 in the plan: the batch IVFADC query's ADC
+    distance tables must be built by expressions over broadcast model
+    relations — no Python eval nodes beyond the centroid-probe pandas
+    UDF, no scalar-iterator collect shapes, and the candidate scan's
+    ReadSchema must keep the embedding column out of the code-join
+    scan (column pruning holds in the batch shape too)."""
+    plan = plan_of(spark, "ann_ivfadc_batch_topk")
+    assert "CartesianProduct" not in plan
+    schemas = [
+        line
+        for line in plan.splitlines()
+        if "ReadSchema" in line and "code" in line
+    ]
+    assert schemas, plan
+    assert [s for s in schemas if "embedding" not in s], (
+        "no embedding-free ADC scan found:\n" + "\n".join(schemas)
+    )
