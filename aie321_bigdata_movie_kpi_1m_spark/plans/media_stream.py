@@ -1572,9 +1572,12 @@ def _stream_wap_store(spark: SparkSession, sf_dir: str) -> str:
     if cat in _STREAM_WAP_BUILT:
         return cat
     docs_layer = f"{cat}_docs"
-    for p in (cat, docs_layer):
-        # rebuild hygiene drops the seed layer AND its WAP branches
-        # (children of cat's directory), so the pin guard is overridden
+    # rebuild hygiene must drop the BRANCH ROOT too: branch paths are
+    # keyed by batch id, and a fresh checkpoint restarts ids at 0 — a
+    # surviving branch from an earlier process would be reused while
+    # referencing the dropped seed layer's files (exactly the branch_
+    # root/checkpoint lifecycle coupling wap_publish_writer documents)
+    for p in (cat, docs_layer, f"{cat}_branches"):
         drop_snapshot_layer(spark, p, force=True)
     ckpt = f"{cat}_ckpt"
     shutil.rmtree(ckpt, ignore_errors=True)
