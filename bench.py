@@ -224,8 +224,8 @@ def main() -> None:
         "dedup_exact",
         "minhash_lsh_neardup",
         "ann_ivf_topk",
-        "indexed_bm25_search",
-        "doc_quality_chain",
+        "indexed_bm25_topk",
+        "corpus_filter_chain",
     ]
     line_payload = {
         "metric": payload["metric"],
