@@ -837,6 +837,62 @@ def q_indexed_fuzzy_proximity_ordered(
 
 
 @register(
+    "fuzzy_join_vocab",
+    _TOKENS_CTE
+    + """,
+ex AS (SELECT doc_id, unnest(ts) AS token FROM tok),
+vb AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY token),
+terms AS (SELECT DISTINCT substr(token, 1, 1) || substr(token, 3) AS term
+          FROM vb WHERE df >= 3 AND length(token) BETWEEN 5 AND 8),
+m AS (
+  SELECT t.term, v.token
+  FROM terms t JOIN (SELECT DISTINCT token FROM vb) v
+    ON levenshtein(v.token, t.term) <= 1)
+SELECT term, token FROM m
+ORDER BY term, token
+""",
+    "BATCH FUZZY JOIN (the table-scale sibling of fuzzy_expand_term — "
+    "a query-log spell-normalization / vocabulary-reconciliation "
+    "shard, not a handful of interactive probes): a TABLE of typo'd "
+    "terms (every corpus token with doc-freq >= 3 and length 5-8, "
+    "second character deleted) matches the index vocabulary at edit "
+    "distance <= 1 entirely executor-side — the terms side expands "
+    "through the SAME JVM deletion-variant expressions the fuzzy "
+    "layer was built with (probe and layer variants agree exactly), "
+    "variants meet the layer in a shuffle equi-join on var with no "
+    "broadcast hint and no per-term driver hop, candidates are "
+    "complete by the FastSS theorem at the build's pinned depth, and "
+    "a built-in levenshtein filter removes collision false positives; "
+    "the oracle replays term derivation and the full vocabulary "
+    "edit-distance join from raw text",
+    tags=("text", "retrieval", "snapshots", "index", "corpus"),
+)
+def q_fuzzy_join_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens as _tok_fn
+    from . import token_index
+
+    group = _token_index_group(spark, sf_dir)
+    docs = load_star_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            "doc_id", F.explode(_tok_fn("text")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 3) & F.length("token").between(5, 8))
+        .select(
+            F.concat(
+                F.substring("token", 1, 1), F.expr("substr(token, 3)")
+            ).alias("term")
+        )
+        .distinct()
+    )
+    return token_index.fuzzy_join_terms(spark, group, terms).orderBy(
+        "term", "token"
+    )
+
+
+@register(
     "doc_fingerprints",
     """
 SELECT doc_id,

@@ -1615,6 +1615,70 @@ def indexed_fuzzy_search(
     )
 
 
+def fuzzy_join_terms(
+    spark: SparkSession,
+    group: str,
+    terms_df: DataFrame,
+    *,
+    term_col: str = "term",
+    max_dist: int = 1,
+) -> DataFrame:
+    """BATCH FUZZY JOIN: match a TABLE of (possibly typo'd) terms
+    against the index vocabulary at edit distance <= ``max_dist`` —
+    the table-scale sibling of ``fuzzy_expand_term`` (which generates
+    the probe variants on the DRIVER, right for a handful of
+    interactive terms, O(terms x len^d) driver strings for a query-log
+    shard).  The batch shape, end to end executor-side:
+
+    - the terms side expands through the SAME JVM deletion-variant
+      expressions the layer was built with (``_fuzzy_rows`` —
+      sequence/transform/substr, no Python), so probe and layer
+      variants agree exactly;
+    - variants meet the fuzzy layer in a shuffle equi-join on ``var``
+      (no broadcast hint, no per-term driver hop — the planner sizes
+      the join; at 100 TB both sides hash-partition on the variant
+      string);
+    - candidates are COMPLETE by the FastSS theorem whenever
+      ``max_dist <= fuzzy_max_edits`` (enforced, as everywhere), and
+      one built-in ``levenshtein`` filter removes collision false
+      positives.
+
+    Use cases: query-log spell normalization, vocabulary
+    reconciliation across crawls, fuzzy key matching before a join.
+    Returns distinct (term, token) pairs."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    built = fuzzy_max_edits(spark, group)
+    if max_dist > built:
+        raise ValueError(
+            f"fuzzy layer was built with max_edits={built}; "
+            f"max_dist={max_dist} joins need a deeper build "
+            "(FastSS completeness requires variants at depth d on "
+            "BOTH sides)"
+        )
+    pins = index_pins(spark, group)
+    path = _sub(group, FUZZY)
+    v = pins.get(FUZZY)
+    if v is None:
+        raise FileNotFoundError(
+            f"index group {group} has no fuzzy layer — rebuild with "
+            "build_token_index (r13+) to serve fuzzy queries"
+        )
+    probe = _fuzzy_rows(
+        terms_df.select(F.col(term_col).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct(),
+        max_dist,
+    ).select(F.col("token").alias("term"), "var")
+    rows = read_snapshot(spark, path, v).select("var", "token")
+    return (
+        probe.join(rows, "var")
+        .select("term", "token")
+        .distinct()
+        .filter(F.levenshtein(F.col("token"), F.col("term")) <= max_dist)
+    )
+
+
 def _fuzzy_slot_postings(
     spark: SparkSession,
     group: str,

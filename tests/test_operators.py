@@ -3494,6 +3494,64 @@ class TestIndexedFuzzySearch:
         with pytest.raises(ValueError, match="at least two"):
             phrase(["strem"])
 
+    def test_fuzzy_join_terms_matches_per_term_expansion(
+        self, spark, tmp_path
+    ):
+        """The BATCH fuzzy join: a table of terms matched executor-side
+        agrees exactly with the per-term driver-side expansion
+        (fuzzy_expand_term) for every term, the probe⋈layer pairing is
+        a shuffle join (no broadcast hint — under
+        autoBroadcastJoinThreshold=-1 the var join degrades to
+        SortMergeJoin, never a nested loop), and the depth guard
+        refuses joins deeper than the build."""
+        import pytest
+
+        from aie321_bigdata_movie_kpi_1m_spark.plans import token_index as ti
+
+        docs = spark.createDataFrame(
+            [
+                (1, "stream of data stream"),
+                (2, "strem typo steam"),
+                (3, "dream team table"),
+            ],
+            "doc_id long, text string",
+        )
+        group = str(tmp_path / "ti")
+        ti.build_token_index(spark, docs, group, splits=1)
+        terms = ["stream", "steem", "tabl", "zzz", ""]
+        terms_df = spark.createDataFrame(
+            [(t,) for t in terms], "term string"
+        )
+        got: dict[str, set] = {}
+        for r in ti.fuzzy_join_terms(spark, group, terms_df).collect():
+            got.setdefault(r["term"], set()).add(r["token"])
+        for t in terms:
+            if not t:
+                continue  # empty terms are dropped, never joined
+            expect = set(
+                ti.fuzzy_expand_term(
+                    spark, group, t, assert_pruned=False
+                )
+            )
+            assert got.get(t, set()) == expect, t
+        assert "" not in got
+        # plan shape: the var pairing shuffles (batch contract)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                ti.fuzzy_join_terms(spark, group, terms_df)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "SortMergeJoin" in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        with pytest.raises(ValueError, match="max_edits=1"):
+            ti.fuzzy_join_terms(spark, group, terms_df, max_dist=2)
+
     def test_fuzzy_pruning_strict_subset(self, spark, tmp_path):
         """The deletion-variant Bloom/range probe admits a strict
         subset of a multi-file fuzzy layer (the in-function assertion
