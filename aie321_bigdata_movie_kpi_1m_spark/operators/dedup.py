@@ -202,9 +202,13 @@ def minhash_lsh_pairs(
             "changing the documented miss-probability"
         )
     rows = num_hashes // bands
+    # the 2k-aggregate signature relation feeds both sides of the bucket
+    # self-join (and the optional hot-bucket gate): materialize once —
+    # O(corpus) rows of k+1 longs, shuffle-sized — instead of re-running
+    # tokenize/shingle/k-hashes per plan consumer
     sig = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n
-    )
+    ).localCheckpoint(eager=False)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -231,17 +235,27 @@ def minhash_lsh_pairs(
         .filter(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("i"), F.col("b.__id").alias("j"))
         .distinct()
+        # consumed three times below (final pair join + two semi-join
+        # prunes); materialize so the banded self-join runs once
+        .localCheckpoint(eager=False)
     )
     # Exact verification touches CANDIDATE pairs only (never the global
-    # self-join): shingle sets ride along as arrays, intersection sizes are
-    # computed per candidate pair.  At 100 TB the candidate set is tiny
-    # relative to the corpus, so this is two broadcast-able joins.
+    # self-join): each docs side is LEFT-SEMI-joined to the candidate ids
+    # BEFORE its shingles are computed — candidates-only shingling is a
+    # plan property (the neardup_index._verified_pairs discipline), so at
+    # 100 TB the re-shingling cost is candidate-scale, not corpus-scale.
     sets = docs.select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tok")
     ).select("__id", word_shingles(F.col("__tok"), n).alias("__set"))
+    si = sets.join(
+        cand.select(F.col("i").alias("__id")).distinct(), "__id", "left_semi"
+    )
+    sj = sets.join(
+        cand.select(F.col("j").alias("__id")).distinct(), "__id", "left_semi"
+    )
     verified = (
-        cand.join(sets.select(F.col("__id").alias("i"), F.col("__set").alias("__si")), "i")
-        .join(sets.select(F.col("__id").alias("j"), F.col("__set").alias("__sj")), "j")
+        cand.join(si.select(F.col("__id").alias("i"), F.col("__set").alias("__si")), "i")
+        .join(sj.select(F.col("__id").alias("j"), F.col("__set").alias("__sj")), "j")
         .withColumn("n_common", F.size(F.array_intersect("__si", "__sj")).cast("long"))
         .withColumn(
             "jaccard",
@@ -331,11 +345,17 @@ def simhash_neardup_pairs(
             f"max_hamming={max_hamming} needs > {max_hamming} bands for "
             f"lossless pigeonhole blocking, got bands={bands}"
         )
+    from pyspark.sql import Window
+
     width = bits // bands
     mask = (1 << width) - 1
+    # the 60-aggregate fingerprint relation feeds BOTH sides of the
+    # band self-join: materialize it once (executor-local blocks,
+    # O(corpus) rows of two longs — shuffle-sized) instead of
+    # re-running the token explode + per-bit aggregation per consumer
     sig = simhash_fingerprints(
         docs, id_col=id_col, text_col=text_col, bits=bits
-    )
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
@@ -350,13 +370,21 @@ def simhash_neardup_pairs(
             )
         ).alias("__band", "__bv"),
     )
-    sizes = banded.groupBy("__band", "__bv").agg(
-        F.count(F.lit(1)).alias("__n")
+    # singleton/hot-bucket gate as ONE count-over-window on the same
+    # (band, bv) partitioning the self-join shuffles on — the separate
+    # sizes aggregation + semi-join paid a second exchange of the
+    # banded rows for the same filter (r15: one exchange removed)
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("__band", "__bv"))
+    size_gate = (
+        bucket_n >= 2
+        if max_bucket is None
+        else (bucket_n >= 2) & (bucket_n <= max_bucket)
     )
-    keep = sizes.filter(F.col("__n") >= 2)
-    if max_bucket is not None:
-        keep = keep.filter(F.col("__n") <= max_bucket)
-    banded = banded.join(keep.select("__band", "__bv"), ["__band", "__bv"])
+    banded = (
+        banded.withColumn("__keep", size_gate)
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )
     left = banded.select(
         "__band",
         "__bv",

@@ -31,9 +31,21 @@ def connected_components(
     component's minimum node id.  Returns (node, cluster_id); nodes with
     no edges are not in the output (callers union singletons if needed).
     """
+    # mirror each edge in ONE pass over the (often expensive) upstream
+    # pairs subtree — a self-union would evaluate it once per branch:
+    # exchange reuse recovers the map side but the final aggregate /
+    # verify stage above the exchange re-runs per branch (r15 measured:
+    # the near-dup pair subtree's reduce side is ~1/3 of this operator)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -130,19 +142,28 @@ def connected_components_star(
     filters ``a != b``: they are unioned back as their own singleton
     cluster at the end).
     """
-    all_nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    # undirected edge set, kept as a<->b pairs with self-loops dropped
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .filter(F.col("a") != F.col("b"))
+    # ONE evaluation of the upstream pairs subtree: mirror by explode
+    # (not a self-union per consumer — see connected_components), keep
+    # self-loops, and materialize; all_nodes and the contraction's
+    # working edge set both derive from the checkpointed mirror (the
+    # mirrored set's "a" column alone covers every endpoint), so the
+    # edge computation never re-runs for the node inventory
+    sym0 = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .distinct()
         .localCheckpoint(eager=True)
     )
+    all_nodes = sym0.select(F.col("a").alias("node")).distinct()
+    # undirected edge set, kept as a<->b pairs with self-loops dropped
+    e = sym0.filter(F.col("a") != F.col("b"))
 
     def large_star(sym: DataFrame) -> DataFrame:
         # m(u) = min over N(u) ∪ {u}; emit (v, m) for v ∈ N(u), v > u

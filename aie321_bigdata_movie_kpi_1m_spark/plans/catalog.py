@@ -254,8 +254,18 @@ WHERE levenshtein(a.title, b.title) <= 3
     tags=("dedup", "text"),
 )
 def q_title_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    facts = facts_from_star(spark, sf_dir).select(
-        "movie_fact_id", "title", "release_year", F.length("title").alias("__len")
+    # both self-join sides consume the full clean/filter pipeline and
+    # their differing band projections defeat exchange reuse — ONE
+    # materialization (4 narrow columns) instead of two cleaning passes
+    facts = (
+        facts_from_star(spark, sf_dir)
+        .select(
+            "movie_fact_id",
+            "title",
+            "release_year",
+            F.length("title").alias("__len"),
+        )
+        .localCheckpoint(eager=False)
     )
     band = F.floor(F.col("__len") / 4)
     a = facts.select(

@@ -1599,6 +1599,12 @@ def ann_assign_topk(
         )
         .withColumn("__qq", _dot(F.col("__qv"), F.col("__qv")))
         .withColumn("__cell", F.explode(probe(F.col("__qv"))))
+        # the probed query relation has TWO consumers — the distinct-cell
+        # driver hop below and the pairing join — and the probe is the
+        # plan's only Arrow/pandas stage: materialize once so the UDF
+        # evaluates one time per call, not per consumer (r15, the ADVICE
+        # qcells fix applied family-wide)
+        .localCheckpoint(eager=False)
     )
     cells = sorted(
         int(r["__cell"]) for r in qv.select("__cell").distinct().collect()
@@ -3178,9 +3184,14 @@ def ann_ivfadc_topk(
     q = queries.select(
         F.col("query_id"), _as_double("embedding").alias("__qv")
     )
+    # q and qcells each feed several consumers (distinct-cell hop, the
+    # ADC model build, the pairing join, the rerank's query side) and
+    # qcells embeds the probe pandas UDF — materialize both once so the
+    # Arrow stage and the query projection evaluate one time per call
+    q = q.localCheckpoint(eager=False)
     qcells = q.select(
         "query_id", F.explode(probe(F.col("__qv"))).alias("cell")
-    )
+    ).localCheckpoint(eager=False)
     cells = sorted(
         int(r["cell"]) for r in qcells.select("cell").distinct().collect()
     )
@@ -3351,7 +3362,14 @@ def ann_ivfadc_batch_topk(
     q = queries.select(
         F.col("query_id"), _as_double("embedding").alias("__qv")
     )
-    qcells = q.withColumn("cell", F.explode(probe(F.col("__qv"))))
+    # materialized once: the distinct-cell hop below and the main plan
+    # both consume qcells, and the centroid-probe pandas UDF is the most
+    # expensive per-query stage of a table-scale batch — without the
+    # checkpoint it evaluates twice over the whole shard (the r14 ADVICE
+    # finding)
+    qcells = q.withColumn(
+        "cell", F.explode(probe(F.col("__qv")))
+    ).localCheckpoint(eager=False)
     # the distinct probed-cell union is bounded by n_centroids (model
     # scale, NOT query scale) — the only driver hop in the whole plan
     cells = sorted(
