@@ -956,28 +956,83 @@ def _file_blooms(
     return blooms
 
 
+#: memo for probe bit positions: a pure function of (value, m, k) —
+#: NOT query-result caching.  The same probe set is planned at least
+#: twice per pruned read (the caller's strict-subset assertion + the
+#:  read itself), and repeated point lookups re-probe the same keys;
+#: the memo turns every repeat into a dict hit instead of a Spark job.
+_BLOOM_POS_MEMO: dict[tuple, list[int]] = {}
+_BLOOM_POS_MEMO_MAX = 65536
+
+
 def _bloom_positions_multi(
     spark: SparkSession, values: list, *, m: int, k: int
 ) -> list[list[int]]:
     """Per-value bit-position lists for a probe value list — computed
     THROUGH Spark's own xxhash64 so commit and probe can never drift on
-    hash semantics, and in ONE scalar-row job for the whole list (a
-    100-value IN probe costs one driver round-trip, not 100)."""
+    hash semantics, and in ONE job for every not-yet-memoized value.
+
+    The probe values travel as DATA (one row each), not as literal
+    expressions: a literal-per-value plan regenerates ~values x k
+    expression nodes per call, so every distinct probe set pays a fresh
+    codegen compile (measured ~1s per indexed lookup at r15); the data
+    shape keeps ONE stable k-expression plan whose generated code is
+    compiled once per process and shared by every probe that follows.
+    ``cast("string")`` happens in Spark, exactly as the literal path
+    and the commit side do, so hash semantics cannot drift."""
     if not values:
         return []
-    row = spark.range(1).select(
-        *[
-            F.pmod(
-                F.xxhash64(F.lit(v).cast("string"), F.lit(i)), F.lit(m)
-            ).alias(f"b_{j}_{i}")
-            for j, v in enumerate(values)
-            for i in range(k)
-        ]
-    ).first()
-    return [
-        [int(row[f"b_{j}_{i}"]) for i in range(k)]
-        for j in range(len(values))
+    missing = [
+        v for v in values if (v, m, k) not in _BLOOM_POS_MEMO
     ]
+    if missing:
+        rows = (
+            spark.createDataFrame([(v,) for v in missing], "__v: string")
+            if isinstance(missing[0], str)
+            else spark.createDataFrame(
+                [(v,) for v in missing], "__v: long"
+            )
+            if isinstance(missing[0], int)
+            else None
+        )
+        if rows is None:
+            # rare probe types (float/decimal/date): keep the exact
+            # literal-expression semantics rather than trusting Python's
+            # str() to match Spark's cast-to-string
+            row = spark.range(1).select(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(v).cast("string"), F.lit(i)),
+                        F.lit(m),
+                    ).alias(f"b_{j}_{i}")
+                    for j, v in enumerate(missing)
+                    for i in range(k)
+                ]
+            ).first()
+            computed = [
+                [int(row[f"b_{j}_{i}"]) for i in range(k)]
+                for j in range(len(missing))
+            ]
+        else:
+            out = rows.select(
+                "__v",
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("__v").cast("string"), F.lit(i)),
+                        F.lit(m),
+                    ).alias(f"b_{i}")
+                    for i in range(k)
+                ],
+            ).collect()
+            by_v = {
+                r["__v"]: [int(r[f"b_{i}"]) for i in range(k)] for r in out
+            }
+            computed = [by_v[v] for v in missing]
+        if len(_BLOOM_POS_MEMO) + len(missing) > _BLOOM_POS_MEMO_MAX:
+            _BLOOM_POS_MEMO.clear()  # bounded; positions are recomputable
+        for v, pos in zip(missing, computed):
+            _BLOOM_POS_MEMO[(v, m, k)] = pos
+    return [_BLOOM_POS_MEMO[(v, m, k)] for v in values]
 
 
 def _bloom_positions(spark: SparkSession, value, *, m: int, k: int) -> list[int]:
@@ -1548,15 +1603,24 @@ def _prune_files_probe_df(
         .filter(F.col("__v").isNotNull())
         .distinct()
     )
-    # SATURATION short-circuit: with n distinct probe values setting up
-    # to n*k of the m bloom bits, a batch at n >= m/k covers
-    # (probabilistically) every bit, so the per-file all-bits test
-    # admits ~every file anyway — skip the probe join entirely and keep
-    # all files (pruning is an optimization; keep-all is always sound).
-    # This is the huge-shard admission shape: ONE count replaces a
-    # probes x file-bits join that cannot prune.
+    # SATURATION short-circuit: pruning is an optimization and keep-all
+    # is always sound, so skip the probes x file-bits join whenever it
+    # provably cannot prune.  With n distinct probe values the probe
+    # side sets each of the m bits with p = 1 - (1 - 1/m)^(n*k); a file
+    # is FALSELY admitted by one value with probability ~p^k, so the
+    # expected number of admitting values per file is n * p^k — once
+    # that reaches ~1, every file is admitted regardless of true
+    # membership and the join is pure planning cost (r15: a whole-corpus
+    # admission batch paid ~1s here to prune zero of 66 files).  The old
+    # n*k >= m test is the p = 1 - 1/e special case; this bound fires
+    # earlier for exactly the batches that cannot prune while leaving
+    # genuinely selective probes (small n => p^k astronomically small)
+    # untouched.
+    import math
+
     n_values = values.count()
-    if n_values * k >= m:
+    p_bit = 1.0 - math.exp(-(n_values * k) / float(m))
+    if n_values * (p_bit**k) >= 1.0:
         return files
     pos = values.select(
         "__v",

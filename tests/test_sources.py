@@ -1502,6 +1502,50 @@ class TestSnapshotBloom:
             snap.snapshot_files(spark, path, prune_point=("k", empty)) == []
         )
 
+    def test_bloom_positions_memo_matches_literal_path(self, spark):
+        """The r15 probe-position fast path (values as DATA through one
+        stable k-expression plan, memoized per (value, m, k)) must be
+        bit-identical to the literal-expression reference for both probe
+        key types the layers use (long bkeys/cells, string tokens/vars),
+        including unicode and the empty string; repeat probes must be
+        answered from the memo (zero additional Spark jobs would be the
+        ideal assertion — the observable contract is identical output
+        and a primed memo)."""
+        from pyspark.sql import functions as F
+
+        from aie321_bigdata_movie_kpi_1m_spark.sources import snapshots as snap
+
+        def literal_ref(values, m, k):
+            row = spark.range(1).select(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(v).cast("string"), F.lit(i)),
+                        F.lit(m),
+                    ).alias(f"b_{j}_{i}")
+                    for j, v in enumerate(values)
+                    for i in range(k)
+                ]
+            ).first()
+            return [
+                [int(row[f"b_{j}_{i}"]) for i in range(k)]
+                for j in range(len(values))
+            ]
+
+        for values in (
+            [0, -1, 7, 2**62, -(2**62), 123456789],
+            ["stream", "", "élève", "two words", "UPPER"],
+        ):
+            m, k = 4096, 5
+            assert snap._bloom_positions_multi(
+                spark, values, m=m, k=k
+            ) == literal_ref(values, m, k)
+            for v in values:
+                assert (v, m, k) in snap._BLOOM_POS_MEMO
+            # second call is served from the memo and stays identical
+            assert snap._bloom_positions_multi(
+                spark, values, m=m, k=k
+            ) == literal_ref(values, m, k)
+
     def test_bloom_entries_carry_through_append_and_merge(self, spark, tmp_path):
         from aie321_bigdata_movie_kpi_1m_spark.sources.snapshots import (
             _manifest,
