@@ -196,9 +196,26 @@ _STAGE_RE = re.compile(r"^v(\d+)(?:-[0-9a-f]+)?$")
 
 
 def _fs(spark: SparkSession, path: str):
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    """(jvm, FileSystem) for ``path`` — the FileSystem handle is cached
+    per (SparkContext, scheme): Hadoop already returns a per-scheme
+    singleton JVM-side, so re-resolving it per call only paid 2-3 py4j
+    round-trips; metadata-heavy sweeps make thousands of ``_fs`` calls
+    (r15 measured ~3.3k gateway round-trips per catalog maintenance
+    sweep, the latency amplifier whenever the JVM is busy)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    cache = getattr(sc, "_aie321_fs_cache", None)
+    if cache is None:
+        cache = {}
+        sc._aie321_fs_cache = cache
+    fs = cache.get(scheme)
+    if fs is None:
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            sc._jsc.hadoopConfiguration()
+        )
+        cache[scheme] = fs
+    return jvm, fs
 
 
 def _hpath(jvm, path: str):
@@ -394,7 +411,9 @@ _SEGMENT_READS = {"n": 0}
 _JSON_FILE_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
 
 
-def _read_json_cached(spark: SparkSession, path: str) -> dict:
+def _read_json_cached(
+    spark: SparkSession, path: str, *, copy_out: bool = True
+) -> dict:
     import copy
 
     jvm, fs = _fs(spark, path)
@@ -403,6 +422,15 @@ def _read_json_cached(spark: SparkSession, path: str) -> dict:
     hit = _JSON_FILE_CACHE.get(path)
     if hit is None or hit[0] != sig:
         _JSON_FILE_CACHE[path] = (sig, json.loads(_read_text(spark, path)))
+    if not copy_out:
+        # read-only fast path (segments): every consumer only iterates /
+        # .update()s FROM the maps, and segment bloom-bit lists run to
+        # thousands of ints per file — deep-copying them per consulted
+        # segment was the advisor sweep's dominant driver CPU (r15).
+        # MappingProxyType trips top-level mutation attempts loudly.
+        from types import MappingProxyType
+
+        return MappingProxyType(_JSON_FILE_CACHE[path][1])
     return copy.deepcopy(_JSON_FILE_CACHE[path][1])
 
 
@@ -425,9 +453,12 @@ def _manifest_raw(spark: SparkSession, path: str, version: int) -> dict:
 
 def _read_segment(spark: SparkSession, seg_path: str) -> dict:
     # counts segments CONSULTED (the plan-cost pin tests rely on), not
-    # physical reads — the signature-validated cache may serve the bytes
+    # physical reads — the signature-validated cache may serve the bytes.
+    # Segments are served WITHOUT a defensive copy (read-only contract —
+    # see _read_json_cached): only _manifest mutates what it reads, and
+    # it mutates the MANIFEST dict, never a segment.
     _SEGMENT_READS["n"] += 1
-    return _read_json_cached(spark, seg_path)
+    return _read_json_cached(spark, seg_path, copy_out=False)
 
 
 def _manifest(spark: SparkSession, path: str, version: int) -> dict:
@@ -956,83 +987,44 @@ def _file_blooms(
     return blooms
 
 
-#: memo for probe bit positions: a pure function of (value, m, k) —
-#: NOT query-result caching.  The same probe set is planned at least
-#: twice per pruned read (the caller's strict-subset assertion + the
-#:  read itself), and repeated point lookups re-probe the same keys;
-#: the memo turns every repeat into a dict hit instead of a Spark job.
-_BLOOM_POS_MEMO: dict[tuple, list[int]] = {}
-_BLOOM_POS_MEMO_MAX = 65536
-
-
 def _bloom_positions_multi(
     spark: SparkSession, values: list, *, m: int, k: int
 ) -> list[list[int]]:
-    """Per-value bit-position lists for a probe value list — computed
-    THROUGH Spark's own xxhash64 so commit and probe can never drift on
-    hash semantics, and in ONE job for every not-yet-memoized value.
+    """Per-value bit-position lists for a probe value list.
 
-    The probe values travel as DATA (one row each), not as literal
-    expressions: a literal-per-value plan regenerates ~values x k
-    expression nodes per call, so every distinct probe set pays a fresh
-    codegen compile (measured ~1s per indexed lookup at r15); the data
-    shape keeps ONE stable k-expression plan whose generated code is
-    compiled once per process and shared by every probe that follows.
-    ``cast("string")`` happens in Spark, exactly as the literal path
-    and the commit side do, so hash semantics cannot drift."""
+    int/str probes — every key column blooms are built for — hash
+    through ``snapshot_batch.bloom_probe_positions``, the pure-Python
+    XXH64 whose bit-parity with Spark's ``xxhash64`` is HARD-pinned by
+    ``test_xxh64_parity_with_spark_is_pinned``: zero Spark jobs, zero
+    py4j round-trips.  The prior shape ran one ``spark.range(1)`` job
+    with values x k LITERAL expressions, so every distinct probe set
+    paid a fresh plan + codegen compile (measured ~1s per indexed point
+    lookup at r15, twice per lookup: strict-subset assertion + pruned
+    read).  Value types whose CAST-to-string rendering the Python hash
+    does not reproduce (float/decimal/date/bool) keep the exact
+    literal-expression Spark job, so semantics cannot drift."""
     if not values:
         return []
-    missing = [
-        v for v in values if (v, m, k) not in _BLOOM_POS_MEMO
+    from .snapshot_batch import bloom_probe_positions
+
+    out: list[list[int] | None] = [
+        bloom_probe_positions(v, m=m, k=k) for v in values
     ]
-    if missing:
-        rows = (
-            spark.createDataFrame([(v,) for v in missing], "__v: string")
-            if isinstance(missing[0], str)
-            else spark.createDataFrame(
-                [(v,) for v in missing], "__v: long"
-            )
-            if isinstance(missing[0], int)
-            else None
-        )
-        if rows is None:
-            # rare probe types (float/decimal/date): keep the exact
-            # literal-expression semantics rather than trusting Python's
-            # str() to match Spark's cast-to-string
-            row = spark.range(1).select(
-                *[
-                    F.pmod(
-                        F.xxhash64(F.lit(v).cast("string"), F.lit(i)),
-                        F.lit(m),
-                    ).alias(f"b_{j}_{i}")
-                    for j, v in enumerate(missing)
-                    for i in range(k)
-                ]
-            ).first()
-            computed = [
-                [int(row[f"b_{j}_{i}"]) for i in range(k)]
-                for j in range(len(missing))
+    exotic = [(j, v) for j, v in enumerate(values) if out[j] is None]
+    if exotic:
+        row = spark.range(1).select(
+            *[
+                F.pmod(
+                    F.xxhash64(F.lit(v).cast("string"), F.lit(i)),
+                    F.lit(m),
+                ).alias(f"b_{j}_{i}")
+                for j, v in exotic
+                for i in range(k)
             ]
-        else:
-            out = rows.select(
-                "__v",
-                *[
-                    F.pmod(
-                        F.xxhash64(F.col("__v").cast("string"), F.lit(i)),
-                        F.lit(m),
-                    ).alias(f"b_{i}")
-                    for i in range(k)
-                ],
-            ).collect()
-            by_v = {
-                r["__v"]: [int(r[f"b_{i}"]) for i in range(k)] for r in out
-            }
-            computed = [by_v[v] for v in missing]
-        if len(_BLOOM_POS_MEMO) + len(missing) > _BLOOM_POS_MEMO_MAX:
-            _BLOOM_POS_MEMO.clear()  # bounded; positions are recomputable
-        for v, pos in zip(missing, computed):
-            _BLOOM_POS_MEMO[(v, m, k)] = pos
-    return [_BLOOM_POS_MEMO[(v, m, k)] for v in values]
+        ).first()
+        for j, _ in exotic:
+            out[j] = [int(row[f"b_{j}_{i}"]) for i in range(k)]
+    return out  # type: ignore[return-value]
 
 
 def _bloom_positions(spark: SparkSession, value, *, m: int, k: int) -> list[int]:

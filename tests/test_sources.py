@@ -1502,15 +1502,15 @@ class TestSnapshotBloom:
             snap.snapshot_files(spark, path, prune_point=("k", empty)) == []
         )
 
-    def test_bloom_positions_memo_matches_literal_path(self, spark):
-        """The r15 probe-position fast path (values as DATA through one
-        stable k-expression plan, memoized per (value, m, k)) must be
-        bit-identical to the literal-expression reference for both probe
-        key types the layers use (long bkeys/cells, string tokens/vars),
-        including unicode and the empty string; repeat probes must be
-        answered from the memo (zero additional Spark jobs would be the
-        ideal assertion — the observable contract is identical output
-        and a primed memo)."""
+    def test_bloom_positions_fast_path_matches_literal_path(self, spark):
+        """The r15 probe-position fast path (pure-Python XXH64 via
+        ``snapshot_batch.bloom_probe_positions`` — zero Spark jobs) must
+        be bit-identical to the literal-expression Spark reference for
+        both probe key types the layers use (long bkeys/cells, string
+        tokens/vars), including unicode, negatives and the empty string;
+        MIXED lists and exotic types (bool rides the literal fallback —
+        Python would render True where Spark casts to 'true') must also
+        agree."""
         from pyspark.sql import functions as F
 
         from aie321_bigdata_movie_kpi_1m_spark.sources import snapshots as snap
@@ -1531,17 +1531,12 @@ class TestSnapshotBloom:
                 for j in range(len(values))
             ]
 
+        m, k = 4096, 5
         for values in (
             [0, -1, 7, 2**62, -(2**62), 123456789],
             ["stream", "", "élève", "two words", "UPPER"],
+            [3, "mixed", -9, "ünïcode", True],  # mixed + bool fallback
         ):
-            m, k = 4096, 5
-            assert snap._bloom_positions_multi(
-                spark, values, m=m, k=k
-            ) == literal_ref(values, m, k)
-            for v in values:
-                assert (v, m, k) in snap._BLOOM_POS_MEMO
-            # second call is served from the memo and stays identical
             assert snap._bloom_positions_multi(
                 spark, values, m=m, k=k
             ) == literal_ref(values, m, k)
