@@ -43,6 +43,7 @@ semantics into something auditable.
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 import time
@@ -222,6 +223,29 @@ def _hpath(jvm, path: str):
     return jvm.org.apache.hadoop.fs.Path(path)
 
 
+def _local_path(spark: SparkSession, path: str) -> str | None:
+    """The POSIX path for ``path`` when it provably resolves to the
+    LOCAL filesystem, else None.  ``file:``-prefixed paths are local by
+    definition; schemeless paths are local only when the cluster's
+    ``fs.defaultFS`` is ``file`` (on YARN/HDFS a schemeless path means
+    HDFS — those keep the Hadoop FS round-trips).  Metadata-heavy
+    planning makes thousands of tiny stat/list/read calls per sweep;
+    serving them through ``os`` instead of py4j removes the gateway
+    latency amplification entirely on local substrates (r15)."""
+    if path.startswith("file:"):
+        return path.removeprefix("file:")
+    if "://" in path:
+        return None
+    sc = spark.sparkContext
+    default = getattr(sc, "_aie321_default_fs", None)
+    if default is None:
+        default = (
+            sc._jsc.hadoopConfiguration().get("fs.defaultFS") or "file:///"
+        )
+        sc._aie321_default_fs = default
+    return path if default.startswith("file") else None
+
+
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
     """Commit ``text`` at ``path`` via stage-then-rename; fails with
     ``FileExistsError`` if ``path`` already exists (the commit point —
@@ -260,6 +284,12 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
 
 
 def _read_text(spark: SparkSession, path: str) -> str:
+    lp = _local_path(spark, path)
+    if lp is not None:
+        # plain open(): missing files raise FileNotFoundError just like
+        # the Hadoop stream raises — callers treat both identically
+        with open(lp, encoding="utf-8") as fh:
+            return fh.read()
     jvm, fs = _fs(spark, path)
     stream = fs.open(_hpath(jvm, path))
     try:
@@ -345,6 +375,17 @@ def _logical_size_expr(schema: T.StructType):
 
 def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
     """Committed versions of the layer at ``path``, ascending."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        try:
+            names = os.listdir(os.path.join(lp, _MANIFEST_DIR))
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in names
+            if n.startswith("v") and n.endswith(".json")
+        )
     jvm, fs = _fs(spark, path)
     mdir = _hpath(jvm, f"{path}/{_MANIFEST_DIR}")
     if not fs.exists(mdir):
@@ -416,9 +457,14 @@ def _read_json_cached(
 ) -> dict:
     import copy
 
-    jvm, fs = _fs(spark, path)
-    st = fs.getFileStatus(_hpath(jvm, path))
-    sig = (int(st.getModificationTime()), int(st.getLen()))
+    lp = _local_path(spark, path)
+    if lp is not None:
+        st = os.stat(lp)  # missing file raises, exactly like getFileStatus
+        sig = (int(st.st_mtime * 1000), int(st.st_size))
+    else:
+        jvm, fs = _fs(spark, path)
+        jst = fs.getFileStatus(_hpath(jvm, path))
+        sig = (int(jst.getModificationTime()), int(jst.getLen()))
     hit = _JSON_FILE_CACHE.get(path)
     if hit is None or hit[0] != sig:
         _JSON_FILE_CACHE[path] = (sig, json.loads(_read_text(spark, path)))
