@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_fingerprint, tokens, word_shingles
+from .materialize import materialize
 
 
 def dedup_exact(
@@ -208,7 +209,7 @@ def minhash_lsh_pairs(
     # tokenize/shingle/k-hashes per plan consumer
     sig = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -237,25 +238,31 @@ def minhash_lsh_pairs(
         .distinct()
         # consumed three times below (final pair join + two semi-join
         # prunes); materialize so the banded self-join runs once
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     # Exact verification touches CANDIDATE pairs only (never the global
-    # self-join): each docs side is LEFT-SEMI-joined to the candidate ids
-    # BEFORE its shingles are computed — candidates-only shingling is a
-    # plan property (the neardup_index._verified_pairs discipline), so at
-    # 100 TB the re-shingling cost is candidate-scale, not corpus-scale.
+    # self-join): the docs side is LEFT-SEMI-joined to the DISTINCT
+    # candidate ids BEFORE its shingles are computed — candidates-only
+    # shingling is a plan property (the neardup_index._verified_pairs
+    # discipline), so at 100 TB the re-shingling cost is candidate-scale,
+    # not corpus-scale.  ONE distinct-id set (i and j exploded together)
+    # feeds ONE semi-join, and the pruned+shingled relation is
+    # materialized once for both sides of the pair join; r15 derived a
+    # distinct-id set and ran the semi-join + shingling PER SIDE, which
+    # doubled the prune's exchanges and re-shingled twice — measured as
+    # the round's one touched-path regression (2.62 -> 3.13 s @32c).
+    cand_ids = cand.select(F.explode(F.array("i", "j")).alias("__id")).distinct()
     sets = docs.select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tok")
     ).select("__id", word_shingles(F.col("__tok"), n).alias("__set"))
-    si = sets.join(
-        cand.select(F.col("i").alias("__id")).distinct(), "__id", "left_semi"
-    )
-    sj = sets.join(
-        cand.select(F.col("j").alias("__id")).distinct(), "__id", "left_semi"
-    )
+    pruned = sets.join(cand_ids, "__id", "left_semi").transform(materialize)
     verified = (
-        cand.join(si.select(F.col("__id").alias("i"), F.col("__set").alias("__si")), "i")
-        .join(sj.select(F.col("__id").alias("j"), F.col("__set").alias("__sj")), "j")
+        cand.join(
+            pruned.select(F.col("__id").alias("i"), F.col("__set").alias("__si")), "i"
+        )
+        .join(
+            pruned.select(F.col("__id").alias("j"), F.col("__set").alias("__sj")), "j"
+        )
         .withColumn("n_common", F.size(F.array_intersect("__si", "__sj")).cast("long"))
         .withColumn(
             "jaccard",
@@ -355,7 +362,7 @@ def simhash_neardup_pairs(
     # re-running the token explode + per-bit aggregation per consumer
     sig = simhash_fingerprints(
         docs, id_col=id_col, text_col=text_col, bits=bits
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     banded = sig.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),

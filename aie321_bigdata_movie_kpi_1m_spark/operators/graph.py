@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .materialize import materialize
 
 
 def connected_components(
@@ -340,7 +341,7 @@ def triangles(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -359,7 +360,7 @@ def triangles(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     x = oriented.select(
         F.col("a"), F.col("b").alias("p"), F.col("db").alias("dp")
     )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.money import cents as _cents
 from ..sources.readers import load_star_table
 from .catalog import register
+from ..operators.materialize import materialize
 
 
 @register(
@@ -699,7 +700,7 @@ def q_association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         items.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("l_partkey")).alias("__ps"))
         .filter(F.size("__ps") <= 100)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     total = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     cnt = baskets.select(

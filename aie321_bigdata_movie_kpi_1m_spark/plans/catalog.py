@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import kpi
+from ..operators.materialize import materialize
 from ..sources.readers import load_star_table
 from .movie_view import (
     MOVIE_FACTS_ORACLE_CTE,
@@ -265,7 +266,7 @@ def q_title_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "release_year",
             F.length("title").alias("__len"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     band = F.floor(F.col("__len") / 4)
     a = facts.select(

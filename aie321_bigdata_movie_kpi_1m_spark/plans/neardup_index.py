@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
 from ..operators.dedup import minhash_signatures
+from ..operators.materialize import materialize
 from ..sources.snapshots import (
     _read_text,
     _write_text,
@@ -393,11 +394,16 @@ def indexed_neardup_lookup(
         # stage runs ONCE per admission call instead of once per
         # consumer — blocks are executor-local and reclaimed by Spark's
         # ContextCleaner when the returned plan is garbage collected
-        qrows = qrows.localCheckpoint(eager=False)
+        qrows = qrows.transform(materialize)
+        # no .distinct() here: the prune path distincts after its string
+        # cast anyway, so a call-site distinct only added a second full
+        # shuffle of the probe keys before the saturation bound could
+        # short-circuit (r16 — whole-corpus admission batches paid it to
+        # prune zero files)
         hits = _pruned_bucket_rows(
             spark,
             group,
-            qrows.select("bkey").distinct(),
+            qrows.select("bkey"),
             assert_pruned=assert_pruned,
         )
         cand = (
@@ -405,7 +411,7 @@ def indexed_neardup_lookup(
             .filter(F.col("i") != F.col("doc_id"))
             .select("i", F.col("doc_id").alias("j"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
         return _verified_pairs(
             cand, query_docs, corpus_docs, n=p["n"], threshold=threshold
@@ -428,7 +434,7 @@ def indexed_neardup_lookup(
         .filter(F.col("i") != F.col("doc_id"))
         .select("i", F.col("doc_id").alias("j"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     return _verified_pairs(
         cand, query_docs, corpus_docs, n=p["n"], threshold=threshold
@@ -475,7 +481,7 @@ def indexed_neardup_pairs(
         .distinct()
         # consumed three times by the verify stage; checkpoint so the
         # banded self-join runs once per call
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     return _verified_pairs(
         cand, corpus_docs, corpus_docs, n=p["n"], threshold=threshold

@@ -21,6 +21,7 @@ from ..session import scratch_dir
 from ..operators.sessions import session_summary
 from ..sources.readers import load_star_table
 from .catalog import register
+from ..operators.materialize import materialize
 
 
 # ---------------------------------------------------------------------------
@@ -1949,7 +1950,7 @@ def q_interval_sessions_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_sessions(events, gap_seconds=1800)
         .groupBy("user_id", "session_seq")
         .agg(F.min(ep).alias("s"), F.max(ep).alias("e"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     l = iv.select(
         F.col("user_id").alias("l_user"),

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..operators import similarity
 from ..sources.readers import load_star_table
 from .catalog import register
+from ..operators.materialize import materialize
 
 #: query vectors: the first 8 ids — broadcast side of the search
 _N_QUERIES = 8
@@ -1604,7 +1605,7 @@ def ann_assign_topk(
         # plan's only Arrow/pandas stage: materialize once so the UDF
         # evaluates one time per call, not per consumer (r15, the ADVICE
         # qcells fix applied family-wide)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     cells = sorted(
         int(r["__cell"]) for r in qv.select("__cell").distinct().collect()
@@ -3188,10 +3189,10 @@ def ann_ivfadc_topk(
     # ADC model build, the pairing join, the rerank's query side) and
     # qcells embeds the probe pandas UDF — materialize both once so the
     # Arrow stage and the query projection evaluate one time per call
-    q = q.localCheckpoint(eager=False)
+    q = q.transform(materialize)
     qcells = q.select(
         "query_id", F.explode(probe(F.col("__qv"))).alias("cell")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     cells = sorted(
         int(r["cell"]) for r in qcells.select("cell").distinct().collect()
     )
@@ -3369,7 +3370,7 @@ def ann_ivfadc_batch_topk(
     # finding)
     qcells = q.withColumn(
         "cell", F.explode(probe(F.col("__qv")))
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     # the distinct probed-cell union is bounded by n_centroids (model
     # scale, NOT query scale) — the only driver hop in the whole plan
     cells = sorted(

@@ -250,7 +250,12 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the compactor is being exercised on), not part of the operation
     # under measurement — write it once per process like every other
     # fixture layer; the compaction itself re-runs per call
-    if small not in _COMPACT_INPUT_BUILT:
+    # the in-memory marker is only a fast-path hint: also gate on the
+    # _SUCCESS marker so an external wipe of .scratch mid-process
+    # triggers a rebuild instead of a missing-input failure (ADVICE r15)
+    if small not in _COMPACT_INPUT_BUILT or not os.path.exists(
+        f"{small}/_SUCCESS"
+    ):
         li.repartition(48).write.mode("overwrite").parquet(small)
         _COMPACT_INPUT_BUILT.add(small)
     compact_parquet_layer(spark, small, packed, target_file_bytes=64 << 20)

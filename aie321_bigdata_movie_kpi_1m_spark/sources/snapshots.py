@@ -52,6 +52,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..operators.materialize import materialize
 
 _MANIFEST_DIR = "_manifests"
 
@@ -198,24 +199,31 @@ _STAGE_RE = re.compile(r"^v(\d+)(?:-[0-9a-f]+)?$")
 
 def _fs(spark: SparkSession, path: str):
     """(jvm, FileSystem) for ``path`` — the FileSystem handle is cached
-    per (SparkContext, scheme): Hadoop already returns a per-scheme
-    singleton JVM-side, so re-resolving it per call only paid 2-3 py4j
-    round-trips; metadata-heavy sweeps make thousands of ``_fs`` calls
-    (r15 measured ~3.3k gateway round-trips per catalog maintenance
-    sweep, the latency amplifier whenever the JVM is busy)."""
+    per (SparkContext, scheme, authority): Hadoop FileSystems are
+    singletons per scheme AND authority (``hdfs://nn1`` vs ``hdfs://nn2``,
+    two ``s3a://`` buckets), so a scheme-only key would hand authority A's
+    handle to authority B and every call would fail with Hadoop's
+    "Wrong FS" (ADVICE r15).  Re-resolving per call only paid 2-3 py4j
+    round-trips, but metadata-heavy sweeps make thousands of ``_fs``
+    calls (r15 measured ~3.3k gateway round-trips per catalog
+    maintenance sweep, the latency amplifier whenever the JVM is busy)."""
     sc = spark.sparkContext
     jvm = sc._jvm
-    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if "://" in path:
+        scheme, rest = path.split("://", 1)
+        key = (scheme, rest.split("/", 1)[0])
+    else:
+        key = ("", "")
     cache = getattr(sc, "_aie321_fs_cache", None)
     if cache is None:
         cache = {}
         sc._aie321_fs_cache = cache
-    fs = cache.get(scheme)
+    fs = cache.get(key)
     if fs is None:
         fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
             sc._jsc.hadoopConfiguration()
         )
-        cache[scheme] = fs
+        cache[key] = fs
     return jvm, fs
 
 
@@ -233,7 +241,19 @@ def _local_path(spark: SparkSession, path: str) -> str | None:
     serving them through ``os`` instead of py4j removes the gateway
     latency amplification entirely on local substrates (r15)."""
     if path.startswith("file:"):
-        return path.removeprefix("file:")
+        rest = path.removeprefix("file:")
+        if rest.startswith("//"):
+            # file://AUTHORITY/path — a non-empty, non-localhost authority
+            # names a remote host: NOT provably local, keep the Hadoop
+            # path (ADVICE r15: '//host/p' must not be opened as a POSIX
+            # path, where a leading '//' is implementation-defined)
+            tail = rest[2:]
+            cut = tail.find("/")
+            authority = tail if cut < 0 else tail[:cut]
+            if authority and authority != "localhost":
+                return None
+            rest = "/" if cut < 0 else tail[cut:]
+        return rest
     if "://" in path:
         return None
     sc = spark.sparkContext
@@ -1636,11 +1656,10 @@ def _prune_files_probe_df(
     ]
     if not with_bloom:
         return files
-    values = (
-        probe_df.select(F.col(col).cast("string").alias("__v"))
-        .filter(F.col("__v").isNotNull())
-        .distinct()
-    )
+    raw_values = probe_df.select(
+        F.col(col).cast("string").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    values = raw_values.distinct()
     # SATURATION short-circuit: pruning is an optimization and keep-all
     # is always sound, so skip the probes x file-bits join whenever it
     # provably cannot prune.  With n distinct probe values the probe
@@ -1656,7 +1675,17 @@ def _prune_files_probe_df(
     # untouched.
     import math
 
-    n_values = values.count()
+    # the bound only needs an ESTIMATE of n: the bloom test itself never
+    # uses n, and keep-all is sound, so an HLL estimate (±5% default rsd)
+    # merely moves WHERE the short-circuit fires — over-estimate = keep
+    # all (sound), under-estimate = run the join (correct, just slower).
+    # approx_count_distinct aggregates map-side over the PRE-distinct
+    # relation, replacing the full distinct shuffle + count the exact
+    # count paid on every whole-corpus admission batch (r15's remaining
+    # fixed cost on indexed_neardup_batch_admission).
+    n_values = int(
+        raw_values.agg(F.approx_count_distinct("__v")).first()[0]
+    )
     p_bit = 1.0 - math.exp(-(n_values * k) / float(m))
     if n_values * (p_bit**k) >= 1.0:
         return files
@@ -2068,7 +2097,7 @@ def delete_snapshot(
     if m.get("cdf"):
         # the matched rows feed BOTH the position-delete file and the
         # change file: one lazy local checkpoint computes the scan once
-        matched = matched.localCheckpoint(eager=False)
+        matched = matched.transform(materialize)
     matches = matched.select(
         F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
     )
@@ -3630,7 +3659,7 @@ def merge_snapshot(
             # lazy checkpoint: the pre-image feeds BOTH exceptAll
             # branches — without it each branch re-scans the touched
             # region and re-runs the DV joins
-            pre = raw.select(*cols).localCheckpoint(eager=False)
+            pre = raw.select(*cols).transform(materialize)
             ch = (
                 post.exceptAll(pre)
                 .withColumn("change_type", F.lit("insert"))

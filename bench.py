@@ -29,6 +29,7 @@ from aie321_bigdata_movie_kpi_1m_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -195,17 +196,16 @@ def main() -> None:
     # durable full artifact: the driver's captured stdout tail has
     # truncated the head of this line before (BENCH_r02), losing half the
     # per-query map — write the parsed dict alongside so round-over-round
-    # regression tracking always has every query
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as fh:
-        json.dump(
-            {**payload, "split": split, "runs_raw": runs},
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
+    # regression tracking always has every query.  Named by CORE COUNT
+    # because the driver also re-runs the bench at a lower core count for
+    # the scaling block, and in r15 that 8-core pass OVERWROTE the 32-core
+    # record (VERDICT r15 warning); the unsuffixed BENCH_FULL.json is kept
+    # for older tooling but the suffixed file is the authoritative one.
+    full_doc = {**payload, "split": split, "runs_raw": runs, "cpus": cpus}
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    for artifact in (f"BENCH_FULL_c{cpus}.json", "BENCH_FULL.json"):
+        with open(os.path.join(repo_dir, artifact), "w") as fh:
+            json.dump(full_doc, fh, indent=1, sort_keys=True)
     # the PRINTED line must fit the driver's stdout capture: BENCH_r11/12/13
     # all recorded "parsed": null because the capture keeps only the LAST
     # 2000 chars of stdout and the 222-entry per-query map pushed the line
