@@ -256,7 +256,7 @@ def _run_to_memory_sink(
     *,
     name: str,
     output_mode: str,
-    state_partitions: int = 8,
+    state_partitions: int | None = None,
     drain_all: bool = False,
 ) -> DataFrame:
     for q in spark.streams.active:
@@ -266,10 +266,19 @@ def _run_to_memory_sink(
     # spark.sql.shuffle.partitions at start(): pin it so a caller session
     # with the 200-partition default (e.g. the driver's own) doesn't pay
     # 200 state stores for a single availableNow batch (~10x slower).
-    # 8 is sized to the test corpora (every state store has fixed
-    # per-batch open/commit cost); a production deployment sizes this to
-    # cluster cores since it is frozen into the checkpoint for the
-    # query's lifetime
+    # Every state store pays a fixed open/commit cost PER MICRO-BATCH
+    # (r16 measured the stream-stream join serve walk 2.3s -> 3.3s ->
+    # 5.4s at 2 -> 8 -> 16 partitions with identical results — the state
+    # fits one partition at every test SF, so the extra partitions buy
+    # pure per-batch overhead); 4 still exceeds the file-source split
+    # count of every test corpus.  The count is frozen into the
+    # checkpoint for the query's lifetime, so a production deployment
+    # sizes it to cluster cores via SPARK_GRAFT_STREAM_STATE_PARTITIONS
+    # — parameterised, not a constant baked into the plans.
+    if state_partitions is None:
+        state_partitions = int(
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+        )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:

@@ -466,11 +466,19 @@ def indexed_neardup_pairs(
     exact banding semantics."""
     p = index_params(spark, group)
     rows = read_snapshot(spark, _buckets_path(group))
-    sizes = rows.groupBy("bkey").agg(F.count(F.lit(1)).alias("__n"))
-    keep = sizes.filter(F.col("__n") >= 2)
+    # singleton/hot-bucket gate as count().over(the self-join's own bkey
+    # partitioning): the separate sizes aggregation + join consumed the
+    # layer read twice and added its own exchanges — the same fold r15
+    # applied to simhash_neardup_pairs (guide §2.4: two operations keyed
+    # the same way share one exchange)
+    from pyspark.sql import Window
+
+    live = rows.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("bkey"))
+    ).filter(F.col("__n") >= 2)
     if max_bucket is not None:
-        keep = keep.filter(F.col("__n") <= max_bucket)
-    live = rows.join(keep.select("bkey"), "bkey")
+        live = live.filter(F.col("__n") <= max_bucket)
+    live = live.select("bkey", "doc_id")
     cand = (
         live.alias("a")
         .join(live.alias("b"), "bkey")
