@@ -48,7 +48,7 @@ def connected_components(
         )
         .select("__e.a", "__e.b")
         .distinct()
-        .transform(materialize)
+        .transform(lambda d: materialize(d, eager=True))
     )
     # initialize at min(self, direct neighbors) — the state the first
     # propagation round of an identity init would produce, for the same
@@ -160,7 +160,7 @@ def connected_components_star(
         )
         .select("__e.a", "__e.b")
         .distinct()
-        .transform(materialize)
+        .transform(lambda d: materialize(d, eager=True))
     )
     all_nodes = sym0.select(F.col("a").alias("node")).distinct()
     # undirected edge set, kept as a<->b pairs with self-loops dropped

@@ -4,40 +4,42 @@ Spark re-plans a DataFrame subtree once per consumer: AQE's exchange
 reuse recovers the map side of a duplicated aggregation, but the
 reduce-side final aggregate and everything above it re-runs per
 consumer, and subtrees under differing projections are not deduped at
-all.  The r15 round materialized such subtrees with
-``localCheckpoint(eager=False)``; the r15 advisor and verdict both
-flagged the fault-tolerance trade — a local checkpoint truncates
-lineage onto executor-local blocks with NO recompute path, so on a
-real cluster an executor loss mid-query kills the job instead of
-retrying the task.
-
-``materialize(df)`` is the one place that trade is made.  Strategies
+all.  ``materialize(df)`` is the one place the repo's
+evaluate-once-vs-fault-tolerance trade is made.  Strategies
 (``SPARK_GRAFT_MATERIALIZE`` env, default ``checkpoint``):
 
-- ``checkpoint`` (default): ``localCheckpoint(eager=False)``.  Chosen
-  default for two reasons beyond speed.  (1) MEASUREMENT HONESTY: a
+- ``checkpoint`` (default): ``localCheckpoint`` — executor-local
+  blocks, lineage truncated.  The r16 A/B (one session, alternating
+  variants, noop-timed at sf0.1; OPTIMIZATION_r16.md "materialize
+  strategy") measured it consistently FASTER than the persist form:
+  minhash 2.94-3.01 s vs 3.59 s, dedup_clusters_star 4.4-4.8 s vs
+  6.4 s, simhash 2.7-2.9 s vs 3.8 s — the columnar InMemoryRelation's
+  encode-on-write and CacheManager bookkeeping cost more than the
+  row-form block store for these shuffle-sized, consumed-2-4-times
+  relations.  The trade: on a real cluster a lost executor's blocks
+  have NO recompute path, so the job fails instead of retrying (the
+  r15 advisor's flag).
+- ``persist``: nonce-salted ``persist(MEMORY_AND_DISK)`` — lineage
+  kept, so a lost or evicted block recomputes instead of failing the
+  job.  The right opt-in for cluster deployments that call these
+  operators as a library and want fault tolerance over the measured
+  15-45% serve cost.  MEASUREMENT HONESTY under repetition: a bare
   ``persist()`` registers the subtree in the session CacheManager,
-  which matches by analyzed-plan equality — a SECOND invocation of the
-  same query function in one session (the bench's best-of-2, any
-  repeated call) would silently serve run 1's materialized blocks,
-  i.e. cross-invocation result caching, which the bench contract
-  forbids (every invocation must compute from the parquet inputs).  A
-  local checkpoint is per-DataFrame-instance: each invocation
-  materializes afresh and blocks are reclaimed when the plan is
-  GC'd.  (2) At corpus scale, parking multi-TB intermediates in
-  storage memory across unrelated queries is its own stability hazard.
-- ``persist``: ``persist(MEMORY_AND_DISK)`` — lineage kept, a lost
-  executor's blocks recompute instead of failing the job, and repeated
-  invocations share work BY DESIGN.  The right choice for a real
-  cluster deployment that calls these operators as a library and wants
-  fault tolerance (the advisor's ask); wrong for a benchmark that
-  defines each call as a fresh computation.  The cluster trade is
-  documented in OPTIMIZATION_r16.md with the sf0.1 A/B numbers.
+  which matches by analyzed-plan equality, so a SECOND invocation of
+  the same query function in one session (the bench's best-of-2, any
+  repeated call) would silently serve run 1's blocks — cross-invocation
+  result caching, which the bench contract forbids.  The unique literal
+  salted into the plan below the persist (value-level nonce: plan
+  canonicalization strips names and expression ids but keeps literal
+  values) makes each invocation's cache entry unmatchable by any other
+  invocation, so every call recomputes from the parquet inputs while
+  consumers WITHIN the invocation share the one materialization.
 
-Iterative operators (connected components' per-round label relation)
-keep their explicit ``localCheckpoint`` calls: plan TRUNCATION is the
-point there (the plan doubles per round otherwise), which persist does
-not provide.
+``eager=True`` materializes at the barrier instead of at the first
+consuming job — for relations feeding an ITERATIVE loop (connected
+components' symmetric edge set), where the first loop round otherwise
+charges the materialization to itself and the measured A/B favors
+eager (dedup_clusters_star 4.40 vs 4.81 s).
 """
 
 from __future__ import annotations
@@ -47,46 +49,29 @@ from collections import deque
 
 from pyspark.sql import DataFrame
 
-#: FIFO of live persisted barriers.  Nonce-salting makes every entry
-#: unmatchable by later invocations, so without retirement the session
-#: CacheManager would accumulate one dead entry per materialize() call
-#: (planning-time lookup walks every registered entry, and dead blocks
-#: squat in storage memory until LRU pressure).  Unpersisting an old
-#: entry is ALWAYS safe: lineage is kept, so a consumer still holding
-#: the plan just recomputes.  The cap is sized far above the number of
-#: barriers any single query plan holds (max observed: 4).
+#: FIFO of live persisted barriers (persist mode only).  Nonce-salting
+#: makes every entry unmatchable by later invocations, so without
+#: retirement the session CacheManager would accumulate one dead entry
+#: per materialize() call (planning-time lookup walks every registered
+#: entry, and dead blocks squat in storage memory until LRU pressure).
+#: Unpersisting an old entry is ALWAYS safe: lineage is kept, so a
+#: consumer still holding the plan just recomputes.  The cap is sized
+#: far above the number of barriers any single query plan holds (max
+#: observed: 4).
 _LIVE: deque[DataFrame] = deque()
 _MAX_LIVE = 32
 
 
-def materialize(df: DataFrame) -> DataFrame:
+def materialize(df: DataFrame, *, eager: bool = False) -> DataFrame:
     """Return ``df`` behind an evaluate-once barrier (see module doc)."""
-    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "persist")
+    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "checkpoint")
     if mode == "checkpoint":
-        return df.localCheckpoint(eager=False)
+        return df.localCheckpoint(eager=eager)
     import uuid
 
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    # NONCE-SALTED persist: CacheManager substitutes a cached relation
-    # into ANY later plan whose canonicalized subtree matches, so a bare
-    # persist() would let a SECOND invocation of the same query function
-    # silently serve the first invocation's blocks — cross-invocation
-    # result reuse, which the bench contract forbids (every call must
-    # compute from the parquet inputs).  A unique literal column, added
-    # below the persist and projected away above it, makes each
-    # invocation's cached plan unmatchable by any other invocation while
-    # every consumer WITHIN the invocation (built over the returned df,
-    # so containing the salted subtree) still hits the one cache entry.
-    # The nonce must be the literal VALUE, not just the column name:
-    # plan canonicalization strips names and expression ids but keeps
-    # literal values, so only a unique value defeats the match.
-    # Lineage is kept, so an evicted or lost block recomputes instead of
-    # failing the job (the localCheckpoint trade the r15 advisor
-    # flagged), and the cached data is COLUMNAR (InMemoryRelation) —
-    # measurably faster to write and re-scan than the row-form RDD
-    # blocks a localCheckpoint stores (r16 A/B in OPTIMIZATION_r16.md).
     nonce = f"__mat_{uuid.uuid4().hex}"
     salted = df.withColumn(nonce, F.lit(nonce)).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -97,4 +82,7 @@ def materialize(df: DataFrame) -> DataFrame:
             _LIVE.popleft().unpersist(blocking=False)
         except Exception:
             pass  # stopped session / already unpersisted — nothing to free
-    return salted.drop(nonce)
+    out = salted.drop(nonce)
+    if eager:
+        out.count()
+    return out

@@ -46,6 +46,9 @@ def test_decode_roundtrips_header(spark, assets):
         assert r["n_pixels_bytes"] == 32
 
 
+@pytest.mark.slow
+
+
 def test_decode_rejects_real_formats(spark):
     # decode auto-upgrades to Pillow when importable; in this sandbox
     # (no PIL) a real format must fail loudly, never mis-decode
@@ -327,6 +330,9 @@ def test_multibatch_open_session_reemission(spark, tmp_path):
     # last emission == the batch twin over the full data
     batch = session_summary(first.union(second), gap_seconds=3600).collect()
     assert [(r["n_events"], r["duration_secs"]) for r in batch] == [(3, 1200)]
+
+
+@pytest.mark.slow
 
 
 def test_streaming_dedup_cross_batch_state(spark, tmp_path):

@@ -3,6 +3,8 @@ boundaries, dedup determinism, SimHash locality, LSH recall."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime
 
 import pyspark.sql.functions as F
@@ -118,6 +120,9 @@ def test_streaming_session_kernel_drops_nat(spark):
     assert list(out["duration_secs"]) == [600]
 
 
+@pytest.mark.slow
+
+
 def test_session_boundaries(spark):
     events = spark.createDataFrame(
         [(1, ts("2024-01-01 10:00:00")),
@@ -181,6 +186,9 @@ def test_simhash_deterministic_and_local(spark):
     assert fp1[1] == fp1[4]  # exact dup -> identical fingerprint
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(fp1[1], fp1[2]) < ham(fp1[1], fp1[3])  # near-dup closer than unrelated
+
+
+@pytest.mark.slow
 
 
 def test_lsh_topk_recall_on_clustered_vectors(spark):
@@ -1288,6 +1296,8 @@ class TestTokenIndexMaintenance:
         ]
         return spark.createDataFrame(rows, "doc_id long, text string")
 
+    @pytest.mark.slow
+
     def test_delete_maintenance_is_o_delta_and_driver_free(
         self, spark, tmp_path
     ):
@@ -1354,6 +1364,8 @@ class TestTokenIndexMaintenance:
         stats = ti.corpus_stats(spark, group).first()
         assert stats["n_docs"] == 3
         assert stats["total_tokens"] == 2 + 4 + 4
+
+    @pytest.mark.slow
 
     def test_update_and_insert_maintenance(self, spark, tmp_path):
         """Updates re-point a doc's postings to its new text (old rows
@@ -1568,6 +1580,8 @@ class TestIndexedPhraseSearch:
         with pytest.raises(ValueError, match="two tokens"):
             ti.indexed_phrase_search(spark, group, ["a"])
 
+    @pytest.mark.slow
+
     def test_phrase_results_track_maintenance(self, spark, tmp_path):
         """An update through the change-feed refresh re-points the
         positions — phrase hits change with NO rebuild."""
@@ -1677,6 +1691,9 @@ def test_token_index_readers_never_see_torn_state(spark, tmp_path):
     }
     assert got == {9: 2, 1: 1, 2: 1}
     assert ti.corpus_stats(spark, group).first()["n_docs"] == 3
+
+
+@pytest.mark.slow
 
 
 def test_maintain_token_index_folds_deletes_and_repins(spark, tmp_path):
@@ -1808,6 +1825,8 @@ class TestTokenIndexRound10:
             for r in read_snapshot(spark, f"{group}/{ti.DOCLEN}").collect()
         }
         assert dl == {-3: 3, -2: 2, 1: 1, 0: 1}
+
+    @pytest.mark.slow
 
     def test_delta_partitioning_scales_with_rows(self, spark, tmp_path):
         """r9 verdict item 2: the postings delta writes
@@ -1999,6 +2018,8 @@ class TestTokenIndexRound10:
         }
         assert after == before
 
+    @pytest.mark.slow
+
     def test_doclen_mirror_serves_and_falls_back(self, spark, tmp_path):
         """r9 verdict item 3: BM25's doclen side reads from the
         doc_id-bucketed mirror when it matches the pinned version and
@@ -2085,6 +2106,8 @@ class TestTokenIndexRound10:
             (r["doc_id"], r["bm25_r4"]) for r in resynced
         ] == [(r["doc_id"], r["bm25_r4"]) for r in stale_rows]
 
+    @pytest.mark.slow
+
     def test_doclen_mirror_gc_grace_period(self, spark, tmp_path):
         """r10 verdict item 3, the injected interleaving: a reader
         resolves the OLD mirror, maintenance re-syncs mid-"scan", and
@@ -2154,6 +2177,8 @@ class TestTokenIndexRound10:
         ti.maintain_token_index(spark, group, target_rows_per_file=8)
         vc = ti.index_pins(spark, group)[ti.DOCLEN]
         assert _vdirs() == {f"v{vb}", f"v{vc}"}
+
+    @pytest.mark.slow
 
     def test_auto_maintenance_governor_fires_and_pins_consistent(
         self, spark
@@ -2278,6 +2303,8 @@ class TestTokenIndexRound10:
         plan = lex._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "TakeOrderedAndProject" in plan
+
+    @pytest.mark.slow
 
     def test_refresh_vs_maintenance_race_pins_never_torn(
         self, spark, tmp_path, monkeypatch
@@ -2622,6 +2649,8 @@ class TestLexiconSideband:
         # the lexically-first filler at 6
         assert got == ["alpha", "f0_0"]
         assert ti._LEX_PROBE_STATS["resolved"] == stats0["resolved"] + 1
+
+    @pytest.mark.slow
 
     def test_netting_merges_complete_commits_only(
         self, spark, tmp_path, monkeypatch
@@ -3073,6 +3102,8 @@ class TestIndexedPrefixSearch:
             map(tuple, full.collect())
         )
 
+    @pytest.mark.slow
+
     def test_prefix_tracks_deletes(self, spark, tmp_path):
         """Merge-on-read equality deletes drop a doc from prefix
         results with no rebuild."""
@@ -3118,6 +3149,8 @@ class TestReclusterMaintenance:
     cluster/zorder signal by re-range-clustering a layer on its SERVING
     column, restoring interval-probe sharpness interleaved deltas
     dulled."""
+
+    @pytest.mark.slow
 
     def test_token_index_recluster_restores_prefix_pruning(
         self, spark, tmp_path
@@ -3291,6 +3324,8 @@ class TestIndexedWildcardSearch:
             )
         )
         assert pruned == full and pruned
+
+    @pytest.mark.slow
 
     def test_wildcard_tracks_vocabulary_churn(self, spark, tmp_path):
         """Refresh folds the vocabulary delta O(delta): a new token
@@ -3589,6 +3624,8 @@ class TestIndexedFuzzySearch:
             )
         )
         assert pruned == full and pruned
+
+    @pytest.mark.slow
 
     def test_fuzzy_tracks_vocabulary_churn(self, spark, tmp_path):
         """Refresh folds the vocabulary delta O(delta) into the fuzzy

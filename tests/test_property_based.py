@@ -10,6 +10,8 @@ test.
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -53,6 +55,7 @@ def asof_case(draw):
 
 @given(asof_case())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_asof_join_matches_pandas_merge_asof(spark, case):
     lefts, rights = case
     left = spark.createDataFrame(
@@ -573,10 +576,10 @@ def test_signed_cdf_fold_refreshes_any_aggregate(spark, case):
     assert refreshed == expect
 
 
-import pytest
 
 
 @pytest.mark.parametrize("lock_provider", ["in_process", "file_lock"])
+@pytest.mark.slow
 def test_concurrent_writers_serialize_through_occ_retry(
     spark, tmp_path_factory, lock_provider
 ):

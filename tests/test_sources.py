@@ -5,6 +5,8 @@ schema and coerce-to-null tolerance (S1), parquet layer round-trip
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -244,6 +246,8 @@ class TestChunkedCsvDataSource:
         ensure_package_on_workers(spark)
         register_chunked_csv(spark)
 
+    @pytest.mark.slow
+
     def test_roundtrip_exact_and_chunk_cap(self, spark, tmp_path):
         import json
 
@@ -263,6 +267,8 @@ class TestChunkedCsvDataSource:
         assert back.schema == df.schema
         assert back.exceptAll(df).count() == 0
         assert df.exceptAll(back).count() == 0
+
+    @pytest.mark.slow
 
     def test_append_mode_keeps_existing_chunks(self, spark, tmp_path):
         """mode('append') must MERGE the manifest: the old commit()
@@ -439,6 +445,8 @@ class TestReplayParquetStreamSource:
         q2.stop()
         q2.awaitTermination()
         assert sum(batches2) == 0
+
+    @pytest.mark.slow
 
     def test_partitioned_reader_task_retry_exactly_once(self, sf_dir, tmp_path):
         """Executor-side reads must be idempotent under TASK RETRY: fail
@@ -3381,6 +3389,8 @@ class TestHiddenPartitioning:
         rows, log_all = self._plan(spark, path, None, tmp_path, "all")
         assert len(rows) == 2000
         assert log_all["n_files_planned"] == log_all["n_files_total"]
+
+    @pytest.mark.slow
 
     def test_partition_spec_evolution_prunes_both_generations(
         self, spark, tmp_path
