@@ -55,26 +55,43 @@ def dedup_exact(
     )
 
 
-def _shingled_hashed(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Shingles as xxhash64 longs: 8-byte shuffle keys instead of strings.
-    A hash collision (p ~ |shingles|^2 / 2^64) would merge two shingles;
-    at any realistic corpus size this is far below the FP noise floor.
+def shingle_sets(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(__id, __set) — each document's distinct word-n-gram shingle
+    array, the relation BOTH MinHash tiers are defined over: the
+    signature path hashes these exact strings (``_shingled_hashed``)
+    and the exact-verify path intersects them, so a caller that needs
+    both can compute the tokenize+shingle pass ONCE and feed the two
+    consumers bit-identical inputs.
 
     Tokens MUST be materialized as a real column before shingling:
     word_shingles indexes the token array with element_at inside a
     lambda, and feeding it the raw split/filter *expression* makes the
     tokenizer re-run per element access (quadratic in doc length,
     measured 13x slower at sf0.1)."""
-    return (
-        docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tok"))
-        .select(
-            "__id",
-            F.explode(
-                F.transform(
-                    word_shingles(F.col("__tok"), n), lambda s: F.xxhash64(s)
-                )
-            ).alias("__shingle"),
-        )
+    return docs.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__tok")
+    ).select("__id", word_shingles(F.col("__tok"), n).alias("__set"))
+
+
+def _hashed_from_sets(sets: DataFrame) -> DataFrame:
+    """(__id, __shingle) — shingles as xxhash64 longs: 8-byte shuffle
+    keys instead of strings.  A hash collision (p ~ |shingles|^2 / 2^64)
+    would merge two shingles; at any realistic corpus size this is far
+    below the FP noise floor."""
+    return sets.select(
+        "__id",
+        F.explode(
+            F.transform(F.col("__set"), lambda s: F.xxhash64(s))
+        ).alias("__shingle"),
+    )
+
+
+def _shingled_hashed(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return _hashed_from_sets(
+        shingle_sets(docs, id_col=id_col, text_col=text_col, n=n)
     )
 
 
@@ -160,11 +177,29 @@ def minhash_signatures(
     by column position), one explode + one groupBy; hashes are computed
     over pre-hashed 8-byte shingle keys, not strings."""
     sh = _shingled_hashed(docs, id_col, text_col, n)
+    return _signatures_from_hashed(sh, num_hashes=num_hashes, id_col=id_col)
+
+
+def _signatures_from_hashed(
+    sh: DataFrame, *, num_hashes: int, id_col: str
+) -> DataFrame:
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
+
+
+def minhash_signatures_from_sets(
+    sets: DataFrame, *, num_hashes: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """``minhash_signatures`` over a precomputed ``shingle_sets``
+    relation — bit-identical values (same xxhash64-of-the-same-strings
+    expressions), for callers that ALSO consume the shingle arrays and
+    want the tokenize+shingle pass paid once."""
+    return _signatures_from_hashed(
+        _hashed_from_sets(sets), num_hashes=num_hashes, id_col=id_col
+    )
 
 
 def minhash_lsh_pairs(

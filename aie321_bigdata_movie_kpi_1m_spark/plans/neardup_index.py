@@ -107,10 +107,19 @@ def banded_bucket_rows(
         raise ValueError(
             f"num_hashes={num_hashes} not divisible by bands={bands}"
         )
-    rows = num_hashes // bands
     sig = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n
     )
+    return _banded_keys(sig, num_hashes=num_hashes, bands=bands, id_col=id_col)
+
+
+def _banded_keys(
+    sig: DataFrame, *, num_hashes: int, bands: int, id_col: str
+) -> DataFrame:
+    """(bkey, doc_id) from a signature relation — the ONE band-key
+    construction every probe and build path shares, so index-side and
+    probe-side keys can never drift."""
+    rows = num_hashes // bands
     keys = [
         F.xxhash64(
             F.lit(bi), *[F.col(f"h{bi * rows + r}") for r in range(rows)]
@@ -295,6 +304,7 @@ def _verified_pairs(
     *,
     n: int,
     threshold: float,
+    query_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard verification over CANDIDATE pairs only:
     each docs side is LEFT-SEMI-joined to the candidate ids BEFORE its
@@ -310,16 +320,25 @@ def _verified_pairs(
     # tokens materialize as a real column BEFORE shingling — feeding
     # word_shingles the raw tokenizer expression re-runs it per element
     # access (the measured-13x quadratic pitfall operators/dedup.py
-    # documents)
-    qsets = (
-        query_docs.join(
-            cand.select(F.col("i").alias("doc_id")).distinct(),
-            "doc_id",
+    # documents).  ``query_sets`` (a materialized shingle_sets relation,
+    # (__id, __set)) lets the batch-admission path reuse the probe
+    # side's ONE tokenize+shingle pass instead of re-running it here.
+    if query_sets is not None:
+        qsets = query_sets.join(
+            cand.select(F.col("i").alias("__id")).distinct(),
+            "__id",
             "left_semi",
+        ).select(F.col("__id").alias("i"), F.col("__set").alias("__si"))
+    else:
+        qsets = (
+            query_docs.join(
+                cand.select(F.col("i").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+            .select(F.col("doc_id").alias("i"), tokens("text").alias("__tok"))
+            .select("i", word_shingles(F.col("__tok"), n).alias("__si"))
         )
-        .select(F.col("doc_id").alias("i"), tokens("text").alias("__tok"))
-        .select("i", word_shingles(F.col("__tok"), n).alias("__si"))
-    )
     csets = (
         corpus_docs.join(
             cand.select(F.col("j").alias("doc_id")).distinct(),
@@ -383,17 +402,34 @@ def indexed_neardup_lookup(
     if probe_mode not in ("driver", "dataframe"):
         raise ValueError(f"unknown probe_mode {probe_mode!r}")
     p = index_params(spark, group)
-    qrows = banded_bucket_rows(
-        query_docs, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
-    ).select(F.col("bkey"), F.col("doc_id").alias("i"))
     if probe_mode == "dataframe":
-        # the probe batch's signatures and the candidate pairs are each
-        # consumed by SEVERAL downstream subplans (bloom planning, the
-        # bkey join, and the two candidates-only semi-joins in the
-        # verify stage); local-checkpoint them so the 64-hash signature
-        # stage runs ONCE per admission call instead of once per
-        # consumer — blocks are executor-local and reclaimed by Spark's
-        # ContextCleaner when the returned plan is garbage collected
+        from ..operators.dedup import (
+            minhash_signatures_from_sets,
+            shingle_sets,
+        )
+
+        # ONE tokenize+shingle pass over the probe batch feeds BOTH the
+        # signature stage and the exact verify (bit-identical values:
+        # the signature hashes these exact shingle strings) — the r15
+        # shape tokenized the shard twice, and at sf0.1 each pass was
+        # ~0.8 s of the 4.7 s serve.  O(shard) shingle arrays
+        # materialize; the CORPUS is never shingle-materialized (its
+        # verify side stays candidate-pruned), so the memory trade is
+        # bounded by the admission batch, not the table.
+        qsets = shingle_sets(
+            query_docs, id_col="doc_id", text_col="text", n=p["n"]
+        ).transform(materialize)
+        sig = minhash_signatures_from_sets(
+            qsets, num_hashes=p["num_hashes"], id_col="__id"
+        )
+        qrows = _banded_keys(
+            sig, num_hashes=p["num_hashes"], bands=p["bands"], id_col="__id"
+        ).select(F.col("bkey"), F.col("doc_id").alias("i"))
+        # the probe keys and the candidate pairs are each consumed by
+        # SEVERAL downstream subplans (bloom planning, the bkey join,
+        # the candidates-only semi-joins in the verify stage);
+        # materialize so the 64-hash signature stage runs ONCE per
+        # admission call instead of once per consumer
         qrows = qrows.transform(materialize)
         # no .distinct() here: the prune path distincts after its string
         # cast anyway, so a call-site distinct only added a second full
@@ -414,8 +450,16 @@ def indexed_neardup_lookup(
             .transform(materialize)
         )
         return _verified_pairs(
-            cand, query_docs, corpus_docs, n=p["n"], threshold=threshold
+            cand,
+            query_docs,
+            corpus_docs,
+            n=p["n"],
+            threshold=threshold,
+            query_sets=qsets,
         )
+    qrows = banded_bucket_rows(
+        query_docs, num_hashes=p["num_hashes"], bands=p["bands"], n=p["n"]
+    ).select(F.col("bkey"), F.col("doc_id").alias("i"))
     # probe keys to the driver: O(q x bands) longs, the same metadata-
     # scale hop the ANN probe cells and lexicon top-n make — never rows
     bkeys = [r["bkey"] for r in qrows.select("bkey").distinct().collect()]

@@ -27,7 +27,13 @@ import os  # noqa: E402
 # gitignored scratch layer; the harness may wipe it between sessions
 os.makedirs(REPO_ROOT / ".scratch", exist_ok=True)
 
-PARITY_SFS = [SF_SMOKE, SF_ORACLE]
+PARITY_SFS = [SF_SMOKE]
+# sf0.01 tier (~12 min of Spark+DuckDB work): opt-OUT since r16 — the
+# default driver-budget tier keeps full per-query parity at sf0.001;
+# scale-sensitive drift (FP rounding boundaries, LSH band misses) is
+# re-checked at sf0.01/sf0.1 in the pre-round validation runs
+if os.environ.get("SPARK_GRAFT_PARITY_ORACLE", "0").lower() not in ("0", "", "false"):
+    PARITY_SFS.append(SF_ORACLE)
 if os.environ.get("SPARK_GRAFT_PARITY_BENCH", "0").lower() not in ("0", "", "false"):
     PARITY_SFS.append("/root/testdata/sf0.1")
 

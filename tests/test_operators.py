@@ -1964,6 +1964,8 @@ class TestTokenIndexRound10:
                 spark, group, ["a", "b"], slop=-1, ordered=True
             )
 
+    @pytest.mark.slow
+
     def test_maintenance_compaction_keeps_bloom_skipping(
         self, spark, tmp_path
     ):
@@ -2227,6 +2229,8 @@ class TestTokenIndexRound10:
             d % 9 in (1, 3, 5) for d in dl_docs if d < 1000000
         )
         assert any(d >= 1000000 for d in dl_docs)
+
+    @pytest.mark.slow
 
     def test_shared_governor_closes_loop_on_ann_stream(self, spark):
         """r11 verdict item 4: ALL THREE tiers share one governor
@@ -2789,6 +2793,8 @@ class TestAnnAssignTopk:
         # mirrored twins, so nothing clears 0.9 (see below)
         self._check_decontaminate(spark, group, shard)
 
+    @pytest.mark.slow
+
     def test_batch_adc_executor_side_no_driver_model_rows(
         self, spark, tmp_path
     ):
@@ -2868,6 +2874,9 @@ class TestAnnAssignTopk:
         ).collect()
         assert decon and all(not r["contaminated"] for r in decon)
         assert all(r["best_sim"] < 0.9 for r in decon)
+
+
+@pytest.mark.slow
 
 
 def test_maintain_ann_assignments_folds_and_keeps_blooms(spark, tmp_path):
@@ -3909,6 +3918,38 @@ class TestNeardupIndex:
             ni.indexed_neardup_pairs(spark, group, docs, max_bucket=4)
         ) == {(1, 2), (3, 4)}
 
+    def test_signatures_from_shared_shingle_sets_are_bit_identical(
+        self, spark
+    ):
+        """The batch-admission probe computes tokenize+shingle ONCE and
+        derives the MinHash signature from the shared shingle_sets
+        relation (r16); a value drift between that path and
+        minhash_signatures would silently probe the wrong buckets.
+        Pin: identical signature rows on mixed docs (normal / short /
+        empty / null / unicode)."""
+        from aie321_bigdata_movie_kpi_1m_spark.operators.dedup import (
+            minhash_signatures,
+            minhash_signatures_from_sets,
+            shingle_sets,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "alpha beta"),  # < n tokens: sentinel shingle
+                (3, ""),
+                (4, None),
+                (5, "héllo wörld ünïcode tokens here"),
+            ],
+            "doc_id long, text string",
+        )
+        a = minhash_signatures(docs, num_hashes=8, n=3).collect()
+        b = minhash_signatures_from_sets(
+            shingle_sets(docs, n=3), num_hashes=8
+        ).collect()
+        key = lambda r: r["doc_id"]  # noqa: E731
+        assert sorted(a, key=key) == sorted(b, key=key)
+
     def test_dataframe_probe_path(self, spark, tmp_path):
         """probe_mode='dataframe': zero probe keys cross the driver
         (counter-pinned), file pruning still proves a strict subset for
@@ -4036,6 +4077,9 @@ class TestNeardupIndex:
         )
         v2 = snap.snapshot_versions(spark, path)[-1]
         assert len(snap.snapshot_files(spark, path, v2)) - n_big == 1
+
+
+    @pytest.mark.slow
 
 
     def test_maintenance_compacts_and_keeps_pruning(self, spark, tmp_path):
@@ -4215,6 +4259,8 @@ class TestAnnIvfadc:
         # both models were LOADED, never refit
         assert dict(vx._ANN_FIT_RUNS) == fits_before
 
+    @pytest.mark.slow
+
     def test_residual_refresh_encodes_under_pinned_kind(
         self, spark, tmp_path
     ):
@@ -4260,6 +4306,8 @@ class TestAnnIvfadc:
         }
         assert got.get(77777) == 1.0
         assert dict(vx._ANN_FIT_RUNS) == fits_before
+
+    @pytest.mark.slow
 
     def test_residual_recall_improves_on_clustered_corpus(
         self, spark, tmp_path

@@ -6,6 +6,8 @@ silently degrades the plan shape even while results stay correct.
 
 from __future__ import annotations
 
+import pytest
+
 import io
 from contextlib import redirect_stdout
 
@@ -438,6 +440,9 @@ def test_duplicate_spans_shuffles_on_hash_with_partial_agg(spark):
     assert "partial_" in plan  # map-side combine before the shuffle
     assert _shuffle_exchanges(plan) <= 2
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.slow
 
 
 def test_catalog_wide_no_cartesian_no_rowwise_python(spark):

@@ -326,6 +326,7 @@ def kpi_rows(draw):
 
 @given(kpi_rows())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_incremental_kpi_merge_is_split_invariant(spark, rows):
     """Merging per-split partial states == the single-pass aggregate, for
     ANY partition of the rows into up to 4 slices (the daily-refresh
@@ -422,6 +423,7 @@ def snapshot_ops(draw):
 @settings(max_examples=int(os.environ.get("HYPOTHESIS_EXAMPLES", "8")),
           deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_snapshot_layer_matches_model(spark, tmp_path_factory, ops):
     """Model-based check of the versioned layer: after ANY sequence of
     overwrite/append commits, every historical version reads back exactly
@@ -463,6 +465,7 @@ def merge_case(draw):
 @settings(max_examples=int(os.environ.get("HYPOTHESIS_EXAMPLES", "8")),
           deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_merge_snapshot_matches_model(spark, tmp_path_factory, case):
     """Model-based check of copy-on-write MERGE: after ANY sequence of
     keyed upserts, every version reads back exactly the dict the model

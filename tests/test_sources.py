@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 import math
+import os
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -6920,7 +6921,14 @@ class TestR16Hardening:
         for fpath, (sig, payload) in list(snap._JSON_FILE_CACHE.items()):
             if "/segments/" not in fpath and "segment" not in fpath:
                 continue
-            with open(fpath.removeprefix("file:"), encoding="utf-8") as fh:
+            local = fpath.removeprefix("file:")
+            # the cache is process-wide: entries from EARLIER tests may
+            # point into tmp dirs pytest has since deleted — only the
+            # still-on-disk payloads can be compared against a re-parse
+            # (this test's own layer, created above, always qualifies)
+            if not os.path.exists(local):
+                continue
+            with open(local, encoding="utf-8") as fh:
                 fresh = json.load(fh)
             assert payload == fresh, f"cached segment mutated: {fpath}"
             # the cached object must also survive a deepcopy round-trip
