@@ -258,6 +258,7 @@ def _run_to_memory_sink(
     output_mode: str,
     state_partitions: int | None = None,
     drain_all: bool = False,
+    python_stateful: bool = False,
 ) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
@@ -275,10 +276,23 @@ def _run_to_memory_sink(
     # checkpoint for the query's lifetime, so a production deployment
     # sizes it to cluster cores via SPARK_GRAFT_STREAM_STATE_PARTITIONS
     # — parameterised, not a constant baked into the plans.
+    # Python-stateful kernels (applyInPandasWithState /
+    # transformWithStateInPandas) are the exception to the low default:
+    # their per-batch cost is the PYTHON COMPUTE over the batch's rows,
+    # which scales DOWN with partitions (measured at sf0.1:
+    # streaming_sessionize 3.4 s / 2.6 s / 2.1 s and streaming_dedup
+    # 3.2 s / 2.0 s / 2.0 s at 4 / 8 / 16 partitions — the opposite
+    # slope of the JVM-stateful ops above), so they default to a count
+    # sized for compute parallelism, still env-parameterised.
     if state_partitions is None:
-        state_partitions = int(
-            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
-        )
+        if python_stateful:
+            state_partitions = int(
+                os.environ.get("SPARK_GRAFT_STREAM_PY_STATE_PARTITIONS", "16")
+            )
+        else:
+            state_partitions = int(
+                os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+            )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -507,6 +521,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_stream(read_documents_stream(spark, sf_dir)),
         name="stream_dedup",
         output_mode="append",
+        python_stateful=True,
     )
 
 
@@ -577,6 +592,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize_stream(read_events_stream(spark, sf_dir), gap_seconds=21600),
         name="stream_sessions",
         output_mode="append",
+        python_stateful=True,
     )
     return out.select(
         "user_id",
@@ -617,6 +633,7 @@ def q_streaming_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         admit_quota_stream(read_documents_stream(spark, sf_dir)),
         name="stream_quota_admission",
         output_mode="append",
+        python_stateful=True,
     )
 
 
