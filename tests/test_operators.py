@@ -2619,6 +2619,8 @@ class TestLexiconSideband:
         assert got == ["alpha", "beta"]
         assert ti._LEX_PROBE_STATS["fallbacks"] == stats0["fallbacks"] + 1
 
+    @pytest.mark.slow
+
     def test_deletes_keep_sideband_exact(self, spark, tmp_path, monkeypatch):
         """Complete negative rows: deleting docs through the change-feed
         refresh re-ranks the lexicon exactly (a delete can DEMOTE the
@@ -3213,6 +3215,8 @@ class TestReclusterMaintenance:
             )
         )
         assert after == before and after
+
+    @pytest.mark.slow
 
     def test_neardup_recluster_keeps_lookup_exact(self, spark, tmp_path):
         from aie321_bigdata_movie_kpi_1m_spark.plans import neardup_index as ni

@@ -6701,6 +6701,8 @@ class TestCatalogMaintenanceSweep:
     every surviving pinned catalog version still readable under the
     per-path min_pinned retention floors."""
 
+    @pytest.mark.slow
+
     def test_sweep_act_replan_and_pinned_reads_survive(
         self, spark, tmp_path
     ):
